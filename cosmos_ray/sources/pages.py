@@ -1,0 +1,343 @@
+"""Deterministic synthetic Common-Crawl-style pages + golden outputs.
+
+The driver-provided ``documents.parquet`` (doc_id, text, lang, source,
+n_chars) is wrapped into templated HTML pages of the BASELINE.json
+input_hint shape ``(url, warc_ts, html, text, lang)``.  Because the
+template and the planted facts are seeded per doc, the *expected*
+extracted text, segments, mentions and triples are computable exactly —
+the golden-fixture pattern of the reference's annotated-document tests
+(`cosmos_service/test/src/annotations/annotations_base.py:16-133`).
+
+Planted structure per page:
+  <h1> title              -> cls Title
+  <p>  source line        -> cls Body Text
+  <h2> "Overview"         -> cls Section Header
+  <p>  word-soup paras    -> cls Body Text
+  <h2> "Facts"            -> cls Section Header
+  <li> SVO fact sentences -> cls List Item   (triples live here)
+  <p>  "Table 1: ..."     -> cls Table Caption  (rules postprocessor)
+  <p>  "Figure 1: ..."    -> cls Figure Caption (rules postprocessor)
+
+Fault injection (FIXTURES.md harness notes): every url with
+``doc_id % MALFORMED_MOD == MALFORMED_REM`` carries invalid-UTF8 html and
+must land in the dead-letter table; every url with
+``doc_id % DUP_MOD == DUP_REM`` appears twice with different ``warc_ts``
+(keep-latest dedup, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import random
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from cosmos_ray.core import schemas
+from cosmos_ray.sources.entity_dict import (
+    DEFAULT_SEED,
+    UNKNOWN_SURFACES,
+    build_entity_dict,
+    surface_index,
+)
+
+# Closed predicate lexicon (OpenIE-style SVO patterns). Multi-word and
+# disjoint from both the testdata vocabulary and entity-name word lists.
+PREDICATES = [
+    "acquired",
+    "founded",
+    "partnered with",
+    "produces",
+    "is located in",
+    "employs",
+    "supplies",
+    "competes with",
+]
+
+MALFORMED_MOD, MALFORMED_REM = 97, 13
+DUP_MOD, DUP_REM = 50, 7
+
+_BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
+
+
+@dataclass
+class GoldenDoc:
+    url: str
+    doc_id: int
+    lang: str
+    blocks: list[tuple[str, str]] = field(default_factory=list)  # (tag, text)
+    # (subj_surface, pred, obj_surface) in order of appearance
+    facts: list[tuple[str, str, str]] = field(default_factory=list)
+
+    @property
+    def text(self) -> str:
+        return "\n".join(t for _, t in self.blocks)
+
+
+def _title_words(text: str) -> str:
+    return " ".join(text.split()[:3])
+
+
+def golden_doc(
+    doc_id: int,
+    text: str,
+    lang: str,
+    source: str,
+    kb_names: list[str],
+    kb_aliases: dict[str, list[str]],
+    seed: int = DEFAULT_SEED,
+) -> GoldenDoc:
+    """Compute the golden block list + planted facts for one document.
+    Pure function of its arguments — the html renderer and every golden
+    fixture derive from this."""
+    rng = random.Random(f"{seed}:{doc_id}")
+    url = f"https://web{doc_id % 20}.example.org/p/{doc_id}"
+    g = GoldenDoc(url=url, doc_id=doc_id, lang=lang)
+
+    title = f"Document {doc_id} & notes: {_title_words(text)}"
+    g.blocks.append(("h1", title))
+    g.blocks.append(("p", f"source: {source}"))
+    g.blocks.append(("h2", "Overview"))
+    words = text.split()
+    for i in range(0, len(words), 40):
+        g.blocks.append(("p", " ".join(words[i : i + 40])))
+
+    g.blocks.append(("h2", "Facts"))
+    n_facts = rng.randint(2, 8)
+    n = len(kb_names)
+    for _ in range(n_facts):
+        # head-entity skew: power-law subject draw (SURVEY.md §4 skew row)
+        si = int(n * rng.random() ** 2.5)
+        subj = kb_names[min(si, n - 1)]
+        if rng.random() < 0.25 and kb_aliases[subj]:
+            subj_surface = rng.choice(kb_aliases[subj])
+        else:
+            subj_surface = subj
+        pred = rng.choice(PREDICATES)
+        if rng.random() < 0.12:
+            obj_surface = rng.choice(UNKNOWN_SURFACES)
+        else:
+            oi = rng.randrange(n)
+            obj = kb_names[oi]
+            if rng.random() < 0.25 and kb_aliases[obj]:
+                obj_surface = rng.choice(kb_aliases[obj])
+            else:
+                obj_surface = obj
+        g.facts.append((subj_surface, pred, obj_surface))
+        g.blocks.append(("li", f"{subj_surface} {pred} {obj_surface}."))
+
+    g.blocks.append(("p", f"Table {1 + doc_id % 3}: summary of planted facts."))
+    g.blocks.append(("p", f"Figure {1 + doc_id % 2}: entity graph sketch."))
+    return g
+
+
+_TAG_OPEN = {
+    "h1": '<h1 class="title">',
+    "h2": "<h2>",
+    "p": '<p class="body">',
+    "li": "<li>",
+}
+
+
+def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
+    """Render a GoldenDoc to noisy-but-well-formed HTML. Extraction of
+    this html must reproduce ``g.text`` byte-for-byte."""
+    rng = random.Random(f"{seed}:{g.doc_id}:html")
+    parts = [
+        "<!DOCTYPE html>",
+        f'<html lang="{g.lang}"><head><meta charset="utf-8">',
+        f"<title>{_html.escape(g.blocks[0][1])}</title>",
+        "<style>body { margin: 0; } .nav { display: none; }</style>",
+        '<script type="text/javascript">var tracker = "<p>not text</p>";</script>',
+        "</head><body>",
+        "<!-- boilerplate nav -->",
+        '<nav class="nav"><span>skip</span></nav>',
+    ]
+    in_list = False
+    for tag, text in g.blocks:
+        if tag == "li" and not in_list:
+            parts.append("<ul>")
+            in_list = True
+        if tag != "li" and in_list:
+            parts.append("</ul>")
+            in_list = False
+        if rng.random() < 0.2:
+            parts.append(f"<!-- c{rng.randrange(100)} -->")
+        parts.append(f"{_TAG_OPEN[tag]}{_html.escape(text)}</{tag}>")
+    if in_list:
+        parts.append("</ul>")
+    parts.append("<footer><!-- end --></footer></body></html>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def _doc_ts_us(doc_id: int) -> int:
+    return _BASE_TS_US + doc_id * 1_000_000
+
+
+def generate_pages_table(
+    documents: pa.Table,
+    seed: int = DEFAULT_SEED,
+    repeat: int = 1,
+    inject_faults: bool = True,
+    kb: pa.Table | None = None,
+) -> pa.Table:
+    """Build the PAGES input table from a driver ``documents`` table.
+
+    ``repeat > 1`` replicates the corpus with distinct doc_ids/urls and
+    distinct seeded facts (for bench-scale inputs). The ``text`` column is
+    left empty to force extraction from html.
+    """
+    kb = kb if kb is not None else build_entity_dict(seed=seed)
+    kb_rows = kb.to_pylist()
+    kb_names = [r["name"] for r in kb_rows]
+    kb_aliases = {r["name"]: r["aliases"] for r in kb_rows}
+
+    n_docs = documents.num_rows
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+    sources = documents.column("source").to_pylist()
+
+    urls, tss, htmls, texts_out, langs_out = [], [], [], [], []
+    for r in range(repeat):
+        for j in range(n_docs):
+            did = doc_ids[j] + r * n_docs
+            g = golden_doc(did, texts[j], langs[j], sources[j], kb_names, kb_aliases, seed)
+            ts = _doc_ts_us(did)
+            if inject_faults and did % MALFORMED_MOD == MALFORMED_REM:
+                body = b"\xff\xfe<html>broken \xff page</html>"
+            else:
+                body = render_html(g, seed)
+            urls.append(g.url if r == 0 else f"{g.url}?r={r}")
+            tss.append(ts)
+            htmls.append(body)
+            texts_out.append("")
+            langs_out.append(g.lang)
+            if inject_faults and did % DUP_MOD == DUP_REM:
+                # stale duplicate: same url, earlier ts, same content
+                urls.append(urls[-1])
+                tss.append(ts - 3_600_000_000)
+                htmls.append(body)
+                texts_out.append("")
+                langs_out.append(g.lang)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts_out, pa.string()),
+            "lang": pa.array(langs_out, pa.string()),
+        },
+        schema=schemas.PAGES,
+    )
+
+
+def golden_corpus(
+    documents: pa.Table,
+    seed: int = DEFAULT_SEED,
+    repeat: int = 1,
+) -> dict[str, pa.Table]:
+    """Golden outputs for the corpus produced by ``generate_pages_table``
+    with the same arguments (malformed docs excluded — they belong in the
+    dead-letter table).
+
+    Returns tables: ``text`` (url, text); ``segments`` (url, seg_id, tag,
+    cls, text); ``triples`` (url, subj, pred, obj) surface-form,
+    deduplicated per url; ``linked_triples`` (url, subj_id, pred, obj_id)
+    for facts whose both surfaces link; ``mention_counts``
+    (canonical_id, n_mentions).
+    """
+    kb = build_entity_dict(seed=seed)
+    sidx = surface_index(kb)
+    kb_rows = kb.to_pylist()
+    kb_names = [r["name"] for r in kb_rows]
+    kb_aliases = {r["name"]: r["aliases"] for r in kb_rows}
+
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+    sources = documents.column("source").to_pylist()
+    n_docs = documents.num_rows
+
+    t_rows, s_rows, tr_set, lt_set = [], [], set(), set()
+    mention_counts: dict[str, int] = {}
+    for r in range(repeat):
+        for j in range(n_docs):
+            did = doc_ids[j] + r * n_docs
+            if did % MALFORMED_MOD == MALFORMED_REM:
+                continue
+            g = golden_doc(did, texts[j], langs[j], sources[j], kb_names, kb_aliases, seed)
+            url = g.url if r == 0 else f"{g.url}?r={r}"
+            t_rows.append({"url": url, "text": g.text})
+            for i, (tag, btext) in enumerate(g.blocks):
+                s_rows.append(
+                    {
+                        "url": url,
+                        "seg_id": i,
+                        "tag": tag,
+                        "cls": _golden_cls(tag, btext),
+                        "text": btext,
+                    }
+                )
+            for subj, pred, obj in g.facts:
+                tr_set.add((url, subj, pred, obj))
+                s_link = sidx.get(subj)
+                o_link = sidx.get(obj)
+                if s_link:
+                    mention_counts[s_link[0]] = mention_counts.get(s_link[0], 0) + 1
+                if o_link:
+                    mention_counts[o_link[0]] = mention_counts.get(o_link[0], 0) + 1
+                if s_link and o_link:
+                    lt_set.add((url, s_link[0], pred, o_link[0]))
+
+    return {
+        "text": pa.Table.from_pylist(t_rows) if t_rows else pa.table({"url": [], "text": []}),
+        "segments": pa.Table.from_pylist(s_rows),
+        "triples": pa.Table.from_pylist(
+            [{"url": u, "subj": s, "pred": p, "obj": o} for u, s, p, o in sorted(tr_set)]
+        ),
+        "linked_triples": pa.Table.from_pylist(
+            [{"url": u, "subj_id": s, "pred": p, "obj_id": o} for u, s, p, o in sorted(lt_set)]
+        ),
+        "mention_counts": pa.Table.from_pylist(
+            [{"canonical_id": k, "n_mentions": v} for k, v in sorted(mention_counts.items())]
+        ),
+        "kb": kb,
+    }
+
+
+_CAPTION_TABLE = re.compile(r"^(table|tbl|tab)\.? ?[0-9]", re.I)
+_CAPTION_FIGURE = re.compile(r"^(figure|fig|scheme|plate)\.? ?[0-9]", re.I)
+
+
+def _golden_cls(tag: str, text: str) -> str:
+    """The class the classifier+rules stack must emit (reference analog:
+    detect -> xgboost postprocess -> rules postprocess,
+    `postprocess/pp_rules.py:7-35`)."""
+    if tag == "p":
+        if _CAPTION_TABLE.match(text):
+            return "Table Caption"
+        if _CAPTION_FIGURE.match(text):
+            return "Figure Caption"
+        return "Body Text"
+    return {"h1": "Title", "h2": "Section Header", "li": "List Item"}.get(tag, "Other")
+
+
+def write_pages_parquet(
+    documents_path: str,
+    out_path: str,
+    seed: int = DEFAULT_SEED,
+    repeat: int = 1,
+    inject_faults: bool = True,
+) -> str:
+    """Materialize a pages parquet from a driver documents parquet (used
+    by bench.py; generation is not part of the timed pipeline)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(documents_path)
+    table = generate_pages_table(docs, seed=seed, repeat=repeat, inject_faults=inject_faults)
+    pq.write_table(table, out_path)
+    return out_path

@@ -1,0 +1,230 @@
+"""HTML -> text extraction: the byte-identical-per-url contract.
+
+Reference analog: the pdfminer text-layer parse + ftfy normalization
+(Cosmos `ingest/utils/pdf_extractor.py:26-84`,
+`ingest/utils/normalize_text.py:19-28`, applied at `ingest/ingest.py:178-179`).
+This function is FROZEN by golden fixtures (tests/test_extract.py) — the
+north rule requires every url's extracted text to be byte-identical run
+over run; never change its behavior without regenerating fixtures.
+
+Design notes (100 TB posture):
+- Stateless ``map_batches`` over zero-copy Arrow batches; the parser is a
+  module-level singleton per worker process (re-used, reset per row).
+- The stage emits BOTH the joined document text and the block list as a
+  nested ``list<struct<tag,text>>`` column, so segmentation never
+  re-parses html and the expensive ``html`` binary column is dropped
+  here, at the earliest possible stage (SURVEY.md §7 hard part (e)).
+- Malformed rows (undecodable bytes, parser blowups) become dead-letter
+  rows via the ``error`` column instead of killing the task (reference
+  analog: per-PDF error skipping, `ingest/ingest.py:262-272`).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+import ray.data
+
+# Block-level elements whose text content becomes one extracted block, in
+# document order. Everything inside <script>/<style>/<nav>/<footer> and
+# comments is dropped.
+_BLOCK_TAGS = frozenset(
+    {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "td", "th",
+     "figcaption", "caption", "blockquote", "pre", "title"}
+)
+_SKIP_TAGS = frozenset({"script", "style", "nav", "footer", "head", "title"})
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("text", pa.string()),
+        ("blocks", pa.list_(pa.struct([("tag", pa.string()), ("text", pa.string())]))),
+        ("n_blocks", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class _BlockParser(HTMLParser):
+    """Collect (tag, normalized_text) for block-level elements in document
+    order; lenient with malformed nesting (stdlib HTMLParser never raises
+    on bad markup)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str]] = []
+        self._stack: list[str] = []
+        self._skip_depth = 0
+        self._buf: list[str] | None = None
+        self._buf_tag: str | None = None
+
+    def reset_state(self) -> None:
+        self.reset()
+        self.blocks.clear()
+        self._stack.clear()
+        self._skip_depth = 0
+        self._buf = None
+        self._buf_tag = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag in _BLOCK_TAGS and self._skip_depth == 0:
+            self._flush()
+            self._buf = []
+            self._buf_tag = tag
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag in _BLOCK_TAGS and tag == self._buf_tag:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._buf is not None and self._skip_depth == 0:
+            self._buf.append(data)
+
+    def _flush(self) -> None:
+        if self._buf is not None and self._buf_tag is not None:
+            text = normalize_text("".join(self._buf))
+            if text:
+                self.blocks.append((self._buf_tag, text))
+        self._buf = None
+        self._buf_tag = None
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def normalize_text(s: str) -> str:
+    """The frozen normalization contract: NFC unicode normalization +
+    whitespace collapse (reference analog: `ftfy.fix_text`,
+    `normalize_text.py:19-28` — ftfy is not in this container; NFC covers
+    the deterministic subset our corpus exercises)."""
+    return " ".join(unicodedata.normalize("NFC", s).split())
+
+
+_PARSER: _BlockParser | None = None
+
+
+def parse_html_blocks(raw: bytes) -> list[tuple[str, str]]:
+    """bytes -> [(tag, text)] in document order. Raises on undecodable
+    bytes (caller routes to dead letter)."""
+    global _PARSER
+    if _PARSER is None:
+        _PARSER = _BlockParser()
+    p = _PARSER
+    p.reset_state()
+    p.feed(raw.decode("utf-8"))  # strict: invalid UTF-8 -> UnicodeDecodeError
+    p.close()
+    return list(p.blocks)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """PAGES batch -> EXTRACTED batch. Vectorized column assembly; the
+    parse itself is necessarily per-row (HTML is a row-wise payload)."""
+    htmls = batch.column("html")
+    n = len(htmls)
+    texts: list[str] = [""] * n
+    blocks_col: list[list[dict] | None] = [None] * n
+    n_blocks = [0] * n
+    errors: list[str | None] = [None] * n
+    for i in range(n):
+        raw = htmls[i].as_py()
+        try:
+            blocks = parse_html_blocks(raw)
+            texts[i] = "\n".join(t for _, t in blocks)
+            blocks_col[i] = [{"tag": tg, "text": t} for tg, t in blocks]
+            n_blocks[i] = len(blocks)
+        except Exception as e:  # malformed row -> dead letter, keep going
+            blocks_col[i] = []
+            errors[i] = f"{type(e).__name__}: {e}"
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "text": pa.array(texts, pa.string()),
+            "blocks": pa.array(
+                blocks_col,
+                pa.list_(pa.struct([("tag", pa.string()), ("text", pa.string())])),
+            ),
+            "n_blocks": pa.array(n_blocks, pa.int32()),
+            "error": pa.array(errors, pa.string()),
+        },
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+def extract(pages: "ray.data.Dataset", batch_size: int = 256) -> "ray.data.Dataset":
+    """The extraction stage. Small batch_size because rows carry the wide
+    ``html`` binary column; the output drops it."""
+    return pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def split_dead_letter(extracted: "ray.data.Dataset"):
+    """-> (ok_ds, dead_ds). Both remain lazy; the predicate is a
+    vectorized Arrow filter."""
+    import pyarrow.compute as pc
+
+    ok = extracted.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("error"))), batch_format="pyarrow"
+    )
+
+    def to_dead(t: pa.Table) -> pa.Table:
+        bad = t.filter(pc.is_valid(t.column("error")))
+        return pa.table(
+            {
+                "url": bad.column("url"),
+                "stage": pa.array(["extract"] * bad.num_rows, pa.string()),
+                "error": bad.column("error"),
+            }
+        )
+
+    return ok, extracted.map_batches(to_dead, batch_format="pyarrow")
+
+
+def _batch_local_latest(t: pa.Table) -> pa.Table:
+    """Combiner for keep_latest: within one batch keep only the max-ts row
+    per url, shrinking the subsequent shuffle (duplicate crawls of a url
+    usually land near each other in crawl order)."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    order = pc.sort_indices(
+        t, sort_keys=[("url", "ascending"), ("warc_ts", "descending")]
+    )
+    sorted_t = t.take(order)
+    urls = sorted_t.column("url")
+    keep = [True] * sorted_t.num_rows
+    prev = None
+    for i, u in enumerate(urls.to_pylist()):
+        if u == prev:
+            keep[i] = False
+        prev = u
+    return sorted_t.filter(pa.array(keep))
+
+
+def keep_latest(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Keep-latest-per-url dedup (SURVEY.md §2.10: groupby(url) -> max by
+    warc_ts). Runs AFTER extraction so the shuffle never moves the raw
+    ``html`` bytes — post-extract rows are ~10x smaller. Batch-local
+    combiner first, then the hash shuffle on url; within-group reduce is
+    an Arrow sort+take."""
+    import pyarrow.compute as pc
+
+    def latest(t: pa.Table) -> pa.Table:
+        i = pc.sort_indices(t.select(["warc_ts"]), sort_keys=[("warc_ts", "descending")])[0]
+        return t.take(pa.array([i.as_py()]))
+
+    pre = extracted.map_batches(_batch_local_latest, batch_format="pyarrow")
+    return pre.groupby("url").map_groups(latest, batch_format="pyarrow")

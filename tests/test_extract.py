@@ -1,0 +1,62 @@
+"""Byte-identical per-url extraction contract (north rule gate #1).
+
+Reference analog: the text-layer parse + normalization the reference
+freezes per document (`ingest/utils/pdf_extractor.py:26-84`,
+`normalize_text.py:19-28`); golden-fixture pattern from
+`cosmos_service/test/src/annotations/annotations_base.py`.
+"""
+
+from __future__ import annotations
+
+from cosmos_ray.stages.extract import normalize_text, parse_html_blocks
+
+
+def test_text_byte_identical_per_url(kg_small, golden_small):
+    got = {
+        r["url"]: r["text"] for r in kg_small.documents.take_all()
+    }
+    want = {
+        u: t
+        for u, t in zip(
+            golden_small["text"].column("url").to_pylist(),
+            golden_small["text"].column("text").to_pylist(),
+        )
+    }
+    assert set(got) == set(want)
+    mismatches = [u for u in want if got[u] != want[u]]
+    assert mismatches == [], f"{len(mismatches)} urls not byte-identical"
+
+
+def test_dead_letter_routing(kg_small, pages_small, golden_small):
+    dead = kg_small.dead_letter.take_all()
+    # every malformed url lands in dead letter with an error, none in docs
+    n_urls = pages_small.num_rows
+    golden_urls = set(golden_small["text"].column("url").to_pylist())
+    dead_urls = {r["url"] for r in dead}
+    assert dead_urls, "expected planted malformed rows"
+    assert dead_urls.isdisjoint(golden_urls)
+    assert all(r["error"] for r in dead)
+    assert all(r["stage"] == "extract" for r in dead)
+
+
+def test_keep_latest_dedup(kg_small, golden_small):
+    # duplicate-crawl urls collapse to exactly one row per url
+    urls = [r["url"] for r in kg_small.documents.select_columns(["url"]).take_all()]
+    assert len(urls) == len(set(urls))
+    assert len(urls) == golden_small["text"].num_rows
+
+
+def test_parser_handles_noise():
+    html = (
+        b"<html><head><script>var a='<p>x</p>';</script><style>p{}</style></head>"
+        b"<body><!-- c --><p>hello &amp; goodbye</p><nav><p>skip me</p></nav>"
+        b"<ul><li>item one.</li></ul></body></html>"
+    )
+    blocks = parse_html_blocks(html)
+    assert blocks == [("p", "hello & goodbye"), ("li", "item one.")]
+
+
+def test_normalize_text_contract():
+    assert normalize_text("  a\t b\n c ") == "a b c"
+    # NFC normalization: decomposed e + combining acute -> composed
+    assert normalize_text("é") == "é"

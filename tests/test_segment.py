@@ -1,0 +1,73 @@
+"""Segment explode + classification: exact per-url class counts and
+reading order (reference analog: `check_document_count`
+`annotations_base.py:125-128` exact-count gate; reading order
+`ocr/ocr.py:81`, `aggregate.py:115-156`)."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow as pa
+
+from cosmos_ray.stages.segment import CLASSES, SegmentClassifier, explode_segments
+
+
+def _golden_by_url(golden_small):
+    by_url = collections.defaultdict(list)
+    t = golden_small["segments"]
+    for r in t.to_pylist():
+        by_url[r["url"]].append(r)
+    return by_url
+
+
+def test_exact_class_counts_per_url(kg_small, golden_small):
+    got = collections.Counter()
+    for r in kg_small.segments.select_columns(["url", "cls"]).take_all():
+        got[(r["url"], r["cls"])] += 1
+    want = collections.Counter()
+    for r in golden_small["segments"].to_pylist():
+        want[(r["url"], r["cls"])] += 1
+    assert got == want
+
+
+def test_reading_order_and_text(kg_small, golden_small):
+    segs = kg_small.segments.select_columns(["url", "seg_id", "text"]).take_all()
+    got = collections.defaultdict(dict)
+    for r in segs:
+        got[r["url"]][r["seg_id"]] = r["text"]
+    for url, rows in _golden_by_url(golden_small).items():
+        for r in rows:
+            assert got[url][r["seg_id"]] == r["text"]
+
+
+def test_classifier_contract_ranked_scores():
+    t = pa.table(
+        {
+            "url": ["u"] * 3,
+            "page_num": pa.array([0, 0, 0], pa.int32()),
+            "seg_id": pa.array([0, 1, 2], pa.int32()),
+            "tag": ["h1", "p", "p"],
+            "text": ["My Title", "Body text here.", "Table 3: caption text"],
+            "bbox": pa.array([[0.0, 0.0, 1.0, 1.0]] * 3, pa.list_(pa.float32(), 4)),
+        }
+    )
+    out = SegmentClassifier()(t)
+    rows = out.to_pylist()
+    # ranked (score, cls) descending, full class list
+    for r in rows:
+        assert sorted(r["scores"], reverse=True) == r["scores"]
+        assert set(r["classes"]) == set(CLASSES)
+        assert r["cls"] == r["classes"][0] or r["score"] == 1.0  # rules override
+    assert rows[0]["cls"] == "Title"
+    assert rows[1]["cls"] == "Body Text"
+    assert rows[2]["cls"] == "Table Caption" and rows[2]["score"] == 1.0
+
+
+def test_explode_is_batch_shape_stable():
+    # explode on an empty batch yields the schema, not an error
+    from cosmos_ray.stages.extract import EXTRACTED_SCHEMA
+
+    empty = EXTRACTED_SCHEMA.empty_table()
+    out = explode_segments(empty)
+    assert out.num_rows == 0
+    assert "seg_id" in out.schema.names
