@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  matrix once via ``ray.put``; each batch does one float64 matmul against
+  it; per-batch local top-k partials are merged in a tiny final reduce.
+  This is the baseline and the oracle for the approximate variant.
+- ``ivf_topk``: the scale path — k-means-style coarse quantizer
+  (deterministic seeded centroids trained on a sample), each vector
+  assigned to its nearest centroid at index time; queries probe only the
+  ``nprobe`` nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10):
+    """-> Dataset (query_id, vec_id, cosine, rank). Exact; per-batch
+    partial top-k (k rows per query per batch cross the shuffle, not the
+    full score matrix)."""
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qn)
+
+    class Scorer:
+        def __init__(self, q_ref=None) -> None:
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            V = _as_matrix(batch.column("embedding"))
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ self.q.T  # (n, nq)
+            o_q, o_id, o_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                top = np.argsort(-col, kind="stable")[:k]
+                o_q.extend([qi] * len(top))
+                o_id.extend(ids[top].tolist())
+                o_s.extend(col[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(o_q, pa.int32()),
+                    "vec_id": pa.array(o_id, pa.int64()),
+                    "cosine": pa.array(o_s, pa.float64()),
+                }
+            )
+
+    partials = emb_ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"q_ref": q_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(k, g.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id))
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "vec_id": [r.vec_id for r in top],
+                "cosine": [round(r.cosine, 6) for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _seeded_centroids(emb_ds, n_centroids: int, seed: int, sample_n: int = 2048, iters: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer is tiny model state, trained once, broadcast everywhere)."""
+    sample = emb_ds.limit(sample_n).to_pandas()
+    X = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            pts = X[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, seed: int = 23):
+    """Approximate cosine top-k: probe only the ``nprobe`` closest
+    centroid partitions per query. Recall is tested against
+    ``brute_force_topk`` (tests/test_similarity.py)."""
+    C = _seeded_centroids(emb_ds, n_centroids, seed)
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    allowed = [set(row.tolist()) for row in probe]
+    state_ref = ray.put((C, qn, allowed))
+
+    class Scorer:
+        def __init__(self, state_ref=None) -> None:
+            self.C, self.q, self.allowed = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            V = _as_matrix(batch.column("embedding"))
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Vn @ self.C.T, axis=1)
+            o_q, o_id, o_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(cell, list(self.allowed[qi]))
+                if not mask.any():
+                    continue
+                col = Vn[mask] @ self.q[qi]
+                sub_ids = ids[mask]
+                top = np.argsort(-col, kind="stable")[:k]
+                o_q.extend([qi] * len(top))
+                o_id.extend(sub_ids[top].tolist())
+                o_s.extend(col[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(o_q, pa.int32()),
+                    "vec_id": pa.array(o_id, pa.int64()),
+                    "cosine": pa.array(o_s, pa.float64()),
+                }
+            )
+
+    partials = emb_ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"state_ref": state_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(k, g.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id))
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "vec_id": [r.vec_id for r in top],
+                "cosine": [round(r.cosine, 6) for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms over the
+``documents`` table shape (doc_id, text, lang, source, n_chars). The
+token/quality/fingerprint contracts are deliberately SQL-expressible so
+the driver's DuckDB oracle can verify them value-for-value; language ID
+is a statistical heuristic (rows-only check).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (whitespace tokens), n_chars_measured.
+    Vectorized via pyarrow: split_pattern + list_value_length."""
+    toks = pc.split_pattern(t.column("text"), " ")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_chars_measured": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        }
+    )
+
+
+def quality_score_batch(t: pa.Table) -> pa.Table:
+    """Per-doc quality features (the length/stopword-ratio family of
+    web-corpus quality filters): n_tokens, mean_token_len, stopword_ratio,
+    and a composite keep flag. All double-precision, SQL-mirrorable."""
+    toks = pc.split_pattern(t.column("text"), " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.float64())
+    n_chars = pc.cast(pc.utf8_length(t.column("text")), pa.float64())
+    # mean token length = (chars - separators) / tokens
+    seps = pc.subtract(n_tokens, 1)
+    mean_tok = pc.divide(pc.subtract(n_chars, seps), pc.max_element_wise(n_tokens, 1.0))
+
+    # stopword ratio: flatten once, membership test, re-aggregate by doc
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+    idx = np.repeat(np.arange(len(lens)), lens)
+    stop_per_doc = np.bincount(idx, weights=stop_np, minlength=len(lens))
+    ratio = stop_per_doc / np.maximum(lens, 1)
+
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    keep = (nt >= 10) & (ratio <= 0.5)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "mean_token_len": pc.round(mean_tok, 6),
+            "stopword_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """Deterministic content fingerprint (md5 hex) — the dedup-by-upsert
+    identity of the reference (sha1 `_id` fields,
+    `elastic_retriever.py:182-187`; md5 here to match the SQL oracle)."""
+    texts = t.column("text").to_pylist()
+    fp = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+    return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(fp, pa.string())})
+
+
+# ------------------------------------------------------------- language id
+# Character n-gram profiles per language (tiny, deterministic). In a real
+# deployment these are learned; here they are fixed public bigram cue
+# lists — the operator shape (stateful profile table in actor state,
+# vectorized scoring) is what matters.
+_LANG_CUES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an", " t", "of", "on"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "un", "sch"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "ou", "qu"),
+    "es": ("de", "en", "el", "la", "os", "es", "ar", "ci"),
+    "zh": ("zh", "ng", "sh", "ia", "ua", "uo", "ji", "xi"),
+}
+
+
+class LanguageId:
+    """Actor-pool language identifier: n-gram cue profiles built once in
+    __init__, scored per batch. Emits (doc_id, lang_pred, lang_score)."""
+
+    def __init__(self, cues: dict[str, tuple[str, ...]] | None = None) -> None:
+        self.profiles = {k: tuple(v) for k, v in (cues or _LANG_CUES).items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].str.lower()
+        best_lang = np.full(len(batch), "und", dtype=object)
+        best_score = np.zeros(len(batch))
+        for lang, cues in self.profiles.items():
+            score = np.zeros(len(batch))
+            for c in cues:
+                score += texts.str.count(c, flags=0).to_numpy()
+            lens = texts.str.len().to_numpy().clip(min=1)
+            score = score / lens
+            better = score > best_score
+            best_lang[better] = lang
+            best_score[better] = score[better]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": best_lang,
+                "lang_score": np.round(best_score, 6),
+            }
+        )
+
+
+def token_counts(docs_ds):
+    return docs_ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def quality_scores(docs_ds):
+    return docs_ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def fingerprints(docs_ds):
+    return docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def language_id(docs_ds, concurrency: int | tuple = (1, 4)):
+    return docs_ds.map_batches(
+        LanguageId, batch_format="pandas", concurrency=concurrency, batch_size=4096
+    )

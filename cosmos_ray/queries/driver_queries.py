@@ -1,0 +1,546 @@
+"""Driver-contract queries: every entry returns a callable(sf_dir) and a
+matching DuckDB oracle SQL (where SQL-expressible).
+
+Parity rules (driver hashes values column-by-column after sorting by
+column name):
+- every computed column gets the SAME name in Ray and SQL;
+- every float aggregate is rounded on BOTH sides (2dp money, 6dp
+  ratios/cosines) so accumulation-order drift can't flip the hash;
+- timestamps are reduced to int64 epoch values before comparison.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from cosmos_ray.queries.relational import broadcast_join, read, semi_join_filter, topk
+
+# --------------------------------------------------------------------------
+# Relational pipelines (Cosmos "retrieval" capability parity in batch form:
+# filters, counts, top-k, joins — `elastic_retriever.py:228-342,615-629`)
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with a derived revenue column."""
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+               "l_discount", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc_price).drop_columns(["l_shipdate"])
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
+                         pc.round(t.column("sum_qty"), 2))
+        t = t.set_column(t.schema.get_field_index("sum_base_price"), "sum_base_price",
+                         pc.round(t.column("sum_base_price"), 2))
+        t = t.set_column(t.schema.get_field_index("sum_disc_price"), "sum_disc_price",
+                         pc.round(t.column("sum_disc_price"), 2))
+        t = t.set_column(t.schema.get_field_index("avg_disc"), "avg_disc",
+                         pc.round(t.column("avg_disc"), 6))
+        return t
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                    AS sum_qty,
+       round(sum(l_extendedprice), 2)               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6)                    AS avg_disc,
+       count(*)                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment(sf_dir: str):
+    """orders ⨝ customer (broadcast small side) → revenue per segment."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_tbl = pa.concat_tables(
+        [b for b in customer.iter_batches(batch_format="pyarrow")]
+    )
+    joined = broadcast_join(orders, cust_tbl, key="c_custkey",
+                            add_cols=["c_mktsegment"], big_key="o_custkey")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.round(t.column("revenue"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by order revenue: groupby + broadcast join + global
+    top-k (sample-sort + limit)."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue")
+    )
+    per_cust = per_cust.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.round(t.column("revenue"), 2)),
+        batch_format="pyarrow",
+    )
+    cust_tbl = pa.concat_tables([b for b in customer.iter_batches(batch_format="pyarrow")])
+    named = broadcast_join(per_cust, cust_tbl, key="c_custkey",
+                           add_cols=["c_name"], big_key="o_custkey")
+    return topk(named, [("revenue", True), ("o_custkey", False)], 10)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, any_value(c_name) AS c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey
+LIMIT 10
+"""
+
+
+def q_phrase_search(sf_dir: str):
+    """Filtered phrase search over documents (ES match_phrase analog,
+    `elastic_retriever.py:260-273`)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return docs.map_batches(
+        lambda t: t.filter(pc.match_substring(t.column("text"), "spark join"))
+        .drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PHRASE_SEARCH = """
+SELECT doc_id, lang, n_chars FROM documents WHERE contains(text, 'spark join')
+"""
+
+
+def q_count_by_lang(sf_dir: str):
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_COUNT_BY_LANG = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (event_type, hour) count + sum.
+    Window = epoch-hour bucket (streaming-shaped workload in batch form,
+    ray_guide 'Streaming-shaped workloads')."""
+    ev = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t.column("ts"), pa.int64()), 3_600_000_000)
+        return pa.table(
+            {"event_type": t.column("event_type"), "hour": hour, "value": t.column("value")}
+        )
+
+    agg = ev.map_batches(bucket, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                               pc.round(t.column("sum_value"), 4)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour
+"""
+
+
+def q_big_spenders(sf_dir: str):
+    """Semi-join: customers having at least one order above 300k
+    (broadcast key-set filter; ES doc-filter semi-join analog,
+    `elastic_retriever.py:260-310`)."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(300000.0)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = set(r["o_custkey"] for r in big.take_all())
+    customer = read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return semi_join_filter(customer, keys, "c_custkey")
+
+
+SQL_BIG_SPENDERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """3-way dimension join via chained broadcast lookups."""
+    customer = read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pa.concat_tables(
+        [b for b in read(sf_dir, "nation").iter_batches(batch_format="pyarrow")]
+    )
+    region = pa.concat_tables(
+        [b for b in read(sf_dir, "region").iter_batches(batch_format="pyarrow")]
+    )
+    withn = broadcast_join(customer, nation, key="n_nationkey",
+                           add_cols=["n_regionkey"], big_key="c_nationkey")
+    withr = broadcast_join(withn, region, key="r_regionkey",
+                           add_cols=["r_name"], big_key="n_regionkey")
+    agg = withr.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("avg_acctbal"), "avg_acctbal",
+                               pc.round(t.column("avg_acctbal"), 6)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Text-analysis / training-data operators over `documents`
+# --------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    from cosmos_ray.functions.textops import token_counts
+
+    return token_counts(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split(text, ' '))  AS n_tokens,
+       length(text)                  AS n_chars_measured
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    from cosmos_ray.functions.textops import quality_scores
+
+    return quality_scores(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+       (len(string_split(text, ' ')) >= 10 AND
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        / greatest(len(string_split(text, ' ')), 1) <= 0.5) AS keep
+FROM documents
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    from cosmos_ray.functions.textops import fingerprints
+
+    return fingerprints(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_dedup_exact(sf_dir: str):
+    from cosmos_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def q_events_latest(sf_dir: str):
+    """Keep-latest per (user_id, event_type): the warc_ts keep-latest
+    dedup shape (SURVEY.md §2.10) on the events table."""
+    ev = read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    return ev.map_batches(to_us, batch_format="pyarrow").groupby(
+        ["user_id", "event_type"]
+    ).aggregate(Max("ts_us", alias_name="last_ts_us"), Count(alias_name="n_events"))
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, event_type, max(epoch_us(ts)) AS last_ts_us, count(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# --------------------------------------------------------------------------
+
+
+def q_embedding_topk(sf_dir: str):
+    """Exact cosine top-10 for the query vector = embedding of vec_id 0."""
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.functions.similarity import brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(
+        tbl.filter(pc.equal(tbl.column("vec_id"), 0)).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec, k=10)
+    return out.map_batches(
+        lambda t: t.drop_columns(["query_id"]).set_column(
+            1, "cosine", pc.round(t.column("cosine"), 6)
+        ).set_column(2, "rank", pc.cast(t.column("rank"), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+       CAST(row_number() OVER (
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC,
+                     e.vec_id) AS BIGINT) AS rank
+FROM embeddings e, q
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# KG over documents.text — SQL-expressible regex-SVO variant
+# --------------------------------------------------------------------------
+
+_DOC_SVO = re.compile(r"([a-z]+) (join|merge|scan) ([a-z]+)")
+
+
+def _doc_triples_batch(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    o_id, o_s, o_p, o_o = [], [], [], []
+    for did, text in zip(ids, texts):
+        for m in _DOC_SVO.finditer(text):
+            o_id.append(did)
+            o_s.append(m.group(1))
+            o_p.append(m.group(2))
+            o_o.append(m.group(3))
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "subj": pa.array(o_s, pa.string()),
+            "pred": pa.array(o_p, pa.string()),
+            "obj": pa.array(o_o, pa.string()),
+        }
+    )
+
+
+def q_doc_triples(sf_dir: str):
+    """Distinct (doc_id, subj, pred, obj) from a regex SVO pattern —
+    groupby-dedup (the canonicalization shape) with a SQL oracle."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    raw = docs.map_batches(_doc_triples_batch, batch_format="pyarrow")
+    return raw.groupby(["doc_id", "subj", "pred", "obj"]).aggregate(
+        Count(alias_name="n")
+    ).drop_columns(["n"])
+
+
+SQL_DOC_TRIPLES = """
+SELECT DISTINCT doc_id,
+       unnest(regexp_extract_all(text, '([a-z]+) (join|merge|scan) ([a-z]+)', 1)) AS subj,
+       unnest(regexp_extract_all(text, '([a-z]+) (join|merge|scan) ([a-z]+)', 2)) AS pred,
+       unnest(regexp_extract_all(text, '([a-z]+) (join|merge|scan) ([a-z]+)', 3)) AS obj
+FROM documents
+"""
+
+
+def q_doc_adjacency(sf_dir: str):
+    """Corpus-level edge weights: groupby (subj, pred, obj) count over ALL
+    raw matches (the adjacency materialization shape)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    raw = docs.map_batches(_doc_triples_batch, batch_format="pyarrow")
+    return raw.groupby(["subj", "pred", "obj"]).aggregate(Count(alias_name="weight"))
+
+
+SQL_DOC_ADJACENCY = """
+WITH m AS (
+  SELECT unnest(regexp_extract_all(text, '([a-z]+) (join|merge|scan) ([a-z]+)', 1)) AS subj,
+         unnest(regexp_extract_all(text, '([a-z]+) (join|merge|scan) ([a-z]+)', 2)) AS pred,
+         unnest(regexp_extract_all(text, '([a-z]+) (join|merge|scan) ([a-z]+)', 3)) AS obj
+  FROM documents
+)
+SELECT subj, pred, obj, count(*) AS weight FROM m GROUP BY subj, pred, obj
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible pipelines (driver records rows-only; pytest holds the
+# strong gates): full KG over synthesized pages, langid, minhash, ivf.
+# --------------------------------------------------------------------------
+
+
+def _pages_ds(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.sources.pages import generate_pages_table
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    return rd.from_arrow(generate_pages_table(docs))
+
+
+def q_kg_triples(sf_dir: str):
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return build_kg(_pages_ds(sf_dir)).triples
+
+
+def q_kg_entities(sf_dir: str):
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return build_kg(_pages_ds(sf_dir)).entities
+
+
+def q_kg_adjacency(sf_dir: str):
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return build_kg(_pages_ds(sf_dir)).adjacency
+
+
+def q_langid(sf_dir: str):
+    from cosmos_ray.functions.textops import language_id
+
+    return language_id(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_clusters(sf_dir: str):
+    from cosmos_ray.functions.dedup import minhash_dedup
+
+    return minhash_dedup(read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from cosmos_ray.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.functions.similarity import ivf_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(
+        tbl.filter(pc.equal(tbl.column("vec_id"), 0)).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qvec, k=10)
+
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "revenue_by_segment": q_revenue_by_segment,
+    "top_customers": q_top_customers,
+    "phrase_search": q_phrase_search,
+    "count_by_lang": q_count_by_lang,
+    "events_hourly": q_events_hourly,
+    "big_spenders": q_big_spenders,
+    "region_customers": q_region_customers,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "events_latest": q_events_latest,
+    "embedding_topk": q_embedding_topk,
+    "doc_triples": q_doc_triples,
+    "doc_adjacency": q_doc_adjacency,
+    "kg_triples": q_kg_triples,
+    "kg_entities": q_kg_entities,
+    "kg_adjacency": q_kg_adjacency,
+    "langid": q_langid,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_pairs": q_simhash_pairs,
+    "ivf_topk": q_ivf_topk,
+}
+
+ORACLES = {
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "count_by_lang": SQL_COUNT_BY_LANG,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "big_spenders": SQL_BIG_SPENDERS,
+    "region_customers": SQL_REGION_CUSTOMERS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality": SQL_QUALITY,
+    "fingerprints": SQL_FINGERPRINTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "events_latest": SQL_EVENTS_LATEST,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "doc_triples": SQL_DOC_TRIPLES,
+    "doc_adjacency": SQL_DOC_ADJACENCY,
+    # kg_*, langid, minhash_clusters, simhash_pairs, ivf_topk: non-SQL
+}

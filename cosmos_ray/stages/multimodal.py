@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The reference renders PDFs to page PNGs and crops region images
+(`ingest/ingest.py:245-332`, `aggregation/aggregate.py:88-98`); the
+engine treats such payloads as ``binary`` columns with typed metadata and
+runs decode / feature-extract / resize / frame-sample as actor-pool
+``map_batches`` stages.
+
+The image/audio codecs are NOT in this container, so the decode kernels
+are deliberately stubbed: ``DecodeImage`` raises ``NotImplementedError``
+unless constructed with ``fake=True``, in which case a deterministic
+fake decoder (seeded by content hash) exercises the REAL Ray-side
+plumbing — schema, small batch sizes for wide binary rows, actor
+signature, output layout — which is what the tests cover.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("meta", pa.string()),  # JSON metadata
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("feature", pa.list_(pa.float32())),  # pooled feature vector
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: content-hash
+    seeded pixels with plausible dims. Replaces PIL/cv2 (absent here)."""
+    h = hashlib.md5(payload).digest()
+    w = 32 + h[0] % 64
+    ht = 32 + h[1] % 64
+    rng = np.random.RandomState(int.from_bytes(h[2:6], "little"))
+    return rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """Actor-pool image decode + feature pooling.
+
+    Real deployments pass ``fake=False`` and plug a codec; this container
+    has none, so the default raises — the schema/batching contract stays
+    testable with ``fake=True``. Use small ``batch_size`` (wide binary
+    rows) and ``num_cpus>=1`` per actor.
+    """
+
+    def __init__(self, fake: bool = False, feature_dim: int = 8) -> None:
+        self.fake = fake
+        self.feature_dim = feature_dim
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "no image codec in this environment; construct with fake=True "
+                "for deterministic plumbing tests"
+            )
+        return _fake_decode(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_w, o_h, o_c, o_f = [], [], [], []
+        for p in payloads:
+            img = self.decode(p)
+            o_h.append(img.shape[0])
+            o_w.append(img.shape[1])
+            o_c.append(img.shape[2])
+            # pooled feature: per-channel means over a feature_dim grid
+            pooled = img.astype(np.float32).mean(axis=(0, 1))
+            feat = np.resize(pooled / 255.0, self.feature_dim)
+            o_f.append(feat.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "width": pa.array(o_w, pa.int32()),
+                "height": pa.array(o_h, pa.int32()),
+                "channels": pa.array(o_c, pa.int32()),
+                "feature": pa.array(o_f, pa.list_(pa.float32())),
+            },
+            schema=IMAGE_FEATURES_SCHEMA,
+        )
+
+
+class SampleFrames:
+    """Video frame-sampling stub: emits every Nth 'frame' (fixed-size
+    slices of the payload) as its own media row — the fan-out shape of a
+    real frame sampler, without a codec."""
+
+    def __init__(self, every_n: int = 10, frame_bytes: int = 256) -> None:
+        self.every_n = every_n
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_frame, o_payload = [], [], []
+        for mid, p in zip(ids, payloads):
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for f in range(0, n_frames, self.every_n):
+                o_id.append(mid)
+                o_frame.append(f)
+                o_payload.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.string()),
+                "frame_idx": pa.array(o_frame, pa.int32()),
+                "frame": pa.array(o_payload, pa.binary()),
+            }
+        )
+
+
+def decode_images(media_ds, fake: bool = False, concurrency: int | tuple = (1, 4),
+                  batch_size: int = 32):
+    """Small batch_size on purpose: payload rows are wide; a batch x
+    concurrency must fit the worker heap (SURVEY.md §4 memory row)."""
+    return media_ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(media_ds, every_n: int = 10, concurrency: int | tuple = (1, 2)):
+    return media_ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )

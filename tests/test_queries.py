@@ -1,0 +1,92 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry at sf0.001 and compare against its oracle_sql() via DuckDB
+(row count, column names, order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def _all_sql_cases():
+    from cosmos_ray.queries.driver_queries import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _all_sql_cases())
+def test_query_matches_oracle(name):
+    from cosmos_ray.queries.driver_queries import ORACLES, QUERIES
+
+    got = _norm(_to_df(QUERIES[name](SF)))
+    want = _norm(_oracle(ORACLES[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for col in got.columns:
+        ga, wa = got[col].tolist(), want[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(ga, wa)) if not _values_equal(x, y)
+        ]
+        assert not bad, f"{name}.{col}: first mismatches {bad[:3]}"
+
+
+def test_rows_only_queries_execute():
+    """Queries without SQL oracles must still run and return rows with a
+    stable schema (mirrors the driver's weaker check)."""
+    from cosmos_ray.queries.driver_queries import ORACLES, QUERIES
+
+    for name, fn in QUERIES.items():
+        if name in ORACLES or name.startswith("kg_"):
+            continue  # kg_* covered by dedicated fixture tests; SQL ones above
+        df = _to_df(fn(SF))
+        assert df.shape[1] >= 2, name
+
+
+def test_entry_contract():
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = _to_df(res)
+    assert len(df) > 0
+    assert {"url", "subj", "pred", "obj"}.issubset(df.columns)
+    assert set(e.oracle_sql()) <= set(e.queries())

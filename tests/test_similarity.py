@@ -1,0 +1,50 @@
+"""ANN similarity search: brute-force exactness vs numpy, IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from cosmos_ray.functions import similarity
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _load():
+    t = pq.read_table(EMB)
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    return t, ids, V
+
+
+def test_brute_force_matches_numpy():
+    t, ids, V = _load()
+    q = V[:3]
+    got = similarity.brute_force_topk(rd.from_arrow(t), q, k=5).take_all()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Vn @ qn.T
+    for qi in range(3):
+        want_top = set(ids[np.argsort(-sims[:, qi])[:5]].tolist())
+        got_top = {r["vec_id"] for r in got if r["query_id"] == qi}
+        assert got_top == want_top
+        # rank 1 must be the query vector itself (cosine 1.0)
+        r1 = [r for r in got if r["query_id"] == qi and r["rank"] == 1][0]
+        assert abs(r1["cosine"] - 1.0) < 1e-6
+
+
+def test_ivf_recall_vs_brute_force():
+    t, ids, V = _load()
+    q = V[5:10]
+    ds = rd.from_arrow(t)
+    exact = similarity.brute_force_topk(ds, q, k=10).take_all()
+    approx = similarity.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4).take_all()
+    recall_num = recall_den = 0
+    for qi in range(5):
+        want = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        got = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        recall_num += len(want & got)
+        recall_den += len(want)
+    recall = recall_num / recall_den
+    assert recall >= 0.6, f"IVF recall {recall}"

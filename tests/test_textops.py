@@ -1,0 +1,46 @@
+"""Text-analysis operators vs pure-python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+from cosmos_ray.functions import textops
+
+
+def _docs_ds(documents_small):
+    return rd.from_arrow(documents_small)
+
+
+def test_token_count(documents_small):
+    got = {r["doc_id"]: r["n_tokens"] for r in textops.token_counts(_docs_ds(documents_small)).take_all()}
+    for r in documents_small.to_pylist()[:100]:
+        assert got[r["doc_id"]] == len(r["text"].split(" "))
+
+
+def test_quality_scores(documents_small):
+    got = {r["doc_id"]: r for r in textops.quality_scores(_docs_ds(documents_small)).take_all()}
+    for r in documents_small.to_pylist()[:50]:
+        toks = r["text"].split(" ")
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        stop = sum(1 for t in toks if t in textops.STOPWORDS)
+        assert abs(g["stopword_ratio"] - stop / len(toks)) < 1e-6
+        mean_tok = sum(len(t) for t in toks) / len(toks)
+        assert abs(g["mean_token_len"] - mean_tok) < 1e-6
+
+
+def test_fingerprints(documents_small):
+    got = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprints(_docs_ds(documents_small)).take_all()}
+    for r in documents_small.to_pylist()[:50]:
+        assert got[r["doc_id"]] == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_language_id_deterministic(documents_small):
+    ds = _docs_ds(documents_small)
+    a = sorted((r["doc_id"], r["lang_pred"]) for r in textops.language_id(ds).take_all())
+    b = sorted((r["doc_id"], r["lang_pred"]) for r in textops.language_id(ds).take_all())
+    assert a == b
+    assert all(lp in set(textops._LANG_CUES) | {"und"} for _, lp in a)
