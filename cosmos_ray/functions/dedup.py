@@ -144,18 +144,13 @@ def minhash_lsh_candidates(docs_ds, num_perm: int = 128, bands: int = 16,
     )
     banded = sigs.map_batches(lambda t: _explode_bands(t, bands), batch_format="pyarrow")
 
-    MAX_BUCKET = 64  # guard: degenerate hot bucket => cap pairs, log via count
+    from cosmos_ray.queries.relational import self_join_pairs
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())[:MAX_BUCKET]
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = self_join_pairs(banded, keys=["band_id", "band_hash"], id_col="doc_id")
+    cand = cand.map_batches(
+        lambda df: df.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}),
+        batch_format="pandas",
+    )
     # distinct pairs (a pair can collide in several bands)
     from ray.data.aggregate import Count
 
@@ -299,22 +294,30 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g["doc_id"], g["simhash"]))[:64]
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(rows[i][1] ^ rows[j][1]).bit_count()
-                if d <= max_hamming and rows[i][0] != rows[j][0]:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
-
     from ray.data.aggregate import Min
 
+    from cosmos_ray.queries.relational import self_join_pairs
+
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+    cand = self_join_pairs(
+        exploded, keys=["band_id", "band_key"], id_col="doc_id", payload_cols=["simhash"]
+    )
+
+    def hamming(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        x = df["simhash_a"].to_numpy(dtype=np.uint64) ^ df["simhash_b"].to_numpy(dtype=np.uint64)
+        bits = np.unpackbits(x.view(np.uint8)).reshape(len(df), 64).sum(axis=1)
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_id_a"].to_numpy(),
+                "doc_b": df["doc_id_b"].to_numpy(),
+                "hamming": bits.astype(np.int64),
+            }
+        )
+        return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+
+    cand = cand.map_batches(hamming, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -378,5 +381,7 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12, see
     )
     from ray.data.aggregate import Max
 
-    cand = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    cand = bucketed_group_apply(bucketed, keys=["bucket"], fn=pairs, num_buckets=64)
     return cand.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -48,21 +48,35 @@ def build_kg(
     kb_table: pa.Table | None = None,
     *,
     dedup_input: bool = True,
-    classifier_concurrency: int | tuple = (1, 8),
-    linker_concurrency: int | tuple = (1, 4),
+    classifier_concurrency: int | tuple | None = None,
+    linker_concurrency: int | tuple | None = None,
     extract_batch_size: int = 256,
 ) -> KgDatasets:
+    import ray as _ray
+
+    # size actor pools to the cluster unless the caller pinned them
+    # (capped: pool spin-up is ~1s/actor of latency; the classifier is
+    # vectorized so a modest pool saturates before the extract stage does)
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    if classifier_concurrency is None:
+        classifier_concurrency = (max(2, min(8, ncpu // 2)), max(2, ncpu))
+    if linker_concurrency is None:
+        linker_concurrency = (2, max(2, ncpu // 2))
     kb_table = kb_table if kb_table is not None else build_entity_dict()
     kb_ref = link.broadcast_kb(kb_table)
 
-    extracted = extract.extract(pages, batch_size=extract_batch_size)
+    # one pass over the raw html; everything downstream reads the narrow
+    # extracted form (html dropped) from the object store
+    extracted = extract.extract(pages, batch_size=extract_batch_size).materialize()
     ok, dead = extract.split_dead_letter(extracted)
     if dedup_input:
         ok = extract.keep_latest(ok)
     ok = ok.materialize()  # branch point: documents | segments
 
     documents = ok.drop_columns(["blocks"])
-    segs = segment.segment(ok, classifier_concurrency=classifier_concurrency)
+    # classifier actor pool runs exactly once; both the segments sink and
+    # the triple chain read the classified blocks from the store
+    segs = segment.segment(ok, classifier_concurrency=classifier_concurrency).materialize()
     raw = triples.extract_triples(segs)
     linked = link.link_triples(raw, kb_ref, concurrency=linker_concurrency).materialize()
 
@@ -81,12 +95,54 @@ def run_kg_to_dir(pages: "ray.data.Dataset", out_dir: str, kb_table: pa.Table | 
     """Execute the full pipeline, writing every output table as a
     partitioned Parquet directory. Returns per-table row counts (the
     per-partition metrics record)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stub_fsspec_http()
     kg = build_kg(pages, kb_table, **kw)
-    metrics: dict[str, int] = {}
-    for name in ("documents", "dead_letter", "segments", "triples", "entities", "adjacency"):
+    names = ("documents", "dead_letter", "segments", "triples", "entities", "adjacency")
+
+    def write(name: str) -> tuple[str, int]:
         ds: "ray.data.Dataset" = getattr(kg, name)
         path = os.path.join(out_dir, name)
         os.makedirs(path, exist_ok=True)
         ds.write_parquet(path)
-        metrics[f"{name}_rows"] = ds.count()
+        return name, _parquet_rows(path)
+
+    # the six sinks are independent datasets over materialized inputs —
+    # run their executions concurrently so per-execution startup overlaps
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        metrics = {f"{n}_rows": rows for n, rows in pool.map(write, names)}
     return metrics
+
+
+def _stub_fsspec_http() -> None:
+    """fsspec.implementations.http fails to import here (no aiohttp).
+    Ray's write path re-attempts that import on every sink; two sinks
+    importing concurrently see a partially-initialized module and die
+    with ImportError (Ray only catches ModuleNotFoundError). Pre-seed a
+    deterministic stub so concurrent writes are safe."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # never instantiated; isinstance target only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — avoids re-executing the dataset
+    lineage that a post-write ``ds.count()`` would trigger."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(path, "*.parquet"))
+    )

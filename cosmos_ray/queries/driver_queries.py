@@ -467,6 +467,15 @@ def q_kg_adjacency(sf_dir: str):
     return build_kg(_pages_ds(sf_dir)).adjacency
 
 
+def q_kg_sections(sf_dir: str):
+    """Sections aggregation over classified segments (reference
+    `aggregate_sections`, G1)."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.aggregate import aggregate_sections
+
+    return aggregate_sections(build_kg(_pages_ds(sf_dir)).segments)
+
+
 def q_langid(sf_dir: str):
     from cosmos_ray.functions.textops import language_id
 
@@ -519,6 +528,7 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_entities": q_kg_entities,
     "kg_adjacency": q_kg_adjacency,
+    "kg_sections": q_kg_sections,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,

@@ -33,43 +33,106 @@ def broadcast_join(big_ds, small_table: pa.Table, key: str, add_cols: list[str],
                    big_key: str | None = None):
     """Append ``add_cols`` from the small side to every big-side row by
     key lookup. Inner-join semantics (rows without a match are dropped)."""
+    import pyarrow.compute as pc
+
     big_key = big_key or key
-    small_df = small_table.to_pandas().set_index(key)[add_cols]
-    ref = ray.put(small_df)
+    small = small_table.combine_chunks()
+    ref = ray.put(small)
 
-    class Lookup:
-        def __init__(self, ref=None) -> None:
-            self.small = ray.get(ref)
+    # plain task fn (no actor-pool spin-up): ray.get on a local ObjectRef
+    # is a zero-copy shared-memory read, once per task; the lookup is a
+    # vectorized index_in + take, arrow in / arrow out
+    def lookup(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        idx = pc.index_in(batch.column(big_key), value_set=s.column(key))
+        mask = pc.is_valid(idx)
+        batch = batch.filter(mask)
+        idx = idx.filter(mask)
+        for c in add_cols:
+            batch = batch.append_column(c, pc.take(s.column(c), idx))
+        return batch
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.merge(
-                self.small, left_on=big_key, right_index=True, how="inner", sort=False
-            )
-            return out
-
-    return big_ds.map_batches(Lookup, fn_constructor_kwargs={"ref": ref},
-                              batch_format="pandas", batch_size=32768, concurrency=(1, 4))
+    return big_ds.map_batches(lookup, batch_format="pyarrow", batch_size=65536)
 
 
 def semi_join_filter(big_ds, keys: set, key_col: str, keep: bool = True):
     """Broadcast semi/anti join: filter big rows by key-set membership."""
+    import pyarrow.compute as pc
+
     ref = ray.put(np.array(sorted(keys)))
 
-    class Member:
-        def __init__(self, ref=None) -> None:
-            import pyarrow.compute as pc
+    def member(batch: pa.Table) -> pa.Table:
+        vs = pa.array(ray.get(ref))
+        mask = pc.is_in(batch.column(key_col), value_set=vs)
+        if not keep:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-            self.keys = pa.array(ray.get(ref))
-            self.pc = pc
+    return big_ds.map_batches(member, batch_format="pyarrow")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = self.pc.is_in(batch.column(key_col), value_set=self.keys)
-            if not keep:
-                mask = self.pc.invert(mask)
-            return batch.filter(mask)
 
-    return big_ds.map_batches(Member, fn_constructor_kwargs={"ref": ref},
-                              batch_format="pyarrow", concurrency=(1, 4))
+def bucketed_group_apply(ds, keys: list[str], fn, num_buckets: int = 64):
+    """``groupby(keys).map_groups(fn)`` with per-group overhead amortized.
+
+    Ray's ``map_groups`` pays ~1 ms of slicing/convert per group — ruinous
+    for millions of tiny groups (LSH buckets). Here rows are
+    hash-partitioned into ``num_buckets`` coarse groups (one shuffle, same
+    co-location guarantee: every true group lands wholly in one coarse
+    group) and a vectorized pandas ``groupby`` applies ``fn`` inside each.
+    The row-hash is pandas' process-stable hash_pandas_object."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [fn(sub) for _, sub in g.drop(columns="__bucket").groupby(keys, sort=False)]
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return fn(g.iloc[0:0].drop(columns="__bucket"))
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
+
+
+def self_join_pairs(ds, keys: list[str], id_col: str, payload_cols: list[str] | None = None,
+                    num_buckets: int = 64, max_group: int = 64):
+    """Candidate pairs (id_a < id_b) of rows sharing ``keys`` — the LSH
+    bucket self-join, executed as a vectorized pandas merge per coarse
+    hash bucket. Groups larger than ``max_group`` are truncated (guard
+    against degenerate all-identical corpora; the dropped pairs are
+    between already-duplicate rows)."""
+    payload_cols = payload_cols or []
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        sizes = g.groupby(keys, sort=False)[id_col].transform("size")
+        if (sizes > max_group).any():
+            g = g[
+                g.groupby(keys, sort=False).cumcount() < max_group
+            ]
+        cols = keys + [id_col] + payload_cols
+        m = g[cols].merge(g[cols], on=keys, suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return m.drop(columns=keys).reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
 
 
 def topk(ds, sort_cols: list[tuple[str, bool]], k: int):

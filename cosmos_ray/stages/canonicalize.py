@@ -4,19 +4,28 @@ Reference analogs: exact entity dedup via `drop_duplicates`
 (`entity_linking/link.py:110-113`), the entity<->object adjacency the ES
 Join index materializes (`elastic_retriever.py:74-90,116-141`).
 
-Scale design (SURVEY.md §4 skew/shuffle rows): every groupby here is
-**two-phase** — a vectorized in-batch partial aggregate (pyarrow
-``Table.group_by``) emits at most one row per distinct key per batch, so
-the hash shuffle moves partials, not raw rows. Head-entity skew (a hot
-``canonical_id`` appearing in a large share of pages) is therefore
-bounded: the final reduce for a key sees <= one partial per upstream
-batch regardless of how many raw mentions the key has. This is the
-combiner form of salted aggregation; no key ever needs to be resident
-as raw rows on one node.
+Scale design (SURVEY.md §4 skew/shuffle rows): every aggregation here is
+**two-phase with an integer-bucket exchange**:
+
+1. a vectorized in-batch partial aggregate (pyarrow ``Table.group_by``)
+   emits at most one row per distinct key per batch, so the shuffle moves
+   combiner partials, never raw rows;
+2. partials are exchanged on a COARSE int64 bucket column (a
+   process-stable hash of the true key, ``num_buckets`` values) — far
+   cheaper than sort-shuffling multi-string keys, and every true key
+   still lands wholly in one bucket;
+3. the in-bucket final reduce is again a vectorized arrow ``group_by``.
+
+Head-entity skew is bounded by construction: a hot key contributes one
+partial per upstream batch regardless of its raw mention count (this is
+the combiner form of salted aggregation), and hot keys share a bucket
+with ~1/num_buckets of all keys, not with their raw rows.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -42,8 +51,55 @@ ADJACENCY_SCHEMA = pa.schema(
     ]
 )
 
+DEFAULT_BUCKETS = 64
+
+
+def _add_bucket(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
+    """Append a process-stable int64 bucket column derived from ``keys``."""
+    h = pd.util.hash_pandas_object(t.select(keys).to_pandas(), index=False).to_numpy()
+    return t.append_column("__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+
+def bucketed_agg(
+    partial_ds,
+    keys: list[str],
+    aggs: list[tuple],
+    out_names: list[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+    coalesce: int | None = 32,
+):
+    """Final reduce of combiner partials: int-bucket exchange + vectorized
+    arrow group_by per bucket. ``aggs`` is a pyarrow aggregate spec; the
+    reduce output columns are keys + aggregated columns, renamed to
+    ``keys + out_names``."""
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return _add_bucket(t, keys, num_buckets)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__bucket"]).group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + out_names)
+
+    ds = partial_ds.map_batches(add_b, batch_format="pyarrow")
+    if coalesce:
+        ds = ds.repartition(coalesce)
+    return ds.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")
+
+
+def _conform(schema: pa.Schema):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {n: t.column(n).cast(schema.field(n).type) for n in schema.names},
+            schema=schema,
+        )
+
+    return fn
+
 
 # ------------------------------------------------------------- triples
+_TRIPLE_KEYS = ["url", "subj", "pred", "obj"]
+
+
 def _partial_triples(t: pa.Table) -> pa.Table:
     if t.num_rows == 0:
         return pa.table(
@@ -56,31 +112,25 @@ def _partial_triples(t: pa.Table) -> pa.Table:
                 "n": pa.array([], pa.int64()),
             }
         )
-    g = t.select(["url", "subj", "pred", "obj", "conf"]).group_by(
-        ["url", "subj", "pred", "obj"]
-    ).aggregate([("conf", "max"), ([], "count_all")])
-    return g.rename_columns(["url", "subj", "pred", "obj", "conf", "n"])
+    g = t.select(["url", "subj", "pred", "obj", "conf"]).group_by(_TRIPLE_KEYS).aggregate(
+        [("conf", "max"), ([], "count_all")]
+    )
+    return g.rename_columns(_TRIPLE_KEYS + ["conf", "n"])
 
 
 def dedup_triples(triples_ds) -> "ray.data.Dataset":
-    """Exact per-url triple dedup with mention counts: in-batch partial
-    count -> hash-shuffle groupby -> sum (FIXTURES.md F4 contract)."""
-    from ray.data.aggregate import Max, Sum
-
+    """Exact per-url triple dedup with mention counts (FIXTURES.md F4)."""
     partial = triples_ds.map_batches(_partial_triples, batch_format="pyarrow")
-    agg = partial.groupby(["url", "subj", "pred", "obj"]).aggregate(
-        Max("conf", alias_name="conf"), Sum("n", alias_name="n_mentions")
+    agg = bucketed_agg(
+        partial, _TRIPLE_KEYS, [("conf", "max"), ("n", "sum")], ["conf", "n_mentions"]
     )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {n: t.column(n).cast(TRIPLES_FINAL_SCHEMA.field(n).type) for n in TRIPLES_FINAL_SCHEMA.names},
-            schema=TRIPLES_FINAL_SCHEMA,
-        ),
-        batch_format="pyarrow",
-    )
+    return agg.map_batches(_conform(TRIPLES_FINAL_SCHEMA), batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- adjacency
+_ADJ_KEYS = ["src_entity", "dst_entity", "pred"]
+
+
 def _partial_adjacency(t: pa.Table) -> pa.Table:
     both = t.filter(
         pc.and_(
@@ -108,19 +158,9 @@ def _partial_adjacency(t: pa.Table) -> pa.Table:
 def build_adjacency(linked_triples_ds) -> "ray.data.Dataset":
     """Canonical graph edges: (src_entity, dst_entity, pred, weight) where
     weight = number of supporting raw triples across the corpus."""
-    from ray.data.aggregate import Sum
-
     partial = linked_triples_ds.map_batches(_partial_adjacency, batch_format="pyarrow")
-    agg = partial.groupby(["src_entity", "dst_entity", "pred"]).aggregate(
-        Sum("w", alias_name="weight")
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {n: t.column(n).cast(ADJACENCY_SCHEMA.field(n).type) for n in ADJACENCY_SCHEMA.names},
-            schema=ADJACENCY_SCHEMA,
-        ),
-        batch_format="pyarrow",
-    )
+    agg = bucketed_agg(partial, _ADJ_KEYS, [("w", "sum")], ["weight"])
+    return agg.map_batches(_conform(ADJACENCY_SCHEMA), batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- entities
@@ -172,10 +212,9 @@ class _KbDecorator:
 def build_entities(linked_triples_ds, kb_ref, concurrency: int | tuple = (1, 2)) -> "ray.data.Dataset":
     """Canonical entity table with mention counts (exact dedup on
     canonical_id — the groupby IS the dedup, reference `link.py:113`)."""
-    from ray.data.aggregate import Sum
-
     partial = linked_triples_ds.map_batches(_partial_mentions, batch_format="pyarrow")
-    agg = partial.groupby("canonical_id").aggregate(Sum("n", alias_name="n_mentions"))
+    agg = bucketed_agg(partial, ["canonical_id"], [("n", "sum")], ["n_mentions"],
+                       num_buckets=16, coalesce=16)
     return agg.map_batches(
         _KbDecorator,
         fn_constructor_kwargs={"kb_ref": kb_ref},

@@ -193,9 +193,10 @@ def split_dead_letter(extracted: "ray.data.Dataset"):
 
 
 def _batch_local_latest(t: pa.Table) -> pa.Table:
-    """Combiner for keep_latest: within one batch keep only the max-ts row
-    per url, shrinking the subsequent shuffle (duplicate crawls of a url
-    usually land near each other in crawl order)."""
+    """Keep only the max-ts row per url within one table — vectorized
+    Arrow sort + numpy adjacent-duplicate mask. Used both as the
+    pre-shuffle combiner and as the in-bucket reducer of keep_latest."""
+    import numpy as np
     import pyarrow.compute as pc
 
     if t.num_rows == 0:
@@ -204,27 +205,32 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
         t, sort_keys=[("url", "ascending"), ("warc_ts", "descending")]
     )
     sorted_t = t.take(order)
-    urls = sorted_t.column("url")
-    keep = [True] * sorted_t.num_rows
-    prev = None
-    for i, u in enumerate(urls.to_pylist()):
-        if u == prev:
-            keep[i] = False
-        prev = u
+    urls = np.asarray(sorted_t.column("url").to_pylist(), dtype=object)
+    keep = np.ones(len(urls), dtype=bool)
+    keep[1:] = urls[1:] != urls[:-1]
     return sorted_t.filter(pa.array(keep))
 
 
-def keep_latest(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+def keep_latest(extracted: "ray.data.Dataset", num_buckets: int = 256) -> "ray.data.Dataset":
     """Keep-latest-per-url dedup (SURVEY.md §2.10: groupby(url) -> max by
     warc_ts). Runs AFTER extraction so the shuffle never moves the raw
-    ``html`` bytes — post-extract rows are ~10x smaller. Batch-local
-    combiner first, then the hash shuffle on url; within-group reduce is
-    an Arrow sort+take."""
-    import pyarrow.compute as pc
+    ``html`` bytes — post-extract rows are ~10x smaller.
 
-    def latest(t: pa.Table) -> pa.Table:
-        i = pc.sort_indices(t.select(["warc_ts"]), sort_keys=[("warc_ts", "descending")])[0]
-        return t.take(pa.array([i.as_py()]))
+    Shape: batch-local combiner, then a shuffle on a COARSE url-hash
+    bucket (num_buckets groups) with a fully vectorized in-bucket reduce —
+    per-group python overhead would be ruinous at one group per url."""
+    import numpy as np
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t.column("url").to_pylist(), dtype=object))
+        return t.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64))
+        )
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        return _batch_local_latest(t.drop_columns(["__bucket"]))
 
     pre = extracted.map_batches(_batch_local_latest, batch_format="pyarrow")
-    return pre.groupby("url").map_groups(latest, batch_format="pyarrow")
+    bucketed = pre.map_batches(add_bucket, batch_format="pyarrow").repartition(64)
+    return bucketed.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")

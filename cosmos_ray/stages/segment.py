@@ -89,7 +89,9 @@ def explode_segments(batch: pa.Table) -> pa.Table:
     line_in_page = (seg_id % _BLOCKS_PER_PAGE).astype(np.float32)
 
     # synthetic bbox: vertical stack, width proportional to text length
-    lens = np.asarray([len(t) for t in texts.to_pylist()], dtype=np.float32)
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float32)
     y1 = 72.0 + line_in_page * (_PAGE_H - 144.0) / _BLOCKS_PER_PAGE
     y2 = y1 + _LINE_H
     x1 = np.full(total, _X0, np.float32)
@@ -144,46 +146,65 @@ class SegmentClassifier:
 
     def __init__(self) -> None:
         # once per actor: compile rules (reference: models loaded in
-        # worker plugins, `preload_plugins/detect_setup.py:6-15`)
+        # worker plugins, `preload_plugins/detect_setup.py:6-15`) and
+        # precompute the ranked score table over the small feature space
+        # (prior-class x ends-period x short) so per-batch work is a
+        # vectorized combo lookup, not per-row dict sorting.
         self.re_table_cap = re.compile(r"^(table|tbl|tab)\.? ?[0-9]", re.I)
         self.re_figure_cap = re.compile(r"^(figure|fig|scheme|plate)\.? ?[0-9]", re.I)
-        self.cls_index = {c: i for i, c in enumerate(CLASSES)}
+        self._combo_classes: list[list[str]] = []
+        self._combo_scores: list[list[float]] = []
+        self._combo_of: dict[tuple[str, bool, bool], int] = {}
+        for prior in CLASSES:
+            for endsp in (False, True):
+                for short in (False, True):
+                    ranked = self._score_combo(prior, endsp, short)
+                    self._combo_of[(prior, endsp, short)] = len(self._combo_classes)
+                    self._combo_classes.append([c for _, c in ranked])
+                    self._combo_scores.append([s for s, _ in ranked])
 
-    def _score_row(self, tag: str, text: str) -> list[tuple[float, str]]:
-        prior = self._TAG_PRIOR.get(tag, "Other")
+    @staticmethod
+    def _score_combo(prior: str, ends_period: bool, short: bool) -> list[tuple[float, str]]:
         base = {c: 0.05 for c in CLASSES}
         base[prior] = 0.75
-        # text-shape features nudge scores (deterministic, per-row only)
-        if text.endswith(".") and prior in ("Body Text", "List Item"):
+        if ends_period and prior in ("Body Text", "List Item"):
             base[prior] += 0.1
-        if len(text) < 30 and prior == "Body Text":
+        if short and prior == "Body Text":
             base["Section Header"] += 0.05
         total = sum(base.values())
-        ranked = sorted(((v / total, c) for c, v in base.items()), reverse=True)
-        return ranked
+        # tie-break by class name for determinism
+        return sorted(((v / total, c) for c, v in base.items()), reverse=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tags = batch.column("tag").to_pylist()
-        texts = batch.column("text").to_pylist()
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        tags = pd.Series(batch.column("tag").to_pylist(), dtype=object)
+        texts = pd.Series(batch.column("text").to_pylist(), dtype=object)
         n = len(tags)
-        classes_col: list[list[str]] = []
-        scores_col: list[list[float]] = []
-        cls_col: list[str] = []
-        score_col: list[float] = []
-        for i in range(n):
-            ranked = self._score_row(tags[i], texts[i])
-            cls, score = ranked[0][1], ranked[0][0]
-            # rules postprocess (reference `pp_rules.py:7-35`): regex
-            # caption override, score := 1.0
-            t = texts[i]
-            if self.re_table_cap.match(t):
-                cls, score = "Table Caption", 1.0
-            elif self.re_figure_cap.match(t):
-                cls, score = "Figure Caption", 1.0
-            classes_col.append([c for _, c in ranked])
-            scores_col.append([s for s, _ in ranked])
-            cls_col.append(cls)
-            score_col.append(score)
+
+        prior = tags.map(self._TAG_PRIOR).fillna("Other")
+        endsp = texts.str.endswith(".").to_numpy()
+        short = (texts.str.len() < 30).to_numpy()
+        combo = np.fromiter(
+            (self._combo_of[(p, bool(e), bool(s))] for p, e, s in zip(prior, endsp, short)),
+            dtype=np.int64,
+            count=n,
+        )
+        classes_col = [self._combo_classes[c] for c in combo]
+        scores_col = [self._combo_scores[c] for c in combo]
+        cls_col = [self._combo_classes[c][0] for c in combo]
+        score_col = [self._combo_scores[c][0] for c in combo]
+
+        # rules postprocess (reference `pp_rules.py:7-35`): vectorized
+        # regex caption override, score := 1.0
+        is_tab = texts.str.match(self.re_table_cap).to_numpy()
+        is_fig = (~is_tab) & texts.str.match(self.re_figure_cap).to_numpy()
+        for i in np.flatnonzero(is_tab):
+            cls_col[i], score_col[i] = "Table Caption", 1.0
+        for i in np.flatnonzero(is_fig):
+            cls_col[i], score_col[i] = "Figure Caption", 1.0
+
         out = batch.append_column("classes", pa.array(classes_col, pa.list_(pa.string())))
         out = out.append_column("scores", pa.array(scores_col, pa.list_(pa.float32())))
         out = out.append_column("cls", pa.array(cls_col, pa.string()))

@@ -1,0 +1,91 @@
+"""Sections aggregation + caption association vs independently-computed
+golden structure."""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+import pytest
+
+from cosmos_ray.stages.aggregate import aggregate_documents, aggregate_sections, caption_associate
+
+
+def _golden_sections(golden_small):
+    """Independent recomputation from the golden segments: split on
+    Title/Section Header, concat the rest."""
+    by_url = collections.defaultdict(list)
+    for r in golden_small["segments"].to_pylist():
+        by_url[r["url"]].append(r)
+    out = {}
+    for url, rows in by_url.items():
+        rows.sort(key=lambda r: r["seg_id"])
+        secs = []
+        cur = None
+        for r in rows:
+            if r["cls"] in ("Title", "Section Header"):
+                if cur is not None:
+                    secs.append(cur)
+                cur = {"header": r["text"], "content": []}
+            else:
+                if cur is None:
+                    cur = {"header": "", "content": []}
+                cur["content"].append(r["text"])
+        if cur is not None:
+            secs.append(cur)
+        out[url] = secs
+    return out
+
+
+def test_sections_match_golden(kg_small, golden_small):
+    got = collections.defaultdict(list)
+    for r in aggregate_sections(kg_small.segments).take_all():
+        got[r["url"]].append(r)
+    want = _golden_sections(golden_small)
+    assert set(got) == set(want)
+    for url in want:
+        rows = sorted(got[url], key=lambda r: r["section_id"])
+        assert [r["section_header"] for r in rows] == [s["header"] for s in want[url]]
+        for r, s in zip(rows, want[url]):
+            assert r["content"] == "\n".join(s["content"])
+            assert len(r["obj_seg_ids"]) == len(s["content"])
+
+
+def test_document_rollup_matches_text(kg_small, golden_small):
+    got = {r["url"]: r for r in aggregate_documents(kg_small.segments).take_all()}
+    want = {
+        u: t
+        for u, t in zip(
+            golden_small["text"].column("url").to_pylist(),
+            golden_small["text"].column("text").to_pylist(),
+        )
+    }
+    assert set(got) == set(want)
+    for url, text in want.items():
+        assert got[url]["content"] == text
+        assert len(got[url]["obj_pages"]) == len(text.split("\n"))
+
+
+def test_caption_associate_greedy_nearest():
+    page = pd.DataFrame(
+        {
+            "seg_id": [1, 2, 3, 4],
+            "cls": ["Table", "Table Caption", "Table", "Table Caption"],
+            "text": ["tbl-A", "Table 1: a", "tbl-B", "Table 2: b"],
+            "bbox": [
+                [0.0, 0.0, 10.0, 10.0],     # tbl-A centroid (5,5)
+                [0.0, 12.0, 10.0, 14.0],    # cap1 centroid (5,13) -> tbl-A
+                [0.0, 100.0, 10.0, 110.0],  # tbl-B centroid (5,105)
+                [0.0, 112.0, 10.0, 114.0],  # cap2 centroid (5,113) -> tbl-B
+            ],
+        }
+    )
+    got = caption_associate(page, "Table Caption", "Table")
+    assert {(r["caption_text"], r["object_text"]) for r in got} == {
+        ("Table 1: a", "tbl-A"),
+        ("Table 2: b", "tbl-B"),
+    }
+    # more captions than objects -> unmatched caption gets nulls
+    page2 = page[page["cls"] == "Table Caption"].copy()
+    got2 = caption_associate(page2, "Table Caption", "Table")
+    assert all(r["object_seg_id"] is None for r in got2)

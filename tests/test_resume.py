@@ -1,0 +1,71 @@
+"""Per-partition checkpoint/resume: a killed run resumes without
+recomputing finished partitions (north rule resumability gate)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from cosmos_ray.state.manifest import Manifest, run_partitioned
+
+
+@pytest.fixture(scope="module")
+def pages_file(tmp_path_factory, documents_small):
+    from cosmos_ray.sources.pages import generate_pages_table
+
+    p = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    pq.write_table(generate_pages_table(documents_small), str(p))
+    return str(p)
+
+
+def test_partitioned_run_resumes_without_recompute(pages_file, tmp_path):
+    out = str(tmp_path / "out")
+    # crash after 2 of 4 partitions
+    r1 = run_partitioned(pages_file, out, num_partitions=4, fail_after=2)
+    assert r1["partitions_done"] == 2
+    done_first = set(r1["records"])
+
+    # remember mtimes of finished partition outputs
+    def mtimes():
+        out_map = {}
+        for root, _, files in os.walk(out):
+            for f in files:
+                p = os.path.join(root, f)
+                out_map[p] = os.path.getmtime(p)
+        return out_map
+
+    before = mtimes()
+
+    # resume: completes the remaining 2, does NOT rewrite finished ones
+    r2 = run_partitioned(pages_file, out, num_partitions=4)
+    assert r2["partitions_done"] == 4
+    assert set(r2["partitions_ran_now"]).isdisjoint(done_first)
+    after = mtimes()
+    for p, m in before.items():
+        if "part=" in p and any(f"part={k}" in p for k in done_first):
+            assert after[p] == m, f"finished output rewritten: {p}"
+
+    # manifest has per-partition metrics
+    recs = Manifest(out).completed()
+    assert set(recs) == {0, 1, 2, 3}
+    for rec in recs.values():
+        assert rec["wall_s"] > 0
+        assert rec["documents_rows"] >= 0
+
+
+def test_partitioned_outputs_union_equals_single_run(pages_file, tmp_path, golden_small):
+    out = str(tmp_path / "out2")
+    run_partitioned(pages_file, out, num_partitions=3)
+    # union of partitioned triples == golden triple set
+    import glob
+
+    got = set()
+    for f in glob.glob(os.path.join(out, "triples", "part=*", "*.parquet")):
+        t = pq.read_table(f, columns=["url", "subj", "pred", "obj"])
+        got |= set(zip(*[t.column(c).to_pylist() for c in ["url", "subj", "pred", "obj"]]))
+    g = golden_small["triples"]
+    want = set(zip(*[g.column(c).to_pylist() for c in ["url", "subj", "pred", "obj"]]))
+    assert got == want
