@@ -1,21 +1,31 @@
 """The flagship KG-construction pipeline, composed Ray-Data-first.
 
-    pages ──extract──▶ extracted(+blocks, html dropped)
-          ──keep_latest(url)──▶            [shuffle #1: url]
-          ├─▶ documents
-          ├─▶ dead_letter
-          └─explode──classify(actor pool)──▶ segments
-                 └─SVO──▶ triples_raw ──link(actor pool, broadcast KB)──▶ linked
-                        ├─▶ triples   (groupby url,s,p,o)   [shuffle #2]
-                        ├─▶ adjacency (groupby s_id,p,o_id) [shuffle #3]
-                        └─▶ entities  (groupby canonical_id)[shuffle #4]
+Two variants share all stage code:
 
-Branch points (extracted, linked) are ``materialize()``-ed: Ray Data
-re-executes lineage per consumer otherwise, and both intermediates are
-post-explosion-narrow (html already dropped, triples are tiny vs pages).
-At 100 TB the pipeline runs per input partition (see
+``build_kg`` — checkpointing variant (all output tables consumable):
+
+    pages ──extract──▶ extracted(+blocks, html dropped)  [materialized]
+          ──keep_latest(url)──▶            [bucketed shuffle #1: url]
+          ├─▶ documents        ├─▶ dead_letter (filter)
+          └─explode──classify(actor pool)──▶ segments    [materialized]
+                 └─SVO──▶ triples_raw ──link(actor pool, broadcast KB)──▶ linked
+                        ├─▶ triples   (groupby url,s,p,o)   [exchange #2]
+                        ├─▶ adjacency (groupby s_id,p,o_id) [exchange #3]
+                        └─▶ entities  (groupby canonical_id)[exchange #4]
+
+``build_kg_streaming`` — single-pass variant for the graph outputs: the
+dup plan drops stale crawls BEFORE extraction (metadata-only pass, no
+payload shuffle), dead letters go to a collector actor, the
+extract→classify→SVO→link chain runs as ONE fused streaming operator
+(task-fused stages with per-process cached state), and only the tiny
+``linked`` dataset is pinned.
+
+Materializations exist at branch points because Ray Data re-executes
+lineage per consumer; both pinned intermediates are post-explosion-
+narrow. At 100 TB the pipeline runs per input partition (see
 ``cosmos_ray.state.manifest``) so each materialization is bounded by
-partition size, and shuffles #2-#4 move combiner partials only
+partition size, and exchanges #2-#4 move combiner partials only —
+with a driver-local fast path below a row threshold
 (`stages/canonicalize.py`).
 """
 
@@ -113,6 +123,120 @@ def run_kg_to_dir(pages: "ray.data.Dataset", out_dir: str, kb_table: pa.Table | 
     with ThreadPoolExecutor(max_workers=len(names)) as pool:
         metrics = {f"{n}_rows": rows for n, rows in pool.map(write, names)}
     return metrics
+
+
+def build_kg_streaming(
+    pages: "ray.data.Dataset",
+    kb_table: pa.Table | None = None,
+    *,
+    dedup_input: bool = True,
+    pages_meta: "ray.data.Dataset | None" = None,
+) -> KgDatasets:
+    """Single-pass streaming variant: no bulk intermediates are pinned.
+
+    Differences from ``build_kg`` (the checkpointing variant):
+    - duplicate-url losers are dropped BEFORE extraction via the
+      metadata-only dup plan (``discover_dup_urls`` + ``drop_stale``) —
+      the payload is never shuffled. Pass ``pages_meta`` as a
+      column-pruned (url, warc_ts) read of the same input so the plan
+      never decodes html;
+    - dead letters go to a collector actor instead of a second scan;
+    - classifier and linker run TASK-FUSED (plain functions with
+      per-process cached state) so the whole extract→classify→link
+      chain is one fused streaming operator — per-worker amortization is
+      identical to an actor pool, without pool sizing; use ``build_kg``
+      (actor pools) when stage state is heavy (GPU weights, embedding
+      indexes);
+    - only ``linked`` (tiny vs the corpus) is materialized; documents /
+      segments datasets re-derive lazily if consumed — use ``build_kg``
+      when those sinks are needed.
+    """
+    import time as _time
+
+    import ray as _ray
+
+    _t0 = _time.perf_counter()
+    kb_table = kb_table if kb_table is not None else build_entity_dict()
+    kb_ref = link.broadcast_kb(kb_table)
+
+    if dedup_input:
+        dup_ref = extract.discover_dup_urls(
+            pages_meta if pages_meta is not None else pages
+        )
+        if dup_ref is not None:
+            pages = extract.drop_stale(pages, dup_ref)
+    _phase("dup_plan", _t0)
+
+    # num_cpus=0: the collector must stay schedulable/responsive even when
+    # every CPU slot is occupied by chain tasks (it only buffers rare rows)
+    collector = _ray.remote(num_cpus=0)(extract.DeadLetterCollector).remote()
+    ok = extract.extract_streaming(pages, collector)
+    if dedup_input and dup_ref is None:  # degenerate corpus fallback
+        ok = extract.keep_latest(ok)
+
+    _t0 = _time.perf_counter()
+    segs = segment.segment(ok, classifier_concurrency=None)
+    raw = triples.extract_triples(segs, batch_size=None)
+    linked = link.link_triples(raw, kb_ref, concurrency=None)
+    # in-chain combiner: block-local (url,s,p,o) aggregation shrinks the
+    # pinned dataset and every downstream reduce; linker id columns are
+    # carried through the group (single-valued per key)
+    linked = linked.map_batches(
+        canonicalize.combine_linked_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    _phase("chain", _t0)
+
+    import ray.data as rd
+
+    dead = rd.from_arrow(_ray.get(collector.table.remote()))
+    return KgDatasets(
+        documents=ok.drop_columns(["blocks"]),
+        dead_letter=dead,
+        segments=segs,
+        linked=linked,
+        triples=canonicalize.dedup_triples(linked),
+        entities=canonicalize.build_entities(linked, kb_ref),
+        adjacency=canonicalize.build_adjacency(linked),
+    )
+
+
+GRAPH_SINKS = ("triples", "entities", "adjacency", "dead_letter")
+
+
+def run_kg_streaming(pages: "ray.data.Dataset", out_dir: str,
+                     kb_table: pa.Table | None = None,
+                     sinks: tuple = GRAPH_SINKS, **kw) -> dict:
+    """Streaming headline: pages -> canonical graph tables on disk.
+    Writes only the (small) graph outputs; bulk intermediates stream
+    through without being pinned or written."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stub_fsspec_http()
+    kg = build_kg_streaming(pages, kb_table, **kw)
+
+    def write(name: str) -> tuple[str, int]:
+        ds: "ray.data.Dataset" = getattr(kg, name)
+        path = os.path.join(out_dir, name)
+        os.makedirs(path, exist_ok=True)
+        ds.write_parquet(path)
+        return name, _parquet_rows(path)
+
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        metrics = {f"{n}_rows": rows for n, rows in pool.map(write, sinks)}
+    _phase("agg_writes", _t0)
+    return metrics
+
+
+def _phase(name: str, t0: float) -> None:
+    """Optional phase timing to stderr (GRAFT_BENCH_PHASES=1)."""
+    if os.environ.get("GRAFT_BENCH_PHASES"):
+        import sys
+        import time as _time
+
+        print(f"[phase] {name}: {_time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
 
 def _stub_fsspec_http() -> None:

@@ -176,6 +176,63 @@ def _doc_ts_us(doc_id: int) -> int:
     return _BASE_TS_US + doc_id * 1_000_000
 
 
+def generate_pages_shard(
+    documents: pa.Table,
+    repeat_index: int = 0,
+    seed: int = DEFAULT_SEED,
+    inject_faults: bool = True,
+    kb: pa.Table | None = None,
+) -> pa.Table:
+    """One repeat-shard of the synthetic corpus: the rows
+    ``generate_pages_table(..., repeat=R)`` would produce for repeat
+    index ``repeat_index``. Shards are independently generatable (bench
+    parallelizes generation across processes)."""
+    kb = kb if kb is not None else build_entity_dict(seed=seed)
+    kb_rows = kb.to_pylist()
+    kb_names = [r["name"] for r in kb_rows]
+    kb_aliases = {r["name"]: r["aliases"] for r in kb_rows}
+
+    n_docs = documents.num_rows
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+    sources = documents.column("source").to_pylist()
+
+    r = repeat_index
+    urls, tss, htmls, texts_out, langs_out = [], [], [], [], []
+    for j in range(n_docs):
+        did = doc_ids[j] + r * n_docs
+        g = golden_doc(did, texts[j], langs[j], sources[j], kb_names, kb_aliases, seed)
+        ts = _doc_ts_us(did)
+        if inject_faults and did % MALFORMED_MOD == MALFORMED_REM:
+            body = b"\xff\xfe<html>broken \xff page</html>"
+        else:
+            body = render_html(g, seed)
+        urls.append(g.url if r == 0 else f"{g.url}?r={r}")
+        tss.append(ts)
+        htmls.append(body)
+        texts_out.append("")
+        langs_out.append(g.lang)
+        if inject_faults and did % DUP_MOD == DUP_REM:
+            # stale duplicate: same url, earlier ts, same content
+            urls.append(urls[-1])
+            tss.append(ts - 3_600_000_000)
+            htmls.append(body)
+            texts_out.append("")
+            langs_out.append(g.lang)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts_out, pa.string()),
+            "lang": pa.array(langs_out, pa.string()),
+        },
+        schema=schemas.PAGES,
+    )
+
+
 def generate_pages_table(
     documents: pa.Table,
     seed: int = DEFAULT_SEED,
@@ -190,49 +247,11 @@ def generate_pages_table(
     left empty to force extraction from html.
     """
     kb = kb if kb is not None else build_entity_dict(seed=seed)
-    kb_rows = kb.to_pylist()
-    kb_names = [r["name"] for r in kb_rows]
-    kb_aliases = {r["name"]: r["aliases"] for r in kb_rows}
-
-    n_docs = documents.num_rows
-    doc_ids = documents.column("doc_id").to_pylist()
-    texts = documents.column("text").to_pylist()
-    langs = documents.column("lang").to_pylist()
-    sources = documents.column("source").to_pylist()
-
-    urls, tss, htmls, texts_out, langs_out = [], [], [], [], []
-    for r in range(repeat):
-        for j in range(n_docs):
-            did = doc_ids[j] + r * n_docs
-            g = golden_doc(did, texts[j], langs[j], sources[j], kb_names, kb_aliases, seed)
-            ts = _doc_ts_us(did)
-            if inject_faults and did % MALFORMED_MOD == MALFORMED_REM:
-                body = b"\xff\xfe<html>broken \xff page</html>"
-            else:
-                body = render_html(g, seed)
-            urls.append(g.url if r == 0 else f"{g.url}?r={r}")
-            tss.append(ts)
-            htmls.append(body)
-            texts_out.append("")
-            langs_out.append(g.lang)
-            if inject_faults and did % DUP_MOD == DUP_REM:
-                # stale duplicate: same url, earlier ts, same content
-                urls.append(urls[-1])
-                tss.append(ts - 3_600_000_000)
-                htmls.append(body)
-                texts_out.append("")
-                langs_out.append(g.lang)
-
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts_out, pa.string()),
-            "lang": pa.array(langs_out, pa.string()),
-        },
-        schema=schemas.PAGES,
-    )
+    shards = [
+        generate_pages_shard(documents, r, seed=seed, inject_faults=inject_faults, kb=kb)
+        for r in range(repeat)
+    ]
+    return pa.concat_tables(shards) if len(shards) > 1 else shards[0]
 
 
 def golden_corpus(

@@ -53,6 +53,45 @@ ADJACENCY_SCHEMA = pa.schema(
 
 DEFAULT_BUCKETS = 64
 
+# Below this many input rows the final reduce runs as a single local
+# arrow group_by instead of a distributed exchange — the small-aggregate
+# fast path every real engine has. The distributed path is unchanged and
+# exercised by tests (threshold=0).
+DRIVER_REDUCE_THRESHOLD = 10_000_000
+
+
+def _driver_arrow_threads() -> None:
+    """Allow a few arrow compute threads for driver-local reduces (the
+    container pins OMP_NUM_THREADS=1, which also caps arrow's pool)."""
+    try:
+        if pa.cpu_count() < 8:
+            pa.set_cpu_count(8)
+    except Exception:
+        pass
+
+
+def _local_fast_path(ds, partial_fn, keys: list[str], aggs: list[tuple],
+                     out_names: list[str], threshold: int):
+    """Small-aggregate fast path: when the input is an already-
+    MATERIALIZED dataset under ``threshold`` rows, run combiner + final
+    reduce locally as vectorized arrow kernels (zero extra executions).
+    Returns None to fall through to the distributed path."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    if threshold <= 0 or not isinstance(ds, MaterializedDataset):
+        return None
+    if ds.count() > threshold:
+        return None
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return None
+    _driver_arrow_threads()
+    full = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
+    part = partial_fn(full)
+    g = part.group_by(keys).aggregate(aggs)
+    return rd.from_arrow(g.rename_columns(keys + out_names))
+
 
 def _add_bucket(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
     """Append a process-stable int64 bucket column derived from ``keys``."""
@@ -100,6 +139,37 @@ def _conform(schema: pa.Schema):
 _TRIPLE_KEYS = ["url", "subj", "pred", "obj"]
 
 
+def _with_n(t: pa.Table) -> pa.Table:
+    """Ensure a raw-support count column 'n' (1 per raw row; combined
+    blocks already carry it)."""
+    if "n" in t.column_names:
+        return t
+    return t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+
+
+def combine_linked_block(t: pa.Table) -> pa.Table:
+    """Block-local combiner over linked triples: one row per
+    (url, subj, pred, obj) with summed raw support 'n'. The id/score
+    columns are single-valued per key (ids are functions of surfaces),
+    so max == the value."""
+    if t.num_rows == 0:
+        return _with_n(t)
+    t = _with_n(t)
+    g = t.group_by(_TRIPLE_KEYS).aggregate(
+        [
+            ("conf", "max"),
+            ("subj_id", "max"),
+            ("subj_score", "max"),
+            ("obj_id", "max"),
+            ("obj_score", "max"),
+            ("n", "sum"),
+        ]
+    )
+    return g.rename_columns(
+        _TRIPLE_KEYS + ["conf", "subj_id", "subj_score", "obj_id", "obj_score", "n"]
+    )
+
+
 def _partial_triples(t: pa.Table) -> pa.Table:
     if t.num_rows == 0:
         return pa.table(
@@ -112,14 +182,21 @@ def _partial_triples(t: pa.Table) -> pa.Table:
                 "n": pa.array([], pa.int64()),
             }
         )
-    g = t.select(["url", "subj", "pred", "obj", "conf"]).group_by(_TRIPLE_KEYS).aggregate(
-        [("conf", "max"), ([], "count_all")]
+    t = _with_n(t)
+    g = t.select(["url", "subj", "pred", "obj", "conf", "n"]).group_by(_TRIPLE_KEYS).aggregate(
+        [("conf", "max"), ("n", "sum")]
     )
     return g.rename_columns(_TRIPLE_KEYS + ["conf", "n"])
 
 
-def dedup_triples(triples_ds) -> "ray.data.Dataset":
+def dedup_triples(triples_ds, driver_threshold: int = DRIVER_REDUCE_THRESHOLD) -> "ray.data.Dataset":
     """Exact per-url triple dedup with mention counts (FIXTURES.md F4)."""
+    local = _local_fast_path(
+        triples_ds, _partial_triples, _TRIPLE_KEYS,
+        [("conf", "max"), ("n", "sum")], ["conf", "n_mentions"], driver_threshold,
+    )
+    if local is not None:
+        return local.map_batches(_conform(TRIPLES_FINAL_SCHEMA), batch_format="pyarrow")
     partial = triples_ds.map_batches(_partial_triples, batch_format="pyarrow")
     agg = bucketed_agg(
         partial, _TRIPLE_KEYS, [("conf", "max"), ("n", "sum")], ["conf", "n_mentions"]
@@ -147,17 +224,24 @@ def _partial_adjacency(t: pa.Table) -> pa.Table:
                 "w": pa.array([], pa.int64()),
             }
         )
-    g = both.select(["subj_id", "pred", "obj_id"]).group_by(
+    both = _with_n(both)
+    g = both.select(["subj_id", "pred", "obj_id", "n"]).group_by(
         ["subj_id", "pred", "obj_id"]
-    ).aggregate([([], "count_all")])
+    ).aggregate([("n", "sum")])
     return g.rename_columns(["src_entity", "pred", "dst_entity", "w"]).select(
         ["src_entity", "dst_entity", "pred", "w"]
     )
 
 
-def build_adjacency(linked_triples_ds) -> "ray.data.Dataset":
+def build_adjacency(linked_triples_ds, driver_threshold: int = DRIVER_REDUCE_THRESHOLD) -> "ray.data.Dataset":
     """Canonical graph edges: (src_entity, dst_entity, pred, weight) where
     weight = number of supporting raw triples across the corpus."""
+    local = _local_fast_path(
+        linked_triples_ds, _partial_adjacency, _ADJ_KEYS,
+        [("w", "sum")], ["weight"], driver_threshold,
+    )
+    if local is not None:
+        return local.map_batches(_conform(ADJACENCY_SCHEMA), batch_format="pyarrow")
     partial = linked_triples_ds.map_batches(_partial_adjacency, batch_format="pyarrow")
     agg = bucketed_agg(partial, _ADJ_KEYS, [("w", "sum")], ["weight"])
     return agg.map_batches(_conform(ADJACENCY_SCHEMA), batch_format="pyarrow")
@@ -165,17 +249,24 @@ def build_adjacency(linked_triples_ds) -> "ray.data.Dataset":
 
 # ------------------------------------------------------------- entities
 def _partial_mentions(t: pa.Table) -> pa.Table:
+    t = _with_n(t)
     ids = pa.concat_arrays(
         [
             t.column("subj_id").combine_chunks().cast(pa.string()),
             t.column("obj_id").combine_chunks().cast(pa.string()),
         ]
     )
-    tbl = pa.table({"canonical_id": ids})
+    ns = pa.concat_arrays(
+        [
+            t.column("n").combine_chunks().cast(pa.int64()),
+            t.column("n").combine_chunks().cast(pa.int64()),
+        ]
+    )
+    tbl = pa.table({"canonical_id": ids, "n": ns})
     tbl = tbl.filter(pc.not_equal(tbl.column("canonical_id"), pa.scalar("")))
     if tbl.num_rows == 0:
         return pa.table({"canonical_id": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-    g = tbl.group_by(["canonical_id"]).aggregate([([], "count_all")])
+    g = tbl.group_by(["canonical_id"]).aggregate([("n", "sum")])
     return g.rename_columns(["canonical_id", "n"])
 
 
@@ -209,9 +300,19 @@ class _KbDecorator:
         return pa.Table.from_pylist(rows, schema=schemas.ENTITIES)
 
 
-def build_entities(linked_triples_ds, kb_ref, concurrency: int | tuple = (1, 2)) -> "ray.data.Dataset":
+def build_entities(linked_triples_ds, kb_ref, concurrency: int | tuple = (1, 2),
+                   driver_threshold: int = DRIVER_REDUCE_THRESHOLD) -> "ray.data.Dataset":
     """Canonical entity table with mention counts (exact dedup on
     canonical_id — the groupby IS the dedup, reference `link.py:113`)."""
+    local = _local_fast_path(
+        linked_triples_ds, _partial_mentions, ["canonical_id"],
+        [("n", "sum")], ["n_mentions"], driver_threshold,
+    )
+    if local is not None:
+        return local.map_batches(
+            _KbDecorator, fn_constructor_kwargs={"kb_ref": kb_ref},
+            batch_format="pyarrow", concurrency=1,
+        )
     partial = linked_triples_ds.map_batches(_partial_mentions, batch_format="pyarrow")
     agg = bucketed_agg(partial, ["canonical_id"], [("n", "sum")], ["n_mentions"],
                        num_buckets=16, coalesce=16)

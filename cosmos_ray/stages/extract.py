@@ -211,6 +211,158 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
     return sorted_t.filter(pa.array(keep))
 
 
+def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
+    """Metadata-only duplicate discovery: shuffle ONLY (url, warc_ts) —
+    pruned at the read for parquet sources — and return a broadcast map
+    {url: max_warc_ts} for just the urls that appear more than once.
+
+    Rationale (100 TB): duplicate crawls of a url are a small fraction of
+    rows; a full keep-latest shuffle moves every payload byte, while this
+    plan moves two tiny columns and then filters losers BEFORE the html
+    is ever parsed. Falls back to the full-shuffle path (``keep_latest``)
+    if the dup-url set exceeds ``cap`` (degenerate corpus).
+    Assumes duplicate rows of a url carry distinct warc_ts (ties would
+    keep both; resolve upstream or use keep_latest())."""
+    import numpy as np
+
+    import ray
+
+    import pyarrow.compute as pc
+
+    meta = pages.select_columns(["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["url"]).aggregate([("warc_ts", "max"), ([], "count_all")])
+        return g.rename_columns(["url", "max_ts", "n"])
+
+    # one parallel pass emits per-batch (url, max_ts, n) partials; the
+    # final reduce streams to the driver (bounded by unique urls in the
+    # partition — the partitioned runner keeps that small). Beyond
+    # ``driver_cap`` partial rows we fall back to the distributed
+    # bucketed exchange.
+    driver_cap = 20_000_000
+    batches: list[pa.Table] = []
+    total = 0
+    overflow = False
+    part_ds = meta.map_batches(partial, batch_format="pyarrow")
+    for b in part_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        batches.append(b)
+        total += b.num_rows
+        if total > driver_cap:
+            overflow = True
+            break
+    if overflow:
+        from cosmos_ray.stages.canonicalize import bucketed_agg
+
+        agg = bucketed_agg(
+            part_ds, ["url"], [("max_ts", "max"), ("n", "sum")],
+            ["ts_max", "n_total"], num_buckets=64, coalesce=32,
+        )
+        dup_rows = agg.map_batches(
+            lambda t: t.filter(pc.greater(t.column("n_total"), pa.scalar(1))),
+            batch_format="pyarrow",
+        ).take_all()
+    else:
+        full = pa.concat_tables(batches) if batches else None
+        if full is None or full.num_rows == 0:
+            return ray.put({})
+        g = full.group_by(["url"]).aggregate([("max_ts", "max"), ("n", "sum")])
+        g = g.rename_columns(["url", "ts_max", "n_total"])
+        dup_rows = g.filter(pc.greater(g.column("n_total"), pa.scalar(1))).to_pylist()
+    if len(dup_rows) > cap:
+        return None  # caller should use the full-shuffle keep_latest
+    dups = {r["url"]: r["ts_max"] for r in dup_rows}
+    return ray.put(dups)
+
+
+def drop_stale(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
+    """Filter duplicate-crawl losers using the broadcast dup map — runs
+    BEFORE extraction so stale html is never parsed."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        if not dups:
+            return t
+        urls = t.column("url").to_pylist()
+        tss = t.column("warc_ts").cast(pa.int64()).to_pylist()
+        keep = [(u not in dups) or (ts == _ts_us(dups[u])) for u, ts in zip(urls, tss)]
+        return t.filter(pa.array(keep))
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def _ts_us(ts) -> int:
+    """Normalize a timestamp scalar (pandas/py datetime/pa scalar) to
+    int64 microseconds."""
+    if isinstance(ts, int):
+        return ts
+    if hasattr(ts, "value"):  # pandas.Timestamp (ns)
+        return ts.value // 1000
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((ts - epoch).total_seconds() * 1_000_000)
+    raise TypeError(type(ts))
+
+
+class DeadLetterCollector:
+    """Tiny actor accumulating dead-letter rows posted fire-and-forget by
+    extract tasks — lets the streaming single-pass pipeline keep a dead
+    letter table without a second scan of the input (reference analog:
+    failed-PDF logging, `ingest/ingest.py:262-272`)."""
+
+    def __init__(self) -> None:
+        self.rows: dict[str, dict] = {}  # keyed by url: idempotent under
+        # lineage re-execution (a lazy consumer re-running extract must
+        # not double-count dead letters)
+
+    def add(self, rows: list[dict]) -> int:
+        for r in rows:
+            self.rows[r["url"]] = r
+        return len(self.rows)
+
+    def table(self) -> pa.Table:
+        from cosmos_ray.core import schemas
+
+        if not self.rows:
+            return schemas.DEAD_LETTER.empty_table()
+        return pa.Table.from_pylist(list(self.rows.values()), schema=schemas.DEAD_LETTER)
+
+
+def extract_streaming(pages: "ray.data.Dataset", collector, batch_size: int = 256):
+    """Extraction emitting only OK rows; malformed rows are posted to the
+    collector actor (at-least-once within the run; the resume layer's
+    partition manifest is the durable record)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = extract_batch(t)
+        bad_mask = pc.is_valid(out.column("error"))
+        if pc.any(bad_mask).as_py():
+            import ray as _ray
+
+            bad = out.filter(bad_mask)
+            # synchronous on purpose: guarantees delivery before the task
+            # completes (a fire-and-forget send can still be in flight
+            # when the driver reads the collector); only malformed rows
+            # pay the round trip
+            _ray.get(
+                collector.add.remote(
+                    [
+                        {"url": u, "stage": "extract", "error": e}
+                        for u, e in zip(
+                            bad.column("url").to_pylist(), bad.column("error").to_pylist()
+                        )
+                    ]
+                )
+            )
+        return out.filter(pc.is_null(out.column("error")))
+
+    return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 def keep_latest(extracted: "ray.data.Dataset", num_buckets: int = 256) -> "ray.data.Dataset":
     """Keep-latest-per-url dedup (SURVEY.md §2.10: groupby(url) -> max by
     warc_ts). Runs AFTER extraction so the shuffle never moves the raw

@@ -101,12 +101,42 @@ class EntityLinker:
         return out
 
 
-def link_triples(triples_raw, kb_ref, concurrency: int | tuple = (1, 4), batch_size: int = 8192):
-    """raw triples -> triples + (subj_id, obj_id) columns ("" = unlinked)."""
+# per-process linker cache for the task-fused variant (see
+# segment.classify_batch for rationale); keyed by the broadcast ref so a
+# fresh KB gets a fresh index
+_LINKER_CACHE: dict = {}
+
+
+def make_link_fn(kb_ref):
+    def link_batch(batch: pa.Table) -> pa.Table:
+        key = kb_ref.hex() if hasattr(kb_ref, "hex") else id(kb_ref)
+        linker = _LINKER_CACHE.get(key)
+        if linker is None:
+            linker = EntityLinker(kb_ref=kb_ref)
+            _LINKER_CACHE.clear()  # hold at most one KB index per worker
+            _LINKER_CACHE[key] = linker
+        return linker(batch)
+
+    return link_batch
+
+
+def link_triples(triples_raw, kb_ref, concurrency: int | tuple | None = (1, 4),
+                 batch_size: int = 8192):
+    """raw triples -> triples + (subj_id, obj_id) columns ("" = unlinked).
+
+    ``concurrency=None`` selects the task-fused linker (plain function +
+    per-process cached index); a value selects an actor pool (the shape
+    for embedding-index linkers with heavy state)."""
     ds = triples_raw
     schema = ds.schema(fetch_if_missing=True)
     if schema is not None and "seg_id" in schema.names:
         ds = ds.drop_columns(["seg_id", "sent_id"])
+    if concurrency is None:
+        # batch_size=None: one batch per input block, so the fused task
+        # chain never bundles blocks to satisfy a batch quota (bundling
+        # collapses task parallelism)
+        return ds.map_batches(make_link_fn(kb_ref), batch_format="pyarrow",
+                              batch_size=None)
     return ds.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"kb_ref": kb_ref},

@@ -212,9 +212,32 @@ class SegmentClassifier:
         return out
 
 
-def segment(extracted_ok, classifier_concurrency: int | tuple = (1, 4), batch_size: int = 2048):
-    """extracted(ok) -> classified SEGMENTS dataset."""
+# per-worker-process singleton for the task-fused variant: same
+# load-once-per-worker amortization as an actor pool, but lets Ray fuse
+# the classifier into the surrounding task chain (no pool scheduling, no
+# inter-operator transfer). Right for light deterministic state; use the
+# actor-pool variant for heavy model state (GPU weights, big indexes).
+_CLASSIFIER: SegmentClassifier | None = None
+
+
+def classify_batch(t: pa.Table) -> pa.Table:
+    global _CLASSIFIER
+    if _CLASSIFIER is None:
+        _CLASSIFIER = SegmentClassifier()
+    return _CLASSIFIER(t)
+
+
+def segment(extracted_ok, classifier_concurrency: int | tuple | None = (1, 4),
+            batch_size: int = 2048):
+    """extracted(ok) -> classified SEGMENTS dataset.
+
+    ``classifier_concurrency=None`` selects the task-fused classifier
+    (plain function + per-process cached state); a value selects an
+    actor pool of that size (the shape for model-heavy classifiers)."""
     segs = extracted_ok.map_batches(explode_segments, batch_format="pyarrow")
+    if classifier_concurrency is None:
+        # batch_size=None: keep one batch per block (see link.py note)
+        return segs.map_batches(classify_batch, batch_format="pyarrow", batch_size=None)
     return segs.map_batches(
         SegmentClassifier,
         batch_format="pyarrow",

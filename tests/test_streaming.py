@@ -1,0 +1,62 @@
+"""Streaming single-pass pipeline: same results as the checkpointing
+variant, with the metadata-only dedup plan and collector-actor dead
+letters."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cosmos_ray.pipelines.kg import build_kg_streaming
+from cosmos_ray.stages.extract import discover_dup_urls, drop_stale
+
+
+@pytest.fixture(scope="module")
+def kg_stream(pages_small):
+    return build_kg_streaming(rd.from_arrow(pages_small))
+
+
+def test_streaming_triples_match_golden(kg_stream, golden_small):
+    got = {
+        (r["url"], r["subj"], r["pred"], r["obj"]) for r in kg_stream.triples.take_all()
+    }
+    g = golden_small["triples"]
+    want = set(zip(*[g.column(c).to_pylist() for c in ["url", "subj", "pred", "obj"]]))
+    assert got == want
+
+
+def test_streaming_dead_letter_per_url(kg_stream, golden_small, pages_small):
+    dead_urls = {r["url"] for r in kg_stream.dead_letter.take_all()}
+    golden_urls = set(golden_small["text"].column("url").to_pylist())
+    all_urls = set(pages_small.column("url").to_pylist())
+    assert dead_urls == all_urls - golden_urls  # exactly the malformed urls
+
+
+def test_streaming_entity_counts(kg_stream, golden_small):
+    got = {r["canonical_id"]: r["n_mentions"] for r in kg_stream.entities.take_all()}
+    want = {
+        r["canonical_id"]: r["n_mentions"]
+        for r in golden_small["mention_counts"].to_pylist()
+    }
+    assert got == want
+
+
+def test_sparse_dedup_plan(pages_small):
+    import ray
+
+    pages = rd.from_arrow(pages_small)
+    dup_ref = discover_dup_urls(pages)
+    assert dup_ref is not None
+    dups = ray.get(dup_ref)
+    # planted duplicates: every url occurring twice, mapped to its max ts
+    urls = pages_small.column("url").to_pylist()
+    from collections import Counter
+
+    counted = Counter(urls)
+    assert set(dups) == {u for u, n in counted.items() if n > 1}
+
+    kept = drop_stale(pages, dup_ref)
+    kept_urls = [r["url"] for r in kept.select_columns(["url"]).take_all()]
+    assert len(kept_urls) == len(set(kept_urls))  # one row per url survives
+    assert set(kept_urls) == set(urls)

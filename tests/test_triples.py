@@ -78,6 +78,32 @@ def test_adjacency_weights_equal_raw_support(kg_small):
     assert got == dict(want)
 
 
+def test_distributed_reduce_matches_fast_path(kg_small):
+    """The distributed bucketed exchange (driver_threshold=0) must
+    produce exactly what the small-aggregate fast path produces."""
+    from cosmos_ray.stages import canonicalize
+
+    linked = kg_small.linked
+    fast = {
+        (r["url"], r["subj"], r["pred"], r["obj"]): r["n_mentions"]
+        for r in canonicalize.dedup_triples(linked).take_all()
+    }
+    dist = {
+        (r["url"], r["subj"], r["pred"], r["obj"]): r["n_mentions"]
+        for r in canonicalize.dedup_triples(linked, driver_threshold=0).take_all()
+    }
+    assert fast == dist
+    fast_adj = {
+        (r["src_entity"], r["dst_entity"], r["pred"]): r["weight"]
+        for r in canonicalize.build_adjacency(linked).take_all()
+    }
+    dist_adj = {
+        (r["src_entity"], r["dst_entity"], r["pred"]): r["weight"]
+        for r in canonicalize.build_adjacency(linked, driver_threshold=0).take_all()
+    }
+    assert fast_adj == dist_adj
+
+
 def test_svo_regex_semantics():
     trips = extract_triples_from_text(
         "Acme Corp acquired Beta Labs. Some lowercase noise here. "
