@@ -131,6 +131,8 @@ def build_kg_streaming(
     *,
     dedup_input: bool = True,
     pages_meta: "ray.data.Dataset | None" = None,
+    dead_dir: str | None = None,
+    driver_threshold: int | None = None,
 ) -> KgDatasets:
     """Single-pass streaming variant: no bulk intermediates are pinned.
 
@@ -167,10 +169,11 @@ def build_kg_streaming(
             pages = extract.drop_stale(pages, dup_ref)
     _phase("dup_plan", _t0)
 
-    # num_cpus=0: the collector must stay schedulable/responsive even when
-    # every CPU slot is occupied by chain tasks (it only buffers rare rows)
-    collector = _ray.remote(num_cpus=0)(extract.DeadLetterCollector).remote()
-    ok = extract.extract_streaming(pages, collector)
+    if dead_dir is None:
+        import tempfile
+
+        dead_dir = tempfile.mkdtemp(prefix="cosmos_dead_")
+    ok = extract.extract_streaming(pages, dead_dir)
     if dedup_input and dup_ref is None:  # degenerate corpus fallback
         ok = extract.keep_latest(ok)
 
@@ -186,17 +189,39 @@ def build_kg_streaming(
     ).materialize()
     _phase("chain", _t0)
 
+    import glob as _glob
+
     import ray.data as rd
 
-    dead = rd.from_arrow(_ray.get(collector.table.remote()))
+    from cosmos_ray.core import schemas as _schemas
+
+    dead_files = _glob.glob(os.path.join(dead_dir, "*.parquet"))
+    dead = (
+        rd.read_parquet(dead_files)
+        if dead_files
+        else rd.from_arrow(_schemas.DEAD_LETTER.empty_table())
+    )
+    _t0 = _time.perf_counter()
+    thr = canonicalize.DRIVER_REDUCE_THRESHOLD if driver_threshold is None else driver_threshold
+    local = canonicalize.finalize_graph_local(linked, kb_ref, threshold=thr)
+    if local is not None:
+        triples_ds, entities_ds, adjacency_ds = local
+    else:
+        # url-locality invariant holds in this chain: per-url dedup is
+        # exchange-free; only adjacency/entities (non-url keys) exchange,
+        # and their combiner partials are tiny
+        triples_ds = canonicalize.dedup_triples_urllocal(linked)
+        entities_ds = canonicalize.build_entities(linked, kb_ref, driver_threshold=0)
+        adjacency_ds = canonicalize.build_adjacency(linked, driver_threshold=0)
+    _phase("finalize", _t0)
     return KgDatasets(
         documents=ok.drop_columns(["blocks"]),
         dead_letter=dead,
         segments=segs,
         linked=linked,
-        triples=canonicalize.dedup_triples(linked),
-        entities=canonicalize.build_entities(linked, kb_ref),
-        adjacency=canonicalize.build_adjacency(linked),
+        triples=triples_ds,
+        entities=entities_ds,
+        adjacency=adjacency_ds,
     )
 
 
@@ -205,14 +230,15 @@ GRAPH_SINKS = ("triples", "entities", "adjacency", "dead_letter")
 
 def run_kg_streaming(pages: "ray.data.Dataset", out_dir: str,
                      kb_table: pa.Table | None = None,
-                     sinks: tuple = GRAPH_SINKS, **kw) -> dict:
+                     sinks: tuple = GRAPH_SINKS,
+                     driver_threshold: int | None = None, **kw) -> dict:
     """Streaming headline: pages -> canonical graph tables on disk.
     Writes only the (small) graph outputs; bulk intermediates stream
     through without being pinned or written."""
     from concurrent.futures import ThreadPoolExecutor
 
     _stub_fsspec_http()
-    kg = build_kg_streaming(pages, kb_table, **kw)
+    kg = build_kg_streaming(pages, kb_table, driver_threshold=driver_threshold, **kw)
 
     def write(name: str) -> tuple[str, int]:
         ds: "ray.data.Dataset" = getattr(kg, name)

@@ -328,6 +328,74 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (30-min gap) — the stream-shaped
+    groupby + in-group ordered window (SURVEY §2.10 / ray_guide)."""
+    from cosmos_ray.functions.windows import sessionize
+
+    return sessionize(read(sf_dir, "events", ["user_id", "event_id", "ts"]))
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - prev_ts > 1800000000
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+
+def q_user_cumsum(sf_dir: str):
+    """Running sum of value per user in event-time order (window
+    aggregate in batch form)."""
+    from cosmos_ray.functions.windows import cumulative_value
+
+    return cumulative_value(read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
+SQL_USER_CUMSUM = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+FROM events
+"""
+
+
+def q_vocab_counts(sf_dir: str):
+    """Corpus token counts (global representation-learning pass, G8)."""
+    from cosmos_ray.functions.embed import corpus_vocab
+
+    return corpus_vocab(read(sf_dir, "documents", ["doc_id", "text"]), min_count=2)
+
+
+SQL_VOCAB_COUNTS = """
+SELECT token, count(*) AS count
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) >= 2
+"""
+
+
+def q_embed_docs(sf_dir: str):
+    """Feature-hashing document embeddings (actor-pool embedder, D6/D7
+    analog) — non-SQL, rows-only."""
+    from cosmos_ray.functions.embed import embed_documents
+
+    return embed_documents(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_windows(sf_dir: str):
+    """Sliding-window context splitter (S11) — non-SQL, rows-only."""
+    from cosmos_ray.stages.export import sliding_windows
+
+    return sliding_windows(read(sf_dir, "documents", ["doc_id", "text"]),
+                           window=64, stride=16)
+
+
 # --------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # --------------------------------------------------------------------------
@@ -522,6 +590,11 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "events_latest": q_events_latest,
+    "sessionize": q_sessionize,
+    "user_cumsum": q_user_cumsum,
+    "vocab_counts": q_vocab_counts,
+    "embed_docs": q_embed_docs,
+    "doc_windows": q_doc_windows,
     "embedding_topk": q_embedding_topk,
     "doc_triples": q_doc_triples,
     "doc_adjacency": q_doc_adjacency,
@@ -549,6 +622,9 @@ ORACLES = {
     "fingerprints": SQL_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "events_latest": SQL_EVENTS_LATEST,
+    "sessionize": SQL_SESSIONIZE,
+    "user_cumsum": SQL_USER_CUMSUM,
+    "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,

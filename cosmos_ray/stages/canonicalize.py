@@ -300,6 +300,66 @@ class _KbDecorator:
         return pa.Table.from_pylist(rows, schema=schemas.ENTITIES)
 
 
+def dedup_triples_urllocal(linked_ds) -> "ray.data.Dataset":
+    """Per-url triple dedup with NO exchange, valid under the
+    url-locality invariant: every row of a url is produced inside one
+    task's output block (true for the streaming chain — rows fan out
+    per-page and are never shuffled between extract and link — and
+    preserved by ``combine_linked_block``). Since the dedup key includes
+    ``url``, a (url,s,p,o) group can never span blocks, so block-local
+    combining IS the global dedup."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        part = _partial_triples(t)
+        return _conform(TRIPLES_FINAL_SCHEMA)(
+            part.rename_columns(_TRIPLE_KEYS + ["conf", "n_mentions"])
+        )
+
+    return linked_ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def finalize_graph_local(linked_ds, kb_ref,
+                         threshold: int = DRIVER_REDUCE_THRESHOLD):
+    """Compute (triples, entities, adjacency) with ONE driver-side pull
+    of the (combined, materialized, small) linked dataset — the three
+    per-aggregate fast paths would otherwise each re-concat the blocks.
+    Returns None when the input is too big or not materialized; callers
+    fall back to the per-aggregate functions (distributed path)."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    if threshold <= 0 or not isinstance(linked_ds, MaterializedDataset):
+        return None
+    if linked_ds.count() > threshold:
+        return None
+    refs = linked_ds.to_arrow_refs()
+    if not refs:
+        return None
+    _driver_arrow_threads()
+    full = pa.concat_tables([ray.get(r) for r in refs], promote_options="default")
+
+    tp = _partial_triples(full)
+    tg = tp.group_by(_TRIPLE_KEYS).aggregate([("conf", "max"), ("n", "sum")])
+    triples = rd.from_arrow(
+        _conform(TRIPLES_FINAL_SCHEMA)(
+            tg.rename_columns(_TRIPLE_KEYS + ["conf", "n_mentions"])
+        )
+    )
+
+    ap = _partial_adjacency(full)
+    ag = ap.group_by(_ADJ_KEYS).aggregate([("w", "sum")])
+    adjacency = rd.from_arrow(
+        _conform(ADJACENCY_SCHEMA)(ag.rename_columns(_ADJ_KEYS + ["weight"]))
+    )
+
+    mp = _partial_mentions(full)
+    mg = mp.group_by(["canonical_id"]).aggregate([("n", "sum")])
+    entities = rd.from_arrow(
+        _KbDecorator(kb_ref=kb_ref)(mg.rename_columns(["canonical_id", "n_mentions"]))
+    )
+    return triples, entities, adjacency
+
+
 def build_entities(linked_triples_ds, kb_ref, concurrency: int | tuple = (1, 2),
                    driver_threshold: int = DRIVER_REDUCE_THRESHOLD) -> "ray.data.Dataset":
     """Canonical entity table with mention counts (exact dedup on

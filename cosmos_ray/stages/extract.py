@@ -307,57 +307,47 @@ def _ts_us(ts) -> int:
     raise TypeError(type(ts))
 
 
-class DeadLetterCollector:
-    """Tiny actor accumulating dead-letter rows posted fire-and-forget by
-    extract tasks — lets the streaming single-pass pipeline keep a dead
-    letter table without a second scan of the input (reference analog:
-    failed-PDF logging, `ingest/ingest.py:262-272`)."""
+def extract_streaming(pages: "ray.data.Dataset", dead_dir: str, batch_size: int = 256):
+    """Extraction emitting only OK rows; malformed rows are side-written
+    as tiny parquet shards under ``dead_dir`` (reference analog:
+    failed-PDF logging, `ingest/ingest.py:262-272`).
 
-    def __init__(self) -> None:
-        self.rows: dict[str, dict] = {}  # keyed by url: idempotent under
-        # lineage re-execution (a lazy consumer re-running extract must
-        # not double-count dead letters)
+    Side-output design: each shard's filename is the hash of the urls it
+    contains, and the write is atomic (tmp + rename) — re-execution of a
+    task rewrites the identical file, so the dead-letter table is exact
+    under Ray's lineage re-execution and task retries. (An actor-based
+    collector was tried first and is flaky under full load: concurrent
+    callers can trip 30 s actor seq_no timeouts.) Use a fresh dead_dir
+    per run."""
+    import hashlib
+    import os
 
-    def add(self, rows: list[dict]) -> int:
-        for r in rows:
-            self.rows[r["url"]] = r
-        return len(self.rows)
-
-    def table(self) -> pa.Table:
-        from cosmos_ray.core import schemas
-
-        if not self.rows:
-            return schemas.DEAD_LETTER.empty_table()
-        return pa.Table.from_pylist(list(self.rows.values()), schema=schemas.DEAD_LETTER)
-
-
-def extract_streaming(pages: "ray.data.Dataset", collector, batch_size: int = 256):
-    """Extraction emitting only OK rows; malformed rows are posted to the
-    collector actor (at-least-once within the run; the resume layer's
-    partition manifest is the durable record)."""
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.core import schemas
+
+    os.makedirs(dead_dir, exist_ok=True)
 
     def fn(t: pa.Table) -> pa.Table:
         out = extract_batch(t)
         bad_mask = pc.is_valid(out.column("error"))
         if pc.any(bad_mask).as_py():
-            import ray as _ray
-
             bad = out.filter(bad_mask)
-            # synchronous on purpose: guarantees delivery before the task
-            # completes (a fire-and-forget send can still be in flight
-            # when the driver reads the collector); only malformed rows
-            # pay the round trip
-            _ray.get(
-                collector.add.remote(
-                    [
-                        {"url": u, "stage": "extract", "error": e}
-                        for u, e in zip(
-                            bad.column("url").to_pylist(), bad.column("error").to_pylist()
-                        )
-                    ]
-                )
+            urls = bad.column("url").to_pylist()
+            tbl = pa.table(
+                {
+                    "url": bad.column("url"),
+                    "stage": pa.array(["extract"] * bad.num_rows, pa.string()),
+                    "error": bad.column("error"),
+                },
+                schema=schemas.DEAD_LETTER,
             )
+            key = hashlib.md5("|".join(sorted(urls)).encode()).hexdigest()[:16]
+            final = os.path.join(dead_dir, f"dead_{key}.parquet")
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)  # atomic; identical content on re-run
         return out.filter(pc.is_null(out.column("error")))
 
     return pages.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
