@@ -59,7 +59,7 @@ def y_overlap(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def expand(boxes: np.ndarray, margin: float) -> np.ndarray:
     """Feathered boxes (the reference feathers ±10 px before its
     text↔region spatial join, `ocr/ocr.py:53-86`)."""
-    boxes = np.atleast_2d(boxes).copy()
+    boxes = np.atleast_2d(boxes).astype(np.float64, copy=True)
     boxes[:, :2] -= margin
     boxes[:, 2:] += margin
     return boxes
