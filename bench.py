@@ -179,7 +179,7 @@ def _run_bench() -> dict:
     return result
 
 
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "190"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "380"))
 
 
 def _run_child(ncpu: int) -> dict:

@@ -1,0 +1,62 @@
+"""Job driver CLI — the ``ray job submit`` entry point.
+
+North-rule lifecycle: the pipeline is submitted as a driver script to a
+fixed-size Ray cluster and processes its input as checkpointed url-hash
+partitions (resume skips finished partitions via the manifest).
+
+    ray job submit -- python -m cosmos_ray.cli \
+        --input /data/pages --output /data/kg --partitions 64
+
+In this sandbox (single node) the same command runs standalone: Ray
+auto-initialises in local mode. The module never calls ray.init when a
+session already exists (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="cosmos_ray KG-construction job driver")
+    p.add_argument("--input", required=True, help="pages parquet file/dir")
+    p.add_argument("--output", required=True, help="output root (tables + manifest)")
+    p.add_argument("--partitions", type=int, default=16, help="url-hash partitions")
+    p.add_argument("--streaming", action="store_true",
+                   help="single-pass graph-only run (no per-partition checkpoints)")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus when starting a fresh local session")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    if args.streaming:
+        import ray.data as rd
+
+        from cosmos_ray.pipelines.kg import run_kg_streaming
+
+        pages = rd.read_parquet(args.input)
+        meta = rd.read_parquet(args.input, columns=["url", "warc_ts"])
+        summary = run_kg_streaming(pages, args.output, pages_meta=meta)
+    else:
+        from cosmos_ray.state.manifest import run_partitioned
+
+        summary = run_partitioned(args.input, args.output, num_partitions=args.partitions)
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
