@@ -42,9 +42,11 @@ def _prepare_pages() -> str:
     """Synthesize + cache the bench pages as a DIRECTORY of parquet
     shards (NOT timed). Many files => the Ray read parallelizes; a single
     file is read by ONE task regardless of override_num_blocks."""
+    from cosmos_ray.sources.pages import GEN_VERSION
+
     os.makedirs(CACHE_DIR, exist_ok=True)
     tag = SF_DIR.strip("/").replace("/", "_")
-    path = os.path.join(CACHE_DIR, f"pages_{tag}_r{REPEAT}")
+    path = os.path.join(CACHE_DIR, f"pages_{tag}_r{REPEAT}_v{GEN_VERSION}")
     if not os.path.isdir(path):
         from concurrent.futures import ProcessPoolExecutor
 

@@ -34,7 +34,9 @@ def pairwise_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     y2 = np.minimum(a[:, None, 3], b[None, :, 3])
     inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
     union = area(a)[:, None] + area(b)[None, :] - inter
-    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    # divide by the true union where positive (an epsilon floor would
+    # distort subnormal-area boxes); 1 is a dummy divisor where union==0
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
 
 
 def union_box(boxes: np.ndarray) -> np.ndarray:

@@ -59,6 +59,9 @@ PREDICATES = [
 MALFORMED_MOD, MALFORMED_REM = 97, 13
 DUP_MOD, DUP_REM = 50, 7
 
+# bump when golden_doc/render_html semantics change (bench cache key)
+GEN_VERSION = 2
+
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
 
@@ -104,6 +107,16 @@ def golden_doc(
     for i in range(0, len(words), 40):
         g.blocks.append(("p", " ".join(words[i : i + 40])))
 
+    # a real table on ~40% of pages: 2x2 of deterministic metric cells,
+    # so Table segments exist for caption association (J2)
+    if rng.random() < 0.4:
+        g.blocks.append(("h2", "Data"))
+        m1, m2 = rng.randrange(100), rng.randrange(100)
+        g.blocks.append(("td", "metric"))
+        g.blocks.append(("td", "value"))
+        g.blocks.append(("td", f"alpha score {m1}"))
+        g.blocks.append(("td", f"beta score {m2}"))
+
     g.blocks.append(("h2", "Facts"))
     n_facts = rng.randint(2, 8)
     n = len(kb_names)
@@ -138,6 +151,7 @@ _TAG_OPEN = {
     "h2": "<h2>",
     "p": '<p class="body">',
     "li": "<li>",
+    "td": "<td>",
 }
 
 
@@ -155,7 +169,7 @@ def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
         "<!-- boilerplate nav -->",
         '<nav class="nav"><span>skip</span></nav>',
     ]
-    in_list = False
+    in_list = in_table = False
     for tag, text in g.blocks:
         if tag == "li" and not in_list:
             parts.append("<ul>")
@@ -163,11 +177,19 @@ def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
         if tag != "li" and in_list:
             parts.append("</ul>")
             in_list = False
+        if tag == "td" and not in_table:
+            parts.append('<table class="data"><tr>')
+            in_table = True
+        if tag != "td" and in_table:
+            parts.append("</tr></table>")
+            in_table = False
         if rng.random() < 0.2:
             parts.append(f"<!-- c{rng.randrange(100)} -->")
         parts.append(f"{_TAG_OPEN[tag]}{_html.escape(text)}</{tag}>")
     if in_list:
         parts.append("</ul>")
+    if in_table:
+        parts.append("</tr></table>")
     parts.append("<footer><!-- end --></footer></body></html>")
     return "\n".join(parts).encode("utf-8")
 
@@ -342,7 +364,12 @@ def _golden_cls(tag: str, text: str) -> str:
         if _CAPTION_FIGURE.match(text):
             return "Figure Caption"
         return "Body Text"
-    return {"h1": "Title", "h2": "Section Header", "li": "List Item"}.get(tag, "Other")
+    return {
+        "h1": "Title",
+        "h2": "Section Header",
+        "li": "List Item",
+        "td": "Table",
+    }.get(tag, "Other")
 
 
 def write_pages_parquet(
