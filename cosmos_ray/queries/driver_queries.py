@@ -138,6 +138,44 @@ LIMIT 10
 """
 
 
+def q_order_lineitem_join(sf_dir: str):
+    """Large-large hash join via native ``Dataset.join`` (hash-partitioned
+    on the key — the non-broadcast join shape, J5): revenue per order
+    status from orders ⨝ lineitem."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": r})
+
+    joined = orders.join(
+        items.map_batches(rev, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    agg = joined.groupby("o_orderstatus").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.round(t.column("revenue"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDER_LINEITEM_JOIN = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def q_phrase_search(sf_dir: str):
     """Filtered phrase search over documents (ES match_phrase analog,
     `elastic_retriever.py:260-273`)."""
@@ -544,6 +582,15 @@ def q_kg_sections(sf_dir: str):
     return aggregate_sections(build_kg(_pages_ds(sf_dir)).segments)
 
 
+def q_kg_captions(sf_dir: str):
+    """Caption↔object association over classified segments (J2): one row
+    per Table Caption with its greedily matched Table segment."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.aggregate import associate_captions
+
+    return associate_captions(build_kg(_pages_ds(sf_dir)).segments)
+
+
 def q_langid(sf_dir: str):
     from cosmos_ray.functions.textops import language_id
 
@@ -579,6 +626,7 @@ def q_ivf_topk(sf_dir: str):
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
+    "order_lineitem_join": q_order_lineitem_join,
     "top_customers": q_top_customers,
     "phrase_search": q_phrase_search,
     "count_by_lang": q_count_by_lang,
@@ -602,6 +650,7 @@ QUERIES = {
     "kg_entities": q_kg_entities,
     "kg_adjacency": q_kg_adjacency,
     "kg_sections": q_kg_sections,
+    "kg_captions": q_kg_captions,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -611,6 +660,7 @@ QUERIES = {
 ORACLES = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
+    "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "top_customers": SQL_TOP_CUSTOMERS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "count_by_lang": SQL_COUNT_BY_LANG,

@@ -60,7 +60,7 @@ MALFORMED_MOD, MALFORMED_REM = 97, 13
 DUP_MOD, DUP_REM = 50, 7
 
 # bump when golden_doc/render_html semantics change (bench cache key)
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
@@ -107,15 +107,18 @@ def golden_doc(
     for i in range(0, len(words), 40):
         g.blocks.append(("p", " ".join(words[i : i + 40])))
 
-    # a real table on ~40% of pages: 2x2 of deterministic metric cells,
-    # so Table segments exist for caption association (J2)
-    if rng.random() < 0.4:
+    # a real table on ~40% of pages: 2x2 of deterministic metric cells
+    # with its caption adjacent, so Table segments exist for caption
+    # association (J2) on the same page
+    has_table = rng.random() < 0.4
+    if has_table:
         g.blocks.append(("h2", "Data"))
         m1, m2 = rng.randrange(100), rng.randrange(100)
         g.blocks.append(("td", "metric"))
         g.blocks.append(("td", "value"))
         g.blocks.append(("td", f"alpha score {m1}"))
         g.blocks.append(("td", f"beta score {m2}"))
+        g.blocks.append(("p", f"Table {1 + doc_id % 3}: alpha and beta scores."))
 
     g.blocks.append(("h2", "Facts"))
     n_facts = rng.randint(2, 8)
@@ -141,7 +144,10 @@ def golden_doc(
         g.facts.append((subj_surface, pred, obj_surface))
         g.blocks.append(("li", f"{subj_surface} {pred} {obj_surface}."))
 
-    g.blocks.append(("p", f"Table {1 + doc_id % 3}: summary of planted facts."))
+    if not has_table:
+        # caption without an object: exercises the rules reclassifier and
+        # the unmatched-caption branch of association
+        g.blocks.append(("p", f"Table {1 + doc_id % 3}: summary of planted facts."))
     g.blocks.append(("p", f"Figure {1 + doc_id % 2}: entity graph sketch."))
     return g
 

@@ -66,6 +66,28 @@ def test_document_rollup_matches_text(kg_small, golden_small):
         assert len(got[url]["obj_pages"]) == len(text.split("\n"))
 
 
+def test_corpus_caption_association(kg_small, golden_small):
+    """With the table-bearing corpus: every (url, page) holding both a
+    Table Caption and >=1 Table segment must produce a non-null match."""
+    from cosmos_ray.stages.aggregate import associate_captions
+
+    rows = associate_captions(kg_small.segments).take_all()
+    assert rows, "corpus should contain captions"
+    by_page = {}
+    for r in golden_small["segments"].to_pylist():
+        by_page.setdefault((r["url"], r["seg_id"] // 12), []).append(r["cls"])
+    matched = unmatched = 0
+    for r in rows:
+        key = (r["url"], r["page_num"])
+        classes = by_page.get(key, [])
+        if "Table" in classes:
+            assert r["object_seg_id"] is not None, f"unmatched caption on {key}"
+            matched += 1
+        else:
+            unmatched += 1
+    assert matched > 0
+
+
 def test_caption_associate_greedy_nearest():
     page = pd.DataFrame(
         {
