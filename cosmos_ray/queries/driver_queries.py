@@ -56,13 +56,13 @@ def q_lineitem_agg(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
-                         pc.round(t.column("sum_qty"), 2))
+                         pc.round(t.column("sum_qty"), 2, round_mode="half_towards_infinity"))
         t = t.set_column(t.schema.get_field_index("sum_base_price"), "sum_base_price",
-                         pc.round(t.column("sum_base_price"), 2))
+                         pc.round(t.column("sum_base_price"), 2, round_mode="half_towards_infinity"))
         t = t.set_column(t.schema.get_field_index("sum_disc_price"), "sum_disc_price",
-                         pc.round(t.column("sum_disc_price"), 2))
+                         pc.round(t.column("sum_disc_price"), 2, round_mode="half_towards_infinity"))
         t = t.set_column(t.schema.get_field_index("avg_disc"), "avg_disc",
-                         pc.round(t.column("avg_disc"), 6))
+                         pc.round(t.column("avg_disc"), 6, round_mode="half_towards_infinity"))
         return t
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -96,7 +96,7 @@ def q_revenue_by_segment(sf_dir: str):
     )
     return agg.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                               pc.round(t.column("revenue"), 2)),
+                               pc.round(t.column("revenue"), 2, round_mode="half_towards_infinity")),
         batch_format="pyarrow",
     )
 
@@ -120,7 +120,7 @@ def q_top_customers(sf_dir: str):
     )
     per_cust = per_cust.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                               pc.round(t.column("revenue"), 2)),
+                               pc.round(t.column("revenue"), 2, round_mode="half_towards_infinity")),
         batch_format="pyarrow",
     )
     cust_tbl = pa.concat_tables([b for b in customer.iter_batches(batch_format="pyarrow")])
@@ -162,7 +162,7 @@ def q_order_lineitem_join(sf_dir: str):
     )
     return agg.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                               pc.round(t.column("revenue"), 2)),
+                               pc.round(t.column("revenue"), 2, round_mode="half_towards_infinity")),
         batch_format="pyarrow",
     )
 
@@ -217,7 +217,7 @@ def q_events_hourly(sf_dir: str):
     ).aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     return agg.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
-                               pc.round(t.column("sum_value"), 4)),
+                               pc.round(t.column("sum_value"), 4, round_mode="half_towards_infinity")),
         batch_format="pyarrow",
     )
 
@@ -268,7 +268,7 @@ def q_region_customers(sf_dir: str):
     )
     return agg.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("avg_acctbal"), "avg_acctbal",
-                               pc.round(t.column("avg_acctbal"), 6)),
+                               pc.round(t.column("avg_acctbal"), 6, round_mode="half_towards_infinity")),
         batch_format="pyarrow",
     )
 
@@ -279,6 +279,100 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join: customers with no order above 400k (broadcast key-set
+    filter, keep=False)."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(400000.0)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = {r["o_custkey"] for r in big.take_all()}
+    customer = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return semi_join_filter(customer, keys, "c_custkey", keep=False)
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Distinct (lang, source) combinations (set-op / unique shape)."""
+    docs = read(sf_dir, "documents", ["lang", "source"])
+    return docs.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+
+
+SQL_DISTINCT_PAIRS = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_median_order(sf_dir: str):
+    """Exact median order value per priority — a holistic aggregate that
+    needs the whole group (groupby + in-group numpy), vs the mergeable
+    sums elsewhere."""
+    import pandas as pd
+
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    import math
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        m = float(np.median(g["o_totalprice"]))
+        # DuckDB's round() is half-away-from-zero; python's is half-even
+        m = math.floor(m * 100 + 0.5) / 100
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "median_price": [m],
+                "n_orders": [len(g)],
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(med, batch_format="pandas")
+
+
+SQL_MEDIAN_ORDER = """
+SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_top2_orders_per_segment(sf_dir: str):
+    """Top-k per group (window rank): the 2 largest orders per market
+    segment, deterministic tie-break by key."""
+    import pandas as pd
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_tbl = pa.concat_tables([b for b in customer.iter_batches(batch_format="pyarrow")])
+    joined = broadcast_join(orders, cust_tbl, key="c_custkey",
+                            add_cols=["c_mktsegment"], big_key="o_custkey")
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="stable").head(2)
+        g = g.copy()
+        g["rnk"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "o_orderkey", "o_totalprice", "rnk"]]
+
+    return joined.groupby("c_mktsegment").map_groups(top2, batch_format="pandas")
+
+
+SQL_TOP2_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rnk <= 2
 """
 
 
@@ -454,7 +548,7 @@ def q_embedding_topk(sf_dir: str):
     out = brute_force_topk(ds, qvec, k=10)
     return out.map_batches(
         lambda t: t.drop_columns(["query_id"]).set_column(
-            1, "cosine", pc.round(t.column("cosine"), 6)
+            1, "cosine", pc.round(t.column("cosine"), 6, round_mode="half_towards_infinity")
         ).set_column(2, "rank", pc.cast(t.column("rank"), pa.int64())),
         batch_format="pyarrow",
     )
@@ -632,6 +726,10 @@ QUERIES = {
     "count_by_lang": q_count_by_lang,
     "events_hourly": q_events_hourly,
     "big_spenders": q_big_spenders,
+    "customers_no_orders": q_customers_no_orders,
+    "distinct_pairs": q_distinct_pairs,
+    "median_order": q_median_order,
+    "top2_orders_per_segment": q_top2_orders_per_segment,
     "region_customers": q_region_customers,
     "token_counts": q_token_counts,
     "quality": q_quality,
@@ -666,6 +764,10 @@ ORACLES = {
     "count_by_lang": SQL_COUNT_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
     "big_spenders": SQL_BIG_SPENDERS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "distinct_pairs": SQL_DISTINCT_PAIRS,
+    "median_order": SQL_MEDIAN_ORDER,
+    "top2_orders_per_segment": SQL_TOP2_ORDERS_PER_SEGMENT,
     "region_customers": SQL_REGION_CUSTOMERS,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality": SQL_QUALITY,
