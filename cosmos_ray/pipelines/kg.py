@@ -15,10 +15,10 @@ Two variants share all stage code:
 
 ``build_kg_streaming`` — single-pass variant for the graph outputs: the
 dup plan drops stale crawls BEFORE extraction (metadata-only pass, no
-payload shuffle), dead letters go to a collector actor, the
-extract→classify→SVO→link chain runs as ONE fused streaming operator
-(task-fused stages with per-process cached state), and only the tiny
-``linked`` dataset is pinned.
+payload shuffle), dead letters are side-written as content-keyed parquet
+shards, the extract→classify→SVO→link chain runs as ONE fused streaming
+operator (task-fused stages with per-process cached state), and only the
+tiny ``linked`` dataset is pinned.
 
 Materializations exist at branch points because Ray Data re-executes
 lineage per consumer; both pinned intermediates are post-explosion-
@@ -142,7 +142,8 @@ def build_kg_streaming(
       the payload is never shuffled. Pass ``pages_meta`` as a
       column-pruned (url, warc_ts) read of the same input so the plan
       never decodes html;
-    - dead letters go to a collector actor instead of a second scan;
+    - dead letters are side-written by extract tasks (atomic,
+      content-keyed parquet shards — no second scan, no actor);
     - classifier and linker run TASK-FUSED (plain functions with
       per-process cached state) so the whole extract→classify→link
       chain is one fused streaming operator — per-worker amortization is
