@@ -19,7 +19,7 @@ pure-python busy-loop itself only scales 0.88 at 8->32 (BASELINE.md).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), GRAFT_BENCH_REPEAT (pages = docs x repeat, default 12),
-GRAFT_SCALING_REPEAT (default 190), GRAFT_SKIP_QUERIES,
+GRAFT_SCALING_REPEAT (default 380), GRAFT_SKIP_QUERIES,
 GRAFT_BENCH_PHASES (phase timing to stderr).
 """
 

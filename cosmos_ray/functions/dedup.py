@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray.data as rd
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -129,20 +131,27 @@ def _explode_bands(t: pa.Table, bands: int = 16) -> pa.Table:
     )
 
 
-def minhash_lsh_candidates(docs_ds, num_perm: int = 128, bands: int = 16,
-                           concurrency: int | tuple = (1, 4)):
-    """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH
-    banding. Shuffle key = (band_id, band_hash); bucket sizes are tiny
-    for non-dup corpora so the per-group pair fan-out stays bounded
-    (cap per bucket guards a degenerate all-identical corpus)."""
-    sigs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+def minhash_signatures(docs_ds, num_perm: int = 128, concurrency: int | tuple = (1, 4)):
+    """documents -> (doc_id, sig: list<uint64>[num_perm]) via the
+    MinHasher actor pool."""
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=1024,
     )
-    banded = sigs.map_batches(lambda t: _explode_bands(t, bands), batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(docs_ds=None, num_perm: int = 128, bands: int = 16,
+                           concurrency: int | tuple = (1, 4), sigs_ds=None):
+    """signatures -> candidate near-dup pairs (doc_a < doc_b) via LSH
+    banding. Shuffle key = (band_id, band_hash); bucket sizes are tiny
+    for non-dup corpora so the per-group pair fan-out stays bounded
+    (cap per bucket guards a degenerate all-identical corpus)."""
+    if sigs_ds is None:
+        sigs_ds = minhash_signatures(docs_ds, num_perm=num_perm, concurrency=concurrency)
+    banded = sigs_ds.map_batches(lambda t: _explode_bands(t, bands), batch_format="pyarrow")
 
     from cosmos_ray.queries.relational import self_join_pairs
 
@@ -157,69 +166,277 @@ def minhash_lsh_candidates(docs_ds, num_perm: int = 128, bands: int = 16,
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
-class JaccardVerifier:
-    """Verify candidate pairs with exact n-gram Jaccard. The texts of
-    both sides are fetched from a broadcast id->text map: suitable when
-    the candidate set's working set fits a node (guaranteed small after
-    LSH for web corpora); swap for a shuffle join at extreme scale."""
+class PairValueVerifier:
+    """Score candidate pairs from a BOUNDED broadcast {doc_id: value}
+    map holding values for CANDIDATE docs only (never the whole corpus).
+    mode='signature': value is the minhash signature; similarity is the
+    unbiased estimate mean(sig_a == sig_b). mode='exact': value is the
+    text; similarity is exact n-gram Jaccard."""
 
-    def __init__(self, texts_ref=None, texts: dict | None = None, k: int = 3) -> None:
+    def __init__(self, values_ref=None, mode: str = "signature", k: int = 3) -> None:
         import ray
 
-        self.texts = texts if texts is not None else ray.get(texts_ref)
+        self.values = ray.get(values_ref)
+        self.mode = mode
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_pylist()
         b = batch.column("doc_b").to_pylist()
-        sims = [
-            ngram_jaccard(self.texts.get(x, ""), self.texts.get(y, ""), self.k)
-            for x, y in zip(a, b)
-        ]
+        if self.mode == "signature":
+            if len(a) == 0:
+                sims: list[float] = []
+            else:
+                A = np.asarray([self.values[x] for x in a], dtype=np.uint64)
+                B = np.asarray([self.values[y] for y in b], dtype=np.uint64)
+                sims = (A == B).mean(axis=1).tolist()
+        else:
+            sims = [
+                ngram_jaccard(self.values.get(x, ""), self.values.get(y, ""), self.k)
+                for x, y in zip(a, b)
+            ]
         return batch.append_column("jaccard", pa.array(sims, pa.float64()))
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 16):
-    """Full near-dup pipeline -> (doc_id, cluster_id) for docs in some
-    near-dup cluster. cluster_id = min doc_id reachable via verified
-    pairs (single-round min-label propagation; iterate for deep chains)."""
+def _collect_capped(ds, cap: int):
+    """Stream a dataset to the driver, bailing out once ``cap`` rows have
+    been seen. Returns a pyarrow Table or None (overflow)."""
+    batches: list[pa.Table] = []
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        batches.append(b)
+        total += b.num_rows
+        if total > cap:
+            return None
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)
+
+
+def _join_partitions(cap: int = 16, chained: int = 2) -> int:
+    """Hash-join partition count sized to the cluster: each join spawns
+    ``num_partitions`` CPU-holding aggregator actors, so ``chained``
+    concurrent joins with too many partitions deadlock a small cluster
+    (measured: 2 joins x 16 partitions hang at num_cpus=4)."""
     import ray
 
-    cand = minhash_lsh_candidates(docs_ds, num_perm=num_perm, bands=bands)
-    # broadcast texts for verification (small side at test scale)
-    texts = {}
-    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        texts.update(zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()))
-    ref = ray.put(texts)
-    verified = cand.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"texts_ref": ref},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        batch_size=4096,
-    ).map_batches(
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cap, cpus // (2 * chained)))
+
+
+def _verify_pairs_by_join(cand, value_ds, value_col: str, mode: str, k: int = 3,
+                          num_partitions: int | None = None):
+    """Distributed fallback verification: two hash joins of the candidate
+    pairs against the (doc_id, value) table — no driver materialization
+    anywhere. Used when the candidate set exceeds the broadcast cap."""
+    if num_partitions is None:
+        num_partitions = _join_partitions(chained=2)
+    def rn(suffix):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"__id_{suffix}", f"__v_{suffix}"])
+        return f
+
+    va = value_ds.select_columns(["doc_id", value_col]).map_batches(rn("a"), batch_format="pyarrow")
+    vb = value_ds.select_columns(["doc_id", value_col]).map_batches(rn("b"), batch_format="pyarrow")
+    j = cand.join(va, join_type="inner", num_partitions=num_partitions,
+                  on=("doc_a",), right_on=("__id_a",))
+    j = j.join(vb, join_type="inner", num_partitions=num_partitions,
+               on=("doc_b",), right_on=("__id_b",))
+
+    def score(t: pa.Table) -> pa.Table:
+        a_vals = t.column("__v_a").to_pylist()
+        b_vals = t.column("__v_b").to_pylist()
+        if mode == "signature":
+            if len(a_vals) == 0:
+                sims: list[float] = []
+            else:
+                A = np.asarray(a_vals, dtype=np.uint64)
+                B = np.asarray(b_vals, dtype=np.uint64)
+                sims = (A == B).mean(axis=1).tolist()
+        else:
+            sims = [ngram_jaccard(x, y, k) for x, y in zip(a_vals, b_vals)]
+        keep = [c for c in t.column_names if not c.startswith("__")]
+        return t.select(keep).append_column("jaccard", pa.array(sims, pa.float64()))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]]) -> pa.Table:
+    """Driver-side union-find over the (small, post-verification) pair
+    list -> (doc_id, cluster_id) with cluster_id = min doc_id in the
+    connected component (exact transitive closure)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(ra, ra)
+        parent.setdefault(rb, rb)
+    members = sorted(set(x for ab in pairs for x in ab))
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
+        }
+    )
+
+
+def _min_label_fixpoint(verified, max_rounds: int = 64, num_partitions: int | None = None):
+    """Distributed transitive clustering: iterate min-label propagation
+    over the verified edge list until a fixed point (labels are monotone
+    non-increasing, so an unchanged label-sum certifies convergence in
+    O(component diameter) rounds). Each round is one hash join + one
+    groupby over the (small) edge/label tables."""
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        num_partitions = _join_partitions(chained=1)
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        a, b = t.column("doc_a"), t.column("doc_b")
+        return pa.table(
+            {
+                "doc_id": pa.chunked_array(a.chunks + b.chunks),
+                "nbr": pa.chunked_array(b.chunks + a.chunks),
+            }
+        )
+
+    edges = verified.select_columns(["doc_a", "doc_b"]).map_batches(
+        both_dir, batch_format="pyarrow"
+    ).materialize()
+
+    def init_lbl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lbl": pc.min_element_wise(t.column("doc_id"), t.column("nbr")),
+            }
+        )
+
+    labels = (
+        edges.map_batches(init_lbl, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+    prev_sum = labels.sum("lbl")
+    for _ in range(max_rounds):
+        nbr_lbl = labels.map_batches(
+            lambda t: t.rename_columns(["__nid", "lbl"]), batch_format="pyarrow"
+        )
+        prop = edges.join(
+            nbr_lbl, join_type="inner", num_partitions=num_partitions,
+            on=("nbr",), right_on=("__nid",),
+        ).map_batches(
+            lambda t: t.select(["doc_id", "lbl"]), batch_format="pyarrow"
+        )
+        labels = (
+            prop.union(labels.select_columns(["doc_id", "lbl"]))
+            .groupby("doc_id")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 16,
+                  verify: str = "signature", broadcast_cap: int = 2_000_000,
+                  pair_cap: int = 5_000_000):
+    """Full near-dup pipeline -> (doc_id, cluster_id) for docs in some
+    near-dup cluster; cluster_id = min doc_id in the connected component
+    of verified pairs (exact transitive closure).
+
+    Scale design (no whole-corpus driver materialization anywhere):
+    - sign + band + bucket-groupby candidate generation (shuffles
+      signatures, never text);
+    - verification values (signatures by default, texts with
+      verify='exact') are fetched for CANDIDATE docs only — broadcast
+      when the candidate set fits ``broadcast_cap``, else two distributed
+      hash joins of pairs against the value table;
+    - clustering is driver union-find over the verified pair list when it
+      fits ``pair_cap`` (near-dup pairs are a small fraction of any
+      non-degenerate corpus), else distributed min-label propagation
+      iterated to a fixed point.
+    """
+    import ray
+
+    sigs = minhash_signatures(docs_ds, num_perm=num_perm)
+    if verify == "signature":
+        # signatures are consumed twice (banding + verification):
+        # materialize once into the (spillable) object store
+        sigs = sigs.materialize()
+    cand = minhash_lsh_candidates(sigs_ds=sigs, bands=bands)
+
+    if verify == "signature":
+        value_ds, value_col, mode = sigs, "sig", "signature"
+    else:
+        value_ds, value_col, mode = docs_ds.select_columns(["doc_id", "text"]), "text", "exact"
+
+    # --- bounded broadcast fast path: candidate ids -> candidate values
+    cand = cand.materialize()
+    ids_tbl = _collect_capped(cand.select_columns(["doc_a", "doc_b"]), cap=broadcast_cap)
+    values_map = None
+    if ids_tbl is not None and ids_tbl.num_rows > 0:
+        id_set = set(ids_tbl.column("doc_a").to_pylist())
+        id_set.update(ids_tbl.column("doc_b").to_pylist())
+        ids_ref = ray.put(pa.array(sorted(id_set), pa.int64()))
+
+        def only_candidates(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref)))
+
+        vals_tbl = _collect_capped(
+            value_ds.map_batches(only_candidates, batch_format="pyarrow"),
+            cap=broadcast_cap,
+        )
+        if vals_tbl is not None and vals_tbl.num_rows > 0:
+            values_map = dict(
+                zip(vals_tbl.column("doc_id").to_pylist(),
+                    vals_tbl.column(value_col).to_pylist())
+            )
+    if ids_tbl is not None and ids_tbl.num_rows == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
+
+    if values_map is not None:
+        verified = cand.map_batches(
+            PairValueVerifier,
+            fn_constructor_kwargs={"values_ref": ray.put(values_map), "mode": mode},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            batch_size=4096,
+        )
+    else:
+        verified = _verify_pairs_by_join(cand, value_ds, value_col, mode)
+    verified = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold))),
         batch_format="pyarrow",
     )
 
-    # min-label propagation: label(doc) = min(doc, min partner)
-    def labels(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_pylist()
-        b = t.column("doc_b").to_pylist()
-        return pa.table(
-            {
-                "doc_id": pa.array(a + b, pa.int64()),
-                "lbl": pa.array([min(x, y) for x, y in zip(a, b)] * 2, pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Min
-
-    return (
-        verified.map_batches(labels, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Min("lbl", alias_name="cluster_id"))
-    )
+    pairs_tbl = _collect_capped(verified.select_columns(["doc_a", "doc_b"]), cap=pair_cap)
+    if pairs_tbl is not None:
+        if pairs_tbl.num_rows == 0:
+            return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                           "cluster_id": pa.array([], pa.int64())}))
+        pairs = list(zip(pairs_tbl.column("doc_a").to_pylist(),
+                         pairs_tbl.column("doc_b").to_pylist()))
+        return rd.from_arrow(_union_find_clusters(pairs))
+    return _min_label_fixpoint(verified)
 
 
 # ---------------------------------------------------------------- simhash

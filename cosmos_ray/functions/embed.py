@@ -66,16 +66,17 @@ def corpus_vocab(docs_ds, min_count: int = 2):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        # Single-space split (keeps empties), matching the DuckDB oracle's
+        # string_split(text, ' ') exactly — python str.split() (any-ws run)
+        # silently diverges on tabs/newlines/double spaces.
+        import pyarrow.compute as pc
 
-        c: Counter = Counter()
-        for text in t.column("text").to_pylist():
-            c.update(text.split())
-        ks = list(c.keys())
+        toks = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+        vc = pc.value_counts(toks)
         return pa.table(
             {
-                "token": pa.array(ks, pa.string()),
-                "n": pa.array([c[k] for k in ks], pa.int64()),
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

@@ -492,10 +492,10 @@ def q_sessionize(sf_dir: str):
 
 SQL_SESSIONIZE = """
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-       SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - prev_ts > 1800000000
-                THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - prev_ts > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
 FROM (
   SELECT user_id, event_id, ts,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -33,8 +33,11 @@ import ray.data
 # comments is dropped.
 _BLOCK_TAGS = frozenset(
     {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "td", "th",
-     "figcaption", "caption", "blockquote", "pre", "title"}
+     "figcaption", "caption", "blockquote", "pre"}
 )
+# NOTE: "title" is intentionally a skip tag (head metadata, not body text);
+# the skip check runs first in handle_starttag, so it must never also be a
+# block tag — the frozen extraction contract has one source of truth here.
 _SKIP_TAGS = frozenset({"script", "style", "nav", "footer", "head", "title"})
 
 EXTRACTED_SCHEMA = pa.schema(

@@ -51,6 +51,58 @@ def test_minhash_finds_planted_near_dups(planted_corpus):
     assert found >= 18, f"minhash recall too low: {found}/20"
 
 
+@pytest.fixture(scope="module")
+def chain_corpus():
+    """A~B and B~C are near-dups (3-token edits at different offsets)
+    but jaccard(A, C) is below the 0.75 threshold — a transitive chain
+    that single-round min-label propagation would split."""
+    toks = [f"tok{i}" for i in range(60)]
+    a = " ".join(toks)
+    tb = list(toks)
+    tb[10:13] = ["xa", "xb", "xc"]
+    b = " ".join(tb)
+    tc = list(tb)
+    tc[40:43] = ["ya", "yb", "yc"]
+    c = " ".join(tc)
+    assert dedup.ngram_jaccard(a, b) >= 0.8
+    assert dedup.ngram_jaccard(b, c) >= 0.8
+    assert dedup.ngram_jaccard(a, c) < 0.75
+    return pa.Table.from_pylist(
+        [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b}, {"doc_id": 3, "text": c}]
+    )
+
+
+def test_minhash_chain_gets_one_cluster(chain_corpus):
+    """Transitive closure: the A-B-C chain must land in ONE cluster even
+    though (A, C) fails pairwise verification."""
+    res = dedup.minhash_dedup(
+        rd.from_arrow(chain_corpus), threshold=0.75, verify="exact"
+    ).take_all()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in res}
+    assert lbl == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_distributed_fallback_paths(chain_corpus):
+    """cap=0 forces the join-based verification AND the distributed
+    min-label fixpoint — the at-scale code paths — which must agree with
+    the broadcast/union-find fast path."""
+    res = dedup.minhash_dedup(
+        rd.from_arrow(chain_corpus), threshold=0.75, verify="exact",
+        broadcast_cap=0, pair_cap=0,
+    ).take_all()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in res}
+    assert lbl == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_signature_verify_chain(chain_corpus):
+    """Default signature-estimate verification on the same chain: the
+    A-B / B-C estimates sit far above threshold, so all three docs share
+    one cluster (A-C may or may not pass; transitivity absorbs it)."""
+    res = dedup.minhash_dedup(rd.from_arrow(chain_corpus), threshold=0.75).take_all()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in res}
+    assert lbl == {1: 1, 2: 1, 3: 1}
+
+
 def test_ngram_jaccard_bounds():
     assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
     assert dedup.ngram_jaccard("a b c d e", "v w x y z") == 0.0
