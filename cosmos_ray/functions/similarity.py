@@ -80,9 +80,13 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10):
 
 
 def _seeded_centroids(emb_ds, n_centroids: int, seed: int, sample_n: int = 2048, iters: int = 5) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample (the coarse
-    quantizer is tiny model state, trained once, broadcast everywhere)."""
-    sample = emb_ds.limit(sample_n).to_pandas()
+    """Deterministic mini k-means on a seeded UNIFORM random sample
+    (``random_sample``, O7) — a head/limit sample would be order-biased
+    toward whatever vectors happen to come first. The coarse quantizer is
+    tiny model state, trained once, broadcast everywhere."""
+    from cosmos_ray.queries.relational import seeded_sample
+
+    sample = seeded_sample(emb_ds, sample_n, seed=seed).to_pandas()
     X = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -162,12 +162,19 @@ def build_kg_streaming(
     kb_table = kb_table if kb_table is not None else build_entity_dict()
     kb_ref = link.broadcast_kb(kb_table)
 
+    dup_ref = None
     if dedup_input:
         dup_ref = extract.discover_dup_urls(
             pages_meta if pages_meta is not None else pages
         )
         if dup_ref is not None:
             pages = extract.drop_stale(pages, dup_ref)
+    # the exchange-free per-url triple dedup is valid only when at most
+    # one row per url reaches extraction, which the dup plan guarantees
+    # (drop_stale keeps the max-ts row, first occurrence on ties within a
+    # batch). With dedup_input=False or the degenerate-corpus keep_latest
+    # fallback, fall back to the globally-grouped dedup_triples.
+    urllocal_ok = dedup_input and dup_ref is not None
     _phase("dup_plan", _t0)
 
     if dead_dir is None:
@@ -208,10 +215,13 @@ def build_kg_streaming(
     if local is not None:
         triples_ds, entities_ds, adjacency_ds = local
     else:
-        # url-locality invariant holds in this chain: per-url dedup is
+        # url-locality invariant (guarded above): per-url dedup is
         # exchange-free; only adjacency/entities (non-url keys) exchange,
         # and their combiner partials are tiny
-        triples_ds = canonicalize.dedup_triples_urllocal(linked)
+        if urllocal_ok:
+            triples_ds = canonicalize.dedup_triples_urllocal(linked)
+        else:
+            triples_ds = canonicalize.dedup_triples(linked)
         entities_ds = canonicalize.build_entities(linked, kb_ref, driver_threshold=0)
         adjacency_ds = canonicalize.build_adjacency(linked, driver_threshold=0)
     _phase("finalize", _t0)

@@ -21,7 +21,12 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from cosmos_ray.queries.relational import broadcast_join, read, semi_join_filter, topk
+from cosmos_ray.queries.relational import (
+    join_or_broadcast,
+    read,
+    semi_join_ds,
+    topk,
+)
 
 # --------------------------------------------------------------------------
 # Relational pipelines (Cosmos "retrieval" capability parity in batch form:
@@ -85,11 +90,8 @@ def q_revenue_by_segment(sf_dir: str):
     """orders ⨝ customer (broadcast small side) → revenue per segment."""
     orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_tbl = pa.concat_tables(
-        [b for b in customer.iter_batches(batch_format="pyarrow")]
-    )
-    joined = broadcast_join(orders, cust_tbl, key="c_custkey",
-                            add_cols=["c_mktsegment"], big_key="o_custkey")
+    joined = join_or_broadcast(orders, customer, key="c_custkey",
+                               add_cols=["c_mktsegment"], big_key="o_custkey")
     agg = joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders"),
@@ -123,9 +125,8 @@ def q_top_customers(sf_dir: str):
                                pc.round(t.column("revenue"), 2, round_mode="half_towards_infinity")),
         batch_format="pyarrow",
     )
-    cust_tbl = pa.concat_tables([b for b in customer.iter_batches(batch_format="pyarrow")])
-    named = broadcast_join(per_cust, cust_tbl, key="c_custkey",
-                           add_cols=["c_name"], big_key="o_custkey")
+    named = join_or_broadcast(per_cust, customer, key="c_custkey",
+                              add_cols=["c_name"], big_key="o_custkey")
     return topk(named, [("revenue", True), ("o_custkey", False)], 10)
 
 
@@ -239,9 +240,8 @@ def q_big_spenders(sf_dir: str):
         .select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    keys = set(r["o_custkey"] for r in big.take_all())
     customer = read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-    return semi_join_filter(customer, keys, "c_custkey")
+    return semi_join_ds(customer, big, key_col="o_custkey", big_key="c_custkey")
 
 
 SQL_BIG_SPENDERS = """
@@ -253,16 +253,12 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 def q_region_customers(sf_dir: str):
     """3-way dimension join via chained broadcast lookups."""
     customer = read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
-    nation = pa.concat_tables(
-        [b for b in read(sf_dir, "nation").iter_batches(batch_format="pyarrow")]
-    )
-    region = pa.concat_tables(
-        [b for b in read(sf_dir, "region").iter_batches(batch_format="pyarrow")]
-    )
-    withn = broadcast_join(customer, nation, key="n_nationkey",
-                           add_cols=["n_regionkey"], big_key="c_nationkey")
-    withr = broadcast_join(withn, region, key="r_regionkey",
-                           add_cols=["r_name"], big_key="n_regionkey")
+    nation = read(sf_dir, "nation")
+    region = read(sf_dir, "region")
+    withn = join_or_broadcast(customer, nation, key="n_nationkey",
+                              add_cols=["n_regionkey"], big_key="c_nationkey")
+    withr = join_or_broadcast(withn, region, key="r_regionkey",
+                              add_cols=["r_name"], big_key="n_regionkey")
     agg = withr.groupby("r_name").aggregate(
         Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal")
     )
@@ -291,9 +287,9 @@ def q_customers_no_orders(sf_dir: str):
         .select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    keys = {r["o_custkey"] for r in big.take_all()}
     customer = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return semi_join_filter(customer, keys, "c_custkey", keep=False)
+    return semi_join_ds(customer, big, key_col="o_custkey", big_key="c_custkey",
+                        keep=False)
 
 
 SQL_CUSTOMERS_NO_ORDERS = """
@@ -350,9 +346,8 @@ def q_top2_orders_per_segment(sf_dir: str):
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     customer = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_tbl = pa.concat_tables([b for b in customer.iter_batches(batch_format="pyarrow")])
-    joined = broadcast_join(orders, cust_tbl, key="c_custkey",
-                            add_cols=["c_mktsegment"], big_key="o_custkey")
+    joined = join_or_broadcast(orders, customer, key="c_custkey",
+                               add_cols=["c_mktsegment"], big_key="o_custkey")
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"],

@@ -29,6 +29,104 @@ def read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Datase
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def collect_small(ds, cap_rows: int = 2_000_000) -> pa.Table | None:
+    """Stream a Dataset to the driver for broadcasting, bailing out (None)
+    past ``cap_rows`` — every driver pull in the query layer goes through
+    this guard so a mis-sized 'small side' degrades to a distributed join
+    instead of OOMing the driver."""
+    batches: list[pa.Table] = []
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        batches.append(b)
+        total += b.num_rows
+        if total > cap_rows:
+            return None
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)
+
+
+def _join_partitions(chained: int = 1, cap: int = 16) -> int:
+    """Size hash-join partition counts to the cluster — each concurrent
+    join spawns num_partitions CPU-holding aggregator actors, and
+    oversubscribing a small cluster deadlocks the pipeline."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cap, cpus // (2 * chained)))
+
+
+def join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
+                      big_key: str | None = None, cap_rows: int = 2_000_000):
+    """Append ``add_cols`` from ``small_ds`` by key: broadcast hash-lookup
+    when the small side fits ``cap_rows`` (dimension tables — the big side
+    never moves), else a distributed ``Dataset.join``."""
+    big_key = big_key or key
+    small = collect_small(small_ds.select_columns([key] + add_cols), cap_rows)
+    if small is not None:
+        return broadcast_join(big_ds, small, key=key, add_cols=add_cols, big_key=big_key)
+    j = big_ds.join(
+        small_ds.select_columns([key] + add_cols),
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=(big_key,),
+        right_on=(key,),
+    )
+    if key != big_key:
+        # Ray's join usually folds the right key into the left key column;
+        # drop it defensively if a version keeps it
+        j = j.map_batches(
+            lambda t: t.drop_columns([key]) if key in t.column_names else t,
+            batch_format="pyarrow",
+        )
+    return j
+
+
+def semi_join_ds(big_ds, keys_ds, key_col: str, big_key: str, keep: bool = True,
+                 cap_rows: int = 2_000_000):
+    """Semi (keep=True) / anti (keep=False) join of ``big_ds`` against the
+    key set of ``keys_ds``: broadcast key-set membership filter under
+    ``cap_rows``, else a distributed join (inner for semi; left_outer +
+    null-marker filter for anti) — the ES doc-filter semi-join analog
+    (`elastic_retriever.py:260-310`) with a bounded driver footprint."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    keys_tbl = collect_small(keys_ds.select_columns([key_col]), cap_rows)
+    if keys_tbl is not None:
+        keys = set(keys_tbl.column(key_col).to_pylist()) if keys_tbl.num_rows else set()
+        if not keys:
+            return big_ds if not keep else big_ds.limit(0)
+        return semi_join_filter(big_ds, keys, big_key, keep=keep)
+    distinct = keys_ds.groupby(key_col).aggregate(Count(alias_name="__m"))
+    j = big_ds.join(
+        distinct,
+        join_type="inner" if keep else "left_outer",
+        num_partitions=_join_partitions(),
+        on=(big_key,),
+        right_on=(key_col,),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not keep:
+            t = t.filter(pc.is_null(t.column("__m")))
+        drop = [c for c in (key_col, "__m") if c in t.column_names and c != big_key]
+        return t.drop_columns(drop)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def seeded_sample(ds, n: int, seed: int, oversample: float = 1.5):
+    """Uniform random sample of ~n rows with a fixed seed (O7,
+    `elastic_page_retriever.py:111-116`): Bernoulli ``random_sample`` at
+    an oversampled fraction, capped by ``limit`` — never a head/limit
+    sample, which is order-biased."""
+    total = ds.count()
+    if total <= n:
+        return ds
+    frac = min(1.0, oversample * n / total)
+    return ds.random_sample(frac, seed=seed).limit(n)
+
+
 def broadcast_join(big_ds, small_table: pa.Table, key: str, add_cols: list[str],
                    big_key: str | None = None):
     """Append ``add_cols`` from the small side to every big-side row by

@@ -242,8 +242,10 @@ def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
     # final reduce streams to the driver (bounded by unique urls in the
     # partition — the partitioned runner keeps that small). Beyond
     # ``driver_cap`` partial rows we fall back to the distributed
-    # bucketed exchange.
-    driver_cap = 20_000_000
+    # bucketed exchange. For unique-url corpora partials ~= rows, so the
+    # cap is deliberately modest — past it the distributed reduce costs
+    # about the same and the driver never becomes the bottleneck.
+    driver_cap = 5_000_000
     batches: list[pa.Table] = []
     total = 0
     overflow = False
@@ -280,7 +282,10 @@ def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
 
 def drop_stale(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
     """Filter duplicate-crawl losers using the broadcast dup map — runs
-    BEFORE extraction so stale html is never parsed."""
+    BEFORE extraction so stale html is never parsed. Rows tied at the
+    max warc_ts keep only the FIRST occurrence within a batch (so the
+    downstream url-locality invariant sees at most one winner per url
+    per batch; ties spanning batches must be resolved upstream)."""
     import ray
 
     def fn(t: pa.Table) -> pa.Table:
@@ -289,7 +294,16 @@ def drop_stale(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
             return t
         urls = t.column("url").to_pylist()
         tss = t.column("warc_ts").cast(pa.int64()).to_pylist()
-        keep = [(u not in dups) or (ts == _ts_us(dups[u])) for u, ts in zip(urls, tss)]
+        keep = []
+        seen: set = set()
+        for u, ts in zip(urls, tss):
+            if u not in dups:
+                keep.append(True)
+            elif ts == _ts_us(dups[u]) and u not in seen:
+                seen.add(u)
+                keep.append(True)
+            else:
+                keep.append(False)
         return t.filter(pa.array(keep))
 
     return pages.map_batches(fn, batch_format="pyarrow")

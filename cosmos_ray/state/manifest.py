@@ -7,11 +7,23 @@ service layer caches whole jobs by content hash
 
 Our design (north rule: any failed partition resumes without recompute):
 
-- the input is split into ``num_partitions`` disjoint url-hash partitions;
+- the partition unit is the input parquet FILE: the file list is split
+  round-robin into ``num_partitions`` groups and each partition reads
+  ONLY its own files (~1/N of input bytes — N partitions never re-scan
+  the whole input). When the input has fewer files than partitions
+  (tiny/test corpora) a url-hash row filter over the full input is the
+  fallback;
+- cross-partition keep-latest-per-url stays exact under file
+  partitioning via a GLOBAL metadata-only dup plan (url, max warc_ts —
+  two pruned columns, computed once, persisted to
+  ``out_dir/_dup_plan.parquet`` so resume reuses it); stale rows are
+  dropped inside each partition before extraction. Max-ts ties for the
+  same url that span partitions are the one uncovered edge (resolve
+  upstream; within a partition ``keep_latest`` collapses them);
 - each partition runs the FULL pipeline and writes every output table
   under ``out_dir/<table>/part=<k>/`` via an atomic tmp-dir rename;
-- a JSON manifest row per finished partition records row counts, wall
-  time and input fingerprint (the per-partition metrics the north rule
+- a JSON manifest row per finished partition records row counts, input
+  file count, wall time (the per-partition metrics the north rule
   requires);
 - resume = anti-join: partitions present in the manifest are skipped
   entirely (their outputs are already durable).
@@ -65,6 +77,49 @@ class Manifest:
             f.write(json.dumps(rec) + "\n")
 
 
+def _list_parquet_files(path: str) -> list[str]:
+    import glob
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def _global_dup_plan(files: list[str], out_dir: str):
+    """Metadata-only keep-latest plan over the WHOLE input (url, max
+    warc_ts for urls crawled more than once), persisted under the out_dir
+    so resumed runs reuse it instead of re-scanning. Returns a broadcast
+    ObjectRef of {url: max_ts_us}, or None if the dup-url set exceeds the
+    discovery cap (degenerate corpus — caller falls back to row-hash
+    partitioning so per-partition keep_latest stays exact)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from cosmos_ray.stages.extract import _ts_us, discover_dup_urls
+
+    plan_path = os.path.join(out_dir, "_dup_plan.parquet")
+    if os.path.exists(plan_path):
+        tbl = pq.read_table(plan_path)
+        dups = dict(zip(tbl.column("url").to_pylist(),
+                        tbl.column("ts_max_us").to_pylist()))
+        return ray.put(dups)
+    meta = rd.read_parquet(files, columns=["url", "warc_ts"])
+    ref = discover_dup_urls(meta)
+    if ref is None:
+        return None
+    dups = {u: _ts_us(t) for u, t in ray.get(ref).items()}
+    tmp = plan_path + f".tmp{os.getpid()}"
+    pq.write_table(
+        pa.table({"url": pa.array(list(dups), pa.string()),
+                  "ts_max_us": pa.array(list(dups.values()), pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, plan_path)  # atomic; safe under crash/re-run
+    return ray.put(dups)
+
+
 def run_partitioned(
     pages_path: str,
     out_dir: str,
@@ -78,15 +133,26 @@ def run_partitioned(
     mid-run crash). Returns summary with per-partition metrics; re-running
     with the same ``out_dir`` completes only what is missing.
     """
-    import pyarrow.compute as pc
-
     import ray.data as rd
 
     from cosmos_ray.pipelines.kg import build_kg, _parquet_rows, _stub_fsspec_http
+    from cosmos_ray.stages.extract import drop_stale
 
     _stub_fsspec_http()
     manifest = Manifest(out_dir)
     done = manifest.completed()
+    files = _list_parquet_files(pages_path)
+    dedup_input = build_kw.pop("dedup_input", True)
+    # file-partitioned mode (the scale path): each partition reads only
+    # its own ~1/N of the input files; needs the global dup plan for
+    # exact cross-partition keep-latest. Fewer files than partitions, or
+    # a dup plan over cap, falls back to url-hash row filtering.
+    by_files = len(files) >= num_partitions
+    dup_ref = None
+    if by_files and dedup_input:
+        dup_ref = _global_dup_plan(files, out_dir)
+        if dup_ref is None:
+            by_files = False
     ran = []
     for k in range(num_partitions):
         if k in done:
@@ -94,15 +160,25 @@ def run_partitioned(
         if fail_after is not None and len(ran) >= fail_after:
             break
         t0 = time.perf_counter()
-        pages = rd.read_parquet(pages_path)
+        if by_files:
+            part_files = files[k::num_partitions]
+            part_pages = rd.read_parquet(part_files)
+            if dup_ref is not None:
+                part_pages = drop_stale(part_pages, dup_ref)
+            n_input_files = len(part_files)
+        else:
+            pages = rd.read_parquet(files)
 
-        def pick(t: pa.Table, k=k) -> pa.Table:
-            part = partition_of(t.column("url").to_pylist(), num_partitions)
-            return t.filter(pa.array(part == k))
+            def pick(t: pa.Table, k=k) -> pa.Table:
+                part = partition_of(t.column("url").to_pylist(), num_partitions)
+                return t.filter(pa.array(part == k))
 
-        part_pages = pages.map_batches(pick, batch_format="pyarrow")
-        kg = build_kg(part_pages, **build_kw)
-        rec: dict = {"partition": k, "input": pages_path}
+            part_pages = pages.map_batches(pick, batch_format="pyarrow")
+            n_input_files = len(files)
+        kg = build_kg(part_pages, dedup_input=dedup_input, **build_kw)
+        rec: dict = {"partition": k, "input": pages_path,
+                     "n_input_files": n_input_files,
+                     "input_files_total": len(files)}
         for name in TABLES:
             ds = getattr(kg, name)
             final = os.path.join(out_dir, name, f"part={k}")

@@ -82,6 +82,46 @@ def test_rows_only_queries_execute():
         assert df.shape[1] >= 2, name
 
 
+def test_guarded_driver_pull_fallbacks_agree():
+    """cap_rows=0 forces the distributed join fallbacks of semi_join_ds /
+    join_or_broadcast — they must agree exactly with the broadcast fast
+    path (the at-scale degradation is a plan change, not a result change)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cosmos_ray.queries.relational import join_or_broadcast, read, semi_join_ds
+
+    def orders():
+        return read(SF, "orders", ["o_custkey", "o_totalprice"])
+
+    def customer():
+        return read(SF, "customer", ["c_custkey", "c_name"])
+
+    def big():
+        return orders().map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("o_totalprice"), pa.scalar(300000.0))
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+
+    for keep in (True, False):
+        fast = _norm(_to_df(semi_join_ds(customer(), big(), "o_custkey",
+                                         "c_custkey", keep=keep)))
+        dist = _norm(_to_df(semi_join_ds(customer(), big(), "o_custkey",
+                                         "c_custkey", keep=keep, cap_rows=0)))
+        assert len(fast) > 0
+        assert fast.equals(dist), f"semi_join_ds keep={keep} diverged"
+
+    fast = _norm(_to_df(join_or_broadcast(orders(), customer(), key="c_custkey",
+                                          add_cols=["c_name"], big_key="o_custkey")))
+    dist = _norm(_to_df(join_or_broadcast(orders(), customer(), key="c_custkey",
+                                          add_cols=["c_name"], big_key="o_custkey",
+                                          cap_rows=0)))
+    assert len(fast) > 0
+    assert fast.equals(dist), "join_or_broadcast diverged"
+
+
 def test_entry_contract():
     import __ray_entry__ as e
 

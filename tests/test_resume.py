@@ -56,6 +56,46 @@ def test_partitioned_run_resumes_without_recompute(pages_file, tmp_path):
         assert rec["documents_rows"] >= 0
 
 
+@pytest.fixture(scope="module")
+def pages_shards(tmp_path_factory, documents_small):
+    """Pages split into 8 parquet shard files — the at-scale input shape
+    where the partition unit is the file."""
+    from cosmos_ray.sources.pages import generate_pages_table
+
+    tbl = generate_pages_table(documents_small)
+    d = tmp_path_factory.mktemp("pages_shards")
+    n = 8
+    step = (tbl.num_rows + n - 1) // n
+    for i in range(n):
+        pq.write_table(tbl.slice(i * step, step), str(d / f"shard_{i:02d}.parquet"))
+    return str(d)
+
+
+def test_file_partitioned_reads_only_own_files(pages_shards, tmp_path, golden_small):
+    """With >= num_partitions input files, each partition must read only
+    ~1/N of the file list (no N-full-scans quadratic I/O), and the union
+    of outputs must still equal the golden triple set — which exercises
+    the global dup plan (duplicate crawls of a url may span shard files)."""
+    out = str(tmp_path / "out3")
+    r = run_partitioned(pages_shards, out, num_partitions=4)
+    assert r["partitions_done"] == 4
+    for rec in r["records"].values():
+        assert rec["input_files_total"] == 8
+        assert rec["n_input_files"] == 2  # 8 files round-robin over 4 parts
+
+    import glob
+
+    got = set()
+    for f in glob.glob(os.path.join(out, "triples", "part=*", "*.parquet")):
+        t = pq.read_table(f, columns=["url", "subj", "pred", "obj"])
+        got |= set(zip(*[t.column(c).to_pylist() for c in ["url", "subj", "pred", "obj"]]))
+    g = golden_small["triples"]
+    want = set(zip(*[g.column(c).to_pylist() for c in ["url", "subj", "pred", "obj"]]))
+    assert got == want
+    # the dup plan is persisted for resume
+    assert os.path.exists(os.path.join(out, "_dup_plan.parquet"))
+
+
 def test_partitioned_outputs_union_equals_single_run(pages_file, tmp_path, golden_small):
     out = str(tmp_path / "out2")
     run_partitioned(pages_file, out, num_partitions=3)

@@ -42,6 +42,43 @@ def test_streaming_entity_counts(kg_stream, golden_small):
     assert got == want
 
 
+def test_streaming_nodedup_matches_checkpointing(pages_small):
+    """With dedup_input=False duplicate-url rows reach extraction, so the
+    exchange-free urllocal triple dedup is invalid — the streaming
+    variant must fall back to the globally-grouped dedup and agree with
+    the checkpointing variant on (triple, n_mentions)."""
+    from cosmos_ray.pipelines.kg import build_kg, build_kg_streaming
+
+    s = build_kg_streaming(
+        rd.from_arrow(pages_small), dedup_input=False, driver_threshold=0
+    )
+    c = build_kg(rd.from_arrow(pages_small), dedup_input=False)
+    key = lambda r: (r["url"], r["subj"], r["pred"], r["obj"], r["n_mentions"])
+    assert {key(r) for r in s.triples.take_all()} == {key(r) for r in c.triples.take_all()}
+
+
+def test_drop_stale_breaks_ts_ties(pages_small):
+    """Two crawls of one url with IDENTICAL warc_ts: drop_stale keeps
+    only the first occurrence (within a batch) so the urllocal invariant
+    sees one winner."""
+    import ray
+
+    t = pa.table(
+        {
+            "url": ["http://tie.example/x"] * 2,
+            "warc_ts": pa.array([1_700_000_000_000_000] * 2, pa.timestamp("us")),
+            "html": [b"<p>first</p>", b"<p>second</p>"],
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    ref = discover_dup_urls(rd.from_arrow(t))
+    assert ref is not None and ray.get(ref)
+    kept = drop_stale(rd.from_arrow(t), ref).take_all()
+    assert len(kept) == 1
+    assert kept[0]["html"] == b"<p>first</p>"
+
+
 def test_sparse_dedup_plan(pages_small):
     import ray
 
