@@ -702,6 +702,61 @@ def q_kg_captions(sf_dir: str):
     return associate_captions(build_kg(_pages_ds(sf_dir)).segments)
 
 
+def q_dehyphenate(sf_dir: str):
+    """Dehyphenation enrichment (M7, `context_enrichment.py:162-179`) as
+    a column transform over documents — SQL-expressible (RE2 on both
+    sides), byte-level goldens live in tests/test_enrich.py."""
+    from cosmos_ray.stages.enrich import dehyphenate
+
+    return dehyphenate(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEHYPHENATE = r"""
+SELECT doc_id,
+       regexp_replace(text, '([A-Za-z0-9])-\n([A-Za-z0-9])', '\1\2', 'g') AS text
+FROM documents
+"""
+
+
+def q_kg_table_context(sf_dir: str):
+    """Table-context enrichment over the classified segments
+    (`context_enrichment.py:180-238`): per Table Caption label, the body
+    sentences mentioning it — rows-only; exact golden in tests."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.enrich import table_context
+
+    return table_context(build_kg(_pages_ds(sf_dir)).segments)
+
+
+def _golden_annotations(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.sources.pages import golden_corpus
+    from cosmos_ray.stages.metrics import golden_annotations
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    return golden_annotations(golden_corpus(docs)["segments"])
+
+
+def q_kg_eval_ap(sf_dir: str):
+    """Detection AP@[.5:.95]/AP50/AP75 per class vs golden annotations
+    (G10, `page_metrics.py:63-123`) — rows-only; exact gates in
+    tests/test_metrics.py (AP == 1.0 on the synthetic corpus)."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.metrics import detection_ap
+
+    return detection_ap(build_kg(_pages_ds(sf_dir)).segments, _golden_annotations(sf_dir))
+
+
+def q_kg_eval_prf(sf_dir: str):
+    """Per-document P/R/F1 self-evaluation vs golden classes (G9,
+    `context_enrichment.py:246-319`) — rows-only."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.metrics import detection_prf
+
+    return detection_prf(build_kg(_pages_ds(sf_dir)).segments, _golden_annotations(sf_dir))
+
+
 def q_langid(sf_dir: str):
     from cosmos_ray.functions.textops import language_id
 
@@ -768,6 +823,10 @@ QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "kg_sections": q_kg_sections,
     "kg_captions": q_kg_captions,
+    "kg_table_context": q_kg_table_context,
+    "dehyphenate": q_dehyphenate,
+    "kg_eval_ap": q_kg_eval_ap,
+    "kg_eval_prf": q_kg_eval_prf,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -800,5 +859,6 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,
+    "dehyphenate": SQL_DEHYPHENATE,
     # kg_*, langid, minhash_clusters, simhash_pairs, ivf_topk: non-SQL
 }

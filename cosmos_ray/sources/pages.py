@@ -60,7 +60,7 @@ MALFORMED_MOD, MALFORMED_REM = 97, 13
 DUP_MOD, DUP_REM = 50, 7
 
 # bump when golden_doc/render_html semantics change (bench cache key)
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
@@ -119,6 +119,9 @@ def golden_doc(
         g.blocks.append(("td", f"alpha score {m1}"))
         g.blocks.append(("td", f"beta score {m2}"))
         g.blocks.append(("p", f"Table {1 + doc_id % 3}: alpha and beta scores."))
+        # textual co-reference to the table label: exercises the
+        # table-context enrichment pass (context_from_text)
+        g.blocks.append(("p", f"See table {1 + doc_id % 3} for the alpha and beta scores."))
 
     g.blocks.append(("h2", "Facts"))
     n_facts = rng.randint(2, 8)
@@ -149,6 +152,11 @@ def golden_doc(
         # the unmatched-caption branch of association
         g.blocks.append(("p", f"Table {1 + doc_id % 3}: summary of planted facts."))
     g.blocks.append(("p", f"Figure {1 + doc_id % 2}: entity graph sketch."))
+    if doc_id % 5 == 2:
+        # a word split across a block boundary with a trailing hyphen:
+        # the dehyphenation enrichment must rejoin it across the "\n"
+        g.blocks.append(("p", "Closing note on hyphena-"))
+        g.blocks.append(("p", "tion handling in this corpus."))
     return g
 
 

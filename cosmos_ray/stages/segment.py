@@ -19,14 +19,25 @@ reading order (the DOM *is* the layout); this module
    reference's ranked (score, cls) list contract plus argmax cls/score,
    then applies the caption rules pass (score := 1.0 override).
 
-Determinism: features are per-row only (tag hint + text shape), so class
-output is independent of batch boundaries — the whole-page-context
-variant (neighbor features, `featurizer.py:91-102`) would require
-page-contiguous batches; see ``group_pages_batches`` note.
+Whole-page context (D2 parity, `postprocess/xgboost_model/featurizer.py:84-125`):
+the reference scores each region with up to 15 neighbor classes found by
+IoU on expanded boxes. Here ``SegmentClassifier`` applies the same
+neighbor featurization inside each batch: ``explode_segments`` emits every
+url's segments as one contiguous run within its output block, and the
+classifier keeps ``batch_size=None`` (one batch per block), so each batch
+contains whole url-groups — the page-grouped-batches requirement is an
+invariant of the chain, not a shuffle. Neighbor classes then drive
+deterministic context rules (isolated-table-cell demotion, unknown-class
+smoothing) standing in for the learned XGBoost behavior.
+
+Determinism: per-row features plus within-url neighbor features only, so
+class output is independent of batch boundaries as long as url runs are
+not split (guaranteed by the block-per-batch invariant above).
 """
 
 from __future__ import annotations
 
+import collections
 import re
 
 import numpy as np
@@ -62,6 +73,19 @@ SEGMENTS_UNCLASSIFIED = pa.schema(
 )
 
 
+def synthetic_bboxes(seg_id: np.ndarray, text_lens: np.ndarray) -> np.ndarray:
+    """(N,) seg ids + text lengths -> (N, 4) float32 layout boxes: the
+    deterministic 1920-px synthetic page layout (vertical stack, width
+    proportional to text length). Single source of truth shared by the
+    explode stage and the golden annotations in ``stages/metrics.py``."""
+    line_in_page = (seg_id % _BLOCKS_PER_PAGE).astype(np.float32)
+    y1 = (72.0 + line_in_page * (_PAGE_H - 144.0) / _BLOCKS_PER_PAGE).astype(np.float32)
+    y2 = y1 + np.float32(_LINE_H)
+    x1 = np.full(len(seg_id), _X0, np.float32)
+    x2 = np.minimum(_X0 + 6.0 * text_lens, 1848.0).astype(np.float32)
+    return np.stack([x1, y1, x2, y2], axis=1)
+
+
 def explode_segments(batch: pa.Table) -> pa.Table:
     """EXTRACTED batch -> one row per block. Builds offsets vectorized
     from the ``n_blocks`` column; the nested blocks column is flattened
@@ -86,22 +110,14 @@ def explode_segments(batch: pa.Table) -> pa.Table:
     # seg_id = position within its page row
     seg_id = np.concatenate([np.arange(k, dtype=np.int32) for k in n_blocks]) if total else np.array([], np.int32)
     page_num = (seg_id // _BLOCKS_PER_PAGE).astype(np.int32)
-    line_in_page = (seg_id % _BLOCKS_PER_PAGE).astype(np.float32)
 
-    # synthetic bbox: vertical stack, width proportional to text length
     import pyarrow.compute as pc
 
     lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float32)
-    y1 = 72.0 + line_in_page * (_PAGE_H - 144.0) / _BLOCKS_PER_PAGE
-    y2 = y1 + _LINE_H
-    x1 = np.full(total, _X0, np.float32)
-    x2 = np.minimum(_X0 + 6.0 * lens, 1848.0).astype(np.float32)
-    bbox_flat = np.empty(total * 4, np.float32)
-    bbox_flat[0::4] = x1
-    bbox_flat[1::4] = y1
-    bbox_flat[2::4] = x2
-    bbox_flat[3::4] = y2
-    bbox = pa.FixedSizeListArray.from_arrays(pa.array(bbox_flat, pa.float32()), 4)
+    boxes = synthetic_bboxes(seg_id, lens)
+    bbox = pa.FixedSizeListArray.from_arrays(
+        pa.array(boxes.reshape(-1), pa.float32()), 4
+    )
 
     return pa.table(
         {
@@ -116,15 +132,28 @@ def explode_segments(batch: pa.Table) -> pa.Table:
     )
 
 
+# Whole-page-context constants (featurizer parity):
+# the reference expands each box by 50 px at 1920-px page scale and takes
+# IoU>0 neighbors (`featurizer.py:16-26`), capped at the 15 nearest
+# (`featurizer.py:85,99-102`). Our synthetic layout stacks lines 148 px
+# apart, so the expansion is scaled to make reading-order +-2 neighbors
+# (and +-1 across a page boundary) overlap — same neighborhood *shape*
+# relative to line pitch as the reference's relative to text size.
+_CTX_EXPAND = 140.0
+_MAX_NEIGHBORS = 15
+
+
 class SegmentClassifier:
     """Actor-pool classifier: ranked (score, cls) list per segment +
-    rules postprocess. Pass to
-    ``ds.map_batches(SegmentClassifier, concurrency=N, batch_size=B,
-    batch_format="pyarrow")``.
+    rules postprocess + whole-page-context postprocess. Pass to
+    ``ds.map_batches(SegmentClassifier, concurrency=N, batch_size=None,
+    batch_format="pyarrow")`` (``batch_size=None`` preserves the
+    whole-url-runs-per-batch invariant the context pass needs).
 
     A deterministic featurized scorer stands in for the reference's
     RCNN+XGBoost stack (no torch in this container); the *contract* —
-    per-segment descending class ranking, postprocessed argmax, caption
+    per-segment descending class ranking, postprocessed argmax with
+    <=15-IoU-neighbor page context (`featurizer.py:84-125`), caption
     rules override with score 1.0 (`pp_rules.py:30-34`) — is identical.
     """
 
@@ -144,7 +173,9 @@ class SegmentClassifier:
         "figcaption": "Figure Caption",
     }
 
-    def __init__(self) -> None:
+    def __init__(self, page_context: bool = True, emit_neighbors: bool = False) -> None:
+        self.page_context = page_context
+        self.emit_neighbors = emit_neighbors
         # once per actor: compile rules (reference: models loaded in
         # worker plugins, `preload_plugins/detect_setup.py:6-15`) and
         # precompute the ranked score table over the small feature space
@@ -205,11 +236,91 @@ class SegmentClassifier:
         for i in np.flatnonzero(is_fig):
             cls_col[i], score_col[i] = "Figure Caption", 1.0
 
+        neighbors = None
+        if self.page_context:
+            neighbors = self._apply_page_context(batch, cls_col, score_col)
+
         out = batch.append_column("classes", pa.array(classes_col, pa.list_(pa.string())))
         out = out.append_column("scores", pa.array(scores_col, pa.list_(pa.float32())))
         out = out.append_column("cls", pa.array(cls_col, pa.string()))
         out = out.append_column("score", pa.array(score_col, pa.float32()))
+        if self.emit_neighbors:
+            out = out.append_column(
+                "neighbor_cls",
+                pa.array([x or [] for x in (neighbors or [[]] * len(cls_col))],
+                         pa.list_(pa.string())),
+            )
         return out
+
+    def _apply_page_context(self, batch: pa.Table, cls_col: list, score_col: list):
+        """Neighbor featurization + context rules (D2,
+        `featurizer.py:84-125`): for each segment, neighbors = same-url
+        segments whose +-_CTX_EXPAND-expanded boxes overlap, capped at
+        the _MAX_NEIGHBORS nearest by vertical center distance. Rules
+        (evaluated against the PRE-context classes so they commute):
+
+        - isolated-table-cell demotion: a "Table" segment with neighbors
+          but none of class Table / Table Caption becomes Body Text — a
+          lone <td> floating in prose is markup noise, not a table;
+        - unknown-class smoothing: an "Other" segment adopts the >=2/3
+          majority class of its neighbors (the learned-context analog).
+
+        Mutates cls_col/score_col in place; returns per-row neighbor
+        class lists when ``emit_neighbors`` (feature-vector parity).
+        """
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        page = batch.column("page_num").to_numpy(zero_copy_only=False).astype(np.float64)
+        bb = batch.column("bbox")
+        flat = bb.combine_chunks() if isinstance(bb, pa.ChunkedArray) else bb
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.chunk(0)
+        xy = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, 4)
+        ax1, ax2 = xy[:, 0], xy[:, 2]
+        ay1 = page * _PAGE_H + xy[:, 1]
+        ay2 = page * _PAGE_H + xy[:, 3]
+
+        base_cls = list(cls_col)  # pre-context snapshot: rules don't cascade
+        n = len(urls)
+        neighbors_out: list | None = [None] * n if self.emit_neighbors else None
+        if n == 0:
+            return neighbors_out
+        bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
+        starts = np.concatenate([[0], bounds, [n]]).astype(np.int64)
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = int(e - s)
+            cand = [i for i in range(s, e) if base_cls[i] in ("Table", "Other")]
+            if not cand and neighbors_out is None:
+                continue
+            lo, hi = ay1[s:e] - _CTX_EXPAND, ay2[s:e] + _CTX_EXPAND
+            lx, hx = ax1[s:e] - _CTX_EXPAND, ax2[s:e] + _CTX_EXPAND
+            ov = (
+                (lo[:, None] < hi[None, :]) & (lo[None, :] < hi[:, None])
+                & (lx[:, None] < hx[None, :]) & (lx[None, :] < hx[:, None])
+            )
+            np.fill_diagonal(ov, False)
+            centers = (ay1[s:e] + ay2[s:e]) / 2.0
+            rows = range(m) if neighbors_out is not None else [i - s for i in cand]
+            for li in rows:
+                js = np.flatnonzero(ov[li])
+                if len(js) > _MAX_NEIGHBORS:
+                    order = np.argsort(np.abs(centers[js] - centers[li]), kind="stable")
+                    js = js[order[:_MAX_NEIGHBORS]]
+                ncls = [base_cls[s + j] for j in js]
+                gi = s + li
+                if neighbors_out is not None:
+                    neighbors_out[gi] = ncls
+                if (
+                    base_cls[gi] == "Table"
+                    and ncls
+                    and "Table" not in ncls
+                    and "Table Caption" not in ncls
+                ):
+                    cls_col[gi], score_col[gi] = "Body Text", 0.3
+                elif base_cls[gi] == "Other" and len(ncls) >= 2:
+                    top, cnt = collections.Counter(ncls).most_common(1)[0]
+                    if cnt * 3 >= len(ncls) * 2:
+                        cls_col[gi], score_col[gi] = top, 0.25
+        return neighbors_out
 
 
 # per-worker-process singleton for the task-fused variant: same
@@ -228,15 +339,20 @@ def classify_batch(t: pa.Table) -> pa.Table:
 
 
 def segment(extracted_ok, classifier_concurrency: int | tuple | None = (1, 4),
-            batch_size: int = 2048):
+            batch_size: int | None = None):
     """extracted(ok) -> classified SEGMENTS dataset.
 
     ``classifier_concurrency=None`` selects the task-fused classifier
     (plain function + per-process cached state); a value selects an
-    actor pool of that size (the shape for model-heavy classifiers)."""
+    actor pool of that size (the shape for model-heavy classifiers).
+
+    ``batch_size=None`` (one batch per block) is the default for BOTH
+    paths: explode emits each url's segments contiguously within one
+    block, and re-batching at a fixed row count could split a url across
+    batches — breaking the whole-page-context invariant the classifier's
+    neighbor featurization relies on."""
     segs = extracted_ok.map_batches(explode_segments, batch_format="pyarrow")
     if classifier_concurrency is None:
-        # batch_size=None: keep one batch per block (see link.py note)
         return segs.map_batches(classify_batch, batch_format="pyarrow", batch_size=None)
     return segs.map_batches(
         SegmentClassifier,

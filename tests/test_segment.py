@@ -63,6 +63,61 @@ def test_classifier_contract_ranked_scores():
     assert rows[2]["cls"] == "Table Caption" and rows[2]["score"] == 1.0
 
 
+def _extracted_row(url: str, blocks: list[tuple[str, str]]) -> dict:
+    return {
+        "url": url,
+        "warc_ts": None,
+        "lang": "en",
+        "text": "\n".join(t for _, t in blocks),
+        "blocks": [{"tag": tg, "text": t} for tg, t in blocks],
+        "n_blocks": len(blocks),
+        "error": None,
+    }
+
+
+def _classified(rows, **clf_kw):
+    from cosmos_ray.stages.extract import EXTRACTED_SCHEMA
+
+    batch = pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+    return SegmentClassifier(**clf_kw)(explode_segments(batch)).to_pylist()
+
+
+def test_page_context_isolated_table_cell_demoted():
+    """D2 parity: the class of a segment changes based on its neighbors —
+    a lone <td> surrounded by prose demotes to Body Text, while the same
+    cell next to another table cell stays Table."""
+    lone = _extracted_row(
+        "http://a", [("p", "Intro paragraph."), ("td", "stray cell"), ("p", "More text.")]
+    )
+    real = _extracted_row(
+        "http://b",
+        [("p", "Intro."), ("td", "metric"), ("td", "value"), ("p", "After.")],
+    )
+    by = {(r["url"], r["seg_id"]): r for r in _classified([lone, real])}
+    assert by[("http://a", 1)]["cls"] == "Body Text"
+    assert by[("http://b", 1)]["cls"] == "Table"
+    assert by[("http://b", 2)]["cls"] == "Table"
+    # without page context the lone cell keeps its tag prior
+    by2 = {(r["url"], r["seg_id"]): r
+           for r in _classified([lone, real], page_context=False)}
+    assert by2[("http://a", 1)]["cls"] == "Table"
+
+
+def test_page_context_other_smoothing_and_neighbor_features():
+    """An unknown-prior segment adopts the neighbor majority class; the
+    emitted neighbor_cls feature column carries the <=15 IoU neighbors
+    (featurizer.py:84-125 feature-vector parity)."""
+    row = _extracted_row(
+        "http://c",
+        [("p", "One body paragraph."), ("h5", "Odd heading"),
+         ("p", "Another body paragraph.")],
+    )
+    out = _classified([row], emit_neighbors=True)
+    assert out[1]["cls"] == "Body Text"
+    assert out[1]["neighbor_cls"] == ["Body Text", "Body Text"]
+    assert len(out[0]["neighbor_cls"]) >= 1
+
+
 def test_explode_is_batch_shape_stable():
     # explode on an empty batch yields the schema, not an error
     from cosmos_ray.stages.extract import EXTRACTED_SCHEMA
