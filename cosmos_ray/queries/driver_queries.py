@@ -728,6 +728,16 @@ def q_kg_table_context(sf_dir: str):
     return table_context(build_kg(_pages_ds(sf_dir)).segments)
 
 
+def q_kg_equations(sf_dir: str):
+    """Equation rows with nearest-midline (X.Y) label association
+    (J3/G4, `reaggregate_equations.py:61-120`) — rows-only; exact golden
+    in tests/test_aggregate.py."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.aggregate import aggregate_equations
+
+    return aggregate_equations(build_kg(_pages_ds(sf_dir)).segments)
+
+
 def _golden_annotations(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -827,6 +837,7 @@ QUERIES = {
     "dehyphenate": q_dehyphenate,
     "kg_eval_ap": q_kg_eval_ap,
     "kg_eval_prf": q_kg_eval_prf,
+    "kg_equations": q_kg_equations,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,

@@ -60,7 +60,7 @@ MALFORMED_MOD, MALFORMED_REM = 97, 13
 DUP_MOD, DUP_REM = 50, 7
 
 # bump when golden_doc/render_html semantics change (bench cache key)
-GEN_VERSION = 4
+GEN_VERSION = 5
 
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
@@ -152,6 +152,14 @@ def golden_doc(
         # the unmatched-caption branch of association
         g.blocks.append(("p", f"Table {1 + doc_id % 3}: summary of planted facts."))
     g.blocks.append(("p", f"Figure {1 + doc_id % 2}: entity graph sketch."))
+    if doc_id % 4 == 1:
+        # a display equation with its (X.Y) label in the ADJACENT block:
+        # exercises equation detection (pre -> Equation) and the
+        # nearest-midline label association (J3/G4,
+        # `reaggregate_equations.py:61-120`)
+        g.blocks.append(("h2", "Model"))
+        g.blocks.append(("pre", f"gamma = alpha + {doc_id % 7} * beta"))
+        g.blocks.append(("p", f"({1 + doc_id % 3}.{doc_id % 5})"))
     if doc_id % 5 == 2:
         # a word split across a block boundary with a trailing hyphen:
         # the dehyphenation enrichment must rejoin it across the "\n"
@@ -166,6 +174,7 @@ _TAG_OPEN = {
     "p": '<p class="body">',
     "li": "<li>",
     "td": "<td>",
+    "pre": "<pre>",
 }
 
 
@@ -383,6 +392,7 @@ def _golden_cls(tag: str, text: str) -> str:
         "h2": "Section Header",
         "li": "List Item",
         "td": "Table",
+        "pre": "Equation",
     }.get(tag, "Other")
 
 

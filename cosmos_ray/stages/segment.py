@@ -51,6 +51,7 @@ CLASSES = [
     "Table",
     "Table Caption",
     "Figure Caption",
+    "Equation",
     "Other",
 ]
 
@@ -165,7 +166,7 @@ class SegmentClassifier:
         "h4": "Section Header",
         "p": "Body Text",
         "blockquote": "Body Text",
-        "pre": "Body Text",
+        "pre": "Equation",
         "li": "List Item",
         "td": "Table",
         "th": "Table",

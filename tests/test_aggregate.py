@@ -111,3 +111,56 @@ def test_caption_associate_greedy_nearest():
     page2 = page[page["cls"] == "Table Caption"].copy()
     got2 = caption_associate(page2, "Table Caption", "Table")
     assert all(r["object_seg_id"] is None for r in got2)
+
+
+def test_equation_label_association_exact(kg_small, documents_small):
+    """Exact (url, label, content) rows per planted equation (J3/G4):
+    docs with doc_id % 4 == 1 carry one pre-block equation whose (X.Y)
+    label sits in the adjacent block; all other docs emit no rows."""
+    from cosmos_ray.sources.entity_dict import build_entity_dict
+    from cosmos_ray.sources.pages import (
+        MALFORMED_MOD,
+        MALFORMED_REM,
+        golden_doc,
+    )
+    from cosmos_ray.stages.aggregate import aggregate_equations
+
+    got = {
+        r["url"]: (r["label"], r["content"], r["equation_page"])
+        for r in aggregate_equations(kg_small.segments).take_all()
+    }
+    kb = build_entity_dict()
+    kb_rows = kb.to_pylist()
+    kb_names = [r["name"] for r in kb_rows]
+    kb_aliases = {r["name"]: r["aliases"] for r in kb_rows}
+
+    n_eq = 0
+    for d in documents_small.to_pylist():
+        did = d["doc_id"]
+        if did % MALFORMED_MOD == MALFORMED_REM:
+            continue
+        g = golden_doc(did, d["text"], d["lang"], d["source"], kb_names, kb_aliases)
+        if did % 4 == 1:
+            n_eq += 1
+            want_label = f"({1 + did % 3}.{did % 5})"
+            want_content = f"gamma = alpha + {did % 7} * beta"
+            eq_seg = next(i for i, (tag, _) in enumerate(g.blocks) if tag == "pre")
+            assert got[g.url] == (want_label, want_content, eq_seg // 12), g.url
+        else:
+            assert g.url not in got
+    assert n_eq > 0
+
+
+def test_caption_nearby_text_pooling(kg_small):
+    """J1 wiring: every caption row carries the (y2, x1)-ordered pooled
+    text of overlapping page lines, which must include the caption's own
+    text (self-overlap is IoU 1)."""
+    from cosmos_ray.stages.aggregate import associate_captions
+
+    rows = associate_captions(kg_small.segments).take_all()
+    assert rows
+    for r in rows:
+        assert r["caption_text"] in r["nearby_text"]
+    # at least some captions pool more than their own text (an adjacent
+    # line within the 150-px feather)
+    assert any(r["nearby_text"] != r["caption_text"] for r in rows)
