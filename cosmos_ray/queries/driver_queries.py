@@ -728,6 +728,49 @@ def q_kg_table_context(sf_dir: str):
     return table_context(build_kg(_pages_ds(sf_dir)).segments)
 
 
+def q_kg_boilerplate(sf_dir: str):
+    """Site-level boilerplate blocks (M14 web analog) — rows-only; exact
+    golden in tests/test_enrich.py."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.enrich import detect_boilerplate
+
+    return detect_boilerplate(build_kg(_pages_ds(sf_dir)).segments)
+
+
+def q_qa_spans(sf_dir: str):
+    """Extractive QA over documents (D4 analog, `qa_extractor.py:15-61`):
+    answer spans for 'what scans?' — subjects of '<w> scan <w>' SVO
+    occurrences. SQL-expressible (same RE2 pattern both sides)."""
+    from cosmos_ray.stages.qa import answer_questions
+
+    spans = answer_questions(read(sf_dir, "documents", ["doc_id", "text"]),
+                             question="what scans?")
+    return spans.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("answer"))).select(["doc_id", "answer"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QA_SPANS = """
+SELECT doc_id, regexp_extract(text, '([a-z]+) scan [a-z]+', 1) AS answer
+FROM documents WHERE regexp_matches(text, '[a-z]+ scan [a-z]+')
+"""
+
+
+def q_rerank_windows(sf_dir: str):
+    """Cross-encoder-style rerank of the sliding-window corpus (D5/O6
+    analog): global top-10 windows for a fixed query — rows-only,
+    deterministic via (doc_id, window_id) tiebreak."""
+    from cosmos_ray.stages.export import sliding_windows
+    from cosmos_ray.stages.qa import rerank_topk
+
+    wins = sliding_windows(read(sf_dir, "documents", ["doc_id", "text"]),
+                           window=64, stride=16)
+    return rerank_topk(wins, query="spark join optimization strategies",
+                       k=10, text_col="window_text",
+                       tiebreak_cols=["doc_id", "window_id"])
+
+
 def q_kg_equations(sf_dir: str):
     """Equation rows with nearest-midline (X.Y) label association
     (J3/G4, `reaggregate_equations.py:61-120`) — rows-only; exact golden
@@ -838,6 +881,9 @@ QUERIES = {
     "kg_eval_ap": q_kg_eval_ap,
     "kg_eval_prf": q_kg_eval_prf,
     "kg_equations": q_kg_equations,
+    "qa_spans": q_qa_spans,
+    "rerank_windows": q_rerank_windows,
+    "kg_boilerplate": q_kg_boilerplate,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -871,5 +917,6 @@ ORACLES = {
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,
     "dehyphenate": SQL_DEHYPHENATE,
+    "qa_spans": SQL_QA_SPANS,
     # kg_*, langid, minhash_clusters, simhash_pairs, ivf_topk: non-SQL
 }

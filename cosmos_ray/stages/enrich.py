@@ -99,3 +99,108 @@ def table_context(segments_ds, num_buckets: int = 64):
     return bucketed_group_apply(
         segs, keys=["url"], fn=_url_table_context, num_buckets=num_buckets
     )
+
+
+# ------------------------------------------------------------ boilerplate
+
+def _site_of(url: str) -> str:
+    parts = url.split("/", 3)
+    return parts[2] if len(parts) > 2 else url
+
+
+def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5):
+    """Site-level boilerplate detection — the web analog of the
+    reference's watermark heuristic (M14, `connected_components.py:210-218`:
+    a recurring overlay artifact is detected and masked out of every
+    page). A block whose exact text appears on >= ``min_frac`` of a
+    site's pages (sites with >= ``min_pages`` pages) is boilerplate
+    (nav/footer/header furniture), returned as
+    (site, text, n_pages, site_pages, frac).
+
+    Shuffle shape: per-batch (site, text, url)-dedup combiner, then one
+    groupby on (site, text) moving counts only; site page totals ride the
+    same exchange keyed by site (tiny) and join via broadcast."""
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "url": t.column("url").to_pylist(),
+                "text": t.column("text").to_pylist(),
+            }
+        )
+        df["site"] = [_site_of(u) for u in df["url"]]
+        d = df.drop_duplicates(["site", "text", "url"])
+        g = d.groupby(["site", "text"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        segments_ds.select_columns(["url", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["site", "text"])
+        .aggregate(Sum("n", alias_name="n_pages"))
+    )
+
+    def url_partial(t: pa.Table) -> pa.Table:
+        urls = sorted(set(t.column("url").to_pylist()))
+        return pa.table(
+            {
+                "site": pa.array([_site_of(u) for u in urls], pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    site_pages = (
+        segments_ds.select_columns(["url"])
+        .map_batches(url_partial, batch_format="pyarrow")
+        .groupby(["site", "url"])
+        .aggregate(Count(alias_name="_"))
+        .groupby("site")
+        .aggregate(Count(alias_name="site_pages"))
+    )
+    totals = {
+        r["site"]: r["site_pages"] for r in site_pages.take_all()
+    }  # one row per site — tiny by construction
+    totals_ref = ray.put(totals)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = ray.get(totals_ref)
+        sites = t.column("site").to_pylist()
+        n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.float64)
+        sp = np.array([tot.get(s, 0) for s in sites], dtype=np.float64)
+        frac = np.where(sp > 0, n / np.maximum(sp, 1.0), 0.0)
+        keep = (sp >= min_pages) & (frac >= min_frac)
+        out = t.append_column("site_pages", pa.array(sp.astype(np.int64)))
+        out = out.append_column("frac", pa.array(np.round(frac, 6)))
+        return out.filter(pa.array(keep))
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def mask_boilerplate(segments_ds, boilerplate_ds, cap_rows: int = 2_000_000):
+    """Drop boilerplate blocks from a segments dataset — broadcast the
+    (site, text) boilerplate set (small: per-site furniture) and filter
+    each batch (the masking half of the watermark heuristic)."""
+    import ray
+
+    from cosmos_ray.queries.relational import collect_small
+
+    bp = collect_small(boilerplate_ds.select_columns(["site", "text"]), cap_rows)
+    if bp is None:
+        raise ValueError("boilerplate set exceeds broadcast cap — raise cap_rows")
+    keys = set(zip(bp.column("site").to_pylist(), bp.column("text").to_pylist()))
+    ref = ray.put(keys)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        urls = t.column("url").to_pylist()
+        texts = t.column("text").to_pylist()
+        keep = [(_site_of(u), x) not in ks for u, x in zip(urls, texts)]
+        return t.filter(pa.array(keep))
+
+    return segments_ds.map_batches(fn, batch_format="pyarrow")
