@@ -561,7 +561,7 @@ def q_embedding_topk(sf_dir: str):
         tbl.filter(pc.equal(tbl.column("vec_id"), 0)).column("embedding").to_pylist(),
         dtype=np.float64,
     )
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(ds, qvec, k=10)
     return out.map_batches(
         lambda t: t.drop_columns(["query_id"]).set_column(
@@ -838,7 +838,7 @@ def q_ivf_topk(sf_dir: str):
         tbl.filter(pc.equal(tbl.column("vec_id"), 0)).column("embedding").to_pylist(),
         dtype=np.float64,
     )
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, qvec, k=10)
 
 

@@ -25,8 +25,26 @@ import ray
 import ray.data as rd
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _clean_schema(path: str) -> pa.Schema:
+    """Footer schema with pandas metadata stripped: schemas carrying the
+    b'pandas' metadata dict are unhashable under pyarrow 16 and defeat
+    Ray's block-schema dedup (a 'Failed to hash the schemas' warning on
+    every read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(path).remove_metadata()
+
+
 def read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = _clean_schema(path)
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def collect_small(ds, cap_rows: int = 2_000_000) -> pa.Table | None:
