@@ -166,36 +166,25 @@ def minhash_lsh_candidates(docs_ds=None, num_perm: int = 128, bands: int = 16,
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
-class PairValueVerifier:
-    """Score candidate pairs from a BOUNDED broadcast {doc_id: value}
-    map holding values for CANDIDATE docs only (never the whole corpus).
-    mode='signature': value is the minhash signature; similarity is the
-    unbiased estimate mean(sig_a == sig_b). mode='exact': value is the
-    text; similarity is exact n-gram Jaccard."""
-
-    def __init__(self, values_ref=None, mode: str = "signature", k: int = 3) -> None:
-        import ray
-
-        self.values = ray.get(values_ref)
-        self.mode = mode
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        if self.mode == "signature":
-            if len(a) == 0:
-                sims: list[float] = []
-            else:
-                A = np.asarray([self.values[x] for x in a], dtype=np.uint64)
-                B = np.asarray([self.values[y] for y in b], dtype=np.uint64)
-                sims = (A == B).mean(axis=1).tolist()
-        else:
-            sims = [
-                ngram_jaccard(self.values.get(x, ""), self.values.get(y, ""), self.k)
-                for x, y in zip(a, b)
-            ]
-        return batch.append_column("jaccard", pa.array(sims, pa.float64()))
+def _verify_pairs_local(pairs: list[tuple[int, int]], values: dict, mode: str,
+                        threshold: float, k: int = 3) -> list[tuple[int, int]]:
+    """Driver-side verification of a BOUNDED candidate-pair list against
+    the {doc_id: value} map holding CANDIDATE docs only (never the whole
+    corpus). mode='signature': similarity = the unbiased minhash estimate
+    mean(sig_a == sig_b), fully vectorized; mode='exact': n-gram
+    Jaccard. Used only under the broadcast cap — past it verification
+    runs distributed (``_verify_pairs_by_join``)."""
+    if not pairs:
+        return []
+    if mode == "signature":
+        A = np.asarray([values[a] for a, _ in pairs], dtype=np.uint64)
+        B = np.asarray([values[b] for _, b in pairs], dtype=np.uint64)
+        sims = (A == B).mean(axis=1)
+        return [p for p, s in zip(pairs, sims) if s >= threshold]
+    return [
+        (a, b) for a, b in pairs
+        if ngram_jaccard(values.get(a, ""), values.get(b, ""), k) >= threshold
+    ]
 
 
 def _collect_capped(ds, cap: int):
@@ -388,13 +377,20 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 128, bands: i
     else:
         value_ds, value_col, mode = docs_ds.select_columns(["doc_id", "text"]), "text", "exact"
 
-    # --- bounded broadcast fast path: candidate ids -> candidate values
-    cand = cand.materialize()
-    ids_tbl = _collect_capped(cand.select_columns(["doc_a", "doc_b"]), cap=broadcast_cap)
-    values_map = None
-    if ids_tbl is not None and ids_tbl.num_rows > 0:
-        id_set = set(ids_tbl.column("doc_a").to_pylist())
-        id_set.update(ids_tbl.column("doc_b").to_pylist())
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+
+    # --- bounded fast path: pairs + candidate values on the driver, one
+    # vectorized verify + union-find (no extra Ray stages — at LSH's
+    # post-filter sizes the per-stage latency dominates the math)
+    pairs_tbl = _collect_capped(cand.select_columns(["doc_a", "doc_b"]), cap=broadcast_cap)
+    if pairs_tbl is not None:
+        if pairs_tbl.num_rows == 0:
+            return rd.from_arrow(empty)
+        pairs = list(zip(pairs_tbl.column("doc_a").to_pylist(),
+                         pairs_tbl.column("doc_b").to_pylist()))
+        id_set = set(pairs_tbl.column("doc_a").to_pylist())
+        id_set.update(pairs_tbl.column("doc_b").to_pylist())
         ids_ref = ray.put(pa.array(sorted(id_set), pa.int64()))
 
         def only_candidates(t: pa.Table) -> pa.Table:
@@ -404,35 +400,25 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 128, bands: i
             value_ds.map_batches(only_candidates, batch_format="pyarrow"),
             cap=broadcast_cap,
         )
-        if vals_tbl is not None and vals_tbl.num_rows > 0:
-            values_map = dict(
-                zip(vals_tbl.column("doc_id").to_pylist(),
-                    vals_tbl.column(value_col).to_pylist())
-            )
-    if ids_tbl is not None and ids_tbl.num_rows == 0:
-        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
-                                       "cluster_id": pa.array([], pa.int64())}))
+        if vals_tbl is not None:
+            values = dict(zip(vals_tbl.column("doc_id").to_pylist(),
+                              vals_tbl.column(value_col).to_pylist()))
+            verified_pairs = _verify_pairs_local(pairs, values, mode, threshold)
+            if not verified_pairs:
+                return rd.from_arrow(empty)
+            return rd.from_arrow(_union_find_clusters(verified_pairs))
 
-    if values_map is not None:
-        verified = cand.map_batches(
-            PairValueVerifier,
-            fn_constructor_kwargs={"values_ref": ray.put(values_map), "mode": mode},
-            batch_format="pyarrow",
-            concurrency=(1, 2),
-            batch_size=4096,
-        )
-    else:
-        verified = _verify_pairs_by_join(cand, value_ds, value_col, mode)
-    verified = verified.map_batches(
+    # --- distributed path: join-based verification, then union-find if
+    # the verified pair list fits, else min-label fixpoint
+    cand = cand.materialize()
+    verified = _verify_pairs_by_join(cand, value_ds, value_col, mode).map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold))),
         batch_format="pyarrow",
     )
-
     pairs_tbl = _collect_capped(verified.select_columns(["doc_a", "doc_b"]), cap=pair_cap)
     if pairs_tbl is not None:
         if pairs_tbl.num_rows == 0:
-            return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
-                                           "cluster_id": pa.array([], pa.int64())}))
+            return rd.from_arrow(empty)
         pairs = list(zip(pairs_tbl.column("doc_a").to_pylist(),
                          pairs_tbl.column("doc_b").to_pylist()))
         return rd.from_arrow(_union_find_clusters(pairs))

@@ -335,7 +335,10 @@ def extract_streaming(pages: "ray.data.Dataset", dead_dir: str, batch_size: int 
     under Ray's lineage re-execution and task retries. (An actor-based
     collector was tried first and is flaky under full load: concurrent
     callers can trip 30 s actor seq_no timeouts.) Use a fresh dead_dir
-    per run."""
+    per run. On a multi-node cluster ``dead_dir`` MUST be shared storage
+    (NFS/fuse mount) visible to every worker AND the driver — the
+    content-keyed + atomic-rename scheme needs no coordination beyond a
+    posix rename, but a node-local path would scatter the shards."""
     import hashlib
     import os
 
