@@ -92,3 +92,95 @@ def corpus_vocab(docs_ds, min_count: int = 2):
         lambda t: t.filter(pc.greater_equal(t.column("count"), pa.scalar(min_count))),
         batch_format="pyarrow",
     )
+
+
+def train_word_vectors(docs_ds, dim: int = 32, vocab_size: int = 1024,
+                       window: int = 2, min_count: int = 2):
+    """Corpus word vectors (D6 — the FastText skipgram trainer over the
+    whole corpus, `compute_word_vecs.py:4-11`). No fasttext/torch in this
+    container, so the trainer is PPMI + truncated SVD over the global
+    co-occurrence matrix — public and deterministic (SVD of the shifted
+    PMI matrix approximates skipgram factorization; Levy & Goldberg,
+    NeurIPS 2014) — while keeping the reference's global-reduce shape:
+
+    1. vocab: ``corpus_vocab`` global token counts -> top ``vocab_size``
+       tokens with count >= ``min_count`` (deterministic order:
+       count desc, token asc);
+    2. co-occurrence: broadcast token->id map; each batch emits sparse
+       (pair_id, n) partials for token pairs within +-``window``
+       (vectorized id pairing + np.unique) -> one groupby-sum exchange
+       moving pair partials only;
+    3. factorize: the bounded (V x V) count matrix -> PPMI -> numpy SVD
+       on the driver (model-sized, not corpus-sized);
+
+    Returns a Dataset (token, vector: list<float>[dim])."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    vocab_rows = sorted(
+        corpus_vocab(docs_ds, min_count=min_count).take_all(),
+        key=lambda r: (-r["count"], r["token"]),
+    )[:vocab_size]
+    vocab = [r["token"] for r in vocab_rows]
+    if not vocab:
+        return rd.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "vector": pa.array([], pa.list_(pa.float32()))})
+        )
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    v = len(vocab)
+    tok_ref = ray.put(tok2id)
+
+    def cooc_partial(t: pa.Table) -> pa.Table:
+        t2i = ray.get(tok_ref)
+        keys: list[np.ndarray] = []
+        for text in t.column("text").to_pylist():
+            ids = np.array([t2i.get(w, -1) for w in text.split(" ")], dtype=np.int64)
+            for off in range(1, window + 1):
+                a, b = ids[:-off], ids[off:]
+                ok = (a >= 0) & (b >= 0)
+                if ok.any():
+                    # symmetric: count both directions
+                    keys.append(a[ok] * v + b[ok])
+                    keys.append(b[ok] * v + a[ok])
+        if not keys:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"pair": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    pairs = (
+        docs_ds.select_columns(["text"])
+        .map_batches(cooc_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # bounded by V^2 rows — model state, not corpus state
+
+    C = np.zeros((v, v), dtype=np.float64)
+    for r in pairs:
+        C[r["pair"] // v, r["pair"] % v] = r["n"]
+    total = C.sum()
+    if total == 0:
+        vecs = np.zeros((v, dim), dtype=np.float32)
+    else:
+        pw = C.sum(axis=1, keepdims=True) / total
+        pc_ = C.sum(axis=0, keepdims=True) / total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pmi = np.log((C / total) / np.maximum(pw @ pc_, 1e-300))
+        ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+        u, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+        d = min(dim, len(s))
+        vecs = (u[:, :d] * np.sqrt(s[:d])).astype(np.float32)
+        if d < dim:
+            vecs = np.pad(vecs, ((0, 0), (0, dim - d)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(vocab, pa.string()),
+                "vector": pa.array([row.tolist() for row in vecs],
+                                   pa.list_(pa.float32())),
+            }
+        )
+    )

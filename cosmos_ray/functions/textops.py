@@ -92,29 +92,43 @@ def regex_token_counts(docs_ds):
 
 
 _ROLL_BASE = 257
-_ROLL_MOD = (1 << 61) - 1
+# Mersenne-31 modulus: byte x B^k products stay within uint64, so the
+# per-position window hashes compute as a handful of vectorized numpy
+# multiply-adds with ONE final mod (a 2^61 modulus would overflow uint64
+# and force the per-byte python recurrence this replaced)
+_ROLL_MOD = (1 << 31) - 1
+
+
+def _roll_pows(n: int) -> np.ndarray:
+    """[B^(n-1), ..., B^1, B^0] mod M as uint64 (cached per length)."""
+    global _ROLL_POW_CACHE
+    try:
+        cached = _ROLL_POW_CACHE
+    except NameError:
+        cached = _ROLL_POW_CACHE = {}
+    if n not in cached:
+        cached[n] = np.array(
+            [pow(_ROLL_BASE, n - 1 - k, _ROLL_MOD) for k in range(n)], dtype=np.uint64
+        )
+    return cached[n]
 
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:
     """Rabin-Karp rolling hash document fingerprint: min of the rolling
     window hashes (a winnowing-style representative, stable under
-    content shifts outside the minimum window)."""
-    data = text.encode("utf-8")
-    if len(data) <= window:
-        h = 0
-        for b in data:
-            h = (h * _ROLL_BASE + b) % _ROLL_MOD
-        return h
-    pw = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
-    h = 0
-    for b in data[:window]:
-        h = (h * _ROLL_BASE + b) % _ROLL_MOD
-    best = h
-    for i in range(window, len(data)):
-        h = ((h - data[i - window] * pw) * _ROLL_BASE + data[i]) % _ROLL_MOD
-        if h < best:
-            best = h
-    return best
+    content shifts outside the minimum window). Vectorized: all window
+    hashes at once via h_j = sum_k d[j+k] * B^(w-1-k) mod M — window
+    terms each < 2^39, so a 16-term accumulation fits uint64 exactly."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) == 0:
+        return 0
+    w = min(window, len(data))
+    pows = _roll_pows(w)
+    n = len(data) - w + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for k in range(w):
+        acc += data[k : k + n].astype(np.uint64) * pows[k]
+    return int((acc % np.uint64(_ROLL_MOD)).min())
 
 
 def rolling_fingerprint_batch(t: pa.Table) -> pa.Table:

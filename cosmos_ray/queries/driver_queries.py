@@ -529,6 +529,16 @@ GROUP BY token HAVING count(*) >= 2
 """
 
 
+def q_word_vectors(sf_dir: str):
+    """Corpus word vectors via PPMI+SVD (D6, the compute_word_vecs
+    global-reduce analog) — rows-only; semantics tested in
+    tests/test_embed_vectors.py."""
+    from cosmos_ray.functions.embed import train_word_vectors
+
+    return train_word_vectors(read(sf_dir, "documents", ["doc_id", "text"]),
+                              dim=16, vocab_size=512)
+
+
 def q_embed_docs(sf_dir: str):
     """Feature-hashing document embeddings (actor-pool embedder, D6/D7
     analog) — non-SQL, rows-only."""
@@ -866,6 +876,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "user_cumsum": q_user_cumsum,
     "vocab_counts": q_vocab_counts,
+    "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
     "doc_windows": q_doc_windows,
     "embedding_topk": q_embedding_topk,

@@ -147,3 +147,110 @@ def sample_frames(media_ds, every_n: int = 10, concurrency: int | tuple = (1, 2)
         batch_size=16,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------- M1/M2 kernels
+# The codec is the only stub in this module; resize and pad operate on
+# decoded ndarrays and are REAL (pure numpy) — reference analogs
+# `ingest/utils/preprocess.py:6-34` (resize longest edge to 1920) and
+# `detection/src/preprocess.py:10-29` (pad to 1920x1920 white).
+
+def resize_longest(img: np.ndarray, target: int = 1920) -> np.ndarray:
+    """Nearest-neighbor resize so the longest edge == target (aspect
+    preserved) — index-sampling, no interpolation library needed."""
+    h, w = img.shape[:2]
+    scale = target / max(h, w)
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    rows = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+    cols = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
+def pad_square(img: np.ndarray, size: int, fill: int = 255) -> np.ndarray:
+    """Pad bottom/right to (size, size) with ``fill`` (white)."""
+    h, w = img.shape[:2]
+    if h > size or w > size:
+        raise ValueError(f"image {h}x{w} exceeds pad size {size}")
+    out = np.full((size, size) + img.shape[2:], fill, dtype=img.dtype)
+    out[:h, :w] = img
+    return out
+
+
+class PreprocessImages(DecodeImage):
+    """Decode -> resize-longest -> pad-square actor stage (the M1+M2
+    chain): emits the processed dims and the flattened pixel payload.
+    Codec stubbed as in ``DecodeImage``; the geometry is real."""
+
+    def __init__(self, fake: bool = False, target: int = 64) -> None:
+        super().__init__(fake=fake)
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_w, o_h, o_px = [], [], []
+        for p in payloads:
+            img = self.decode(p)
+            r = resize_longest(img, self.target)
+            o_h.append(r.shape[0])
+            o_w.append(r.shape[1])
+            o_px.append(pad_square(r, self.target).tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "width": pa.array(o_w, pa.int32()),
+                "height": pa.array(o_h, pa.int32()),
+                "pixels": pa.array(o_px, pa.binary()),
+            }
+        )
+
+
+class ChunkAudio:
+    """Audio chunking stub: fixed-duration PCM byte windows with overlap
+    (the fan-out shape of a real audio splitter, codec-free)."""
+
+    def __init__(self, chunk_bytes: int = 4096, hop_bytes: int | None = None) -> None:
+        self.chunk_bytes = chunk_bytes
+        self.hop_bytes = hop_bytes or chunk_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_idx, o_chunk = [], [], []
+        for mid, p in zip(ids, payloads):
+            i = ci = 0
+            while i < max(1, len(p)):
+                o_id.append(mid)
+                o_idx.append(ci)
+                o_chunk.append(p[i : i + self.chunk_bytes])
+                i += self.hop_bytes
+                ci += 1
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.string()),
+                "chunk_idx": pa.array(o_idx, pa.int32()),
+                "chunk": pa.array(o_chunk, pa.binary()),
+            }
+        )
+
+
+def preprocess_images(media_ds, fake: bool = False, target: int = 64,
+                      concurrency: int | tuple = (1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        PreprocessImages,
+        fn_constructor_kwargs={"fake": fake, "target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def chunk_audio(media_ds, chunk_bytes: int = 4096, hop_bytes: int | None = None,
+                concurrency: int | tuple = (1, 2)):
+    return media_ds.map_batches(
+        ChunkAudio,
+        fn_constructor_kwargs={"chunk_bytes": chunk_bytes, "hop_bytes": hop_bytes},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )
