@@ -280,34 +280,82 @@ class SegmentClassifier:
         ay1 = page * _PAGE_H + xy[:, 1]
         ay2 = page * _PAGE_H + xy[:, 3]
 
-        base_cls = list(cls_col)  # pre-context snapshot: rules don't cascade
+        base_cls = np.asarray(cls_col, dtype=object)  # pre-context snapshot
         n = len(urls)
         neighbors_out: list | None = [None] * n if self.emit_neighbors else None
         if n == 0:
             return neighbors_out
+        # rows needing context: only Table/Other segments consult their
+        # neighbors (unless the feature column is requested) — the common
+        # all-prose group is skipped with one vectorized check
+        cand_mask = (base_cls == "Table") | (base_cls == "Other")
+        if neighbors_out is None and not cand_mask.any():
+            return neighbors_out
         bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
         starts = np.concatenate([[0], bounds, [n]]).astype(np.int64)
+        E2 = 2.0 * _CTX_EXPAND
+
+        if neighbors_out is None:
+            # Fast rules-only path: ONE global searchsorted pass. Rows
+            # arrive grouped by url in reading order (explode invariant),
+            # so adding a per-group offset larger than any page stack
+            # makes y globally monotone and neighbor windows contiguous.
+            # The y-window stands for the neighborhood here (x-overlap is
+            # implied by the single-column layout; the exact-IoU path
+            # below is used for feature emission); the running-max lower
+            # bound is conservative, which can only KEEP a table cell,
+            # never wrongly demote one.
+            gidx = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+            offset = float(ay2.max()) + E2 + 1.0
+            gy1 = ay1 + gidx * offset
+            gy2 = ay2 + gidx * offset
+            table_like = (base_cls == "Table") | (base_cls == "Table Caption")
+            tab_idx = np.flatnonzero(base_cls == "Table")
+            if len(tab_idx):
+                gy2max = np.maximum.accumulate(gy2)
+                up = np.searchsorted(gy1, gy2[tab_idx] + E2, side="left")
+                dn = np.searchsorted(gy2max, gy1[tab_idx] - E2, side="right")
+                pre = np.concatenate([[0], np.cumsum(table_like)])
+                n_tab = pre[up] - pre[dn] - 1  # minus self
+                win = up - dn - 1
+                for gi in tab_idx[(win >= 1) & (n_tab == 0)]:
+                    cls_col[gi], score_col[gi] = "Body Text", 0.3
+            other_idx = np.flatnonzero(base_cls == "Other")
+            if len(other_idx) == 0:
+                return None
+            # rare Other rows fall through to the exact per-group path
+            cand_mask = base_cls == "Other"
+            if not cand_mask.any():
+                return None
+
         for s, e in zip(starts[:-1], starts[1:]):
-            m = int(e - s)
-            cand = [i for i in range(s, e) if base_cls[i] in ("Table", "Other")]
-            if not cand and neighbors_out is None:
+            if neighbors_out is None and not cand_mask[s:e].any():
                 continue
-            lo, hi = ay1[s:e] - _CTX_EXPAND, ay2[s:e] + _CTX_EXPAND
-            lx, hx = ax1[s:e] - _CTX_EXPAND, ax2[s:e] + _CTX_EXPAND
-            ov = (
-                (lo[:, None] < hi[None, :]) & (lo[None, :] < hi[:, None])
-                & (lx[:, None] < hx[None, :]) & (lx[None, :] < hx[:, None])
+            m = int(e - s)
+            # sort by y so each row's overlap set is a contiguous index
+            # window (searchsorted) instead of an m x m matrix
+            order = np.argsort(ay1[s:e], kind="stable")
+            sy1, sy2 = ay1[s:e][order], ay2[s:e][order]
+            sx1, sx2 = ax1[s:e][order], ax2[s:e][order]
+            run_max_y2 = np.maximum.accumulate(sy2)
+            centers = (sy1 + sy2) / 2.0
+            rows = (
+                range(m) if neighbors_out is not None
+                else np.flatnonzero(cand_mask[s:e][order])
             )
-            np.fill_diagonal(ov, False)
-            centers = (ay1[s:e] + ay2[s:e]) / 2.0
-            rows = range(m) if neighbors_out is not None else [i - s for i in cand]
             for li in rows:
-                js = np.flatnonzero(ov[li])
+                up = np.searchsorted(sy1, sy2[li] + E2, side="left")
+                dn = np.searchsorted(run_max_y2, sy1[li] - E2, side="right")
+                js = np.arange(dn, up)
+                js = js[js != li]
+                xok = (sx1[js] < sx2[li] + E2) & (sx1[li] < sx2[js] + E2)
+                yok = sy2[js] > sy1[li] - E2  # run_max bound is conservative
+                js = js[xok & yok]
                 if len(js) > _MAX_NEIGHBORS:
-                    order = np.argsort(np.abs(centers[js] - centers[li]), kind="stable")
-                    js = js[order[:_MAX_NEIGHBORS]]
-                ncls = [base_cls[s + j] for j in js]
-                gi = s + li
+                    o2 = np.argsort(np.abs(centers[js] - centers[li]), kind="stable")
+                    js = js[o2[:_MAX_NEIGHBORS]]
+                gi = s + int(order[li])
+                ncls = [base_cls[s + int(order[j])] for j in js]
                 if neighbors_out is not None:
                     neighbors_out[gi] = ncls
                 if (
