@@ -443,6 +443,76 @@ def q_fingerprints(sf_dir: str):
 SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def q_ngram_jaccard_adjacent(sf_dir: str):
+    """Exact 3-gram Jaccard between each (doc_id, doc_id+1) pair — the
+    n-gram-similarity operator with a DuckDB oracle (raw string shingles
+    on both sides). Shape: per-batch shingle sets, one shifted hash
+    self-join, vectorized set math per pair; no driver pull."""
+    from cosmos_ray.queries.relational import _join_partitions
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        # arrow hash joins reject list-typed payload columns, so the
+        # shingle set rides the join as one \x1f-separated string
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        sh = []
+        for x in texts:
+            w = x.split(" ")
+            sh.append("\x1f".join(sorted({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "sh": pa.array(sh, pa.string())}
+        )
+
+    a = docs.map_batches(shingles, batch_format="pyarrow")
+    b = docs.map_batches(shingles, batch_format="pyarrow").map_batches(
+        lambda t: pa.table(
+            {"prev_id": pc.subtract(t.column("doc_id"), pa.scalar(1)),
+             "sh_b": t.column("sh")}
+        ),
+        batch_format="pyarrow",
+    )
+    j = a.join(b, join_type="inner", num_partitions=_join_partitions(),
+               on=("doc_id",), right_on=("prev_id",))
+
+    def jac(t: pa.Table) -> pa.Table:
+        sa = t.column("sh").to_pylist()
+        sb = t.column("sh_b").to_pylist()
+        out = []
+        for x, y in zip(sa, sb):
+            xs = set(x.split("\x1f")) if x else set()
+            ys = set(y.split("\x1f")) if y else set()
+            u = len(xs | ys)
+            out.append(round(len(xs & ys) / u, 6) if u else 1.0)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_id"),
+                "doc_b": pc.add(t.column("doc_id"), pa.scalar(1)),
+                "jaccard": pa.array(out, pa.float64()),
+            }
+        )
+
+    return j.map_batches(jac, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD_ADJACENT = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS sh
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     from cosmos_ray.functions.dedup import exact_dedup
 
@@ -872,6 +942,7 @@ QUERIES = {
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "events_latest": q_events_latest,
     "sessionize": q_sessionize,
     "user_cumsum": q_user_cumsum,
@@ -920,6 +991,7 @@ ORACLES = {
     "quality": SQL_QUALITY,
     "fingerprints": SQL_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD_ADJACENT,
     "events_latest": SQL_EVENTS_LATEST,
     "sessionize": SQL_SESSIONIZE,
     "user_cumsum": SQL_USER_CUMSUM,

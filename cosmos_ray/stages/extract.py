@@ -132,34 +132,41 @@ def parse_html_blocks(raw: bytes) -> list[tuple[str, str]]:
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """PAGES batch -> EXTRACTED batch. Vectorized column assembly; the
-    parse itself is necessarily per-row (HTML is a row-wise payload)."""
-    htmls = batch.column("html")
+    """PAGES batch -> EXTRACTED batch. The parse is necessarily per-row
+    (HTML is a row-wise payload); column assembly builds the nested
+    blocks column FLAT (offsets + struct-of-arrays) — no per-block python
+    dicts, which at scale were the chain's dominant allocation source."""
+    htmls = batch.column("html").to_pylist()
     n = len(htmls)
     texts: list[str] = [""] * n
-    blocks_col: list[list[dict] | None] = [None] * n
     n_blocks = [0] * n
     errors: list[str | None] = [None] * n
+    flat_tags: list[str] = []
+    flat_texts: list[str] = []
+    offsets = [0]
     for i in range(n):
-        raw = htmls[i].as_py()
         try:
-            blocks = parse_html_blocks(raw)
+            blocks = parse_html_blocks(htmls[i])
             texts[i] = "\n".join(t for _, t in blocks)
-            blocks_col[i] = [{"tag": tg, "text": t} for tg, t in blocks]
+            for tg, t in blocks:
+                flat_tags.append(tg)
+                flat_texts.append(t)
             n_blocks[i] = len(blocks)
         except Exception as e:  # malformed row -> dead letter, keep going
-            blocks_col[i] = []
             errors[i] = f"{type(e).__name__}: {e}"
+        offsets.append(len(flat_tags))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(flat_tags, pa.string()), pa.array(flat_texts, pa.string())],
+        ["tag", "text"],
+    )
+    blocks_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
     return pa.table(
         {
             "url": batch.column("url"),
             "warc_ts": batch.column("warc_ts"),
             "lang": batch.column("lang"),
             "text": pa.array(texts, pa.string()),
-            "blocks": pa.array(
-                blocks_col,
-                pa.list_(pa.struct([("tag", pa.string()), ("text", pa.string())])),
-            ),
+            "blocks": blocks_arr,
             "n_blocks": pa.array(n_blocks, pa.int32()),
             "error": pa.array(errors, pa.string()),
         },

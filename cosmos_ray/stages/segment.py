@@ -180,8 +180,9 @@ class SegmentClassifier:
         # once per actor: compile rules (reference: models loaded in
         # worker plugins, `preload_plugins/detect_setup.py:6-15`) and
         # precompute the ranked score table over the small feature space
-        # (prior-class x ends-period x short) so per-batch work is a
-        # vectorized combo lookup, not per-row dict sorting.
+        # (prior-class x ends-period x short). Per-batch work is then a
+        # single vectorized ``take`` per output column against these
+        # combo arrays — no per-row python list construction.
         self.re_table_cap = re.compile(r"^(table|tbl|tab)\.? ?[0-9]", re.I)
         self.re_figure_cap = re.compile(r"^(figure|fig|scheme|plate)\.? ?[0-9]", re.I)
         self._combo_classes: list[list[str]] = []
@@ -194,6 +195,20 @@ class SegmentClassifier:
                     self._combo_of[(prior, endsp, short)] = len(self._combo_classes)
                     self._combo_classes.append([c for _, c in ranked])
                     self._combo_scores.append([s for s, _ in ranked])
+        # vectorized lookup state: combo id = prior_class_idx * 4 +
+        # ends_period * 2 + short (matches the loop order above)
+        self._tag_keys = pa.array(list(self._TAG_PRIOR.keys()), pa.string())
+        other_idx = CLASSES.index("Other")
+        self._tag_prior_idx = np.array(
+            [CLASSES.index(v) for v in self._TAG_PRIOR.values()] + [other_idx],
+            dtype=np.int64,
+        )
+        self._combo_classes_arr = pa.array(self._combo_classes, pa.list_(pa.string()))
+        self._combo_scores_arr = pa.array(self._combo_scores, pa.list_(pa.float32()))
+        self._combo_top_cls = pa.array([c[0] for c in self._combo_classes], pa.string())
+        self._combo_top_score = pa.array(
+            [s[0] for s in self._combo_scores], pa.float32()
+        )
 
     @staticmethod
     def _score_combo(prior: str, ends_period: bool, short: bool) -> list[tuple[float, str]]:
@@ -208,50 +223,114 @@ class SegmentClassifier:
         return sorted(((v / total, c) for c, v in base.items()), reverse=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
         import pyarrow.compute as pc
 
-        tags = pd.Series(batch.column("tag").to_pylist(), dtype=object)
-        texts = pd.Series(batch.column("text").to_pylist(), dtype=object)
-        n = len(tags)
-
-        prior = tags.map(self._TAG_PRIOR).fillna("Other")
-        endsp = texts.str.endswith(".").to_numpy()
-        short = (texts.str.len() < 30).to_numpy()
-        combo = np.fromiter(
-            (self._combo_of[(p, bool(e), bool(s))] for p, e, s in zip(prior, endsp, short)),
-            dtype=np.int64,
-            count=n,
+        text = batch.column("text")
+        n = batch.num_rows
+        # combo id per row, all-arrow: tag -> prior-class index, plus the
+        # ends-period / short feature bits
+        ti = pc.fill_null(
+            pc.index_in(batch.column("tag"), value_set=self._tag_keys),
+            len(self._tag_prior_idx) - 1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        prior_idx = self._tag_prior_idx[ti]
+        endsp = pc.ends_with(text, pattern=".").to_numpy(zero_copy_only=False)
+        short = pc.less(pc.utf8_length(text), pa.scalar(30)).to_numpy(
+            zero_copy_only=False
         )
-        classes_col = [self._combo_classes[c] for c in combo]
-        scores_col = [self._combo_scores[c] for c in combo]
-        cls_col = [self._combo_classes[c][0] for c in combo]
-        score_col = [self._combo_scores[c][0] for c in combo]
+        combo = pa.array(prior_idx * 4 + endsp * 2 + short)
+        classes_col = pc.take(self._combo_classes_arr, combo)
+        scores_col = pc.take(self._combo_scores_arr, combo)
+        cls_arr = pc.take(self._combo_top_cls, combo)
+        score_arr = pc.take(self._combo_top_score, combo)
 
         # rules postprocess (reference `pp_rules.py:7-35`): vectorized
-        # regex caption override, score := 1.0
-        is_tab = texts.str.match(self.re_table_cap).to_numpy()
-        is_fig = (~is_tab) & texts.str.match(self.re_figure_cap).to_numpy()
-        for i in np.flatnonzero(is_tab):
-            cls_col[i], score_col[i] = "Table Caption", 1.0
-        for i in np.flatnonzero(is_fig):
-            cls_col[i], score_col[i] = "Figure Caption", 1.0
+        # RE2 caption override, score := 1.0
+        is_tab = pc.match_substring_regex(text, r"(?i)^(table|tbl|tab)\.? ?[0-9]")
+        is_fig = pc.and_not(
+            pc.match_substring_regex(text, r"(?i)^(figure|fig|scheme|plate)\.? ?[0-9]"),
+            is_tab,
+        )
+        cls_arr = pc.if_else(is_tab, pa.scalar("Table Caption"), cls_arr)
+        cls_arr = pc.if_else(is_fig, pa.scalar("Figure Caption"), cls_arr)
+        score_arr = pc.if_else(
+            pc.or_(is_tab, is_fig), pa.scalar(1.0, pa.float32()), score_arr
+        )
 
         neighbors = None
         if self.page_context:
-            neighbors = self._apply_page_context(batch, cls_col, score_col)
+            other_any = pc.any(pc.equal(cls_arr, pa.scalar("Other"))).as_py()
+            if self.emit_neighbors or other_any:
+                # exact path (feature emission / rare unknown-class rows)
+                # needs the class strings in python
+                cls_col = cls_arr.to_pylist()
+                score_col = score_arr.to_pylist()
+                neighbors = self._apply_page_context(batch, cls_col, score_col)
+                cls_arr = pa.array(cls_col, pa.string())
+                score_arr = pa.array(score_col, pa.float32())
+            elif pc.any(pc.equal(cls_arr, pa.scalar("Table"))).as_py():
+                cls_arr, score_arr = self._page_context_fast(batch, cls_arr, score_arr)
 
-        out = batch.append_column("classes", pa.array(classes_col, pa.list_(pa.string())))
-        out = out.append_column("scores", pa.array(scores_col, pa.list_(pa.float32())))
-        out = out.append_column("cls", pa.array(cls_col, pa.string()))
-        out = out.append_column("score", pa.array(score_col, pa.float32()))
+        out = batch.append_column("classes", classes_col)
+        out = out.append_column("scores", scores_col)
+        out = out.append_column("cls", cls_arr)
+        out = out.append_column("score", score_arr)
         if self.emit_neighbors:
             out = out.append_column(
                 "neighbor_cls",
-                pa.array([x or [] for x in (neighbors or [[]] * len(cls_col))],
+                pa.array([x or [] for x in (neighbors or [[]] * n)],
                          pa.list_(pa.string())),
             )
         return out
+
+    def _page_context_fast(self, batch: pa.Table, cls_arr, score_arr):
+        """Conversion-free isolated-table-cell rule: url-group bounds,
+        neighbor windows and table-like counts all computed on arrow/
+        numpy arrays; the sparse demotions apply via one ``if_else``.
+        Same semantics as the fast pass of ``_apply_page_context``."""
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        u = batch.column("url")
+        changes = pc.not_equal(u.slice(1), u.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        ) if n > 1 else np.array([], dtype=bool)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(changes) + 1, [n]]
+        ).astype(np.int64)
+        page = batch.column("page_num").to_numpy(zero_copy_only=False).astype(np.float64)
+        bb = batch.column("bbox")
+        flat = bb.combine_chunks() if isinstance(bb, pa.ChunkedArray) else bb
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.chunk(0)
+        xy = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, 4)
+        ay1 = page * _PAGE_H + xy[:, 1]
+        ay2 = page * _PAGE_H + xy[:, 3]
+        E2 = 2.0 * _CTX_EXPAND
+        gidx = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        offset = float(ay2.max()) + E2 + 1.0
+        gy1 = ay1 + gidx * offset
+        gy2 = ay2 + gidx * offset
+        tab = pc.equal(cls_arr, pa.scalar("Table")).to_numpy(zero_copy_only=False)
+        table_like = pc.is_in(
+            cls_arr, value_set=pa.array(["Table", "Table Caption"])
+        ).to_numpy(zero_copy_only=False)
+        tab_idx = np.flatnonzero(tab)
+        gy2max = np.maximum.accumulate(gy2)
+        up = np.searchsorted(gy1, gy2[tab_idx] + E2, side="left")
+        dn = np.searchsorted(gy2max, gy1[tab_idx] - E2, side="right")
+        pre = np.concatenate([[0], np.cumsum(table_like)])
+        n_tab = pre[up] - pre[dn] - 1  # minus self
+        win = up - dn - 1
+        demote = tab_idx[(win >= 1) & (n_tab == 0)]
+        if len(demote) == 0:
+            return cls_arr, score_arr
+        mask = np.zeros(n, dtype=bool)
+        mask[demote] = True
+        mask_arr = pa.array(mask)
+        cls_arr = pc.if_else(mask_arr, pa.scalar("Body Text"), cls_arr)
+        score_arr = pc.if_else(mask_arr, pa.scalar(0.3, pa.float32()), score_arr)
+        return cls_arr, score_arr
 
     def _apply_page_context(self, batch: pa.Table, cls_col: list, score_col: list):
         """Neighbor featurization + context rules (D2,

@@ -53,6 +53,12 @@ def extract_triples_from_text(text: str) -> list[tuple[int, str, str, str]]:
 
 
 def triples_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # vectorized prefilter: a segment without any predicate substring
+    # cannot yield an SVO match — the RE2 scan skips the (dominant)
+    # prose segments before the python finditer runs
+    batch = batch.filter(pc.match_substring_regex(batch.column("text"), _PRED_ALT))
     urls = batch.column("url").to_pylist()
     seg_ids = batch.column("seg_id").to_pylist()
     texts = batch.column("text").to_pylist()
