@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=16, help="url-hash partitions")
     p.add_argument("--streaming", action="store_true",
                    help="single-pass graph-only run (no per-partition checkpoints)")
+    p.add_argument("--aggregations", default=None,
+                   help="comma-separated derived tables to also write "
+                        "(registry names: sections,documents,captions,"
+                        "figures,equations,table_context); requires the "
+                        "checkpointing path")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when starting a fresh local session")
     args = p.parse_args(argv)
@@ -54,6 +59,22 @@ def main(argv: list[str] | None = None) -> int:
         from cosmos_ray.state.manifest import run_partitioned
 
         summary = run_partitioned(args.input, args.output, num_partitions=args.partitions)
+        if args.aggregations:
+            import os
+
+            import ray.data as rd
+
+            from cosmos_ray.pipelines.kg import _parquet_rows, _stub_fsspec_http
+            from cosmos_ray.pipelines.registry import run_aggregations
+
+            _stub_fsspec_http()
+            segs = rd.read_parquet(os.path.join(args.output, "segments"))
+            names = [n.strip() for n in args.aggregations.split(",") if n.strip()]
+            for name, ds in run_aggregations(segs, names).items():
+                path = os.path.join(args.output, name)
+                os.makedirs(path, exist_ok=True)
+                ds.write_parquet(path)
+                summary[f"{name}_rows"] = _parquet_rows(path)
     print(json.dumps(summary, default=str))
     return 0
 

@@ -161,3 +161,62 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_centroids: int = 16,
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------- IVF index at rest
+
+def build_ivf_index(emb_ds, out_dir: str, n_centroids: int = 16, seed: int = 23):
+    """Index-time half of IVF: train the coarse quantizer on a seeded
+    uniform sample, assign every vector to its nearest centroid, and
+    write the corpus partitioned BY CELL (hive layout ``cell=K/``) —
+    queries then read only their probed cells' files (partition pruning,
+    the disk analog of nprobe). Returns the centroid matrix; persist it
+    next to the index (``centroids.npy``)."""
+    import os
+
+    import pyarrow as pa
+
+    C = _seeded_centroids(emb_ds, n_centroids, seed)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        V = _as_matrix(batch.column("embedding"))
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(Vn @ cm.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell))
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    assigned.write_parquet(out_dir, partition_cols=["cell"])
+    np.save(os.path.join(out_dir, "centroids.npy"), C)
+    return C
+
+
+def ivf_query_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
+                    nprobe: int = 4):
+    """Query-time half: load the (tiny) centroid matrix, pick the
+    ``nprobe`` nearest cells per query, and ``read_parquet`` ONLY those
+    cells' directories — the scan never touches the other partitions.
+    Returns the same (query_id, vec_id, cosine, rank) dataset shape as
+    ``brute_force_topk``."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    cells = sorted({int(c) for row in probe for c in row})
+    paths = [p for c in cells for p in glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))]
+    if not paths:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({"query_id": pa.array([], pa.int32()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64()),
+                                       "rank": pa.array([], pa.int64())}))
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, query_vecs, k=k)

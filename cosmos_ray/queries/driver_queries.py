@@ -618,11 +618,26 @@ def q_embed_docs(sf_dir: str):
 
 
 def q_doc_windows(sf_dir: str):
-    """Sliding-window context splitter (S11) — non-SQL, rows-only."""
+    """Sliding-window context splitter (S11), window=64 stride=16 —
+    SQL-expressible via range + list_slice (start grid =
+    range(0, max(len-48, 1), 16), which provably equals the generator's
+    emit-then-break-on-cover loop)."""
     from cosmos_ray.stages.export import sliding_windows
 
     return sliding_windows(read(sf_dir, "documents", ["doc_id", "text"]),
                            window=64, stride=16)
+
+
+SQL_DOC_WINDOWS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE length(trim(text)) > 0)
+SELECT doc_id,
+       CAST(st // 16 AS INT) AS window_id,
+       array_to_string(list_slice(ws, st + 1, st + 64), ' ') AS window_text
+FROM (SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws) - 48, 1), 16)) AS st
+      FROM w)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -999,6 +1014,7 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,
+    "doc_windows": SQL_DOC_WINDOWS,
     "dehyphenate": SQL_DEHYPHENATE,
     "qa_spans": SQL_QA_SPANS,
     # kg_*, langid, minhash_clusters, simhash_pairs, ivf_topk: non-SQL

@@ -48,3 +48,39 @@ def test_ivf_recall_vs_brute_force():
         recall_den += len(want)
     recall = recall_num / recall_den
     assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_ivf_index_partition_pruning(tmp_path):
+    """Index/query split: the on-disk index is hive-partitioned by cell
+    and a query touches only its nprobe cells' directories; recall vs
+    brute force stays high."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(400, 16))
+    tbl = pa.table(
+        {"vec_id": pa.array(range(400), pa.int64()),
+         "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64()))}
+    )
+    idx_dir = str(tmp_path / "ivf")
+    C = build_ivf_index(rd.from_arrow(tbl), idx_dir, n_centroids=8, seed=3)
+    assert C.shape[0] == 8
+    cell_dirs = glob.glob(os.path.join(idx_dir, "cell=*"))
+    assert len(cell_dirs) >= 4  # corpus spread over several cells
+
+    q = vecs[7:8]
+    got = {r["vec_id"] for r in ivf_query_index(idx_dir, q, k=10, nprobe=4).take_all()}
+    want = {r["vec_id"] for r in brute_force_topk(rd.from_arrow(tbl), q, k=10).take_all()}
+    assert 7 in got  # the query vector itself is its own nearest neighbor
+    assert len(got & want) >= 7, f"recall too low: {len(got & want)}/10"
