@@ -478,6 +478,8 @@ def q_ngram_jaccard_adjacent(sf_dir: str):
                on=("doc_id",), right_on=("prev_id",))
 
     def jac(t: pa.Table) -> pa.Table:
+        import math
+
         sa = t.column("sh").to_pylist()
         sb = t.column("sh_b").to_pylist()
         out = []
@@ -485,7 +487,9 @@ def q_ngram_jaccard_adjacent(sf_dir: str):
             xs = set(x.split("\x1f")) if x else set()
             ys = set(y.split("\x1f")) if y else set()
             u = len(xs | ys)
-            out.append(round(len(xs & ys) / u, 6) if u else 1.0)
+            # DuckDB round() is half-away-from-zero; python round is
+            # half-even (they diverge on exact ties like 1/128)
+            out.append(math.floor(len(xs & ys) / u * 1e6 + 0.5) / 1e6 if u else 1.0)
         return pa.table(
             {
                 "doc_a": t.column("doc_id"),
