@@ -54,16 +54,25 @@ DOCS_ROLLUP_SCHEMA = pa.schema(
 )
 
 
-def _reading_order(g: pd.DataFrame) -> pd.DataFrame:
+def _reading_order(g: pd.DataFrame, column_split: float | None = None) -> pd.DataFrame:
+    """Per-document reading order. Single-column (default): (page, y, x).
+    Multi-column (``column_split`` px, the reference export's ``x // 500``
+    column-break heuristic, `parquet_to_json.py:42-94`): whole left
+    column before right column within each page — (page, x-bin, y, x)."""
     bbs = g["bbox"].tolist()
     y1 = np.array([b[1] for b in bbs])
     x1 = np.array([b[0] for b in bbs])
-    order = np.lexsort((x1, y1, g["page_num"].to_numpy()))
+    page = g["page_num"].to_numpy()
+    if column_split:
+        xbin = (x1 // column_split).astype(np.int64)
+        order = np.lexsort((x1, y1, xbin, page))
+    else:
+        order = np.lexsort((x1, y1, page))
     return g.iloc[order]
 
 
-def _sections_for_url(g: pd.DataFrame) -> list[dict]:
-    g = _reading_order(g)
+def _sections_for_url(g: pd.DataFrame, column_split: float | None = None) -> list[dict]:
+    g = _reading_order(g, column_split)
     url = g["url"].iloc[0]
     out: list[dict] = []
     cur: dict | None = None
@@ -102,8 +111,10 @@ def _sections_for_url(g: pd.DataFrame) -> list[dict]:
     return out
 
 
-def aggregate_sections(segments_ds, num_buckets: int = 64):
-    """classified segments -> sections table (grouped by url)."""
+def aggregate_sections(segments_ds, num_buckets: int = 64,
+                       column_split: float | None = None):
+    """classified segments -> sections table (grouped by url).
+    ``column_split`` enables the multi-column reading order."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(np.asarray(t.column("url").to_pylist(), dtype=object))
@@ -113,7 +124,7 @@ def aggregate_sections(segments_ds, num_buckets: int = 64):
         df = t.drop_columns(["__bucket"]).to_pandas()
         rows: list[dict] = []
         for _, g in df.groupby("url", sort=False):
-            rows.extend(_sections_for_url(g))
+            rows.extend(_sections_for_url(g, column_split))
         if not rows:
             return SECTIONS_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=SECTIONS_SCHEMA)

@@ -164,3 +164,31 @@ def test_caption_nearby_text_pooling(kg_small):
     # at least some captions pool more than their own text (an adjacent
     # line within the 150-px feather)
     assert any(r["nearby_text"] != r["caption_text"] for r in rows)
+
+
+def test_multicolumn_reading_order():
+    """A two-column page must read whole-left-column-then-right under
+    column_split (the export x//500 heuristic), and interleave by y
+    without it."""
+    import pandas as pd
+
+    from cosmos_ray.stages.aggregate import _reading_order
+
+    # left column x=72, right column x=1000; two rows each
+    g = pd.DataFrame(
+        {
+            "url": ["u"] * 4,
+            "page_num": [0] * 4,
+            "seg_id": [0, 1, 2, 3],
+            "cls": ["Body Text"] * 4,
+            "text": ["L1", "R1", "L2", "R2"],
+            "bbox": [
+                [72.0, 100.0, 500.0, 124.0],
+                [1000.0, 100.0, 1400.0, 124.0],
+                [72.0, 300.0, 500.0, 324.0],
+                [1000.0, 300.0, 1400.0, 324.0],
+            ],
+        }
+    )
+    assert _reading_order(g, column_split=500)["text"].tolist() == ["L1", "L2", "R1", "R2"]
+    assert _reading_order(g)["text"].tolist() == ["L1", "R1", "L2", "R2"]

@@ -63,3 +63,58 @@ def test_svo_extractor_total(s):
 
     out = extract_triples_from_text(s)
     assert isinstance(out, list)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_dehyphenate_total_and_idempotent(s):
+    """Dehyphenation is total on arbitrary text and idempotent when no
+    new hyphen-break can be formed by a previous join (single pass over
+    non-overlapping matches)."""
+    import pyarrow as pa
+
+    from cosmos_ray.stages.enrich import dehyphenate_batch
+
+    t = pa.table({"text": [s]})
+    out1 = dehyphenate_batch(t).column("text").to_pylist()[0]
+    # no "-\n" surrounded by alnum may survive a single pass's matches;
+    # overlapping patterns (e.g. "a-\nb-\nc") legitimately need a second
+    # pass — assert convergence within two passes instead
+    out2 = dehyphenate_batch(pa.table({"text": [out1]})).column("text").to_pylist()[0]
+    out3 = dehyphenate_batch(pa.table({"text": [out2]})).column("text").to_pylist()[0]
+    assert out3 == out2
+
+
+@given(st.text(alphabet="ab -\n", max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_rolling_fingerprint_total_and_stable(s):
+    from cosmos_ray.functions.textops import _ROLL_MOD, rolling_fingerprint
+
+    v = rolling_fingerprint(s)
+    assert 0 <= v < _ROLL_MOD
+    assert rolling_fingerprint(s) == v  # deterministic
+
+
+@given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=2, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_table_label_mining_total(texts):
+    from cosmos_ray.stages.enrich import mine_table_label
+
+    for t in texts:
+        out = mine_table_label(t)
+        assert out is None or out.startswith("table ")
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_qa_extractor_total(s):
+    """QA span offsets always index the answer inside the context."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.stages.qa import QaExtractor
+
+    t = pa.table({"doc_id": [1], "text": [s]})
+    row = QaExtractor("what scans?")(t).to_pylist()[0]
+    if row["answer"] is not None:
+        assert s[row["answer_start"]:row["answer_end"]] == row["answer"]
