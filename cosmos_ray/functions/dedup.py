@@ -30,14 +30,45 @@ import ray.data as rd
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the minimum-id row per distinct text. Shuffle carries only
-    (text, id) — at scale swap text for its hash and resolve collisions
-    in a second pass (collision probability ~0 for 128-bit)."""
+    """Keep the minimum-id row per distinct text; the shuffle carries
+    (text, id). Value-exact and oracle-parity friendly; at 100 TB use
+    ``exact_dedup_hashed`` (the shuffle then carries 32-byte digests)."""
     from ray.data.aggregate import Min
 
     ids = docs_ds.select_columns([id_col, text_col])
     return ids.groupby(text_col).aggregate(Min(id_col, alias_name=id_col)).select_columns(
         [id_col, text_col]
+    )
+
+
+def exact_dedup_hashed(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                       cap_rows: int = 50_000_000):
+    """Scale variant of ``exact_dedup``: the exchange moves (md5(text),
+    id) — 32-byte digests instead of document payloads — then the winner
+    rows are fetched back by id with the size-guarded semi-join (128-bit
+    collision probability is negligible; a paranoid deployment verifies
+    winners' texts in a second grouped pass)."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    from cosmos_ray.queries.relational import semi_join_ds
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table({"__h": pa.array(hs, pa.string()), id_col: t.column(id_col)})
+
+    winners = (
+        docs_ds.select_columns([id_col, text_col])
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("__h")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+    return semi_join_ds(
+        docs_ds.select_columns([id_col, text_col]), winners,
+        key_col=id_col, big_key=id_col, cap_rows=cap_rows,
     )
 
 
@@ -526,12 +557,29 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 
 # ---------------------------------------------------------------- embedding near-dup
 
-def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 11):
+def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12,
+                        seed: int = 11, n_repeats: int = 1):
     """Near-dup pairs by embedding cosine >= threshold. Scale path:
     sign-of-random-projection LSH buckets (broadcast plane matrix) ->
-    exact cosine inside buckets. High-cosine pairs collide with high
-    probability; increase recall by repeating with several plane seeds."""
+    exact cosine inside buckets. ``n_repeats`` > 1 unions bucket rounds
+    under different plane seeds — recall approaches 1 exponentially in
+    rounds (a pair at cosine c collides per round with prob
+    (1 - arccos(c)/pi)^n_planes); the final pair groupby dedupes."""
     import ray
+
+    if n_repeats > 1:
+        out = None
+        for r in range(n_repeats):
+            part = embedding_near_dups(
+                emb_ds, threshold=threshold, n_planes=n_planes,
+                seed=seed + 104729 * r, n_repeats=1,
+            )
+            out = part if out is None else out.union(part)
+        from ray.data.aggregate import Max
+
+        return out.groupby(["vec_a", "vec_b"]).aggregate(
+            Max("cosine", alias_name="cosine")
+        )
 
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])

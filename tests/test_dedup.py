@@ -142,3 +142,37 @@ def test_embedding_near_dups():
     assert found >= 4, f"embedding near-dup recall too low: {found}/5"
     # no false positives among random gaussian pairs
     assert all(a == b - 100 or abs(a - b) < 100 for a, b in got if b >= 100) or True
+
+
+def test_exact_dedup_hashed_agrees(planted_corpus):
+    """The scale variant (digest exchange + winner semi-join) must return
+    exactly the same (doc_id, text) set as the text-groupby form."""
+    a = {(r["doc_id"], r["text"])
+         for r in dedup.exact_dedup(rd.from_arrow(planted_corpus)).take_all()}
+    b = {(r["doc_id"], r["text"])
+         for r in dedup.exact_dedup_hashed(rd.from_arrow(planted_corpus)).take_all()}
+    assert a == b
+    # force the distributed semi-join fallback too
+    c = {(r["doc_id"], r["text"])
+         for r in dedup.exact_dedup_hashed(rd.from_arrow(planted_corpus),
+                                           cap_rows=0).take_all()}
+    assert a == c
+
+
+def test_embedding_near_dups_multiseed_recall():
+    """Repeated plane seeds can only ADD pairs (monotone recall), and
+    every planted near-identical pair is found with 3 rounds."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(50, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    for i in range(5):
+        v = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append({"vec_id": 100 + i, "embedding": v.tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    one = {(r["vec_a"], r["vec_b"])
+           for r in dedup.embedding_near_dups(ds, threshold=0.95, n_planes=8).take_all()}
+    three = {(r["vec_a"], r["vec_b"])
+             for r in dedup.embedding_near_dups(ds, threshold=0.95, n_planes=8,
+                                                n_repeats=3).take_all()}
+    assert one <= three
+    assert all((i, 100 + i) in three for i in range(5)), three
