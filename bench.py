@@ -13,9 +13,11 @@ operator queries, and prints ONE JSON line:
 processes at N and 4N cpus (default 4 vs 16; override GRAFT_SCALE_LO /
 GRAFT_SCALE_HI) on the SAME input, best-of-2 per level (shared-tenant
 host noise), and reports both throughputs + scaling efficiency
-(criterion: eff >= 0.8 from N to 4N). 4v16 rather than 8v32 because
-this host's memory bandwidth saturates above ~16 workers and a
-pure-python busy-loop itself only scales 0.88 at 8->32 (BASELINE.md).
+(criterion: eff >= 0.8 from N to 4N). ``--calibrate`` prints this
+host's own 4->16 multiprocessing ceiling (pure-python compute ~0.80
+here: 16 procs land on SMT siblings of 16 physical cores; memory-
+streaming ~0.34) — normalize the pipeline's measured efficiency
+against the cpu ceiling before judging it (BASELINE.md).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), GRAFT_BENCH_REPEAT (pages = docs x repeat, default 12),
@@ -202,7 +204,54 @@ def _run_child(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _calibrate() -> dict:
+    """Host scaling ceiling probe: fixed total work split over 4 vs 16
+    multiprocessing workers, arithmetic-only vs memory-streaming. On this
+    sandbox 16 procs land on SMT siblings (16 physical cores), so even
+    pure-python compute tops out near 0.8 — the number the pipeline's
+    measured efficiency should be normalized against."""
+    import multiprocessing as mp
+
+    def run(task, total, procs):
+        per = total // procs
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(task, [per] * procs)
+        return time.perf_counter() - t0
+
+    out = {"metric": "host_calibration", "unit": "ratio"}
+    for name, task, total in (("cpu", _calib_cpu, 160_000_000),
+                              ("mem", _calib_mem, 4000)):
+        t4 = min(run(task, total, 4) for _ in range(2))
+        t16 = min(run(task, total, 16) for _ in range(2))
+        out[f"{name}_t4"] = round(t4, 2)
+        out[f"{name}_t16"] = round(t16, 2)
+        out[f"{name}_eff_4_16"] = round((t4 / t16) / 4, 3)
+    return out
+
+
+def _calib_cpu(n: int) -> int:
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+    return x
+
+
+def _calib_mem(n: int) -> int:
+    import numpy as np
+
+    a = np.arange(2_000_000, dtype=np.int64)  # 16 MB: busts cache per copy
+    s = 0
+    for _ in range(n):
+        b = a.copy()
+        s += int(b[::4096].sum())
+    return s
+
+
 def main() -> None:
+    if "--calibrate" in sys.argv:
+        print(json.dumps(_calibrate()))
+        return
     if "--scaling" in sys.argv:
         global REPEAT
         REPEAT = SCALING_REPEAT
