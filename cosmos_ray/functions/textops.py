@@ -192,7 +192,9 @@ class LanguageId:
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": best_lang,
-                "lang_score": np.round(best_score, 6),
+                # half-away-from-zero to match SQL round(): scores like
+                # 9/128 are binary-exact .5 ties where np.round half-evens
+                "lang_score": np.floor(best_score * 1e6 + 0.5) / 1e6,
             }
         )
 

@@ -751,9 +751,15 @@ SELECT subj, pred, obj, count(*) AS weight FROM m GROUP BY subj, pred, obj
 
 
 # --------------------------------------------------------------------------
-# Non-SQL-expressible pipelines (driver records rows-only; pytest holds the
-# strong gates): full KG over synthesized pages, langid, minhash, ivf.
+# KG pipelines over the synthesized pages corpus. The generator's planted
+# draws are integer arithmetic on doc_id (pages._h), so DuckDB oracles can
+# reconstruct the expected outputs exactly from `documents` — see
+# `queries/oracle_gen.py`. Each query projects to the deterministic
+# columns (no float32 scores / list columns) for the value-hash compare;
+# the full-width outputs stay covered by exact pytest goldens.
 # --------------------------------------------------------------------------
+
+from cosmos_ray.queries.oracle_gen import with_goldens
 
 
 def _pages_ds(sf_dir: str):
@@ -768,13 +774,35 @@ def _pages_ds(sf_dir: str):
 def q_kg_triples(sf_dir: str):
     from cosmos_ray.pipelines.kg import build_kg
 
-    return build_kg(_pages_ds(sf_dir)).triples
+    return build_kg(_pages_ds(sf_dir)).triples.select_columns(
+        ["url", "subj", "pred", "obj", "n_mentions"]
+    )
+
+
+SQL_KG_TRIPLES = with_goldens("""
+SELECT url, subj, pred, obj, count(*) AS n_mentions
+FROM facts GROUP BY url, subj, pred, obj
+""")
 
 
 def q_kg_entities(sf_dir: str):
     from cosmos_ray.pipelines.kg import build_kg
 
-    return build_kg(_pages_ds(sf_dir)).entities
+    return build_kg(_pages_ds(sf_dir)).entities.select_columns(
+        ["canonical_id", "name", "n_mentions"]
+    )
+
+
+SQL_KG_ENTITIES = with_goldens("""
+, ends AS (
+  SELECT s.canonical_id FROM facts f JOIN surf s ON s.surface = f.subj
+  UNION ALL
+  SELECT s.canonical_id FROM facts f JOIN surf s ON s.surface = f.obj
+)
+SELECT e.canonical_id, any_value(k.name) AS name, count(*) AS n_mentions
+FROM ends e JOIN kbname k USING (canonical_id)
+GROUP BY e.canonical_id
+""")
 
 
 def q_kg_adjacency(sf_dir: str):
@@ -783,13 +811,40 @@ def q_kg_adjacency(sf_dir: str):
     return build_kg(_pages_ds(sf_dir)).adjacency
 
 
+SQL_KG_ADJACENCY = with_goldens("""
+SELECT ss.canonical_id AS src_entity, so.canonical_id AS dst_entity,
+       f.pred, count(*) AS weight
+FROM facts f
+JOIN surf ss ON ss.surface = f.subj
+JOIN surf so ON so.surface = f.obj
+GROUP BY 1, 2, 3
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.aggregate import aggregate_sections
 
-    return aggregate_sections(build_kg(_pages_ds(sf_dir)).segments)
+    return aggregate_sections(build_kg(_pages_ds(sf_dir)).segments).select_columns(
+        ["url", "section_id", "section_header", "section_header_page", "content"]
+    )
+
+
+SQL_KG_SECTIONS = with_goldens("""
+, b2 AS (SELECT url, seg_id, text,
+                CASE WHEN cls IN ('Title', 'Section Header') THEN 1 ELSE 0 END AS is_hdr
+         FROM blocks),
+ b3 AS (SELECT *, SUM(is_hdr) OVER (PARTITION BY url ORDER BY seg_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM b2)
+SELECT url, CAST(sid AS INT) AS section_id,
+       max(CASE WHEN is_hdr = 1 THEN text END) AS section_header,
+       CAST(max(CASE WHEN is_hdr = 1 THEN seg_id // 12 END) AS INT) AS section_header_page,
+       coalesce(string_agg(CASE WHEN is_hdr = 0 THEN text END, chr(10) ORDER BY seg_id),
+                '') AS content
+FROM b3 GROUP BY url, sid
+""")
 
 
 def q_kg_captions(sf_dir: str):
@@ -798,7 +853,53 @@ def q_kg_captions(sf_dir: str):
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.aggregate import associate_captions
 
-    return associate_captions(build_kg(_pages_ds(sf_dir)).segments)
+    return associate_captions(build_kg(_pages_ds(sf_dir)).segments).select_columns(
+        ["url", "page_num", "caption_seg_id", "caption_text",
+         "object_seg_id", "object_text"]
+    )
+
+
+# greedy nearest-centroid claiming, reproduced as a recursive CTE over
+# caption rank r per (url, page): rank r claims the nearest object not in
+# the claimed list. All coordinates are integer-valued (layout parity note
+# in oracle_gen.py), so the DOUBLE distances equal the engine's.
+SQL_KG_CAPTIONS = with_goldens("""
+, geom AS (
+  SELECT url, seg_id, CAST(seg_id // 12 AS INT) AS page, text, cls,
+         (72.0 + least(72.0 + 6.0 * length(text), 1848.0)) / 2.0 AS cx,
+         72.0 + (seg_id % 12) * 148.0 + 12.0 AS cy
+  FROM blocks),
+ caps AS (SELECT *, CAST(row_number() OVER (PARTITION BY url, page ORDER BY seg_id)
+                         AS INT) - 1 AS r
+          FROM geom WHERE cls = 'Table Caption'),
+ objs AS (SELECT url, page, seg_id, text, cx, cy FROM geom WHERE cls = 'Table'),
+ assoc AS (
+   SELECT c.url, c.page, c.r, c.seg_id AS caption_seg_id, c.text AS caption_text,
+          o.seg_id AS object_seg_id, o.text AS object_text,
+          CASE WHEN o.seg_id IS NULL THEN CAST([] AS INT[])
+               ELSE [CAST(o.seg_id AS INT)] END AS claimed
+   FROM caps c LEFT JOIN LATERAL (
+      SELECT seg_id, text FROM objs o
+      WHERE o.url = c.url AND o.page = c.page
+      ORDER BY (o.cx - c.cx) * (o.cx - c.cx) + (o.cy - c.cy) * (o.cy - c.cy), o.seg_id
+      LIMIT 1) o ON TRUE
+   WHERE c.r = 0
+   UNION ALL
+   SELECT c.url, c.page, c.r, c.seg_id, c.text, o.seg_id, o.text,
+          CASE WHEN o.seg_id IS NULL THEN a.claimed
+               ELSE list_append(a.claimed, CAST(o.seg_id AS INT)) END
+   FROM assoc a JOIN caps c ON c.url = a.url AND c.page = a.page AND c.r = a.r + 1
+   LEFT JOIN LATERAL (
+      SELECT seg_id, text FROM objs o
+      WHERE o.url = c.url AND o.page = c.page
+        AND NOT list_contains(a.claimed, CAST(o.seg_id AS INT))
+      ORDER BY (o.cx - c.cx) * (o.cx - c.cx) + (o.cy - c.cy) * (o.cy - c.cy), o.seg_id
+      LIMIT 1) o ON TRUE
+ )
+SELECT url, page AS page_num, caption_seg_id, caption_text,
+       CAST(object_seg_id AS INT) AS object_seg_id, object_text
+FROM assoc
+""", recursive=True)
 
 
 def q_dehyphenate(sf_dir: str):
@@ -820,20 +921,85 @@ FROM documents
 def q_kg_table_context(sf_dir: str):
     """Table-context enrichment over the classified segments
     (`context_enrichment.py:180-238`): per Table Caption label, the body
-    sentences mentioning it — rows-only; exact golden in tests."""
+    sentences mentioning it."""
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.enrich import table_context
 
     return table_context(build_kg(_pages_ds(sf_dir)).segments)
 
 
+# the (?<=[.!?])\s+ sentence split is lookbehind, which RE2 lacks —
+# equivalently: mark each punct+whitespace gap with \x01 and split on it
+SQL_KG_TABLE_CONTEXT = with_goldens(r"""
+, capsl AS (
+   SELECT url, seg_id,
+          'table ' || rtrim(regexp_extract(text,
+              '(?i)\b(table|tbl|tab)\.? {1,2}([0-9.ivxlcdm-]+)', 2), '.') AS table_label
+   FROM blocks WHERE cls = 'Table Caption'
+     AND regexp_matches(text, '(?i)\b(table|tbl|tab)\.? {1,2}[0-9.ivxlcdm-]+')),
+ sent AS (
+   SELECT url, seg_id,
+          unnest(string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                              chr(1))) AS s,
+          unnest(range(1, len(string_split(regexp_replace(text, '([.!?])\s+',
+                              '\1' || chr(1), 'g'), chr(1))) + 1)) AS sidx
+   FROM blocks WHERE cls IN ('Body Text', 'List Item')),
+ ctx AS (
+   SELECT c.url, c.seg_id, c.table_label,
+          coalesce(string_agg(CASE WHEN t.s != '' AND contains(lower(t.s), c.table_label)
+                                   THEN t.s END, ' ' ORDER BY t.seg_id, t.sidx),
+                   '') AS context_from_text
+   FROM capsl c LEFT JOIN sent t ON t.url = c.url
+   GROUP BY c.url, c.seg_id, c.table_label)
+SELECT url, table_label, context_from_text FROM ctx
+""")
+
+
 def q_kg_boilerplate(sf_dir: str):
-    """Site-level boilerplate blocks (M14 web analog) — rows-only; exact
-    golden in tests/test_enrich.py."""
+    """Site-level boilerplate blocks (M14 web analog)."""
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.enrich import detect_boilerplate
 
     return detect_boilerplate(build_kg(_pages_ds(sf_dir)).segments)
+
+
+SQL_KG_BOILERPLATE = with_goldens("""
+, bsite AS (SELECT split_part(url, '/', 3) AS site, url, text FROM blocks),
+ bp1 AS (SELECT site, text, count(DISTINCT url) AS n_pages FROM bsite GROUP BY site, text),
+ sp AS (SELECT site, count(DISTINCT url) AS site_pages FROM bsite GROUP BY site)
+SELECT b.site, b.text, b.n_pages, s.site_pages,
+       round(CAST(b.n_pages AS DOUBLE) / s.site_pages, 6) AS frac
+FROM bp1 b JOIN sp s USING (site)
+WHERE s.site_pages >= 5 AND CAST(b.n_pages AS DOUBLE) / s.site_pages >= 0.6
+""")
+
+
+def q_kg_tables_cells(sf_dir: str):
+    """Structured table-content extraction (web analog of the reference's
+    camelot/pdfplumber table parse, `htcosmos/make_parquet.py:786-815`):
+    one row per <td>/<th> cell with (table_idx, row_idx, col_idx).
+    Stale duplicate crawls are dropped first via the metadata-only dup
+    plan (same pre-extraction dedup as the streaming KG pipeline)."""
+    from cosmos_ray.stages import extract
+    from cosmos_ray.stages.tables import extract_table_cells
+
+    pages = _pages_ds(sf_dir)
+    dup_ref = extract.discover_dup_urls(pages)
+    if dup_ref is not None:
+        pages = extract.drop_stale(pages, dup_ref)
+    return extract_table_cells(pages)
+
+
+SQL_KG_TABLES_CELLS = with_goldens("""
+, cellgrid(row_idx, col_idx, kind) AS (VALUES
+    (0, 0, 'm'), (0, 1, 'v'), (1, 0, 'a'), (1, 1, 'b'))
+SELECT b.url, CAST(0 AS INT) AS table_idx,
+       CAST(c.row_idx AS INT) AS row_idx, CAST(c.col_idx AS INT) AS col_idx,
+       CASE c.kind WHEN 'm' THEN 'metric' WHEN 'v' THEN 'value'
+            WHEN 'a' THEN 'alpha score ' || b.m1
+            ELSE 'beta score ' || b.m2 END AS cell_text
+FROM bsrc b, cellgrid c WHERE b.ht
+""")
 
 
 def q_qa_spans(sf_dir: str):
@@ -872,12 +1038,28 @@ def q_rerank_windows(sf_dir: str):
 
 def q_kg_equations(sf_dir: str):
     """Equation rows with nearest-midline (X.Y) label association
-    (J3/G4, `reaggregate_equations.py:61-120`) — rows-only; exact golden
-    in tests/test_aggregate.py."""
+    (J3/G4, `reaggregate_equations.py:61-120`)."""
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.aggregate import aggregate_equations
 
-    return aggregate_equations(build_kg(_pages_ds(sf_dir)).segments)
+    return aggregate_equations(build_kg(_pages_ds(sf_dir)).segments).select_columns(
+        ["url", "equation_page", "label", "content"]
+    )
+
+
+SQL_KG_EQUATIONS = with_goldens(r"""
+, geomq AS (SELECT url, seg_id, text, cls,
+            CAST(seg_id // 12 AS INT) AS page,
+            (seg_id // 12) * 1920.0 + 72.0 + (seg_id % 12) * 148.0 + 12.0 AS mid
+     FROM blocks),
+ eqs AS (SELECT * FROM geomq WHERE cls = 'Equation'),
+ labs AS (SELECT * FROM geomq WHERE cls != 'Equation'
+          AND regexp_full_match(trim(text), '[\(ð][1-9A-Z]+\.?[0-9A-Za-z]*[\)Þ]'))
+SELECT e.url, e.page AS equation_page, l.text AS label, e.text AS content
+FROM eqs e LEFT JOIN LATERAL (
+   SELECT text FROM labs l WHERE l.url = e.url AND abs(l.mid - e.mid) <= 300.0
+   ORDER BY abs(l.mid - e.mid), l.seg_id LIMIT 1) l ON TRUE
+""")
 
 
 def _golden_annotations(sf_dir: str):
@@ -892,27 +1074,79 @@ def _golden_annotations(sf_dir: str):
 
 def q_kg_eval_ap(sf_dir: str):
     """Detection AP@[.5:.95]/AP50/AP75 per class vs golden annotations
-    (G10, `page_metrics.py:63-123`) — rows-only; exact gates in
-    tests/test_metrics.py (AP == 1.0 on the synthetic corpus)."""
+    (G10, `page_metrics.py:63-123`). The oracle encodes the corpus
+    invariant the pytest gates also assert: the deterministic classifier
+    reproduces every golden class, so AP == 1.0 per class and
+    n_pred == n_gold == that class's block count — any engine
+    misclassification breaks the value hash."""
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.metrics import detection_ap
 
     return detection_ap(build_kg(_pages_ds(sf_dir)).segments, _golden_annotations(sf_dir))
 
 
+SQL_KG_EVAL_AP = with_goldens("""
+SELECT cls, 1.0 AS ap, 1.0 AS ap50, 1.0 AS ap75,
+       count(*) AS n_pred, count(*) AS n_gold
+FROM blocks GROUP BY cls
+""")
+
+
 def q_kg_eval_prf(sf_dir: str):
     """Per-document P/R/F1 self-evaluation vs golden classes (G9,
-    `context_enrichment.py:246-319`) — rows-only."""
+    `context_enrichment.py:246-319`). Oracle = the perfect-classifier
+    invariant per url (see q_kg_eval_ap)."""
     from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.metrics import detection_prf
 
     return detection_prf(build_kg(_pages_ds(sf_dir)).segments, _golden_annotations(sf_dir))
 
 
+SQL_KG_EVAL_PRF = with_goldens("""
+SELECT url, 1.0 AS precision, 1.0 AS recall, 1.0 AS f1,
+       count(*) AS n_pred, count(*) AS n_gold
+FROM blocks GROUP BY url
+""")
+
+
 def q_langid(sf_dir: str):
     from cosmos_ray.functions.textops import language_id
 
     return language_id(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_langid() -> str:
+    """Replicates textops.LanguageId in SQL: per-language cue-substring
+    counts (non-overlapping, = replace-based counting) normalized by text
+    length; argmax with first-lang-wins ties; 'und' when all zero."""
+    from cosmos_ray.functions.textops import _LANG_CUES
+
+    def count_expr(cue: str) -> str:
+        c = cue.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{c}', ''))) // {len(cue)}"
+
+    score_cols = ",\n       ".join(
+        f"CAST({' + '.join(count_expr(c) for c in cues)} AS DOUBLE) / l AS s_{lang}"
+        for lang, cues in _LANG_CUES.items()
+    )
+    langs = list(_LANG_CUES)
+    mx = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    pick = " ".join(f"WHEN s_{x} = mx THEN '{x}'" for x in langs[:-1])
+    return f"""
+WITH lo AS (SELECT doc_id, lower(text) AS t,
+                   greatest(length(lower(text)), 1) AS l FROM documents),
+sc AS (SELECT doc_id,
+       {score_cols}
+       FROM lo),
+mxd AS (SELECT *, {mx} AS mx FROM sc)
+SELECT doc_id,
+       CASE WHEN mx <= 0 THEN 'und' {pick} ELSE '{langs[-1]}' END AS lang_pred,
+       round(CASE WHEN mx <= 0 THEN 0.0 ELSE mx END, 6) AS lang_score
+FROM mxd
+"""
+
+
+SQL_LANGID = _sql_langid()
 
 
 def q_minhash_clusters(sf_dir: str):
@@ -985,6 +1219,7 @@ QUERIES = {
     "qa_spans": q_qa_spans,
     "rerank_windows": q_rerank_windows,
     "kg_boilerplate": q_kg_boilerplate,
+    "kg_tables_cells": q_kg_tables_cells,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -1021,5 +1256,21 @@ ORACLES = {
     "doc_windows": SQL_DOC_WINDOWS,
     "dehyphenate": SQL_DEHYPHENATE,
     "qa_spans": SQL_QA_SPANS,
-    # kg_*, langid, minhash_clusters, simhash_pairs, ivf_topk: non-SQL
+    # kg_* family: DuckDB reconstructs the goldens from `documents` via
+    # the arithmetic-deterministic generator (oracle_gen.py)
+    "kg_triples": SQL_KG_TRIPLES,
+    "kg_entities": SQL_KG_ENTITIES,
+    "kg_adjacency": SQL_KG_ADJACENCY,
+    "kg_sections": SQL_KG_SECTIONS,
+    "kg_captions": SQL_KG_CAPTIONS,
+    "kg_table_context": SQL_KG_TABLE_CONTEXT,
+    "kg_boilerplate": SQL_KG_BOILERPLATE,
+    "kg_tables_cells": SQL_KG_TABLES_CELLS,
+    "kg_equations": SQL_KG_EQUATIONS,
+    "kg_eval_ap": SQL_KG_EVAL_AP,
+    "kg_eval_prf": SQL_KG_EVAL_PRF,
+    "langid": SQL_LANGID,
+    # rolling_fp, word_vectors, embed_docs, rerank_windows,
+    # minhash_clusters, simhash_pairs, ivf_topk: non-SQL (model-state /
+    # sketch-hash semantics); exact pytest goldens hold the gates
 }

@@ -2,10 +2,15 @@
 
 The driver-provided ``documents.parquet`` (doc_id, text, lang, source,
 n_chars) is wrapped into templated HTML pages of the BASELINE.json
-input_hint shape ``(url, warc_ts, html, text, lang)``.  Because the
-template and the planted facts are seeded per doc, the *expected*
-extracted text, segments, mentions and triples are computable exactly —
-the golden-fixture pattern of the reference's annotated-document tests
+input_hint shape ``(url, warc_ts, html, text, lang)``.  Every planted
+draw is INTEGER MODULAR ARITHMETIC on ``doc_id`` (``_h`` below) — no
+float, no PRNG — so the expected extracted text, segments, mentions and
+triples are computable exactly not only in Python (``golden_corpus``)
+but also in ANSI SQL over the same ``documents`` table
+(`cosmos_ray/queries/oracle_gen.py` reconstructs the full golden block
+list and fact list in DuckDB; the driver verifies the kg_* queries
+value-for-value against it). Golden-fixture pattern per the reference's
+annotated-document tests
 (`cosmos_service/test/src/annotations/annotations_base.py:16-133`).
 
 Planted structure per page:
@@ -60,9 +65,18 @@ MALFORMED_MOD, MALFORMED_REM = 97, 13
 DUP_MOD, DUP_REM = 50, 7
 
 # bump when golden_doc/render_html semantics change (bench cache key)
-GEN_VERSION = 5
+GEN_VERSION = 6
 
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
+
+# All planted randomness is this integer hash — SQL-replicable exactly
+# (`oracle_gen.py` emits the same expression). The did*k cross term
+# breaks the fixed-stride lattice a pure linear form would have.
+_H_MOD = 1048573  # prime, < 2^20: h*h*N stays well inside int64
+
+
+def _h(did: int, k: int) -> int:
+    return (did * 1000003 + k * 10007 + did * k * 7919 + 12345) % _H_MOD
 
 
 @dataclass
@@ -93,9 +107,9 @@ def golden_doc(
     seed: int = DEFAULT_SEED,
 ) -> GoldenDoc:
     """Compute the golden block list + planted facts for one document.
-    Pure function of its arguments — the html renderer and every golden
-    fixture derive from this."""
-    rng = random.Random(f"{seed}:{doc_id}")
+    Pure function of its arguments, all draws integer arithmetic on
+    ``doc_id`` — the html renderer, every golden fixture AND the DuckDB
+    oracle CTEs (`queries/oracle_gen.py`) derive from this."""
     url = f"https://web{doc_id % 20}.example.org/p/{doc_id}"
     g = GoldenDoc(url=url, doc_id=doc_id, lang=lang)
 
@@ -110,10 +124,10 @@ def golden_doc(
     # a real table on ~40% of pages: 2x2 of deterministic metric cells
     # with its caption adjacent, so Table segments exist for caption
     # association (J2) on the same page
-    has_table = rng.random() < 0.4
+    has_table = _h(doc_id, 1) % 5 < 2
     if has_table:
         g.blocks.append(("h2", "Data"))
-        m1, m2 = rng.randrange(100), rng.randrange(100)
+        m1, m2 = _h(doc_id, 2) % 100, _h(doc_id, 3) % 100
         g.blocks.append(("td", "metric"))
         g.blocks.append(("td", "value"))
         g.blocks.append(("td", f"alpha score {m1}"))
@@ -124,24 +138,29 @@ def golden_doc(
         g.blocks.append(("p", f"See table {1 + doc_id % 3} for the alpha and beta scores."))
 
     g.blocks.append(("h2", "Facts"))
-    n_facts = rng.randint(2, 8)
+    n_facts = 2 + _h(doc_id, 4) % 7
     n = len(kb_names)
-    for _ in range(n_facts):
-        # head-entity skew: power-law subject draw (SURVEY.md §4 skew row)
-        si = int(n * rng.random() ** 2.5)
-        subj = kb_names[min(si, n - 1)]
-        if rng.random() < 0.25 and kb_aliases[subj]:
-            subj_surface = rng.choice(kb_aliases[subj])
+    for f in range(n_facts):
+        # head-entity skew: quadratic subject draw concentrates subjects
+        # at low indexes (SURVEY.md §4 skew row) — floor(n*u^2) with
+        # u = hs/_H_MOD, computed integer-exactly
+        hs = _h(doc_id, 10 + 6 * f)
+        si = (n * hs * hs) // (_H_MOD * _H_MOD)
+        subj = kb_names[si]
+        ha = _h(doc_id, 11 + 6 * f)
+        if ha % 4 == 0 and kb_aliases[subj]:
+            subj_surface = kb_aliases[subj][(ha // 4) % len(kb_aliases[subj])]
         else:
             subj_surface = subj
-        pred = rng.choice(PREDICATES)
-        if rng.random() < 0.12:
-            obj_surface = rng.choice(UNKNOWN_SURFACES)
+        pred = PREDICATES[_h(doc_id, 12 + 6 * f) % len(PREDICATES)]
+        ho = _h(doc_id, 13 + 6 * f)
+        if ho % 25 < 3:
+            obj_surface = UNKNOWN_SURFACES[(ho // 25) % len(UNKNOWN_SURFACES)]
         else:
-            oi = rng.randrange(n)
-            obj = kb_names[oi]
-            if rng.random() < 0.25 and kb_aliases[obj]:
-                obj_surface = rng.choice(kb_aliases[obj])
+            obj = kb_names[ho % n]
+            hb = _h(doc_id, 14 + 6 * f)
+            if hb % 4 == 0 and kb_aliases[obj]:
+                obj_surface = kb_aliases[obj][(hb // 4) % len(kb_aliases[obj])]
             else:
                 obj_surface = obj
         g.facts.append((subj_surface, pred, obj_surface))
@@ -193,6 +212,7 @@ def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
         '<nav class="nav"><span>skip</span></nav>',
     ]
     in_list = in_table = False
+    td_in_row = 0
     for tag, text in g.blocks:
         if tag == "li" and not in_list:
             parts.append("<ul>")
@@ -200,9 +220,17 @@ def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
         if tag != "li" and in_list:
             parts.append("</ul>")
             in_list = False
-        if tag == "td" and not in_table:
-            parts.append('<table class="data"><tr>')
-            in_table = True
+        if tag == "td":
+            # real 2-column row structure (<tr> every 2 cells) so the
+            # structured table-cell extractor has rows/cols to recover
+            if not in_table:
+                parts.append('<table class="data"><tr>')
+                in_table = True
+                td_in_row = 0
+            elif td_in_row == 2:
+                parts.append("</tr><tr>")
+                td_in_row = 0
+            td_in_row += 1
         if tag != "td" and in_table:
             parts.append("</tr></table>")
             in_table = False

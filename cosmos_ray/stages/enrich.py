@@ -108,7 +108,8 @@ def _site_of(url: str) -> str:
     return parts[2] if len(parts) > 2 else url
 
 
-def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5):
+def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5,
+                       cap_rows: int = 2_000_000):
     """Site-level boilerplate detection — the web analog of the
     reference's watermark heuristic (M14, `connected_components.py:210-218`:
     a recurring overlay artifact is detected and masked out of every
@@ -117,13 +118,16 @@ def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5):
     (nav/footer/header furniture), returned as
     (site, text, n_pages, site_pages, frac).
 
-    Shuffle shape: per-batch (site, text, url)-dedup combiner, then one
-    groupby on (site, text) moving counts only; site page totals ride the
-    same exchange keyed by site (tiny) and join via broadcast."""
+    Shuffle shape: batch-local (site, text, url) dedup combiner, then an
+    EXACT two-stage distinct — groupby (site, text, url) first, then a
+    count per (site, text) — so a url whose identical blocks span batch
+    boundaries is still counted once. Site page totals broadcast under
+    ``cap_rows`` (site count is unbounded on a real crawl), else they
+    join distributed."""
     import numpy as np
 
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -134,14 +138,16 @@ def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5):
         )
         df["site"] = [_site_of(u) for u in df["url"]]
         d = df.drop_duplicates(["site", "text", "url"])
-        g = d.groupby(["site", "text"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(d[["site", "text", "url"]], preserve_index=False)
 
     counts = (
         segments_ds.select_columns(["url", "text"])
         .map_batches(partial, batch_format="pyarrow")
+        .groupby(["site", "text", "url"])
+        .aggregate(Count(alias_name="__d"))
+        .drop_columns(["__d"])
         .groupby(["site", "text"])
-        .aggregate(Sum("n", alias_name="n_pages"))
+        .aggregate(Count(alias_name="n_pages"))
     )
 
     def url_partial(t: pa.Table) -> pa.Table:
@@ -153,8 +159,6 @@ def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5):
             }
         )
 
-    from ray.data.aggregate import Count
-
     site_pages = (
         segments_ds.select_columns(["url"])
         .map_batches(url_partial, batch_format="pyarrow")
@@ -163,23 +167,47 @@ def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5):
         .groupby("site")
         .aggregate(Count(alias_name="site_pages"))
     )
-    totals = {
-        r["site"]: r["site_pages"] for r in site_pages.take_all()
-    }  # one row per site — tiny by construction
-    totals_ref = ray.put(totals)
 
-    def finish(t: pa.Table) -> pa.Table:
-        tot = ray.get(totals_ref)
-        sites = t.column("site").to_pylist()
+    def finish_tbl(t: pa.Table) -> pa.Table:
         n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.float64)
-        sp = np.array([tot.get(s, 0) for s in sites], dtype=np.float64)
+        sp = t.column("site_pages").to_numpy(zero_copy_only=False).astype(np.float64)
         frac = np.where(sp > 0, n / np.maximum(sp, 1.0), 0.0)
         keep = (sp >= min_pages) & (frac >= min_frac)
-        out = t.append_column("site_pages", pa.array(sp.astype(np.int64)))
-        out = out.append_column("frac", pa.array(np.round(frac, 6)))
+        # round half-away-from-zero (SQL round()) — np.round is half-even
+        out = t.set_column(
+            t.schema.get_field_index("site_pages"), "site_pages",
+            pa.array(sp.astype(np.int64)),
+        )
+        out = out.append_column("frac", pa.array(np.floor(frac * 1e6 + 0.5) / 1e6))
         return out.filter(pa.array(keep))
 
-    return counts.map_batches(finish, batch_format="pyarrow")
+    from cosmos_ray.queries.relational import collect_small
+
+    totals_tbl = collect_small(site_pages, cap_rows)
+    if totals_tbl is not None and totals_tbl.num_rows:
+        totals = dict(
+            zip(totals_tbl.column("site").to_pylist(),
+                totals_tbl.column("site_pages").to_pylist())
+        )
+        totals_ref = ray.put(totals)
+
+        def finish(t: pa.Table) -> pa.Table:
+            tot = ray.get(totals_ref)
+            sp = pa.array(
+                [tot.get(s, 0) for s in t.column("site").to_pylist()], pa.int64()
+            )
+            return finish_tbl(t.append_column("site_pages", sp))
+
+        return counts.map_batches(finish, batch_format="pyarrow")
+
+    # distributed fallback: per-site totals join the counts by site
+    from cosmos_ray.queries.relational import _join_partitions
+
+    j = counts.join(
+        site_pages, join_type="inner", num_partitions=_join_partitions(),
+        on=("site",),
+    )
+    return j.map_batches(finish_tbl, batch_format="pyarrow")
 
 
 def mask_boilerplate(segments_ds, boilerplate_ds, cap_rows: int = 2_000_000):
