@@ -382,6 +382,16 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 128, bands: i
     near-dup cluster; cluster_id = min doc_id in the connected component
     of verified pairs (exact transitive closure).
 
+    Verification modes: the default ``verify='signature'`` scores each
+    candidate pair with the unbiased minhash estimate
+    ``mean(sig_a == sig_b)`` — std ~= sqrt(J(1-J)/num_perm) (~0.035 at
+    J=0.8 with 128 perms), so pairs whose TRUE Jaccard lies within about
+    +-2 std of ``threshold`` can flip membership relative to
+    ``verify='exact'`` (n-gram Jaccard recomputed from text). Use
+    'exact' when borderline-pair semantics matter; both modes agree away
+    from the threshold band (gated by tests/test_dedup.py chain tests,
+    which run the same corpus through both).
+
     Scale design (no whole-corpus driver materialization anywhere):
     - sign + band + bucket-groupby candidate generation (shuffles
       signatures, never text);
@@ -558,13 +568,18 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 # ---------------------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12,
-                        seed: int = 11, n_repeats: int = 1):
+                        seed: int = 11, n_repeats: int = 1,
+                        max_group: int = 64):
     """Near-dup pairs by embedding cosine >= threshold. Scale path:
     sign-of-random-projection LSH buckets (broadcast plane matrix) ->
     exact cosine inside buckets. ``n_repeats`` > 1 unions bucket rounds
     under different plane seeds — recall approaches 1 exponentially in
     rounds (a pair at cosine c collides per round with prob
-    (1 - arccos(c)/pi)^n_planes); the final pair groupby dedupes."""
+    (1 - arccos(c)/pi)^n_planes); the final pair groupby dedupes.
+    ``max_group`` truncates a degenerate bucket (all-identical vectors
+    concentrate into one sign pattern) before the O(m^2) pairing — same
+    guard as ``self_join_pairs``; dropped pairs are between rows already
+    mutually near-duplicate."""
     import ray
 
     if n_repeats > 1:
@@ -572,7 +587,7 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12,
         for r in range(n_repeats):
             part = embedding_near_dups(
                 emb_ds, threshold=threshold, n_planes=n_planes,
-                seed=seed + 104729 * r, n_repeats=1,
+                seed=seed + 104729 * r, n_repeats=1, max_group=max_group,
             )
             out = part if out is None else out.union(part)
         from ray.data.aggregate import Max
@@ -607,6 +622,8 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12,
             )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group:
+            g = g.sort_values("vec_id", kind="stable").iloc[:max_group]
         ids = g["vec_id"].tolist()
         U = np.asarray(g["unit"].tolist())
         if len(ids) < 2:

@@ -92,6 +92,7 @@ def regex_token_counts(docs_ds):
 
 
 _ROLL_BASE = 257
+_ROLL_BASE2 = 263  # independent second hash (see fingerprint width note)
 # Mersenne-31 modulus: byte x B^k products stay within uint64, so the
 # per-position window hashes compute as a handful of vectorized numpy
 # multiply-adds with ONE final mod (a 2^61 modulus would overflow uint64
@@ -99,36 +100,51 @@ _ROLL_BASE = 257
 _ROLL_MOD = (1 << 31) - 1
 
 
-def _roll_pows(n: int) -> np.ndarray:
-    """[B^(n-1), ..., B^1, B^0] mod M as uint64 (cached per length)."""
+def _roll_pows(n: int, base: int) -> np.ndarray:
+    """[B^(n-1), ..., B^1, B^0] mod M as uint64 (cached per (n, base))."""
     global _ROLL_POW_CACHE
     try:
         cached = _ROLL_POW_CACHE
     except NameError:
         cached = _ROLL_POW_CACHE = {}
-    if n not in cached:
-        cached[n] = np.array(
-            [pow(_ROLL_BASE, n - 1 - k, _ROLL_MOD) for k in range(n)], dtype=np.uint64
+    key = (n, base)
+    if key not in cached:
+        cached[key] = np.array(
+            [pow(base, n - 1 - k, _ROLL_MOD) for k in range(n)], dtype=np.uint64
         )
-    return cached[n]
+    return cached[key]
+
+
+def _window_hashes(data: np.ndarray, w: int, base: int) -> np.ndarray:
+    pows = _roll_pows(w, base)
+    n = len(data) - w + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for k in range(w):
+        acc += data[k : k + n].astype(np.uint64) * pows[k]
+    return acc % np.uint64(_ROLL_MOD)
 
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:
     """Rabin-Karp rolling hash document fingerprint: min of the rolling
     window hashes (a winnowing-style representative, stable under
-    content shifts outside the minimum window). Vectorized: all window
-    hashes at once via h_j = sum_k d[j+k] * B^(w-1-k) mod M — window
-    terms each < 2^39, so a 16-term accumulation fits uint64 exactly."""
+    content shifts outside the minimum window).
+
+    Fingerprint width: the min of L window hashes concentrates near M/L,
+    so a single 31-bit hash space gives unrelated multi-KB docs ~1e-6
+    spurious-collision probability — too hot for corpus-scale identity.
+    The emitted fingerprint is therefore 62 bits: the minimum is selected
+    by the base-257 hash (preserving shift stability), then paired with
+    the INDEPENDENT base-263 hash of the same winning window:
+    ``fp = h257[j*] << 31 | h263[j*]``. Both hash arrays are the same
+    uint64-safe vectorized accumulation."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(data) == 0:
         return 0
     w = min(window, len(data))
-    pows = _roll_pows(w)
-    n = len(data) - w + 1
-    acc = np.zeros(n, dtype=np.uint64)
-    for k in range(w):
-        acc += data[k : k + n].astype(np.uint64) * pows[k]
-    return int((acc % np.uint64(_ROLL_MOD)).min())
+    h1 = _window_hashes(data, w, _ROLL_BASE)
+    j = int(np.argmin(h1))
+    h2 = _window_hashes(data[j : j + w], w, _ROLL_BASE2)
+    return (int(h1[j]) << 31) | int(h2[0])
 
 
 def rolling_fingerprint_batch(t: pa.Table) -> pa.Table:

@@ -488,8 +488,10 @@ def q_ngram_jaccard_adjacent(sf_dir: str):
             ys = set(y.split("\x1f")) if y else set()
             u = len(xs | ys)
             # DuckDB round() is half-away-from-zero; python round is
-            # half-even (they diverge on exact ties like 1/128)
-            out.append(math.floor(len(xs & ys) / u * 1e6 + 0.5) / 1e6 if u else 1.0)
+            # half-even (they diverge on exact ties like 1/128).
+            # Both-empty (docs under 3 tokens) is NULL on both sides —
+            # the oracle's 0/0 via NULLIF, None here.
+            out.append(math.floor(len(xs & ys) / u * 1e6 + 0.5) / 1e6 if u else None)
         return pa.table(
             {
                 "doc_a": t.column("doc_id"),
@@ -512,7 +514,7 @@ WITH s AS (
   FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+             / NULLIF(len(list_distinct(a.sh || b.sh)), 0), 6) AS jaccard
 FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 """
 

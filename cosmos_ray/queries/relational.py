@@ -60,7 +60,12 @@ def collect_small(ds, cap_rows: int = 2_000_000) -> pa.Table | None:
         if total > cap_rows:
             return None
     if not batches:
-        return pa.table({})
+        # preserve the schema so downstream broadcast lookups degrade to
+        # an empty join result instead of a KeyError on a missing column
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is None:
+            return pa.table({})
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
     return pa.concat_tables(batches)
 
 

@@ -58,6 +58,21 @@ DEFAULT_BUCKETS = 64
 # fast path every real engine has. The distributed path is unchanged and
 # exercised by tests (threshold=0).
 DRIVER_REDUCE_THRESHOLD = 10_000_000
+# ... and a byte-denominated guard alongside the row cap: 10M rows of
+# url-string triples can be multi-GB, which the driver must not pull.
+DRIVER_REDUCE_BYTE_CAP = 2 << 30
+
+
+def _fits_driver(ds, threshold: int) -> bool:
+    """Materialized + under BOTH the row threshold and the byte cap."""
+    from ray.data.dataset import MaterializedDataset
+
+    if threshold <= 0 or not isinstance(ds, MaterializedDataset):
+        return False
+    if ds.count() > threshold:
+        return False
+    size = ds.size_bytes()
+    return size is None or size <= DRIVER_REDUCE_BYTE_CAP
 
 
 def _driver_arrow_threads() -> None:
@@ -77,11 +92,8 @@ def _local_fast_path(ds, partial_fn, keys: list[str], aggs: list[tuple],
     reduce locally as vectorized arrow kernels (zero extra executions).
     Returns None to fall through to the distributed path."""
     import ray.data as rd
-    from ray.data.dataset import MaterializedDataset
 
-    if threshold <= 0 or not isinstance(ds, MaterializedDataset):
-        return None
-    if ds.count() > threshold:
+    if not _fits_driver(ds, threshold):
         return None
     refs = ds.to_arrow_refs()
     if not refs:
@@ -326,11 +338,8 @@ def finalize_graph_local(linked_ds, kb_ref,
     Returns None when the input is too big or not materialized; callers
     fall back to the per-aggregate functions (distributed path)."""
     import ray.data as rd
-    from ray.data.dataset import MaterializedDataset
 
-    if threshold <= 0 or not isinstance(linked_ds, MaterializedDataset):
-        return None
-    if linked_ds.count() > threshold:
+    if not _fits_driver(linked_ds, threshold):
         return None
     refs = linked_ds.to_arrow_refs()
     if not refs:

@@ -176,3 +176,18 @@ def test_embedding_near_dups_multiseed_recall():
                                                 n_repeats=3).take_all()}
     assert one <= three
     assert all((i, 100 + i) in three for i in range(5)), three
+
+
+def test_embedding_near_dups_degenerate_bucket_bounded():
+    """200 identical vectors concentrate into ONE sign bucket; the
+    max_group cap must bound the in-bucket pairing instead of going
+    O(m^2) python."""
+    v = np.ones(16) / 4.0
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i in range(200)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dedup.embedding_near_dups(ds, threshold=0.95, n_planes=8,
+                                      max_group=16).take_all()
+    # truncated to 16 rows -> at most C(16,2) pairs, and only among the
+    # lowest ids (stable truncation)
+    assert 0 < len(pairs) <= 120
+    assert max(max(r["vec_a"], r["vec_b"]) for r in pairs) < 16

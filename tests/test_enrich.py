@@ -95,3 +95,40 @@ def test_table_label_mining():
     assert enrich.mine_table_label("see tbl. 2.1 for details") == "table 2.1"
     assert enrich.mine_table_label("TABLE iv shows") == "table iv"
     assert enrich.mine_table_label("no label here") is None
+
+
+def test_boilerplate_distributed_fallback_agrees(kg_small):
+    """cap_rows=0 forces the site-totals join fallback (the unbounded-
+    site-count posture at crawl scale); results must equal the broadcast
+    path exactly."""
+    def key(rows):
+        return sorted(
+            (r["site"], r["text"], r["n_pages"], r["site_pages"], r["frac"])
+            for r in rows
+        )
+
+    a = key(enrich.detect_boilerplate(kg_small.segments).take_all())
+    b = key(enrich.detect_boilerplate(kg_small.segments, cap_rows=0).take_all())
+    assert a == b
+    assert a, "synthetic corpus must contain site-level boilerplate"
+
+
+def test_boilerplate_counts_pages_not_blocks():
+    """A url repeating the same text in several blocks (and across
+    batches) counts ONCE toward that (site, text) — frac can never
+    exceed 1.0."""
+    rows = []
+    for p in range(6):
+        url = f"https://s1.example.org/p/{p}"
+        for _ in range(3):  # same furniture text 3x per page
+            rows.append({"url": url, "text": "nav furniture"})
+        rows.append({"url": url, "text": f"unique {p}"})
+    # two single-block datasets would previously double-count across
+    # batches; force multiple blocks
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = enrich.detect_boilerplate(ds, min_pages=5, min_frac=0.6).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["site"], r["text"], r["n_pages"], r["site_pages"], r["frac"]) == (
+        "s1.example.org", "nav furniture", 6, 6, 1.0
+    )

@@ -91,7 +91,7 @@ def test_rolling_fingerprint_total_and_stable(s):
     from cosmos_ray.functions.textops import _ROLL_MOD, rolling_fingerprint
 
     v = rolling_fingerprint(s)
-    assert 0 <= v < _ROLL_MOD
+    assert 0 <= v < (_ROLL_MOD << 31) | _ROLL_MOD  # 62-bit space
     assert rolling_fingerprint(s) == v  # deterministic
 
 

@@ -122,6 +122,25 @@ def test_guarded_driver_pull_fallbacks_agree():
     assert fast.equals(dist), "join_or_broadcast diverged"
 
 
+def test_broadcast_join_empty_small_side():
+    """collect_small on an empty dataset keeps the schema, so the
+    broadcast join degrades to an empty inner-join result instead of a
+    KeyError."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cosmos_ray.queries.relational import join_or_broadcast, read
+
+    orders = read(SF, "orders", ["o_custkey", "o_totalprice"])
+    none = read(SF, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("c_custkey"), pa.scalar(-1))),
+        batch_format="pyarrow",
+    )
+    out = join_or_broadcast(orders, none, key="c_custkey",
+                            add_cols=["c_name"], big_key="o_custkey")
+    assert out.count() == 0
+
+
 def test_entry_contract():
     import __ray_entry__ as e
 

@@ -63,6 +63,9 @@ def test_rolling_fingerprint_properties():
     # different content -> (almost surely) different fingerprint
     c = rolling_fingerprint("completely different text body here")
     assert a != c
+    # 62-bit fingerprint: the confirming hash occupies the low 31 bits
+    # (collision space note in rolling_fingerprint's docstring)
+    assert a >> 31 > 0 and a & 0x7FFFFFFF > 0
 
 
 def test_language_id_deterministic(documents_small):
