@@ -82,18 +82,65 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
-def _shingle_set(text: str, k: int = 3) -> set[int]:
+class _TokenHashCache:
+    """Per-worker memo of md5 token hashes: the sketching stages hash
+    token STRINGS once per unique token per worker, then all shingle /
+    signature math is vectorized uint64 numpy. Web-corpus vocabularies
+    are tiny relative to token instances, so the md5 python loop runs on
+    the residual unseen-vocab stream only."""
+
+    __slots__ = ("map",)
+    _MAX = 2_000_000  # bound worker memory on adversarial vocabularies
+
+    def __init__(self) -> None:
+        self.map: dict[str, int] = {}
+
+    def hashes(self, tokens: list[str]) -> np.ndarray:
+        m = self.map
+        miss = [t for t in tokens if t not in m]
+        if miss:
+            if len(m) + len(miss) > self._MAX:
+                m.clear()
+            for t in set(miss):
+                m[t] = _stable_hash64(t)
+        return np.fromiter((m[t] for t in tokens), dtype=np.uint64, count=len(tokens))
+
+
+_TOKEN_HASHES = _TokenHashCache()
+
+# order-sensitive shingle combine coefficients (odd -> invertible mod 2^64)
+_SH_COEF = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                    dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-gram shingle hashes as uint64: token md5s (cached)
+    combined positionally with odd multipliers, wrapping mod 2^64 — a
+    vectorized stand-in for md5 over the joined shingle string (identical
+    Jaccard statistics; collisions are ~2^-64)."""
     toks = text.split()
+    th = _TOKEN_HASHES.hashes(toks)
+    if len(toks) == 0:
+        return np.array([_stable_hash64("")], dtype=np.uint64)
     if len(toks) < k:
-        return {_stable_hash64(" ".join(toks))}
-    return {_stable_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+        coef = _SH_COEF[: len(toks)]
+        return np.array([(th * coef).sum(dtype=np.uint64)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(toks) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc += th[j : len(toks) - k + 1 + j] * _SH_COEF[j]
+    return np.unique(acc)
+
+
+def _shingle_set(text: str, k: int = 3) -> set[int]:
+    return set(_shingle_hashes(text, k).tolist())
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
 
 
 # ---------------------------------------------------------------- minhash
@@ -115,14 +162,12 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(
-            ((h & 0xFFFFFFFFFFFFFFFF) for h in _shingle_set(text, self.k)),
-            dtype=np.uint64,
-        )
+        sh = _shingle_hashes(text, self.k)  # unique uint64, vectorized
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (num_perm, n_shingles) permuted hashes -> min along shingles
-        ph = (np.outer(self.a, sh) + self.b[:, None]) % self.MERSENNE
+        with np.errstate(over="ignore"):
+            ph = (np.outer(self.a, sh) + self.b[:, None]) % self.MERSENNE
         return ph.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -470,39 +515,50 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 128, bands: i
 
 class SimHasher:
     """64-bit simhash over whitespace tokens; stable token hashing via
-    md5 so results are deterministic across processes (python hash() is
-    salted)."""
+    md5 (first 8 digest bytes little-endian — equal to DuckDB's
+    ``md5_number_upper``, which the SQL oracle exploits) so results are
+    deterministic across processes.
+
+    Vectorized: token md5s come from the per-worker cache, the per-doc
+    +-1 bit votes are one ``unpackbits`` matrix + ``add.reduceat`` over
+    doc offsets, and the sign bits pack back with ``packbits`` — no
+    per-token python in the hot path."""
 
     def __init__(self, nbits: int = 64) -> None:
+        if nbits != 64:
+            raise ValueError("vectorized simhash is 64-bit")
         self.nbits = nbits
 
-    @staticmethod
-    def _token_hash(tok: str) -> int:
-        import hashlib
-
-        return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+    def simhash_many(self, texts: list[str]) -> np.ndarray:
+        tok_lists = [t.split() for t in texts]
+        lens = np.array([len(x) for x in tok_lists], dtype=np.int64)
+        flat = [t for lst in tok_lists for t in lst]
+        th = _TOKEN_HASHES.hashes(flat)
+        n = len(texts)
+        if len(th) == 0:
+            return np.zeros(n, dtype=np.uint64)
+        B = np.unpackbits(
+            th.view(np.uint8), bitorder="little"
+        ).reshape(-1, 64).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nonempty = lens > 0
+        sums = np.zeros((n, 64), dtype=np.int64)
+        # reduceat over non-empty docs only: their offsets are strictly
+        # increasing and in range, so each segment sums exactly its doc
+        sums[nonempty] = np.add.reduceat(B, offsets[nonempty], axis=0)
+        v = 2 * sums - lens[:, None]
+        bits = v > 0
+        return np.packbits(bits, axis=1, bitorder="little").copy().view(np.uint64)[:, 0]
 
     def simhash(self, text: str) -> int:
-        v = np.zeros(self.nbits, dtype=np.int64)
-        for tok in text.split():
-            h = self._token_hash(tok)
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
-            ).astype(np.int64)
-            v += 2 * bits - 1
-        out = 0
-        for i in range(self.nbits):
-            if v[i] > 0:
-                out |= 1 << i
-        return out
+        return int(self.simhash_many([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        hashes = [self.simhash(t) for t in texts]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(hashes, pa.uint64()),
+                "simhash": pa.array(self.simhash_many(texts), pa.uint64()),
             }
         )
 

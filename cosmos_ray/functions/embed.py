@@ -26,16 +26,25 @@ def _token_hash(tok: str) -> int:
 class HashingEmbedder:
     """Actor-pool embedder: token feature-hashing into ``dim`` buckets
     with +/- sign hashing, l2-normalized. State (nothing heavy here, but
-    the slot is where real model weights live) built once per actor."""
+    the slot is where real model weights live) built once per actor.
+    Token md5s come from the shared per-worker cache; the bucket/sign
+    accumulation is one vectorized bincount per doc."""
 
     def __init__(self, dim: int = 64) -> None:
         self.dim = dim
 
     def embed_text(self, text: str) -> np.ndarray:
-        v = np.zeros(self.dim, dtype=np.float64)
-        for tok in text.split():
-            h = _token_hash(tok)
-            v[h % self.dim] += 1.0 if (h >> 63) & 1 == 0 else -1.0
+        from cosmos_ray.functions.dedup import _TOKEN_HASHES
+
+        toks = text.split()
+        if not toks:
+            return np.zeros(self.dim, dtype=np.float64)
+        th = _TOKEN_HASHES.hashes(toks)
+        sign = 1.0 - 2.0 * (th >> np.uint64(63)).astype(np.float64)
+        v = np.bincount(
+            (th % np.uint64(self.dim)).astype(np.int64), weights=sign,
+            minlength=self.dim,
+        )
         n = np.linalg.norm(v)
         return v / n if n > 0 else v
 

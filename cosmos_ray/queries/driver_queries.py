@@ -1163,6 +1163,47 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
 
 
+def _sql_simhash_pairs() -> str:
+    """Replicates the full simhash near-dup pipeline in SQL: per-token
+    md5 (DuckDB's md5_number_upper == our first-8-bytes-little-endian
+    token hash), +-1 bit votes per doc, 4x16-bit band keys, pigeonhole
+    band join, hamming via bit_count of per-band xor. Exact for corpora
+    whose band buckets stay under the engine's max_group truncation."""
+    v_cols = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(64)
+    )
+    band_cols = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v_{16 * b + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        )
+        + f") AS band_{b}"
+        for b in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.band_{b}, b.band_{b}))" for b in range(4))
+    bandor = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(4))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+th AS (SELECT doc_id, md5_number_upper(tk) AS h FROM tok),
+vs AS (SELECT doc_id,
+       {v_cols}
+       FROM th GROUP BY doc_id),
+bands AS (SELECT doc_id,
+       {band_cols}
+       FROM vs),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {ham} AS hamming
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({bandor}))
+SELECT doc_a, doc_b, CAST(min(hamming) AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 GROUP BY doc_a, doc_b
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 def q_ivf_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1272,7 +1313,8 @@ ORACLES = {
     "kg_eval_ap": SQL_KG_EVAL_AP,
     "kg_eval_prf": SQL_KG_EVAL_PRF,
     "langid": SQL_LANGID,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     # rolling_fp, word_vectors, embed_docs, rerank_windows,
-    # minhash_clusters, simhash_pairs, ivf_topk: non-SQL (model-state /
-    # sketch-hash semantics); exact pytest goldens hold the gates
+    # minhash_clusters, ivf_topk: non-SQL (model-state / sketch
+    # semantics); exact pytest goldens hold the gates
 }
