@@ -103,9 +103,22 @@ def _table_context(segments_ds, **kw):
     return table_context(segments_ds, **kw)
 
 
+def _table_qa(segments_ds, question: str = "what scans?", **kw):
+    from cosmos_ray.stages.enrich import qa_table_enrichment
+
+    return qa_table_enrichment(segments_ds, question=question, **kw)
+
+
+def _regroup(segments_ds, **kw):
+    from cosmos_ray.stages.regroup import regroup_segments
+
+    return regroup_segments(segments_ds, **kw)
+
+
 # name -> builder(segments_ds, **kw) -> Dataset. Mirrors the reference's
 # {sections, pdfs} stream / {tables, figures} association / {equations}
-# full-page routing (`aggregate.py:232-245`).
+# full-page routing (`aggregate.py:232-245`) plus the group_cls merge and
+# use_qa_table_enrichment toggles (`ingest.py:49-99`).
 AGGREGATIONS: dict[str, Callable] = {
     "sections": _sections,
     "documents": _documents,
@@ -113,6 +126,8 @@ AGGREGATIONS: dict[str, Callable] = {
     "figures": _figures,
     "equations": _equations,
     "table_context": _table_context,
+    "table_qa": _table_qa,
+    "regroup": _regroup,
 }
 
 

@@ -139,6 +139,34 @@ LIMIT 10
 """
 
 
+def q_top_customers_page2(sf_dir: str):
+    """Second result page (rows 11-20) of the top-customers ranking — the
+    retriever's ``[start:end]`` pagination window (O5,
+    `elastic_retriever.py:252-257`)."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue")
+    )
+    per_cust = per_cust.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.round(t.column("revenue"), 2, round_mode="half_towards_infinity")),
+        batch_format="pyarrow",
+    )
+    named = join_or_broadcast(per_cust, customer, key="c_custkey",
+                              add_cols=["c_name"], big_key="o_custkey")
+    return topk(named, [("revenue", True), ("o_custkey", False)], 10, offset=10)
+
+
+SQL_TOP_CUSTOMERS_PAGE2 = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, any_value(c_name) AS c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey
+LIMIT 10 OFFSET 10
+"""
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Large-large hash join via native ``Dataset.join`` (hash-partitioned
     on the key — the non-broadcast join shape, J5): revenue per order
@@ -957,6 +985,47 @@ SELECT url, table_label, context_from_text FROM ctx
 """)
 
 
+def q_kg_table_qa(sf_dir: str):
+    """QA-enriched table contexts (the reference's use_qa_table_enrichment
+    composition): extractive QA over each caption's context_from_text."""
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.stages.enrich import qa_table_enrichment
+
+    out = qa_table_enrichment(build_kg(_pages_ds(sf_dir)).segments,
+                              question="what scans?")
+    return out.select_columns(["url", "table_label", "answer"])
+
+
+# same context reconstruction as SQL_KG_TABLE_CONTEXT, then the QA
+# extractor's span pattern as a regexp_extract (NULLIF: no match -> NULL,
+# matching the engine's null answer)
+SQL_KG_TABLE_QA = with_goldens(r"""
+, capsl AS (
+   SELECT url, seg_id,
+          'table ' || rtrim(regexp_extract(text,
+              '(?i)\b(table|tbl|tab)\.? {1,2}([0-9.ivxlcdm-]+)', 2), '.') AS table_label
+   FROM blocks WHERE cls = 'Table Caption'
+     AND regexp_matches(text, '(?i)\b(table|tbl|tab)\.? {1,2}[0-9.ivxlcdm-]+')),
+ sent AS (
+   SELECT url, seg_id,
+          unnest(string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                              chr(1))) AS s,
+          unnest(range(1, len(string_split(regexp_replace(text, '([.!?])\s+',
+                              '\1' || chr(1), 'g'), chr(1))) + 1)) AS sidx
+   FROM blocks WHERE cls IN ('Body Text', 'List Item')),
+ ctx AS (
+   SELECT c.url, c.seg_id, c.table_label,
+          coalesce(string_agg(CASE WHEN t.s != '' AND contains(lower(t.s), c.table_label)
+                                   THEN t.s END, ' ' ORDER BY t.seg_id, t.sidx),
+                   '') AS context_from_text
+   FROM capsl c LEFT JOIN sent t ON t.url = c.url
+   GROUP BY c.url, c.seg_id, c.table_label)
+SELECT url, table_label,
+       NULLIF(regexp_extract(context_from_text, '([a-z]+) scan [a-z]+', 1), '') AS answer
+FROM ctx
+""")
+
+
 def q_kg_boilerplate(sf_dir: str):
     """Site-level boilerplate blocks (M14 web analog)."""
     from cosmos_ray.pipelines.kg import build_kg
@@ -1223,6 +1292,7 @@ QUERIES = {
     "revenue_by_segment": q_revenue_by_segment,
     "order_lineitem_join": q_order_lineitem_join,
     "top_customers": q_top_customers,
+    "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
     "count_by_lang": q_count_by_lang,
     "events_hourly": q_events_hourly,
@@ -1263,6 +1333,7 @@ QUERIES = {
     "rerank_windows": q_rerank_windows,
     "kg_boilerplate": q_kg_boilerplate,
     "kg_tables_cells": q_kg_tables_cells,
+    "kg_table_qa": q_kg_table_qa,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -1274,6 +1345,7 @@ ORACLES = {
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "top_customers": SQL_TOP_CUSTOMERS,
+    "top_customers_page2": SQL_TOP_CUSTOMERS_PAGE2,
     "phrase_search": SQL_PHRASE_SEARCH,
     "count_by_lang": SQL_COUNT_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
@@ -1309,6 +1381,7 @@ ORACLES = {
     "kg_table_context": SQL_KG_TABLE_CONTEXT,
     "kg_boilerplate": SQL_KG_BOILERPLATE,
     "kg_tables_cells": SQL_KG_TABLES_CELLS,
+    "kg_table_qa": SQL_KG_TABLE_QA,
     "kg_equations": SQL_KG_EQUATIONS,
     "kg_eval_ap": SQL_KG_EVAL_AP,
     "kg_eval_prf": SQL_KG_EVAL_PRF,

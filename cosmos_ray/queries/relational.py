@@ -256,9 +256,20 @@ def self_join_pairs(ds, keys: list[str], id_col: str, payload_cols: list[str] | 
     )
 
 
-def topk(ds, sort_cols: list[tuple[str, bool]], k: int):
-    """Global top-k: sort (Ray's distributed sample-sort) + limit.
-    sort_cols: [(col, descending)]."""
+def topk(ds, sort_cols: list[tuple[str, bool]], k: int, offset: int = 0):
+    """Global top-k with pagination: sort (Ray's distributed sample-sort)
+    + limit(offset+k), dropping the first ``offset`` rows (the reference
+    retriever's ``[start:end]`` result windows,
+    `elastic_retriever.py:252-257`). sort_cols: [(col, descending)].
+    A page is driver-small by definition, so the offset drop is a single
+    bounded slice."""
     keys = [c for c, _ in sort_cols]
     desc = [d for _, d in sort_cols]
-    return ds.sort(keys, descending=desc).limit(k)
+    out = ds.sort(keys, descending=desc).limit(offset + k)
+    if not offset:
+        return out
+    page = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="default",
+    ).slice(offset, k)
+    return rd.from_arrow(page)

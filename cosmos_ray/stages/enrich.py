@@ -101,6 +101,28 @@ def table_context(segments_ds, num_buckets: int = 64):
     )
 
 
+def qa_table_enrichment(segments_ds, question: str, num_buckets: int = 64):
+    """QA-over-table-context composition (the reference's
+    ``use_qa_table_enrichment`` pass: extractive QA runs on each table's
+    ``context_from_text`` and the answer enriches the table record,
+    `ingest/ingest.py:87-91` + `context_enrichment.py:141-155`).
+
+    Pipeline: ``table_context`` (per-caption label + co-referencing body
+    sentences) -> actor-pool ``answer_questions`` with the context column
+    as the QA passage -> (url, table_label, context_from_text, answer,
+    answer_start, answer_end, qa_score); nulls when the context does not
+    answer the question."""
+    from cosmos_ray.stages.qa import answer_questions
+
+    ctx = table_context(segments_ds, num_buckets=num_buckets)
+    # QA drops its text column; re-attach the context for the enriched shape
+    ctx = ctx.map_batches(
+        lambda t: t.append_column("__passage", t.column("context_from_text")),
+        batch_format="pyarrow",
+    )
+    return answer_questions(ctx, question, text_col="__passage")
+
+
 # ------------------------------------------------------------ boilerplate
 
 def _site_of(url: str) -> str:

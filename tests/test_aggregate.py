@@ -192,3 +192,119 @@ def test_multicolumn_reading_order():
     )
     assert _reading_order(g, column_split=500)["text"].tolist() == ["L1", "L2", "R1", "R2"]
     assert _reading_order(g)["text"].tolist() == ["L1", "R1", "L2", "R2"]
+
+
+def _seg_table(rows):
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("page_num", pa.int32()),
+            ("seg_id", pa.int32()),
+            ("tag", pa.string()),
+            ("cls", pa.string()),
+            ("text", pa.string()),
+            ("bbox", pa.list_(pa.float32(), 4)),
+            ("score", pa.float32()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def test_regroup_merges_split_table_and_caption_associates():
+    """A table fragmented into adjacent same-class segments (reference
+    group_cls merge, `ocr/group_cls.py:60-144`) reassembles into ONE
+    segment with a union bbox, and caption association then claims the
+    merged object."""
+    import ray.data as rd
+
+    from cosmos_ray.stages.aggregate import associate_captions
+    from cosmos_ray.stages.regroup import regroup_segments
+
+    def seg(sid, cls, text, y1, y2, tag="td", score=0.8):
+        return {
+            "url": "https://s.example.org/p/1", "page_num": 0, "seg_id": sid,
+            "tag": tag, "cls": cls, "text": text,
+            "bbox": [72.0, y1, 400.0, y2], "score": score,
+        }
+
+    rows = [
+        seg(0, "Body Text", "intro prose", 72.0, 96.0, tag="p"),
+        seg(1, "Table", "alpha 1", 220.0, 244.0),
+        seg(2, "Table", "beta 2", 368.0, 392.0),      # 124px gap: merges
+        seg(3, "Table", "gamma 3", 516.0, 540.0),     # chains on
+        seg(4, "Table Caption", "Table 1: metrics", 664.0, 688.0, tag="p", score=1.0),
+        seg(5, "Body Text", "far away prose", 1500.0, 1524.0, tag="p"),
+    ]
+    merged = regroup_segments(rd.from_arrow(_seg_table(rows))).take_all()
+    tables = [r for r in merged if r["cls"] == "Table"]
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["seg_id"] == 1  # representative = first fragment
+    assert t["text"] == "alpha 1\nbeta 2\ngamma 3"
+    assert t["bbox"] == [72.0, 220.0, 400.0, 540.0]  # union box
+    assert t["score"] == pytest.approx(0.8)
+    assert len(merged) == len(rows) - 2
+
+    assoc = associate_captions(
+        regroup_segments(rd.from_arrow(_seg_table(rows)))
+    ).take_all()
+    assert len(assoc) == 1
+    assert assoc[0]["object_seg_id"] == 1
+    assert assoc[0]["object_text"] == "alpha 1\nbeta 2\ngamma 3"
+
+
+def test_regroup_respects_gap_class_and_page_boundaries():
+    import ray.data as rd
+
+    from cosmos_ray.stages.regroup import regroup_segments
+
+    def seg(url, page, sid, cls, y1):
+        return {
+            "url": url, "page_num": page, "seg_id": sid, "tag": "td",
+            "cls": cls, "text": f"t{sid}", "bbox": [72.0, y1, 400.0, y1 + 24.0],
+            "score": 0.5,
+        }
+
+    rows = [
+        seg("u1", 0, 0, "Table", 72.0),
+        seg("u1", 0, 1, "Table", 400.0),    # 304px gap > 160: no merge
+        seg("u1", 0, 2, "Figure", 448.0),   # class change: no merge
+        seg("u1", 1, 0, "Table", 72.0),     # page change: no merge
+        seg("u2", 1, 1, "Table", 100.0),    # url change: no merge
+        seg("u2", 1, 2, "Body Text", 124.0),  # non-mergeable class
+    ]
+    out = regroup_segments(rd.from_arrow(_seg_table(rows))).take_all()
+    assert len(out) == len(rows)  # nothing merges
+
+
+def test_multicolumn_reading_order():
+    """column_split reading order (reference export's x//500 column-break
+    heuristic, `parquet_to_json.py:42-94`): the whole LEFT column reads
+    before the right column within a page."""
+    import ray.data as rd
+
+    from cosmos_ray.stages.aggregate import aggregate_sections
+
+    def seg(sid, cls, text, x1, y1, tag="p"):
+        return {
+            "url": "https://s.example.org/p/2", "page_num": 0, "seg_id": sid,
+            "tag": tag, "cls": cls, "text": text,
+            "bbox": [x1, y1, x1 + 300.0, y1 + 24.0], "score": 0.9,
+        }
+
+    # interleaved arrival order; left column (x=72) holds A1, A2; right
+    # column (x=1000) holds B1, B2 at the SAME y positions
+    rows = [
+        seg(0, "Section Header", "H", 72.0, 72.0, tag="h2"),
+        seg(1, "Body Text", "B1", 1000.0, 220.0),
+        seg(2, "Body Text", "A1", 72.0, 220.0),
+        seg(3, "Body Text", "B2", 1000.0, 368.0),
+        seg(4, "Body Text", "A2", 72.0, 368.0),
+    ]
+    ds = rd.from_arrow(_seg_table(rows))
+    single = aggregate_sections(ds).take_all()[0]["content"]
+    multi = aggregate_sections(ds, column_split=500.0).take_all()[0]["content"]
+    assert single == "A1\nB1\nA2\nB2"      # y-major interleave
+    assert multi == "A1\nA2\nB1\nB2"       # whole left column first
