@@ -455,11 +455,46 @@ FROM documents
 
 
 def q_rolling_fp(sf_dir: str):
-    """Rolling-hash (winnowing-style) document fingerprints — non-SQL,
-    rows-only; determinism covered in tests."""
+    """Rolling-hash (winnowing-style) document fingerprints; the 62-bit
+    Rabin-Karp arithmetic replays exactly in SQL (ASCII corpus)."""
     from cosmos_ray.functions.textops import rolling_fingerprints
 
     return rolling_fingerprints(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_rolling_fp() -> str:
+    """DuckDB replay of ``rolling_fingerprint`` (window=16): per-position
+    base-257 Mersenne-31 window hashes over the text BYTES (== ``ord`` of
+    chars on this ASCII corpus), argmin with first-occurrence ties
+    (min_by key = h*2^20 + i, valid for docs under 1 MiB), then the
+    independent base-263 hash of the winning window; fp = h1<<31 | h2.
+    Assumes every doc is >= 16 bytes (corpus min is 48)."""
+    from cosmos_ray.functions.textops import _ROLL_BASE, _ROLL_BASE2, _ROLL_MOD
+
+    W = 16
+    pow1 = [pow(_ROLL_BASE, W - 1 - k, _ROLL_MOD) for k in range(W)]
+    pow2 = [pow(_ROLL_BASE2, W - 1 - k, _ROLL_MOD) for k in range(W)]
+    h1_terms = " + ".join(
+        f"ord(substr(text, i+{k}, 1))::HUGEINT * {pow1[k]}" for k in range(W))
+    h2_terms = " + ".join(
+        f"ord(substr(d.text, w.j+{k}, 1))::HUGEINT * {pow2[k]}" for k in range(W))
+    return f"""
+WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, length(text) - {W} + 2)) AS i
+             FROM documents),
+h1 AS (SELECT doc_id, i, CAST(({h1_terms}) % {_ROLL_MOD} AS UBIGINT) AS h
+       FROM pos),
+win AS (SELECT doc_id, min_by(i, h * 1048576 + i) AS j, min(h) AS h1min
+        FROM h1 GROUP BY doc_id),
+fp AS (SELECT w.doc_id,
+              (w.h1min << 31) | CAST(({h2_terms}) % {_ROLL_MOD} AS UBIGINT)
+                AS rolling_fp
+       FROM win w JOIN documents d ON d.doc_id = w.doc_id)
+SELECT doc_id, rolling_fp FROM fp
+"""
+
+
+SQL_ROLLING_FP = _sql_rolling_fp()
 
 
 def q_fingerprints(sf_dir: str):
@@ -1095,8 +1130,8 @@ FROM documents WHERE regexp_matches(text, '[a-z]+ scan [a-z]+')
 
 def q_rerank_windows(sf_dir: str):
     """Cross-encoder-style rerank of the sliding-window corpus (D5/O6
-    analog): global top-10 windows for a fixed query — rows-only,
-    deterministic via (doc_id, window_id) tiebreak."""
+    analog): global top-10 windows for a fixed query, deterministic via
+    (doc_id, window_id) tiebreak — fully SQL-replayable."""
     from cosmos_ray.stages.export import sliding_windows
     from cosmos_ray.stages.qa import rerank_topk
 
@@ -1105,6 +1140,34 @@ def q_rerank_windows(sf_dir: str):
     return rerank_topk(wins, query="spark join optimization strategies",
                        k=10, text_col="window_text",
                        tiebreak_cols=["doc_id", "window_id"])
+
+
+def _sql_rerank_windows() -> str:
+    """DuckDB replay of the rerank pipeline: the doc_windows grid (the
+    proven SQL_DOC_WINDOWS shape) scored with the OverlapReranker
+    formula |tokens-in-query-set| / sqrt(|tokens|) rounded to 6dp, then
+    the same (score DESC, doc_id, window_id) total order, top 10."""
+    q_tokens = sorted(set("spark join optimization strategies".lower().split()))
+    qlist = ", ".join(f"'{t}'" for t in q_tokens)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE length(trim(text)) > 0),
+win AS (SELECT doc_id,
+               CAST(st // 16 AS INT) AS window_id,
+               array_to_string(list_slice(ws, st + 1, st + 64), ' ') AS window_text
+        FROM (SELECT doc_id, ws,
+                     unnest(range(0, greatest(len(ws) - 48, 1), 16)) AS st
+              FROM w)),
+s AS (SELECT doc_id, window_id, window_text,
+             round(CAST(len(list_filter(string_split(lower(window_text), ' '),
+                                        t -> t IN ({qlist}))) AS DOUBLE)
+                   / sqrt(len(string_split(window_text, ' '))), 6) AS rerank_score
+      FROM win)
+SELECT * FROM s ORDER BY rerank_score DESC, doc_id, window_id LIMIT 10
+"""
+
+
+SQL_RERANK_WINDOWS = _sql_rerank_windows()
 
 
 def q_kg_equations(sf_dir: str):
@@ -1224,6 +1287,80 @@ def q_minhash_clusters(sf_dir: str):
     from cosmos_ray.functions.dedup import minhash_dedup
 
     return minhash_dedup(read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
+
+
+def _sql_minhash_clusters() -> str:
+    """DuckDB replay of the ENTIRE minhash near-dup pipeline
+    (num_perm=128, 16 bands x 8 rows, signature verification at 0.8,
+    transitive clustering): token md5s via md5_number_upper, shingle
+    hashes as the engine's positional odd-multiplier combine (mod-2^64
+    multiply split into 32-bit halves so HUGEINT never overflows), the
+    128 (a,b) permutation constants inlined from the MinHasher's seeded
+    RNG, band keys as md5 of the '|'-joined signature rows, pigeonhole
+    band self-join, mean(sig_a==sig_b) >= 0.8 verification, and
+    connected components via a recursive reachability CTE with
+    cluster_id = min doc_id. Exact for corpora whose docs have >= 3
+    tokens and whose band buckets stay under the engine's max_group
+    truncation (both hold for the synthetic corpus)."""
+    from cosmos_ray.functions.dedup import _SH_COEF, MinHasher
+
+    mh = MinHasher()  # seed=7: the same constants the engine signs with
+    M61 = (1 << 61) - 1
+    TWO64 = 1 << 64
+
+    def mul64(x: str, c: int) -> str:
+        c = int(c)
+        chi, clo = c >> 32, c & 0xFFFFFFFF
+        return (f"(CAST({x} AS HUGEINT)*{clo} + "
+                f"((CAST({x} AS HUGEINT)*{chi}) % 4294967296)*4294967296)")
+
+    c0, c1, c2 = (int(c) for c in _SH_COEF)
+    perm_rows = ",".join(
+        f"({p},{int(a)}::UBIGINT,{int(b)}::UBIGINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    return f"""
+WITH RECURSIVE
+perms(perm, a, b) AS (VALUES {perm_rows}),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id,
+               unnest(range(1, len(toks)+1)) AS pos,
+               md5_number_upper(unnest(toks)) AS h
+        FROM d),
+shin AS (SELECT DISTINCT t0.doc_id,
+           CAST(({mul64('t0.h', c0)} + {mul64('t1.h', c1)} + {mul64('t2.h', c2)})
+                % {TWO64} AS UBIGINT) AS sh
+         FROM tok t0
+         JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+         JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+sig AS (SELECT s.doc_id, p.perm,
+               min(CAST((CAST(p.a AS HUGEINT) * s.sh + p.b) % {M61} AS UBIGINT)) AS m
+        FROM shin s CROSS JOIN perms p
+        GROUP BY s.doc_id, p.perm),
+bands AS (SELECT doc_id, perm // 8 AS band,
+                 substr(md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY perm)), 1, 16) AS bh
+          FROM sig GROUP BY doc_id, perm // 8),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+ver AS (SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        GROUP BY c.doc_a, c.doc_b
+        HAVING avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+          UNION ALL SELECT doc_b, doc_a FROM ver),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+SQL_MINHASH_CLUSTERS = _sql_minhash_clusters()
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1387,7 +1524,10 @@ ORACLES = {
     "kg_eval_prf": SQL_KG_EVAL_PRF,
     "langid": SQL_LANGID,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
-    # rolling_fp, word_vectors, embed_docs, rerank_windows,
-    # minhash_clusters, ivf_topk: non-SQL (model-state / sketch
-    # semantics); exact pytest goldens hold the gates
+    "minhash_clusters": SQL_MINHASH_CLUSTERS,
+    "rolling_fp": SQL_ROLLING_FP,
+    "rerank_windows": SQL_RERANK_WINDOWS,
+    # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
+    # state / float accumulation order / seeded approximate index);
+    # exact pytest goldens hold those gates
 }
