@@ -1,0 +1,91 @@
+"""BM25 ranked retrieval over the documents table — the batch analog of
+the reference's Elasticsearch query ranking (`elastic_retriever.py:
+228-342`: ES's practical scoring is BM25; here the same ranking runs as
+two streaming Dataset passes instead of an inverted-index lookup).
+
+Scale shape:
+- pass 1 (corpus stats): one vectorized ``map_batches`` emits per-batch
+  partials (doc count, token-length sum, per-query-term document
+  frequencies) — a combiner — and a tiny driver reduce sums them. The
+  exchange moves ONE ROW PER BATCH, never tokens.
+- pass 2 (scoring): the stats are closure-captured constants
+  (broadcast-by-value; they are a handful of scalars), each batch is
+  scored fully vectorized (arrow split + flat equality + bincount), and
+  the global top-k runs through the distributed sample-sort `topk`.
+
+Float parity with the SQL oracle: per-term contributions are summed in
+a FIXED order (sorted terms, left to right) on both sides, so the
+IEEE-754 result is bit-identical and the 6dp round can't flip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cosmos_ray.queries.relational import topk
+
+
+def _corpus_stats(docs_ds, terms: list[str], text_col: str) -> dict:
+    """One combiner pass -> {n_docs, sum_dl, df: {term: n_docs_with_term}}."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        parents = np.repeat(np.arange(t.num_rows), dl.to_numpy())
+        cols = {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array([pc.sum(dl).as_py() or 0], pa.int64()),
+        }
+        for i, term in enumerate(terms):
+            mask = pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)
+            hit_docs = np.unique(parents[mask]).size
+            cols[f"df_{i}"] = pa.array([int(hit_docs)], pa.int64())
+        return pa.table(cols)
+
+    part = docs_ds.map_batches(partials, batch_format="pyarrow")
+    sums = part.sum(["n_docs", "sum_dl"] + [f"df_{i}" for i in range(len(terms))])
+    return {
+        "n_docs": sums["sum(n_docs)"],
+        "sum_dl": sums["sum(sum_dl)"],
+        "df": {t: sums[f"sum(df_{i})"] for i, t in enumerate(terms)},
+    }
+
+
+def bm25_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Global top-k documents for ``query`` under BM25 (Lucene idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``), ties broken by ``id_col``.
+    -> (doc_id, bm25) with bm25 rounded to 6dp."""
+    terms = sorted(set(query.lower().split()))
+    stats = _corpus_stats(docs_ds, terms, text_col)
+    n, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    idf = {t: math.log(1.0 + (n - stats["df"][t] + 0.5) / (stats["df"][t] + 0.5))
+           for t in terms}
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        flat = pc.list_flatten(toks)
+        parents = np.repeat(np.arange(t.num_rows), dl)
+        denom_base = k1 * (1.0 - b + b * (dl / avgdl))
+        total = np.zeros(t.num_rows, dtype=np.float64)
+        for term in terms:  # fixed order: float-sum parity with the oracle
+            mask = pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[mask], minlength=t.num_rows).astype(np.float64)
+            total = total + idf[term] * (tf / (tf + denom_base))
+        # half-away-from-zero (scores are >= 0), matching DuckDB round()
+        rounded = np.floor(total * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: t.column(id_col),
+            "bm25": pa.array(rounded, pa.float64()),
+        })
+
+    scored = docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return topk(scored, [("bm25", True), (id_col, False)], k)

@@ -654,6 +654,150 @@ FROM events
 """
 
 
+def q_event_attribution(sf_dir: str):
+    """As-of join (attribution): every click matched to the user's most
+    recent signup at or before it — the temporal custom operator Ray
+    Data lacks natively, run as one key-hash exchange + in-bucket
+    ``merge_asof`` (`functions/temporal.py`)."""
+    from cosmos_ray.functions.temporal import asof_join
+
+    def only(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), pa.scalar(t))).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    ev = lambda: read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])  # noqa: E731
+    clicks = ev().map_batches(only("click"), batch_format="pyarrow")
+    signups = ev().map_batches(only("signup"), batch_format="pyarrow")
+    res = asof_join(clicks, signups, key="user_id")
+
+    # inner semantics for the driver gate: drop never-signed-up clicks so
+    # the output is null-free (nullable Int64 vs SQL NULL hashes diverge)
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        return pa.table({c: t.column(c).cast(pa.int64()) for c in t.column_names})
+
+    return res.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENT_ATTRIBUTION = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+j AS (SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts_us,
+             s.event_id AS matched_event_id, epoch_us(s.ts) AS matched_ts_us,
+             epoch_us(c.ts) - epoch_us(s.ts) AS lag_us,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      FROM c JOIN s ON s.user_id = c.user_id AND s.ts <= c.ts)
+SELECT user_id, event_id, ts_us, matched_event_id, matched_ts_us, lag_us
+FROM j WHERE rn = 1
+"""
+
+
+def q_error_burst(sf_dir: str):
+    """Range (interval) join: for every signup, the count of the same
+    user's error events strictly within the following hour — interval
+    semantics via two vectorized ``searchsorted`` probes per key, never
+    a pair fan-out (`functions/temporal.py:range_count_join`)."""
+    from cosmos_ray.functions.temporal import range_count_join
+
+    def only(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), pa.scalar(t))).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    ev = lambda: read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])  # noqa: E731
+    signups = ev().map_batches(only("signup"), batch_format="pyarrow")
+    errors = ev().map_batches(only("error"), batch_format="pyarrow")
+    return range_count_join(signups, errors, key="user_id",
+                            count_col="n_errors_1h")
+
+
+SQL_ERROR_BURST = """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.event_id, epoch_us(s.ts) AS ts_us,
+       count(e.ts) AS n_errors_1h
+FROM s LEFT JOIN e
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) > epoch_us(s.ts)
+ AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+GROUP BY s.user_id, s.event_id, epoch_us(s.ts)
+"""
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 top-10 for a fixed query — the batch analog of the
+    reference's ES ranked retrieval (`elastic_retriever.py:228-342`),
+    two streaming passes: combiner-style corpus stats + vectorized
+    scoring into a distributed top-k."""
+    from cosmos_ray.functions.retrieval import bm25_topk
+
+    return bm25_topk(read(sf_dir, "documents", ["doc_id", "text"]),
+                     query="spark data processing", k=10)
+
+
+def _sql_bm25_docs() -> str:
+    """BM25 replay: identical idf/tf formula with per-term contributions
+    added in the same fixed (sorted-term) order, so the IEEE float sum
+    is bit-identical before the 6dp round."""
+    terms = sorted(set("spark data processing".lower().split()))
+    k1, b = 1.2, 0.75
+    tf_exprs = [
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)" for t in terms
+    ]
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = " + ".join(
+        f"ln(1.0 + (st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5))"
+        f" * ({tf_exprs[i]} / ({tf_exprs[i]} + {k1} * (1.0 - {b} + {b} *"
+        f" (CAST(len(toks) AS DOUBLE) / st.avgdl))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+              {df_cols}
+       FROM d)
+SELECT doc_id,
+       floor(({contribs}) * 1e6 + 0.5) / 1e6 AS bm25
+FROM d, st
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+SQL_BM25_DOCS = _sql_bm25_docs()
+
+
+def q_stratified_docs(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per language under the
+    md5-of-id order (training-data subsampling that any engine replays
+    exactly — no PRNG)."""
+    from cosmos_ray.queries.relational import stratified_sample
+
+    return stratified_sample(
+        read(sf_dir, "documents", ["doc_id", "lang"]), group_col="lang",
+        n=5, id_col="doc_id",
+    )
+
+
+SQL_STRATIFIED_DOCS = """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+"""
+
+
 def q_vocab_counts(sf_dir: str):
     """Corpus token counts (global representation-learning pass, G8)."""
     from cosmos_ray.functions.embed import corpus_vocab
@@ -1449,6 +1593,10 @@ QUERIES = {
     "events_latest": q_events_latest,
     "sessionize": q_sessionize,
     "user_cumsum": q_user_cumsum,
+    "event_attribution": q_event_attribution,
+    "error_burst": q_error_burst,
+    "bm25_docs": q_bm25_docs,
+    "stratified_docs": q_stratified_docs,
     "vocab_counts": q_vocab_counts,
     "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
@@ -1501,6 +1649,10 @@ ORACLES = {
     "events_latest": SQL_EVENTS_LATEST,
     "sessionize": SQL_SESSIONIZE,
     "user_cumsum": SQL_USER_CUMSUM,
+    "event_attribution": SQL_EVENT_ATTRIBUTION,
+    "error_burst": SQL_ERROR_BURST,
+    "bm25_docs": SQL_BM25_DOCS,
+    "stratified_docs": SQL_STRATIFIED_DOCS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,

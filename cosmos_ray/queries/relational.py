@@ -150,6 +150,26 @@ def seeded_sample(ds, n: int, seed: int, oversample: float = 1.5):
     return ds.random_sample(frac, seed=seed).limit(n)
 
 
+def stratified_sample(ds, group_col: str, n: int, id_col: str,
+                      num_buckets: int = 64):
+    """Deterministic stratified sample: the first ``n`` rows per group
+    under the md5-of-id order (a seedable uniform draw that any engine —
+    including the SQL oracle — reproduces exactly, unlike PRNG-based
+    sampling). One coarse shuffle on hash(group), vectorized in-bucket
+    rank; the exchange carries only the selected columns."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        # fn runs once per (group_col) group under bucketed_group_apply
+        h = [hashlib.md5(str(x).encode()).hexdigest()
+             for x in g[id_col].tolist()]
+        out = g.assign(__h=h).sort_values(["__h", id_col], kind="stable").head(n)
+        return out.drop(columns="__h").reset_index(drop=True)
+
+    return bucketed_group_apply(ds, [group_col], pick, num_buckets=num_buckets)
+
+
 def broadcast_join(big_ds, small_table: pa.Table, key: str, add_cols: list[str],
                    big_key: str | None = None):
     """Append ``add_cols`` from the small side to every big-side row by
