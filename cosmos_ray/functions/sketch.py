@@ -1,0 +1,98 @@
+"""Mergeable cardinality sketches — the approximate-distinct path for
+100-TB counts where an exact groupby-distinct exchange is the
+bottleneck. HyperLogLog (Flajolet et al. 2007, with the standard
+small-range linear-counting correction): each batch folds its values
+into a 2^p-register sketch, one register ROW per batch flows to the
+driver (the exchange is batches × 2^p bytes — independent of input
+rows), and registers merge by elementwise max.
+
+The exact counterpart (`distinct_count_exact`, a two-stage distinct)
+is the oracle-checkable form; the sketch is gated by an error-bound
+test (expected relative error ~1.04/sqrt(2^p))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable 64-bit value hash — pandas' fixed-key siphash
+    (`pd.util.hash_array`): vectorized in C and process-independent."""
+    import pandas as pd
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_integer(a.type) or pa.types.is_floating(a.type):
+        np_vals = a.to_numpy(zero_copy_only=False)
+    else:
+        np_vals = np.asarray(a.cast(pa.string()).to_pylist(), dtype=object)
+    return pd.util.hash_array(np_vals).astype(np.uint64)
+
+
+def _floor_log2(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized floor(log2(x)) for uint64 (x==0 -> -1)."""
+    pos = np.zeros(x.shape, np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        t = v >> np.uint64(s)
+        m = t != 0
+        v = np.where(m, t, v)
+        pos += np.where(m, s, 0)
+    return np.where(x != 0, pos, -1)
+
+
+def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
+    """Fold hashed values into a 2^p uint8 register array (vectorized)."""
+    m = 1 << p
+    idx = (values >> np.uint64(64 - p)).astype(np.int64)
+    rest = (values << np.uint64(p)) | np.uint64((1 << p) - 1)
+    lz = 63 - _floor_log2(rest)  # leading zeros of the suffix bits
+    rho = np.clip(lz + 1, 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def hll_count(ds, col: str, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col) — one combiner pass, register
+    rows merged on the driver by elementwise max."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _hll_partial(_hash64(t.column(col)), p)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, np.uint8)
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.column("regs").to_pylist():
+            np.maximum(merged, np.asarray(r, np.uint8), out=merged)
+    return round(_hll_estimate(merged))
+
+
+def distinct_count_exact(ds, key_cols: list[str], count_col: str):
+    """Exact COUNT(DISTINCT count_col) per key_cols group as a two-stage
+    distinct (groupby the full tuple first, then count per key) — the
+    exchange carries one row per DISTINCT tuple, not per input row."""
+    from ray.data.aggregate import Count
+
+    distinct = (
+        ds.select_columns(key_cols + [count_col])
+        .groupby(key_cols + [count_col])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    return (
+        distinct.groupby(key_cols)
+        .aggregate(Count(alias_name=f"n_distinct_{count_col}"))
+    )

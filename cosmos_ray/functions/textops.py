@@ -231,3 +231,45 @@ def language_id(docs_ds, concurrency: int | tuple = (1, 4)):
     return docs_ds.map_batches(
         LanguageId, batch_format="pandas", concurrency=concurrency, batch_size=4096
     )
+
+
+def top_terms_per_group(docs_ds, group_col: str = "lang", k: int = 10,
+                        text_col: str = "text", num_buckets: int = 64):
+    """Exact heavy hitters: the ``k`` most frequent whitespace tokens per
+    group, ties broken by token ascending. -> (group, token, n, rank).
+
+    Scale shape: tokens are counted INSIDE each batch first (arrow split
+    + pandas-C value_counts per (group, token)), so the exchange moves
+    one partial row per distinct (group, token) per batch — bounded by
+    vocabulary, not corpus size; a global groupby sums partials and a
+    bucketed per-group pass takes the top k."""
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def partials(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            group_col: np.repeat(grp, n_tok),
+            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby([group_col, "token"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = (
+        docs_ds.select_columns([group_col, text_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed_group_apply hands fn ONE whole group at a time
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    return bucketed_group_apply(counts, [group_col], head_k,
+                                num_buckets=num_buckets)

@@ -69,6 +69,57 @@ def sessionize(events_ds, gap_s: int = 1800):
     return _bucketed_by_user(events_ds, fn)
 
 
+def hopping_window(events_ds, window_s: int = 3600, hop_s: int = 900,
+                   round_to: int = 4):
+    """Hopping (sliding) window aggregate over ALL events: for every
+    window start ``k*hop`` (µs since epoch) count events and sum value
+    over [start, start+window). Each event lands in ``window/hop``
+    windows — the expansion happens INSIDE the batch (np.repeat) and is
+    immediately pre-aggregated to one partial row per (batch, window),
+    so the shuffle moves window partials, never per-event fan-out rows.
+
+    -> (window_start_us, n_events, sum_value)
+    """
+    from ray.data.aggregate import Sum
+
+    window_us, hop_us = window_s * 1_000_000, hop_s * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        # window starts k*hop with k in [floor((t-window)/hop)+1, floor(t/hop)]
+        k_hi = ts // hop_us
+        k_lo = (ts - window_us) // hop_us + 1
+        counts = (k_hi - k_lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        starts = np.repeat(k_lo, counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        k = starts + offs
+        v = np.repeat(val, counts)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "window_start_us": pa.array(uniq * hop_us, pa.int64()),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_value": pa.array(np.bincount(inv, weights=v), pa.float64()),
+        })
+
+    agg = (
+        events_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value",
+            pa.array(np.round(t.column("sum_value").to_numpy(zero_copy_only=False),
+                              round_to), pa.float64())),
+        batch_format="pyarrow",
+    )
+
+
 def cumulative_value(events_ds, round_to: int = 4):
     """-> (user_id, event_id, ts_us, cum_value): running sum of value per
     user ordered by (ts, event_id)."""

@@ -798,6 +798,74 @@ QUALIFY row_number() OVER (PARTITION BY lang
 """
 
 
+def q_hopping_counts(sf_dir: str):
+    """Hopping-window aggregate (1h window, 15min hop) over all events —
+    the sliding-window member of the streaming family; in-batch window
+    expansion is pre-aggregated so the shuffle moves window partials."""
+    from cosmos_ray.functions.windows import hopping_window
+
+    return hopping_window(read(sf_dir, "events", ["ts", "value"]),
+                          window_s=3600, hop_s=900)
+
+
+SQL_HOPPING_COUNTS = """
+WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+w AS (SELECT unnest(generate_series((t - 3600000000) // 900000000 + 1,
+                                    t // 900000000)) AS k,
+             value
+      FROM e)
+SELECT k * 900000000 AS window_start_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1
+"""
+
+
+def q_distinct_users_daily(sf_dir: str):
+    """Exact daily distinct users via the two-stage distinct (the
+    exchange carries one row per DISTINCT (day, user), never per event;
+    `functions/sketch.py:distinct_count_exact`). The HLL sketch in the
+    same module is the approximate 100-TB path (pytest error-bound
+    gated — sketch estimates aren't SQL-replayable)."""
+    from cosmos_ray.functions.sketch import distinct_count_exact
+
+    ev = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        lambda t: pa.table({
+            "day_us": pc.multiply(
+                pc.divide(t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                          pa.scalar(86_400_000_000)),
+                pa.scalar(86_400_000_000)),
+            "user_id": t.column("user_id"),
+        }),
+        batch_format="pyarrow",
+    )
+    return distinct_count_exact(ev, ["day_us"], "user_id")
+
+
+SQL_DISTINCT_USERS_DAILY = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+       count(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY 1
+"""
+
+
+def q_top_terms_by_lang(sf_dir: str):
+    """Exact heavy hitters: top-10 tokens per language (combiner counts
+    inside each batch; the exchange is vocabulary-bounded)."""
+    from cosmos_ray.functions.textops import top_terms_per_group
+
+    return top_terms_per_group(read(sf_dir, "documents", ["lang", "text"]), k=10)
+
+
+SQL_TOP_TERMS_BY_LANG = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT lang, token, n,
+       row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS "rank"
+FROM c QUALIFY "rank" <= 10
+"""
+
+
 def q_vocab_counts(sf_dir: str):
     """Corpus token counts (global representation-learning pass, G8)."""
     from cosmos_ray.functions.embed import corpus_vocab
@@ -1028,6 +1096,90 @@ JOIN surf ss ON ss.surface = f.subj
 JOIN surf so ON so.surface = f.obj
 GROUP BY 1, 2, 3
 """)
+
+
+# shared graph CTE for the degree/pagerank oracles: the (src, dst, w)
+# edge table the engine's _edge_weights derives from the KG adjacency
+_SQL_ADJ_CTE = """
+, adj AS (
+  SELECT ss.canonical_id AS src, so.canonical_id AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM facts f
+  JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  GROUP BY 1, 2)
+"""
+
+
+def q_kg_degree(sf_dir: str):
+    """Degree centrality over the entity adjacency graph (distinct
+    neighbours + weighted totals; `functions/graph.py`)."""
+    from cosmos_ray.functions.graph import degree_centrality
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return degree_centrality(build_kg(_pages_ds(sf_dir)).adjacency)
+
+
+SQL_KG_DEGREE = with_goldens(_SQL_ADJ_CTE + """
+, s AS (SELECT src AS entity, count(*) AS out_degree, sum(w) AS out_weight
+        FROM adj GROUP BY src)
+, t AS (SELECT dst AS entity, count(*) AS in_degree, sum(w) AS in_weight
+        FROM adj GROUP BY dst)
+SELECT COALESCE(s.entity, t.entity) AS entity,
+       COALESCE(s.out_degree, 0) AS out_degree,
+       COALESCE(t.in_degree, 0) AS in_degree,
+       COALESCE(s.out_weight, 0.0) AS out_weight,
+       COALESCE(t.in_weight, 0.0) AS in_weight
+FROM s FULL OUTER JOIN t ON t.entity = s.entity
+""")
+
+
+def q_kg_pagerank(sf_dir: str):
+    """Weighted PageRank over the entity graph (20 power iterations,
+    damping 0.85, uniform dangling redistribution) — the 'which
+    entities matter' materialization a KG build feeds downstream."""
+    from cosmos_ray.functions.graph import pagerank
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return pagerank(build_kg(_pages_ds(sf_dir)).adjacency, iters=10)
+
+
+def _sql_kg_pagerank(iters: int = 10, damping: float = 0.85) -> str:
+    """PageRank replay: the fixed iteration count unrolled as chained
+    MATERIALIZED CTEs (r0..r{iters}) — each r{i} is referenced twice, so
+    without materialization DuckDB's CTE inlining makes the plan grow
+    2^iters. Float partial-sum order differs from the engine's combiner
+    tree only below the 6dp round."""
+    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+, nodes AS MATERIALIZED (SELECT DISTINCT e FROM
+            (SELECT src AS e FROM adj UNION ALL SELECT dst FROM adj))
+, nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)
+, outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM adj GROUP BY src)
+, r0 AS MATERIALIZED (SELECT e AS entity, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)
+"""]
+    for i in range(iters):
+        parts.append(f"""
+, d{i} AS MATERIALIZED (SELECT COALESCE(sum(r.pr), 0.0) AS dang
+           FROM r{i} r LEFT JOIN outw o ON o.src = r.entity
+           WHERE o.src IS NULL)
+, c{i} AS MATERIALIZED (SELECT a.dst AS entity, sum(r.pr / o.ow * a.w) AS inc
+           FROM adj a
+           JOIN r{i} r ON r.entity = a.src
+           JOIN outw o ON o.src = a.src
+           GROUP BY a.dst)
+, r{i + 1} AS MATERIALIZED (SELECT n.e AS entity,
+               (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * (COALESCE(c.inc, 0.0)
+                              + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS pr
+               FROM nodes n LEFT JOIN c{i} c ON c.entity = n.e)
+""")
+    parts.append(f"""
+SELECT entity, round(pr, 6) AS "rank" FROM r{iters}
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_PAGERANK = _sql_kg_pagerank()
 
 
 def q_kg_sections(sf_dir: str):
@@ -1597,6 +1749,9 @@ QUERIES = {
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
     "stratified_docs": q_stratified_docs,
+    "hopping_counts": q_hopping_counts,
+    "distinct_users_daily": q_distinct_users_daily,
+    "top_terms_by_lang": q_top_terms_by_lang,
     "vocab_counts": q_vocab_counts,
     "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
@@ -1607,6 +1762,8 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_entities": q_kg_entities,
     "kg_adjacency": q_kg_adjacency,
+    "kg_degree": q_kg_degree,
+    "kg_pagerank": q_kg_pagerank,
     "kg_sections": q_kg_sections,
     "kg_captions": q_kg_captions,
     "kg_table_context": q_kg_table_context,
@@ -1653,6 +1810,9 @@ ORACLES = {
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
     "stratified_docs": SQL_STRATIFIED_DOCS,
+    "hopping_counts": SQL_HOPPING_COUNTS,
+    "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
+    "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,
@@ -1665,6 +1825,8 @@ ORACLES = {
     "kg_triples": SQL_KG_TRIPLES,
     "kg_entities": SQL_KG_ENTITIES,
     "kg_adjacency": SQL_KG_ADJACENCY,
+    "kg_degree": SQL_KG_DEGREE,
+    "kg_pagerank": SQL_KG_PAGERANK,
     "kg_sections": SQL_KG_SECTIONS,
     "kg_captions": SQL_KG_CAPTIONS,
     "kg_table_context": SQL_KG_TABLE_CONTEXT,

@@ -1,0 +1,153 @@
+"""Unit gates for graph analytics (PageRank, degree), the HLL distinct
+sketch, the hopping-window aggregate and per-group heavy hitters."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _edges(rows):
+    s, d, w = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "src_entity": pa.array(s),
+        "dst_entity": pa.array(d),
+        "weight": pa.array(w, pa.int64()),
+    }))
+
+
+EDGE_ROWS = [("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("c", "a", 1),
+             ("c", "d", 3), ("d", "a", 1), ("e", "a", 2)]
+
+
+def _numpy_pagerank(rows, iters, damping=0.85):
+    nodes = sorted({x for s, d, _ in rows for x in (s, d)})
+    m = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in rows:
+        W[m[s], m[d]] += w
+    outw = W.sum(1)
+    r = np.full(n, 1 / n)
+    for _ in range(iters):
+        share = np.where(outw > 0, r / np.where(outw > 0, outw, 1), 0)
+        r = (1 - damping) / n + damping * (W.T @ share + r[outw == 0].sum() / n)
+    return nodes, np.round(r, 6)
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self):
+        from cosmos_ray.functions.graph import pagerank
+
+        df = pagerank(_edges(EDGE_ROWS), iters=10).to_pandas()
+        df = df.sort_values("entity").reset_index(drop=True)
+        nodes, want = _numpy_pagerank(EDGE_ROWS, iters=10)
+        assert df["entity"].tolist() == nodes
+        assert df["rank"].tolist() == want.tolist()
+        assert abs(df["rank"].sum() - 1.0) < 1e-4
+
+    def test_joined_fallback_agrees_with_broadcast(self):
+        from cosmos_ray.functions.graph import pagerank
+
+        fast = pagerank(_edges(EDGE_ROWS), iters=5).to_pandas()
+        slow = pagerank(_edges(EDGE_ROWS), iters=5, broadcast_cap=0).to_pandas()
+        f = fast.sort_values("entity").reset_index(drop=True)
+        s = slow.sort_values("entity").reset_index(drop=True)
+        assert f["entity"].tolist() == s["entity"].tolist()
+        assert np.allclose(f["rank"], s["rank"], atol=2e-6)
+
+    def test_dangling_mass_conserved(self):
+        from cosmos_ray.functions.graph import pagerank
+
+        # 'sink' has no out-edges: ranks must still sum to ~1
+        df = pagerank(_edges([("x", "sink", 1), ("y", "sink", 1)]),
+                      iters=10).to_pandas()
+        assert abs(df["rank"].sum() - 1.0) < 1e-4
+
+
+class TestDegree:
+    def test_counts_and_weights(self):
+        from cosmos_ray.functions.graph import degree_centrality
+
+        df = (degree_centrality(_edges(EDGE_ROWS)).to_pandas()
+              .set_index("entity").sort_index())
+        assert df.loc["a", "out_degree"] == 2 and df.loc["a", "in_degree"] == 3
+        assert df.loc["c", "out_weight"] == 4.0 and df.loc["c", "in_weight"] == 3.0
+        assert df.loc["e", "in_degree"] == 0 and df.loc["e", "out_weight"] == 2.0
+
+    def test_parallel_edges_collapse(self):
+        from cosmos_ray.functions.graph import degree_centrality
+
+        df = (degree_centrality(_edges([("a", "b", 1), ("a", "b", 4)]))
+              .to_pandas().set_index("entity"))
+        assert df.loc["a", "out_degree"] == 1  # distinct neighbour
+        assert df.loc["a", "out_weight"] == 5.0
+
+
+class TestHLL:
+    def test_error_bound(self):
+        from cosmos_ray.functions.sketch import hll_count
+
+        n = 20_000
+        ds = rd.from_arrow(pa.table({
+            "v": pa.array([f"user-{i % 7_000}" for i in range(n)])}))
+        est = hll_count(ds, "v", p=12)
+        assert abs(est - 7_000) / 7_000 < 0.05  # ~3 std of 1.04/sqrt(4096)
+
+    def test_merge_equals_single_pass(self):
+        from cosmos_ray.functions.sketch import _hash64, _hll_estimate, _hll_partial
+
+        vals = pa.array([f"k{i}" for i in range(5000)])
+        whole = _hll_partial(_hash64(vals), 10)
+        a = _hll_partial(_hash64(vals.slice(0, 2500)), 10)
+        b = _hll_partial(_hash64(vals.slice(2500)), 10)
+        assert np.array_equal(np.maximum(a, b), whole)
+        assert abs(_hll_estimate(whole) - 5000) / 5000 < 0.1
+
+    def test_int_column(self):
+        from cosmos_ray.functions.sketch import hll_count
+
+        ds = rd.from_arrow(pa.table({"v": pa.array(range(1000), pa.int64())}))
+        assert abs(hll_count(ds, "v", p=12) - 1000) / 1000 < 0.05
+
+
+class TestHoppingWindow:
+    def test_hand_windows(self):
+        from cosmos_ray.functions.windows import hopping_window
+
+        base = 900_000_000 * 1_888_889  # µs, multiple of the hop
+        ts = pa.array([base + 10, base + 950_000_000], pa.timestamp("us"))
+        ds = rd.from_arrow(pa.table({"ts": ts, "value": pa.array([1.0, 2.0])}))
+        df = (hopping_window(ds, window_s=3600, hop_s=900).to_pandas()
+              .sort_values("window_start_us").reset_index(drop=True))
+        # each event is in exactly window/hop = 4 windows
+        assert df["n_events"].sum() == 8
+        # the window starting at base covers both events
+        both = df[df["window_start_us"] == base]
+        assert both["n_events"].tolist() == [2]
+        assert both["sum_value"].tolist() == [3.0]
+        # latest window containing event 2 starts at its own hop slot
+        last = df["window_start_us"].max()
+        assert last == base + 900_000_000
+
+
+class TestTopTerms:
+    def test_counts_and_tiebreak(self):
+        from cosmos_ray.functions.textops import top_terms_per_group
+
+        ds = rd.from_arrow(pa.table({
+            "lang": pa.array(["en", "en", "de"]),
+            "text": pa.array(["b a b c", "a c c", "x y x"]),
+        }))
+        df = (top_terms_per_group(ds, k=2).to_pandas()
+              .sort_values(["lang", "rank"]).reset_index(drop=True))
+        en = df[df["lang"] == "en"]
+        # counts: a=2 b=2 c=3 -> c(3) first, then tie a/b broken by token asc
+        assert en[["token", "n", "rank"]].values.tolist() == [
+            ["c", 3, 1], ["a", 2, 2]]
+        de = df[df["lang"] == "de"]
+        assert de[["token", "n", "rank"]].values.tolist() == [
+            ["x", 2, 1], ["y", 1, 2]]
