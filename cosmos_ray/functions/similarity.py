@@ -220,3 +220,74 @@ def ivf_query_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
                                        "rank": pa.array([], pa.int64())}))
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     return brute_force_topk(ds, query_vecs, k=k)
+
+
+def kmeans_fit(emb_ds, k: int = 8, iters: int = 10, seed: int = 7):
+    """Full-corpus distributed Lloyd's k-means -> (assignments Dataset
+    (vec_id, cluster), centroids ndarray (k, dim)).
+
+    Scale shape (parameter-server-lite): centroids are model-sized state
+    broadcast per iteration (`ray.put` once, read in every task); each
+    batch assigns via one matmul and emits k partial rows (count +
+    coordinate sums) — the exchange per iteration is batches x k x dim,
+    independent of corpus size; the driver folds partials and updates
+    centroids. Init is the deterministic sample-trained mini k-means
+    (`_seeded_centroids` denormalized to raw space is skipped — raw
+    Euclidean Lloyd's re-inits from the seeded uniform sample directly).
+    Empty clusters keep their previous centroid. Assignment ties break
+    to the lowest cluster index (np.argmin)."""
+    import ray.data as rd
+
+    from cosmos_ray.queries.relational import seeded_sample
+
+    sample = seeded_sample(emb_ds, max(k * 32, 256), seed=seed).to_pandas()
+    X0 = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    C = X0[rng.choice(len(X0), size=min(k, len(X0)), replace=False)].copy()
+
+    def assign_partials(t: pa.Table, _c_ref) -> pa.Table:
+        C = ray.get(_c_ref)
+        X = _as_matrix(t.column("embedding"))
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 c.x); row-wise exact
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = np.argmin(d, axis=1)
+        rows = {"cluster": [], "n": [], "s": []}
+        for c in range(len(C)):
+            m = a == c
+            rows["cluster"].append(c)
+            rows["n"].append(int(m.sum()))
+            rows["s"].append(X[m].sum(axis=0).tolist() if m.any()
+                             else np.zeros(X.shape[1]).tolist())
+        return pa.table({
+            "cluster": pa.array(rows["cluster"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "s": pa.array(rows["s"], pa.list_(pa.float64())),
+        })
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        counts = np.zeros(len(C), np.int64)
+        sums = np.zeros_like(C)
+        part = emb_ds.select_columns(["embedding"]).map_batches(
+            lambda t, _r=c_ref: assign_partials(t, _r), batch_format="pyarrow")
+        for b in part.iter_batches(batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            counts[cl] += b.column("n").to_numpy(zero_copy_only=False)
+            sums[cl] += np.asarray(b.column("s").to_pylist(), dtype=np.float64)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+
+    c_ref = ray.put(C)
+
+    def final_assign(t: pa.Table, _r=c_ref) -> pa.Table:
+        C = ray.get(_r)
+        X = _as_matrix(t.column("embedding"))
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+        })
+
+    assigns = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        final_assign, batch_format="pyarrow")
+    return assigns, C

@@ -866,6 +866,68 @@ FROM c QUALIFY "rank" <= 10
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (holistic aggregate beyond
+    median): inverted-CDF discrete pick, DuckDB-quantile_disc-identical
+    (`relational.group_quantiles`)."""
+    from cosmos_ray.queries.relational import group_quantiles
+
+    return group_quantiles(read(sf_dir, "events", ["event_type", "value"]),
+                           ["event_type"], "value", qs=(0.5, 0.9, 0.99))
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.99) AS q99
+FROM events GROUP BY event_type
+"""
+
+
+def q_props_k_by_type(sf_dir: str):
+    """Semi-structured JSON column extraction (web-pipeline staple):
+    pull ``k`` out of the props JSON with one vectorized arrow
+    ``extract_regex`` — no per-row json.loads — then aggregate per
+    event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        out = pa.table({"event_type": t.column("event_type"), "k": k})
+        return out.filter(pc.is_valid(k))  # arrow-side null drop
+
+    return (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
+SQL_PROPS_K_BY_TYPE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table
+    (`similarity.kmeans_fit`) -> (vec_id, cluster). Iterative float
+    model fitting — no SQL oracle (like word_vectors/ivf_topk); exact
+    numpy-replay parity is pytest-gated in test_similarity."""
+    from cosmos_ray.functions.similarity import kmeans_fit
+
+    assigns, _ = kmeans_fit(read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                            k=8, iters=5)
+    return assigns
+
+
 def q_vocab_counts(sf_dir: str):
     """Corpus token counts (global representation-learning pass, G8)."""
     from cosmos_ray.functions.embed import corpus_vocab
@@ -1752,6 +1814,9 @@ QUERIES = {
     "hopping_counts": q_hopping_counts,
     "distinct_users_daily": q_distinct_users_daily,
     "top_terms_by_lang": q_top_terms_by_lang,
+    "value_quantiles": q_value_quantiles,
+    "props_k_by_type": q_props_k_by_type,
+    "embedding_kmeans": q_embedding_kmeans,
     "vocab_counts": q_vocab_counts,
     "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
@@ -1813,6 +1878,8 @@ ORACLES = {
     "hopping_counts": SQL_HOPPING_COUNTS,
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
     "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
+    "value_quantiles": SQL_VALUE_QUANTILES,
+    "props_k_by_type": SQL_PROPS_K_BY_TYPE,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,

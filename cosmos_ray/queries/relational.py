@@ -170,6 +170,27 @@ def stratified_sample(ds, group_col: str, n: int, id_col: str,
     return bucketed_group_apply(ds, [group_col], pick, num_buckets=num_buckets)
 
 
+def group_quantiles(ds, keys: list[str], value_col: str,
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    num_buckets: int = 64):
+    """Exact per-group discrete quantiles (holistic aggregate): for each
+    q the element at sorted index ceil(q*n)-1 — the inverted-CDF pick,
+    identical to DuckDB's ``quantile_disc`` so the oracle matches
+    value-for-value. One coarse shuffle on hash(keys), one in-group
+    sort. -> (*keys, q50, q90, ... named from qs)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = [v[min(n - 1, int(np.ceil(q * n)) - 1)]]
+        return pd.DataFrame(row)
+
+    return bucketed_group_apply(ds.select_columns(keys + [value_col]), keys,
+                                fn, num_buckets=num_buckets)
+
+
 def broadcast_join(big_ds, small_table: pa.Table, key: str, add_cols: list[str],
                    big_key: str | None = None):
     """Append ``add_cols`` from the small side to every big-side row by

@@ -84,3 +84,48 @@ def test_ivf_index_partition_pruning(tmp_path):
     want = {r["vec_id"] for r in brute_force_topk(rd.from_arrow(tbl), q, k=10).take_all()}
     assert 7 in got  # the query vector itself is its own nearest neighbor
     assert len(got & want) >= 7, f"recall too low: {len(got & want)}/10"
+
+
+def test_kmeans_matches_numpy_lloyds():
+    """Full replay of kmeans_fit in numpy: identical seeded init,
+    identical update rule -> identical assignments and centroids."""
+    from cosmos_ray.queries.relational import seeded_sample
+
+    t, ids, V = _load()
+    ds = rd.from_arrow(t)
+    assigns, C = similarity.kmeans_fit(ds, k=4, iters=3, seed=7)
+    got = assigns.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # replay: same sample-based init (seeded_sample is engine-side but
+    # deterministic, so reuse it), same Lloyd's updates over ALL vectors
+    sample = seeded_sample(rd.from_arrow(t), max(4 * 32, 256), seed=7).to_pandas()
+    X0 = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(7)
+    Cr = X0[rng.choice(len(X0), size=4, replace=False)].copy()
+    order = np.argsort(ids)
+    X = V[order]
+    for _ in range(3):
+        d = (Cr * Cr).sum(1)[None, :] - 2.0 * (X @ Cr.T)
+        a = np.argmin(d, axis=1)
+        for c in range(4):
+            if (a == c).any():
+                Cr[c] = X[a == c].mean(axis=0)
+    assert np.allclose(C, Cr, atol=1e-9)
+    d = (Cr * Cr).sum(1)[None, :] - 2.0 * (X @ Cr.T)
+    want = np.argmin(d, axis=1)
+    assert got["cluster"].to_numpy().tolist() == want.tolist()
+    assert got["vec_id"].to_numpy().tolist() == ids[order].tolist()
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    import pyarrow as pa
+
+    # 10 identical points, k=3: two clusters never win a point
+    tbl = pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]] * 10, pa.list_(pa.float32())),
+    })
+    assigns, C = similarity.kmeans_fit(rd.from_arrow(tbl), k=3, iters=2, seed=1)
+    df = assigns.to_pandas()
+    assert df["cluster"].nunique() == 1  # all points in one cluster
+    assert C.shape == (3, 2) and np.isfinite(C).all()
