@@ -916,6 +916,65 @@ GROUP BY event_type
 """
 
 
+def q_curate_docs(sf_dir: str):
+    """The composed training-data curation pipeline (exact dedup →
+    quality gate → language gate → token annotation → per-source
+    stratified sample) as ONE streaming Dataset chain
+    (`pipelines/curate.py`) — oracle-checked end to end."""
+    from cosmos_ray.pipelines.curate import curate_documents
+
+    return curate_documents(read(sf_dir, "documents", ["doc_id", "text", "source"]),
+                            lang="en", per_source=20)
+
+
+def _sql_curate_docs(lang: str = "en", per_source: int = 20) -> str:
+    """Composed replay: dedup winners IN-subquery, the quality keep
+    predicate, the cue-count language argmax restricted to ``lang``
+    (first-wins ties ⇒ a language wins iff its score equals the max and
+    no earlier language does; 'en' is first so s_en = mx AND mx > 0),
+    token annotation and the md5 stratified head."""
+    from cosmos_ray.functions.textops import _LANG_CUES
+
+    def count_expr(cue: str) -> str:
+        c = cue.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{c}', ''))) // {len(cue)}"
+
+    langs = list(_LANG_CUES)
+    first_idx = langs.index(lang)
+    score_cols = ",\n       ".join(
+        f"CAST({' + '.join(count_expr(c) for c in cues)} AS DOUBLE) / l AS s_{lg}"
+        for lg, cues in _LANG_CUES.items()
+    )
+    mx = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    earlier = " AND ".join(f"s_{langs[j]} < mx" for j in range(first_idx)) or "TRUE"
+    return f"""
+WITH win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+q AS (SELECT doc_id, text, source FROM documents
+      WHERE len(string_split(text, ' ')) >= 10
+        AND CAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')), 1) <= 0.5
+        AND doc_id IN (SELECT doc_id FROM win)),
+sc AS (SELECT doc_id, text, source, lower(text) AS lo,
+              greatest(length(lower(text)), 1) AS l
+       FROM q),
+scored AS (SELECT doc_id, text, source,
+       {score_cols}
+       FROM (SELECT doc_id, text, source, lo AS t, l FROM sc)),
+mxd AS (SELECT *, {mx} AS mx FROM scored),
+kept AS (SELECT doc_id, source, '{lang}' AS lang_pred,
+                len(string_split(text, ' ')) AS n_tokens
+         FROM mxd WHERE mx > 0 AND s_{lang} = mx AND {earlier})
+SELECT doc_id, source, lang_pred, n_tokens FROM kept
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        <= {per_source}
+"""
+
+
+SQL_CURATE_DOCS = _sql_curate_docs()
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (`similarity.kmeans_fit`) -> (vec_id, cluster). Iterative float
@@ -1817,6 +1876,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "props_k_by_type": q_props_k_by_type,
     "embedding_kmeans": q_embedding_kmeans,
+    "curate_docs": q_curate_docs,
     "vocab_counts": q_vocab_counts,
     "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
@@ -1880,6 +1940,7 @@ ORACLES = {
     "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "props_k_by_type": SQL_PROPS_K_BY_TYPE,
+    "curate_docs": SQL_CURATE_DOCS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,
