@@ -152,6 +152,8 @@ def _run_bench() -> dict:
         "doc_adjacency",
         "embedding_topk",
         "minhash_clusters",
+        "bm25_docs",
+        "curate_docs",
     )
     for name in q_names:
         t0 = time.perf_counter()
