@@ -265,7 +265,7 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(_scaling(max_attempts=int(
-            os.environ.get("GRAFT_SCALE_ATTEMPTS", "2")))))
+            os.environ.get("GRAFT_SCALE_ATTEMPTS", "3")))))
         return
     result = _run_bench()
     if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
@@ -273,7 +273,7 @@ def main() -> None:
         # engine pair AND the host's own ceiling, measured in one window
         try:
             result["scaling"] = _scaling(
-                max_attempts=int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2")))
+                max_attempts=int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "3")))
         except Exception as e:  # never lose the main line to a flaky probe
             result["scaling"] = {"error": repr(e)}
     print(json.dumps(result))

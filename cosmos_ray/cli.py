@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=16, help="url-hash partitions")
     p.add_argument("--streaming", action="store_true",
                    help="single-pass graph-only run (no per-partition checkpoints)")
+    p.add_argument("--update", action="store_true",
+                   help="incremental refresh: fold --input (a NEW crawl) "
+                        "into the existing graph at --output; new urls "
+                        "replace their old triples, old pages are never "
+                        "re-extracted")
     p.add_argument("--aggregations", default=None,
                    help="comma-separated derived tables to also write "
                         "(registry names: sections,documents,captions,"
@@ -47,7 +52,15 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    if args.streaming:
+    if args.update:
+        import ray.data as rd
+
+        from cosmos_ray.pipelines.incremental import run_kg_update
+
+        pages = rd.read_parquet(args.input)
+        meta = rd.read_parquet(args.input, columns=["url", "warc_ts"])
+        summary = run_kg_update(args.output, pages, pages_meta=meta)
+    elif args.streaming:
         import ray.data as rd
 
         from cosmos_ray.pipelines.kg import run_kg_streaming

@@ -52,3 +52,34 @@ def test_cli_partitioned_with_aggregations(small_pages_file, tmp_path):
     assert summary["sections_rows"] > 0
     assert summary["equations_rows"] >= 0
     assert os.path.isdir(os.path.join(out, "sections"))
+
+
+def test_cli_incremental_update(small_pages_file, documents_small, tmp_path):
+    """--streaming build on half the crawl, then --update folds in the
+    other half; the updated graph gains that half's urls' triples."""
+    from cosmos_ray.sources.pages import generate_pages_table
+
+    pages = generate_pages_table(documents_small.slice(0, 60))
+    half_a = str(tmp_path / "a.parquet")
+    half_b = str(tmp_path / "b.parquet")
+    pq.write_table(pages.slice(0, pages.num_rows // 2), half_a)
+    pq.write_table(pages.slice(pages.num_rows // 2), half_b)
+    out = str(tmp_path / "g")
+    env = dict(os.environ, RAY_ADDRESS="local")
+
+    base = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", half_a,
+         "--output", out, "--streaming", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert base.returncode == 0, base.stderr[-2000:]
+    before = json.loads(base.stdout.strip().splitlines()[-1])["triples_rows"]
+
+    upd = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", half_b,
+         "--output", out, "--update", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert upd.returncode == 0, upd.stderr[-2000:]
+    after = json.loads(upd.stdout.strip().splitlines()[-1])["triples_rows"]
+    assert after > before
