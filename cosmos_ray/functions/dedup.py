@@ -709,3 +709,46 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12,
 
     cand = bucketed_group_apply(bucketed, keys=["bucket"], fn=pairs, num_buckets=64)
     return cand.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ------------------------------------------------------- contamination
+
+def contaminated_docs(docs_ds, bench_ds, n: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      cap_rows: int = 2_000_000):
+    """Benchmark-contamination check: ids of docs sharing at least one
+    ``n``-gram with the benchmark set — the pre-training hygiene pass
+    (decontamination against eval suites). -> (doc_id,) distinct.
+
+    Scale shape: both sides explode to (id, shingle) rows; the benchmark
+    side's DISTINCT shingles (eval suites are tiny vs the corpus) drive
+    a size-guarded semi-join — broadcast membership filter under
+    ``cap_rows``, distributed hash join past it. The corpus text never
+    shuffles; only shingle strings of candidate rows move."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import semi_join_ds
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_sh = [], []
+        for i, x in enumerate(texts):
+            w = x.split(" ")
+            grams = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+            out_id.extend([ids[i]] * len(grams))
+            out_sh.extend(grams)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "sh": pa.array(out_sh, pa.string())})
+
+    bench_sh = (
+        bench_ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("sh").aggregate(Count(alias_name="__n")).drop_columns(["__n"])
+    )
+    doc_sh = docs_ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    hits = semi_join_ds(doc_sh, bench_sh, key_col="sh", big_key="sh",
+                        cap_rows=cap_rows)
+    return (hits.groupby(id_col).aggregate(Count(alias_name="__n"))
+            .drop_columns(["__n"]))

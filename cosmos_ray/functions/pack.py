@@ -1,0 +1,72 @@
+"""Sequence packing for pretraining: concatenate the corpus token
+stream in doc_id order and chunk it into fixed-length training
+sequences (GPT-style packing). Each doc is mapped to the sequence range
+it lands in — the table a loader needs to build packed batches without
+ever materializing the concatenated stream.
+
+Scale shape (global ordered cumsum without a global sort):
+- pass 1: per-bucket (doc_id // bucket_span) token totals — a tiny
+  groupby whose row count is |id range| / bucket_span;
+- driver: exclusive prefix over the ordered bucket totals (model-sized);
+- pass 2: one bucketed pass computes each doc's global cumulative
+  offset as bucket_prefix + within-bucket cumsum (vectorized), then the
+  sequence arithmetic. The exchange never carries text or tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pack_sequences(docs_ds, seq_len: int = 512, bucket_span: int = 1024,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """-> (doc_id, n_tokens, start_offset, first_seq, last_seq) where
+    start_offset is the doc's first token position in the concatenated
+    doc_id-ordered stream, and [first_seq, last_seq] the range of
+    ``seq_len``-token sequences it overlaps. Empty docs occupy no
+    sequence (last_seq = first_seq - 1 convention is avoided: they get
+    first_seq = last_seq = the sequence their offset falls in)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), " ")
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+            "__bucket_id": pc.divide(t.column(id_col).cast(pa.int64()),
+                                     pa.scalar(bucket_span)),
+        })
+
+    counted = docs_ds.select_columns([id_col, text_col]).map_batches(
+        count_tokens, batch_format="pyarrow").materialize()
+
+    totals = (counted.select_columns(["__bucket_id", "n_tokens"])
+              .groupby("__bucket_id").aggregate(Sum("n_tokens", alias_name="t"))
+              .to_pandas().sort_values("__bucket_id"))
+    prefix = np.concatenate(([0], np.cumsum(totals["t"].to_numpy())[:-1]))
+    bucket_prefix = dict(zip(totals["__bucket_id"].tolist(), prefix.tolist()))
+    bp_ref = ray.put(bucket_prefix)
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        bp = ray.get(bp_ref)
+        g = g.sort_values(id_col, kind="stable")
+        n = g["n_tokens"].to_numpy()
+        cum = np.cumsum(n) - n + bp[int(g["__bucket_id"].iloc[0])]
+        first = cum // seq_len
+        last = np.maximum(first, (cum + np.maximum(n, 1) - 1) // seq_len)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tokens": n,
+            "start_offset": cum,
+            "first_seq": first.astype(np.int64),
+            "last_seq": last.astype(np.int64),
+        })
+
+    return bucketed_group_apply(counted, ["__bucket_id"], offsets)

@@ -975,6 +975,61 @@ QUALIFY row_number() OVER (PARTITION BY source
 SQL_CURATE_DOCS = _sql_curate_docs()
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing map: each doc's position in the
+    concatenated doc_id-ordered token stream and the 512-token sequence
+    range it overlaps — global ordered cumsum WITHOUT a global sort
+    (`functions/pack.py`)."""
+    from cosmos_ray.functions.pack import pack_sequences
+
+    return pack_sequences(read(sf_dir, "documents", ["doc_id", "text"]),
+                          seq_len=512)
+
+
+SQL_PACK_SEQUENCES = """
+WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_offset
+      FROM n)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 512 AS first_seq,
+       greatest(start_offset // 512,
+                (start_offset + greatest(n_tokens, 1) - 1) // 512) AS last_seq
+FROM c
+"""
+
+
+def q_contamination(sf_dir: str):
+    """Decontamination pass: docs sharing an 8-gram with the 'benchmark'
+    subset (doc_id % 97 == 0) — shingle semi-join, corpus text never
+    shuffled (`functions/dedup.py:contaminated_docs`)."""
+    from cosmos_ray.functions.dedup import contaminated_docs
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    bench = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        is_bench, batch_format="pyarrow")
+    return contaminated_docs(docs, bench, n=8)
+
+
+SQL_CONTAMINATION = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 6, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+b AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+SELECT DISTINCT doc_id FROM sh WHERE g IN (SELECT g FROM b)
+"""
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (`similarity.kmeans_fit`) -> (vec_id, cluster). Iterative float
@@ -1877,6 +1932,8 @@ QUERIES = {
     "props_k_by_type": q_props_k_by_type,
     "embedding_kmeans": q_embedding_kmeans,
     "curate_docs": q_curate_docs,
+    "pack_sequences": q_pack_sequences,
+    "contamination": q_contamination,
     "vocab_counts": q_vocab_counts,
     "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
@@ -1941,6 +1998,8 @@ ORACLES = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "props_k_by_type": SQL_PROPS_K_BY_TYPE,
     "curate_docs": SQL_CURATE_DOCS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "contamination": SQL_CONTAMINATION,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,

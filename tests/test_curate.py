@@ -48,3 +48,33 @@ def test_per_source_cap():
     rows = [(i, EN + f" filler{i}", "s") for i in range(30)]
     df = curate_documents(_docs(rows), per_source=7).to_pandas()
     assert len(df) == 7
+
+
+def test_pack_sequences_boundaries():
+    """Hand-checkable packing: offsets are the exclusive prefix of token
+    counts in doc_id order; first/last sequence ids follow from integer
+    division; an empty-ish doc occupies exactly one sequence slot."""
+    from cosmos_ray.functions.pack import pack_sequences
+
+    texts = {1: "a b c d e", 2: "f g h", 3: "x", 4: "y z w v u t s"}
+    ds = _docs([(i, texts[i], "s") for i in sorted(texts)])
+    df = pack_sequences(ds, seq_len=4, bucket_span=2).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    assert df["n_tokens"].tolist() == [5, 3, 1, 7]
+    assert df["start_offset"].tolist() == [0, 5, 8, 9]
+    # doc1 spans tokens [0,5) -> seqs 0..1; doc2 [5,8) -> seq 1; doc3 [8,9)
+    # -> seq 2; doc4 [9,16) -> seqs 2..3.
+    assert df["first_seq"].tolist() == [0, 1, 2, 2]
+    assert df["last_seq"].tolist() == [1, 1, 2, 3]
+
+
+def test_pack_sequences_sparse_ids():
+    """doc_id gaps (missing buckets) must not shift later offsets."""
+    from cosmos_ray.functions.pack import pack_sequences
+
+    ds = _docs([(0, "a b", "s"), (7, "c d e", "s"), (4000, "f", "s")])
+    df = pack_sequences(ds, seq_len=2, bucket_span=1024).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    assert df["start_offset"].tolist() == [0, 2, 5]
+    assert df["first_seq"].tolist() == [0, 1, 2]
+    assert df["last_seq"].tolist() == [0, 2, 2]
