@@ -273,3 +273,79 @@ def top_terms_per_group(docs_ds, group_col: str = "lang", k: int = 10,
 
     return bucketed_group_apply(counts, [group_col], head_k,
                                 num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------- PII redaction
+# The crawl-hygiene pass every web training corpus needs before use.
+# RE2 on both sides (pyarrow compute and DuckDB) so the oracle replays
+# the exact same patterns; order matters (emails before IPs so dotted
+# digits inside an address never double-match) and is mirrored in SQL.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id, clean_text, n_redactions — fully vectorized: per-pattern
+    count_substring_regex then replace_substring_regex, applied in the
+    documented order."""
+    s = t.column(text_col)
+    total = np.zeros(len(t), dtype=np.int64)
+    for pat, rep in PII_PATTERNS:
+        total += pc.count_substring_regex(s, pat).to_numpy(zero_copy_only=False)
+        s = pc.replace_substring_regex(s, pat, rep)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "clean_text": s,
+        "n_redactions": pa.array(total, pa.int64()),
+    })
+
+
+def redact_pii(docs_ds, text_col: str = "text"):
+    return docs_ds.map_batches(
+        lambda t: redact_pii_batch(t, text_col), batch_format="pyarrow")
+
+
+# ----------------------------------------------- repetition quality filters
+# The Gopher-rules family (Rae et al. 2021 §A1.1): fraction of duplicate
+# lines and fraction of characters inside the most-frequent word — both
+# exact, per-doc, SQL-mirrorable.
+
+def repetition_stats_batch(t: pa.Table, text_col: str = "text",
+                           line_sep: str = ". ") -> pa.Table:
+    """doc_id, dup_line_frac (duplicate 'lines' / lines, where lines are
+    ``line_sep``-separated spans), top_word_char_frac (chars of the most
+    frequent word x its count / total word chars), rep_keep flag."""
+    texts = t.column(text_col).to_pylist()
+    dup_frac = np.zeros(len(texts))
+    top_frac = np.zeros(len(texts))
+    for i, x in enumerate(texts):
+        lines = x.split(line_sep)
+        if lines:
+            dup_frac[i] = (len(lines) - len(set(lines))) / len(lines)
+        words = x.split(" ")
+        if words:
+            counts: dict[str, int] = {}
+            for w in words:
+                counts[w] = counts.get(w, 0) + 1
+            total_chars = sum(len(w) for w in words)
+            if total_chars:
+                best = max(counts.items(), key=lambda kv: (kv[1] * len(kv[0]),
+                                                           kv[0]))
+                top_frac[i] = best[1] * len(best[0]) / total_chars
+    keep = (dup_frac <= 0.3) & (top_frac <= 0.2)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "dup_line_frac": pc.round(pa.array(dup_frac, pa.float64()), 6,
+                                  round_mode="half_towards_infinity"),
+        "top_word_char_frac": pc.round(pa.array(top_frac, pa.float64()), 6,
+                                       round_mode="half_towards_infinity"),
+        "rep_keep": pa.array(keep, pa.bool_()),
+    })
+
+
+def repetition_stats(docs_ds, text_col: str = "text"):
+    return docs_ds.map_batches(
+        lambda t: repetition_stats_batch(t, text_col), batch_format="pyarrow")

@@ -1056,6 +1056,137 @@ GROUP BY token HAVING count(*) >= 2
 """
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction (crawl hygiene). The synthetic corpus carries no
+    PII, so both sides deterministically inject a per-doc email, IP and
+    phone before redacting — making the oracle a real value check of
+    the patterns and replacement order (`textops.redact_pii`)."""
+    from cosmos_ray.functions.textops import redact_pii_batch
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            [f" contact user{i}@example.com from 10.0.{i % 256}.7"
+             f" call 555-123-4567" for i in ids], pa.string())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pc.binary_join_element_wise(
+                             t.column("text"), suffix, "")})
+
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(inject, batch_format="pyarrow")
+            .map_batches(redact_pii_batch, batch_format="pyarrow"))
+
+
+SQL_REDACT_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 call 555-123-4567' AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug),
+s2 AS (SELECT doc_id, c1,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1),
+s3 AS (SELECT doc_id, c1, c2,
+  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS c3,
+  regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM s2)
+SELECT doc_id, t AS clean_text, (c1 + c2 + c3)::BIGINT AS n_redactions FROM s3
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-family repetition filters: duplicate-'line' fraction and
+    most-frequent-word character mass (`textops.repetition_stats`)."""
+    from cosmos_ray.functions.textops import repetition_stats
+
+    return repetition_stats(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_REPETITION_STATS = """
+WITH lines AS (SELECT doc_id, string_split(text, '. ') AS ls FROM documents),
+lf AS (SELECT doc_id,
+              (len(ls) - len(list_distinct(ls)))::DOUBLE
+                / greatest(len(ls), 1) AS dup_raw
+       FROM lines),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT doc_id, w, count(*) * len(w) AS mass FROM w GROUP BY doc_id, w),
+tot AS (SELECT doc_id, sum(mass) AS total FROM c GROUP BY doc_id),
+top AS (SELECT doc_id, mass FROM c
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY mass DESC, w DESC) = 1),
+j AS (SELECT lf.doc_id, lf.dup_raw,
+             CASE WHEN tot.total > 0
+                  THEN top.mass::DOUBLE / tot.total ELSE 0 END AS top_raw
+      FROM lf JOIN top ON lf.doc_id = top.doc_id
+              JOIN tot ON lf.doc_id = tot.doc_id)
+SELECT doc_id, round(dup_raw, 6) AS dup_line_frac,
+       round(top_raw, 6) AS top_word_char_frac,
+       (dup_raw <= 0.3 AND top_raw <= 0.2) AS rep_keep
+FROM j
+"""
+
+
+def q_perplexity(sf_dir: str):
+    """Model-based quality filter: per-doc perplexity under an
+    add-1-smoothed bigram LM trained on the same corpus
+    (`functions/lm.py` — distributed count combiners, model broadcast
+    once, vectorized scoring)."""
+    from cosmos_ray.functions.lm import perplexity_scores
+
+    return perplexity_scores(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_PERPLEXITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+v AS (SELECT count(*) AS V FROM uc),
+bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+              unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS w2
+       FROM toks),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+s AS (SELECT bi.doc_id,
+             ln((bc.c12 + 1.0) / (uc.c + 1.0 * (SELECT V FROM v))) AS lp
+      FROM bi JOIN bc USING (w1, w2) JOIN uc ON bi.w1 = uc.w),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS lp_sum FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       round(agg.lp_sum, 6) AS logprob,
+       round(exp(-agg.lp_sum / agg.n_bigrams), 6) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (distributed word counts -> model-sized
+    driver merge loop, `functions/bpe.py`) -> (rank, left, right).
+    Iterative/non-SQL, rows-only; exact gate = independent-reference
+    replay in tests/test_bpe.py."""
+    from cosmos_ray.functions.bpe import train_bpe
+
+    merges = train_bpe(read(sf_dir, "documents", ["doc_id", "text"]),
+                       num_merges=64)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    })
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc subword token counts under a corpus-trained BPE (broadcast
+    ranks, actor-pool encode with per-actor memoization) — rows-only."""
+    from cosmos_ray.functions.bpe import bpe_token_counts, train_bpe
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=64)
+    return bpe_token_counts(docs, merges)
+
+
 def q_word_vectors(sf_dir: str):
     """Corpus word vectors via PPMI+SVD (D6, the compute_word_vecs
     global-reduce analog) — rows-only; semantics tested in
@@ -1935,6 +2066,11 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "contamination": q_contamination,
     "vocab_counts": q_vocab_counts,
+    "redact_pii": q_redact_pii,
+    "perplexity": q_perplexity,
+    "repetition_stats": q_repetition_stats,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "word_vectors": q_word_vectors,
     "embed_docs": q_embed_docs,
     "doc_windows": q_doc_windows,
@@ -2000,6 +2136,9 @@ ORACLES = {
     "curate_docs": SQL_CURATE_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "contamination": SQL_CONTAMINATION,
+    "redact_pii": SQL_REDACT_PII,
+    "perplexity": SQL_PERPLEXITY,
+    "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_triples": SQL_DOC_TRIPLES,

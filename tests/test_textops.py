@@ -74,3 +74,44 @@ def test_language_id_deterministic(documents_small):
     b = sorted((r["doc_id"], r["lang_pred"]) for r in textops.language_id(ds).take_all())
     assert a == b
     assert all(lp in set(textops._LANG_CUES) | {"und"} for _, lp in a)
+
+
+def test_redact_pii_patterns():
+    from cosmos_ray.functions.textops import redact_pii_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail bob.smith+x@sub.example.co.uk now",
+            "server at 192.168.001.12 and 10.0.0.1, call 555-123-4567",
+            "no pii here, 1234 isn't a phone and a@b isn't an email",
+        ]),
+    })
+    out = redact_pii_batch(t)
+    assert out.column("clean_text").to_pylist() == [
+        "mail <EMAIL> now",
+        "server at <IP> and <IP>, call <PHONE>",
+        "no pii here, 1234 isn't a phone and a@b isn't an email",
+    ]
+    assert out.column("n_redactions").to_pylist() == [1, 3, 0]
+
+
+def test_repetition_stats_hand_values():
+    from cosmos_ray.functions.textops import repetition_stats_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            # lines: ["same thing","same thing","other"] -> dup 1/3
+            "same thing. same thing. other",
+            # 'aaaa' x3 = 12 chars of 15 total word chars
+            "aaaa aaaa aaaa b cd",
+        ]),
+    })
+    out = repetition_stats_batch(t)
+    dup = out.column("dup_line_frac").to_pylist()
+    top = out.column("top_word_char_frac").to_pylist()
+    assert abs(dup[0] - 1 / 3) < 1e-6
+    assert dup[1] == 0.0
+    assert abs(top[1] - 12 / 15) < 1e-6
+    assert out.column("rep_keep").to_pylist() == [False, False]
