@@ -232,3 +232,159 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int):
         }),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- connected components
+def connected_components(edges_ds, src: str = "src_entity",
+                         dst: str = "dst_entity",
+                         cap_rows: int = 2_000_000):
+    """(entity, component) with component = lexicographic-min node id in
+    the connected component (undirected reading of the edge list).
+
+    Scale shape: the entity EDGE list is KB-bounded (node vocabulary ×
+    mean degree), not corpus-bounded, so the default path pulls the
+    distinct edge list under ``cap_rows`` and runs exact driver
+    union-find (the minhash-cluster shape, `dedup._union_find_clusters`).
+    Past the cap: distributed min-label propagation — each round is one
+    hash exchange over the edge table; labels only decrease, so an
+    unchanged change-count certifies the fixed point."""
+    from ray.data.aggregate import Count, Min
+
+    from cosmos_ray.queries.relational import collect_small
+
+    e = (edges_ds.select_columns([src, dst])
+         .groupby([src, dst]).aggregate(Count(alias_name="__n"))
+         .drop_columns(["__n"]))
+    tbl = collect_small(e, cap_rows)
+    if tbl is not None:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        pairs = zip(tbl.column(src).to_pylist(), tbl.column(dst).to_pylist())
+        nodes = set()
+        for a, b in pairs:
+            nodes.add(a); nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted(nodes)
+        return rd.from_arrow(pa.table({
+            "entity": pa.array(out),
+            "component": pa.array([find(x) for x in out]),
+        }))
+
+    # distributed fallback: undirected min-label propagation to fixpoint
+    def both_dir(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        # typed even when empty: a schema-less empty block poisons the
+        # downstream hash join
+        return pa.table({
+            "node": pa.chunked_array(a.chunks + b.chunks, type=a.type),
+            "nbr": pa.chunked_array(b.chunks + a.chunks, type=a.type),
+        })
+
+    # each round: (1) group the edge list + label table by node and fan
+    # the node's label out along its edges (one exchange, no join — the
+    # hash-shuffle join chokes on the empty zero-schema bundles the
+    # aggregate operator emits); (2) min-reduce incoming labels per node.
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    und = e.map_batches(both_dir, batch_format="pyarrow").materialize()
+    labels = (und.groupby("node").aggregate(Min("nbr", alias_name="nbr_min"))
+              .map_batches(lambda t: pa.table({
+                  "node": t.column("node"),
+                  "label": pc.min_element_wise(t.column("node"),
+                                               t.column("nbr_min"))}),
+                           batch_format="pyarrow").materialize())
+
+    def fan_out(g):
+        import pandas as _pd
+        lab = g.loc[g["nbr"].isna(), "label"].min()
+        nbrs = g.loc[g["nbr"].notna(), "nbr"].tolist()
+        return _pd.DataFrame({"node": nbrs + [g["node"].iloc[0]],
+                              "label": [lab] * (len(nbrs) + 1)})
+
+    for _ in range(64):
+        tagged = (und.map_batches(
+                      lambda t: t.append_column(
+                          "label", pa.nulls(len(t), labels.schema().types[1])),
+                      batch_format="pyarrow")
+                  .union(labels.map_batches(
+                      lambda t: pa.table({
+                          "node": t.column("node"),
+                          "nbr": pa.nulls(len(t), t.column("node").type),
+                          "label": t.column("label")}),
+                      batch_format="pyarrow")))
+        nxt = (bucketed_group_apply(tagged, ["node"], fan_out)
+               .groupby("node").aggregate(Min("label", alias_name="label"))
+               .map_batches(lambda t: t, batch_format="pyarrow")  # arrow blocks
+               .materialize())
+        # change certificate: a (node, label) row present in only one of
+        # {prev, next} appears once in their union — any singleton means
+        # some label moved this round
+        changed = (labels.union(nxt)
+                   .groupby(["node", "label"])
+                   .aggregate(Count(alias_name="__c"))
+                   .filter(lambda r: r["__c"] == 1).count())
+        labels = nxt
+        if not changed:
+            break
+    return labels.rename_columns({"node": "entity", "label": "component"})
+
+
+# ------------------------------------------------------ k-hop neighborhood
+def k_hop_neighborhood(edges_ds, seeds, k: int = 2,
+                       src: str = "src_entity", dst: str = "dst_entity",
+                       directed: bool = False):
+    """(entity, hops) — minimum hop count from the seed set within
+    ``k`` hops, hop 0 = the seeds themselves. Each hop is one
+    size-guarded semi-join of the edge list against the frontier
+    (broadcast membership while the frontier is small — the common KG
+    case — distributed join past the cap via `semi_join_ds`)."""
+    from ray.data.aggregate import Count, Min
+
+    from cosmos_ray.queries.relational import semi_join_ds
+
+    if not directed:
+        def both_dir(t: pa.Table) -> pa.Table:
+            a, b = t.column(src), t.column(dst)
+            return pa.table({
+                "__s": pa.chunked_array(a.chunks + b.chunks, type=a.type),
+                "__d": pa.chunked_array(b.chunks + a.chunks, type=a.type)})
+        e = edges_ds.select_columns([src, dst]).map_batches(
+            both_dir, batch_format="pyarrow")
+    else:
+        e = edges_ds.select_columns([src, dst]).rename_columns(
+            {src: "__s", dst: "__d"})
+    e = e.groupby(["__s", "__d"]).aggregate(Count(alias_name="__n")) \
+         .drop_columns(["__n"]).materialize()
+
+    frontier = rd.from_arrow(pa.table({"entity": pa.array(sorted(set(seeds)))}))
+    layers = [frontier.map_batches(
+        lambda t: t.append_column("hops", pa.array([0] * len(t), pa.int64())),
+        batch_format="pyarrow")]
+    for h in range(1, k + 1):
+        hop = h
+        nxt = (semi_join_ds(e, frontier, key_col="entity", big_key="__s")
+               .groupby("__d").aggregate(Count(alias_name="__n"))
+               .drop_columns(["__n"])
+               .rename_columns({"__d": "entity"}))
+        layers.append(nxt.map_batches(
+            lambda t, hop=hop: t.append_column(
+                "hops", pa.array([hop] * len(t), pa.int64())),
+            batch_format="pyarrow"))
+        frontier = nxt
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.union(l)
+    return out.groupby("entity").aggregate(Min("hops", alias_name="hops"))

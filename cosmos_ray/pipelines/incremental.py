@@ -97,3 +97,43 @@ def run_kg_update(out_dir: str, new_pages, *, pages_meta=None,
         metrics[f"{name}_rows"] = _parquet_rows(final)
     metrics["dead_letter_rows"] = _parquet_rows(dead_dir) if os.path.isdir(dead_dir) else 0
     return metrics
+
+
+def kg_diff(old_triples, new_triples, keys=("subj", "pred", "obj")):
+    """Crawl-over-crawl KG diff: distinct triples present in exactly one
+    side -> (subj, pred, obj, status in {'added','removed'}). The what-
+    changed report between two crawl snapshots.
+
+    Scale shape: one tagged union + one groupby — each side's triples
+    are reduced to distinct keys with min/max side tags; no driver pull,
+    no pairwise join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    keys = list(keys)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(keys).append_column(
+                "__side", pa.array([side] * len(t), pa.int64()))
+        return fn
+
+    tagged = (old_triples.select_columns(keys)
+              .map_batches(tag(0), batch_format="pyarrow")
+              .union(new_triples.select_columns(keys)
+                     .map_batches(tag(1), batch_format="pyarrow")))
+    agg = tagged.groupby(keys).aggregate(Min("__side", alias_name="__lo"),
+                                         Max("__side", alias_name="__hi"))
+
+    def status(t: pa.Table) -> pa.Table:
+        lo, hi = t.column("__lo"), t.column("__hi")
+        only_old = pc.and_(pc.equal(lo, 0), pc.equal(hi, 0))
+        only_new = pc.and_(pc.equal(lo, 1), pc.equal(hi, 1))
+        changed = pc.or_(only_old, only_new)
+        t = t.filter(changed)
+        st = pc.if_else(pc.equal(t.column("__lo"), 0),
+                        pa.scalar("removed"), pa.scalar("added"))
+        return t.select(keys).append_column("status", st)
+
+    return agg.map_batches(status, batch_format="pyarrow")

@@ -1489,6 +1489,100 @@ SELECT entity, round(pr, 6) AS "rank" FROM r{iters}
 SQL_KG_PAGERANK = _sql_kg_pagerank()
 
 
+def q_kg_components(sf_dir: str):
+    """Connected components over the entity graph (undirected), component
+    id = lexicographic-min member (`graph.connected_components`: driver
+    union-find under the cap, distributed min-label fixpoint past it)."""
+    from cosmos_ray.functions.graph import connected_components
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return connected_components(build_kg(_pages_ds(sf_dir)).adjacency)
+
+
+SQL_KG_COMPONENTS = with_goldens("""
+, adj AS (SELECT ss.canonical_id AS src, so.canonical_id AS dst
+          FROM facts f JOIN surf ss ON ss.surface = f.subj
+                       JOIN surf so ON so.surface = f.obj),
+und AS (SELECT src AS a, dst AS b FROM adj UNION SELECT dst, src FROM adj),
+nodes AS (SELECT a FROM und UNION SELECT b FROM und),
+reach(a, b) AS (
+  SELECT a, a FROM nodes
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+SELECT a AS entity, min(b) AS component FROM reach GROUP BY a
+""", recursive=True)
+
+
+def q_kg_2hop(sf_dir: str):
+    """2-hop neighborhood of the lexicographic-min entity (undirected;
+    min hop count per reached entity) — the 'context subgraph around an
+    entity' retrieval a KG consumer issues
+    (`graph.k_hop_neighborhood`: one size-guarded frontier semi-join
+    per hop)."""
+    from cosmos_ray.functions.graph import k_hop_neighborhood
+    from cosmos_ray.pipelines.kg import build_kg
+
+    adj = build_kg(_pages_ds(sf_dir)).adjacency
+    seed = min(adj.min("src_entity"), adj.min("dst_entity"))
+    return k_hop_neighborhood(adj, [seed], k=2)
+
+
+SQL_KG_2HOP = with_goldens("""
+, adj AS (SELECT ss.canonical_id AS src, so.canonical_id AS dst
+          FROM facts f JOIN surf ss ON ss.surface = f.subj
+                       JOIN surf so ON so.surface = f.obj),
+und AS (SELECT src AS a, dst AS b FROM adj UNION SELECT dst, src FROM adj),
+seed AS (SELECT min(a) AS s FROM und),
+h1 AS (SELECT DISTINCT u.b AS entity FROM und u JOIN seed ON u.a = seed.s),
+h2 AS (SELECT DISTINCT u.b AS entity FROM und u
+       WHERE u.a IN (SELECT entity FROM h1)),
+lvl AS (SELECT s AS entity, 0 AS hops FROM seed
+        UNION ALL SELECT entity, 1 FROM h1
+        UNION ALL SELECT entity, 2 FROM h2)
+SELECT entity, min(hops)::BIGINT AS hops FROM lvl GROUP BY entity
+""")
+
+
+def q_kg_crawl_diff(sf_dir: str):
+    """Crawl-over-crawl KG diff: triples added/removed between crawl A
+    (docs with doc_id % 2 = 0) and crawl B (doc_id % 3 != 0) — the
+    what-changed report of an incremental refresh
+    (`pipelines/incremental.py:kg_diff`, tagged-union + one groupby)."""
+    from cosmos_ray.pipelines.incremental import kg_diff
+    from cosmos_ray.pipelines.kg import build_kg
+
+    old = build_kg(_pages_subset(sf_dir, 2, 0)).triples
+    new = build_kg(_pages_subset(sf_dir, 3, 0, invert=True)).triples
+    return kg_diff(old, new)
+
+
+SQL_KG_CRAWL_DIFF = with_goldens("""
+, oldt AS (SELECT DISTINCT subj, pred, obj FROM facts WHERE did % 2 = 0),
+newt AS (SELECT DISTINCT subj, pred, obj FROM facts WHERE did % 3 != 0),
+u AS (SELECT subj, pred, obj, 0 AS side FROM oldt
+      UNION ALL SELECT subj, pred, obj, 1 FROM newt),
+a AS (SELECT subj, pred, obj, min(side) AS lo, max(side) AS hi
+      FROM u GROUP BY subj, pred, obj)
+SELECT subj, pred, obj,
+       CASE WHEN lo = 0 AND hi = 0 THEN 'removed' ELSE 'added' END AS status
+FROM a WHERE lo = hi
+""")
+
+
+def _pages_subset(sf_dir: str, mod: int, rem: int, invert: bool = False):
+    """Pages dataset over the doc subset doc_id % mod == rem (or != rem
+    when invert) — deterministic 'crawl snapshot' carving."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.sources.pages import generate_pages_table
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = docs.column("doc_id").to_numpy()
+    mask = (ids % mod != rem) if invert else (ids % mod == rem)
+    return rd.from_arrow(generate_pages_table(docs.filter(pa.array(mask))))
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -2082,6 +2176,9 @@ QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "kg_degree": q_kg_degree,
     "kg_pagerank": q_kg_pagerank,
+    "kg_components": q_kg_components,
+    "kg_2hop": q_kg_2hop,
+    "kg_crawl_diff": q_kg_crawl_diff,
     "kg_sections": q_kg_sections,
     "kg_captions": q_kg_captions,
     "kg_table_context": q_kg_table_context,
@@ -2153,6 +2250,9 @@ ORACLES = {
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_degree": SQL_KG_DEGREE,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_components": SQL_KG_COMPONENTS,
+    "kg_2hop": SQL_KG_2HOP,
+    "kg_crawl_diff": SQL_KG_CRAWL_DIFF,
     "kg_sections": SQL_KG_SECTIONS,
     "kg_captions": SQL_KG_CAPTIONS,
     "kg_table_context": SQL_KG_TABLE_CONTEXT,

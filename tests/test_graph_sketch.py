@@ -151,3 +151,59 @@ class TestTopTerms:
         de = df[df["lang"] == "de"]
         assert de[["token", "n", "rank"]].values.tolist() == [
             ["x", 2, 1], ["y", 1, 2]]
+
+
+def _ent_edges(pairs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_entity": pa.array([a for a, _ in pairs]),
+        "dst_entity": pa.array([b for _, b in pairs]),
+    }))
+
+
+def test_connected_components_driver_and_distributed_agree():
+    from cosmos_ray.functions.graph import connected_components
+
+    # two components: {A,B,C} (chain) and {X,Y}; D isolated via self-edge
+    pairs = [("B", "A"), ("B", "C"), ("X", "Y"), ("D", "D")]
+    want = {"A": "A", "B": "A", "C": "A", "X": "X", "Y": "X", "D": "D"}
+    for cap in (2_000_000, 0):  # driver union-find, then distributed fixpoint
+        df = connected_components(_ent_edges(pairs), cap_rows=cap).to_pandas()
+        got = dict(zip(df["entity"], df["component"]))
+        assert got == want, (cap, got)
+
+
+def test_k_hop_neighborhood_hops_and_direction():
+    from cosmos_ray.functions.graph import k_hop_neighborhood
+
+    # path A -> B -> C -> D
+    pairs = [("A", "B"), ("B", "C"), ("C", "D")]
+    df = k_hop_neighborhood(_ent_edges(pairs), ["A"], k=2).to_pandas()
+    got = dict(zip(df["entity"], df["hops"]))
+    assert got == {"A": 0, "B": 1, "C": 2}
+    # directed from C: only D reachable
+    df = k_hop_neighborhood(_ent_edges(pairs), ["C"], k=2,
+                            directed=True).to_pandas()
+    got = dict(zip(df["entity"], df["hops"]))
+    assert got == {"C": 0, "D": 1}
+
+
+def test_kg_diff_statuses():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.pipelines.incremental import kg_diff
+
+    def tri(rows):
+        return rd.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows]),
+            "pred": pa.array([r[1] for r in rows]),
+            "obj": pa.array([r[2] for r in rows]),
+        }))
+
+    old = tri([("a", "p", "x"), ("b", "p", "y"), ("b", "p", "y")])  # dup kept once
+    new = tri([("a", "p", "x"), ("c", "p", "z")])
+    df = kg_diff(old, new).to_pandas().sort_values(["subj"]).reset_index(drop=True)
+    assert list(zip(df["subj"], df["status"])) == [("b", "removed"), ("c", "added")]
