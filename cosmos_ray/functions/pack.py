@@ -70,3 +70,77 @@ def pack_sequences(docs_ds, seq_len: int = 512, bucket_span: int = 1024,
         })
 
     return bucketed_group_apply(counted, ["__bucket_id"], offsets)
+
+
+# ------------------------------------------------- shuffle-and-shard export
+def shuffle_shards(docs_ds, n_shards: int = 8, seed: str = "s0",
+                   id_col: str = "doc_id", num_buckets: int = 64):
+    """Deterministic global shuffle plan for training-data export:
+    (doc_id, shard, pos) where shard = md5(seed:doc_id) % n_shards and
+    pos is the doc's rank inside its shard under the md5 order — a
+    seedable uniform permutation ANY engine reproduces exactly (the
+    stratified_sample md5-draw convention; `ds.random_shuffle` is not
+    replayable and moves full rows, this moves ids only).
+
+    Scale shape: the exchange carries (id, hash) pairs; text/payload
+    columns never move. The pos rank is an in-bucket vectorized sort via
+    `bucketed_group_apply` over the shard key."""
+    import hashlib
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def hashes(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        # md5_number_upper parity: first 8 digest bytes, little-endian
+        h = [int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "little")
+             for i in ids]
+        hs = np.array(h, dtype=np.uint64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "__h": pa.array(hs, pa.uint64()),
+            "shard": pa.array((hs % np.uint64(n_shards)).astype(np.int64),
+                              pa.int64()),
+        })
+
+    hashed = docs_ds.select_columns([id_col]).map_batches(
+        hashes, batch_format="pyarrow")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="stable").reset_index(drop=True)
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "shard": g["shard"],
+            "pos": np.arange(len(g), dtype=np.int64),
+        })
+
+    return bucketed_group_apply(hashed, ["shard"], rank,
+                                num_buckets=num_buckets)
+
+
+def export_training_shards(docs_ds, out_dir: str, n_shards: int = 8,
+                           seed: str = "s0", id_col: str = "doc_id"):
+    """Write the corpus as ``shard=K/`` hive-partitioned parquet under
+    the deterministic shuffle plan (`shuffle_shards`). Payload rows gain
+    (shard, sort_key); a loader reads one shard directory per worker and
+    sorts by sort_key — no global sort, no full-row shuffle beyond the
+    partitioned write itself. Re-running is idempotent (same hash, same
+    layout), which is the resume story."""
+    import hashlib
+    import os
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = [int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "little")
+             for i in ids]
+        hs = np.array(h, dtype=np.uint64)
+        return (t.append_column("shard",
+                                pa.array((hs % np.uint64(n_shards)).astype(np.int64),
+                                         pa.int64()))
+                 .append_column("sort_key", pa.array(hs, pa.uint64())))
+
+    os.makedirs(out_dir, exist_ok=True)
+    tagged = docs_ds.map_batches(tag, batch_format="pyarrow")
+    tagged.write_parquet(out_dir, partition_cols=["shard"], mode="overwrite")
+    return out_dir

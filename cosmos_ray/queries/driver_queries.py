@@ -1001,6 +1001,24 @@ FROM c
 """
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic training-export shuffle plan: md5-draw shard + rank
+    (`functions/pack.py:shuffle_shards`; ids-only exchange)."""
+    from cosmos_ray.functions.pack import shuffle_shards
+
+    return shuffle_shards(read(sf_dir, "documents", ["doc_id"]), n_shards=8,
+                          seed="s0")
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (SELECT doc_id, md5_number_upper('s0:' || doc_id) AS hh FROM documents)
+SELECT doc_id, (hh % 8)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1)::BIGINT
+         AS pos
+FROM h
+"""
+
+
 def q_contamination(sf_dir: str):
     """Decontamination pass: docs sharing an 8-gram with the 'benchmark'
     subset (doc_id % 97 == 0) — shingle semi-join, corpus text never
@@ -2159,6 +2177,7 @@ QUERIES = {
     "curate_docs": q_curate_docs,
     "pack_sequences": q_pack_sequences,
     "contamination": q_contamination,
+    "shuffle_shards": q_shuffle_shards,
     "vocab_counts": q_vocab_counts,
     "redact_pii": q_redact_pii,
     "perplexity": q_perplexity,
@@ -2233,6 +2252,7 @@ ORACLES = {
     "curate_docs": SQL_CURATE_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "contamination": SQL_CONTAMINATION,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "redact_pii": SQL_REDACT_PII,
     "perplexity": SQL_PERPLEXITY,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -78,3 +78,33 @@ def test_pack_sequences_sparse_ids():
     assert df["start_offset"].tolist() == [0, 2, 5]
     assert df["first_seq"].tolist() == [0, 1, 2]
     assert df["last_seq"].tolist() == [0, 2, 2]
+
+
+def test_export_training_shards_roundtrip(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cosmos_ray.functions.pack import export_training_shards, shuffle_shards
+
+    rows = [(i, f"doc text {i}", "s") for i in range(40)]
+    ds = _docs(rows)
+    out = export_training_shards(ds, str(tmp_path / "shards"), n_shards=4)
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 4
+    back = pq.read_table(out)
+    assert back.num_rows == 40
+    # layout agrees with the shuffle plan
+    plan = shuffle_shards(_docs(rows), n_shards=4).to_pandas()
+    got = back.to_pandas()[["doc_id", "shard"]]
+    got["shard"] = got["shard"].astype("int64")
+    merged = got.merge(plan[["doc_id", "shard"]], on="doc_id",
+                       suffixes=("_w", "_p"))
+    assert (merged["shard_w"] == merged["shard_p"]).all()
+    # per-shard pos is a dense 0..n-1 rank
+    for s, g in plan.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+    # idempotent re-run: same layout
+    export_training_shards(_docs(rows), str(tmp_path / "shards"), n_shards=4)
+    assert pq.read_table(out).num_rows == 40
