@@ -349,3 +349,128 @@ def repetition_stats_batch(t: pa.Table, text_col: str = "text",
 def repetition_stats(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(
         lambda t: repetition_stats_batch(t, text_col), batch_format="pyarrow")
+
+
+# ---------------------------------------- cross-doc duplicate-ngram fraction
+def dup_ngram_fraction(docs_ds, n: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Per-doc fraction of distinct word n-grams that also occur in at
+    least one OTHER document — the corpus-level duplicated-span
+    diagnostic behind substring-dedup decisions (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better').
+    -> (doc_id, n_grams, dup_frac).
+
+    Scale shape: explode to one row per DISTINCT (doc, gram) — text
+    never shuffles, gram strings do; gram doc-frequency is one groupby;
+    the per-doc rollup is a second. Both exchanges carry (gram, count)
+    / (doc, counts) rows only."""
+    from ray.data.aggregate import Count, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        out_id, out_g = [], []
+        for i, x in enumerate(t.column(text_col).to_pylist()):
+            w = x.split(" ")
+            grams = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+            out_id.extend([ids[i]] * len(grams))
+            out_g.extend(grams)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "g": pa.array(out_g, pa.string())})
+
+    pairs = docs_ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+    df = pairs.groupby("g").aggregate(Count(alias_name="df"))
+
+    # re-key doc-frequency back onto the (doc, gram) pairs: one bucketed
+    # groupby on gram (pairs + df unioned) instead of a hash join
+    tagged = pairs.map_batches(
+        lambda t: t.append_column("df", pa.nulls(len(t), pa.int64())),
+        batch_format="pyarrow").union(
+        df.map_batches(lambda t: pa.table({
+            id_col: pa.nulls(len(t), pa.int64()),
+            "g": t.column("g"),
+            "df": t.column("df").cast(pa.int64())}), batch_format="pyarrow"))
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        dfv = int(g.loc[g[id_col].isna(), "df"].iloc[0])
+        docs = g.loc[g[id_col].notna(), id_col]
+        return pd.DataFrame({id_col: docs.astype("int64"),
+                             "dup": np.full(len(docs), 1 if dfv > 1 else 0,
+                                            dtype=np.int64),
+                             "one": np.ones(len(docs), dtype=np.int64)})
+
+    per_pair = bucketed_group_apply(tagged, ["g"], attach)
+    agg = per_pair.groupby(id_col).aggregate(Sum("dup", alias_name="n_dup"),
+                                             Sum("one", alias_name="n_grams"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("n_dup").to_numpy(zero_copy_only=False).astype(np.float64)
+        ng = t.column("n_grams").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_grams": t.column("n_grams").cast(pa.int64()),
+            "dup_frac": pc.round(pa.array(nd / np.maximum(ng, 1), pa.float64()),
+                                 6, round_mode="half_towards_infinity"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- tf-idf keywords
+def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Top-``k`` tf-idf terms per document -> (doc_id, term, tfidf, rank).
+    tf = in-doc term count, idf = ln(N / df) (raw, no smoothing — both
+    SQL-replayable); ties broken by term asc. The keyword-extraction
+    pass of the retrieval side (the ES significant-terms analog).
+
+    Scale shape: per-batch (doc, term, tf) partials; term doc-frequency
+    is a vocabulary-sized groupby broadcast back via ``ray.put``; the
+    top-k pick is an in-bucket vectorized sort."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t.column(text_col), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({id_col: np.repeat(ids, lens), "term": flat})
+        agg = d.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # per-batch partials may split one doc across batches — sum tf
+    from ray.data.aggregate import Sum
+    tf = (docs_ds.select_columns([id_col, text_col])
+          .map_batches(term_counts, batch_format="pyarrow")
+          .groupby([id_col, "term"]).aggregate(Sum("tf", alias_name="tf"))
+          .materialize())
+
+    df_tbl = (tf.groupby("term").aggregate(Count(alias_name="df")).to_pandas())
+    n_docs = docs_ds.count()
+    idf = dict(zip(df_tbl["term"], np.log(n_docs / df_tbl["df"].to_numpy())))
+    idf_ref = ray.put(idf)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(idf_ref)
+        terms = pd.Series(t.column("term").to_pylist())
+        w = terms.map(m).to_numpy(dtype=np.float64)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "tfidf", pc.round(pa.array(tfv * w, pa.float64()), 6,
+                              round_mode="half_towards_infinity"))
+
+    scored = tf.map_batches(score, batch_format="pyarrow")
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "term"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    return bucketed_group_apply(scored.select_columns([id_col, "term", "tfidf"]),
+                                [id_col], head_k)

@@ -1001,6 +1001,57 @@ FROM c
 """
 
 
+def q_dup_ngram_frac(sf_dir: str):
+    """Per-doc fraction of distinct 8-grams shared with any other doc
+    (`textops.dup_ngram_fraction` — gram-only exchange, no join)."""
+    from cosmos_ray.functions.textops import dup_ngram_fraction
+
+    return dup_ngram_fraction(read(sf_dir, "documents", ["doc_id", "text"]),
+                              n=8)
+
+
+SQL_DUP_NGRAM_FRAC = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 6, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+SELECT sh.doc_id, count(*)::BIGINT AS n_grams,
+       round(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_frac
+FROM sh JOIN df USING (g)
+GROUP BY sh.doc_id
+"""
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Top-3 tf-idf terms per doc (`textops.tfidf_keywords` — vocabulary
+    df broadcast, in-bucket top-k)."""
+    from cosmos_ray.functions.textops import tfidf_keywords
+
+    return tfidf_keywords(read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT n_docs FROM n)::DOUBLE / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term)),
+r AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, tfidf, rank::BIGINT AS rank FROM r WHERE rank <= 3
+"""
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic training-export shuffle plan: md5-draw shard + rank
     (`functions/pack.py:shuffle_shards`; ids-only exchange)."""
@@ -2178,6 +2229,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "contamination": q_contamination,
     "shuffle_shards": q_shuffle_shards,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "tfidf_keywords": q_tfidf_keywords,
     "vocab_counts": q_vocab_counts,
     "redact_pii": q_redact_pii,
     "perplexity": q_perplexity,
@@ -2253,6 +2306,8 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "contamination": SQL_CONTAMINATION,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "redact_pii": SQL_REDACT_PII,
     "perplexity": SQL_PERPLEXITY,
     "repetition_stats": SQL_REPETITION_STATS,
