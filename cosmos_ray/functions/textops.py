@@ -474,3 +474,56 @@ def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
 
     return bucketed_group_apply(scored.select_columns([id_col, "term", "tfidf"]),
                                 [id_col], head_k)
+
+
+# ------------------------------------------------ content-defined chunking
+def cdc_chunk_batch(t: pa.Table, window: int = 16, modulus: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Content-defined chunking (the rsync/LBFS boundary rule): cut after
+    byte j+window-1 wherever the base-257 Mersenne-31 window hash at j is
+    ≡ 0 (mod ``modulus``) — boundaries survive insertions/deletions
+    outside the window, which is what makes chunk hashes usable for
+    sub-document dedup across crawl snapshots.
+    -> (doc_id, chunk_idx, chunk_start, chunk_end, chunk_hash) with
+    byte-inclusive [chunk_start, chunk_end] spans and md5 chunk ids."""
+    import hashlib
+
+    out = {"doc_id": [], "chunk_idx": [], "chunk_start": [], "chunk_end": [],
+           "chunk_hash": []}
+    ids = t.column(id_col).to_pylist()
+    for i, x in enumerate(t.column(text_col).to_pylist()):
+        data = np.frombuffer(x.encode("utf-8"), dtype=np.uint8)
+        n = len(data)
+        if n == 0:
+            continue
+        if n >= window:
+            h = _window_hashes(data, window, _ROLL_BASE)
+            ends = (np.nonzero(h % np.uint64(modulus) == 0)[0]
+                    + window - 1).tolist()
+        else:
+            ends = []
+        if not ends or ends[-1] != n - 1:
+            ends.append(n - 1)
+        start = 0
+        for ci, e in enumerate(ends):
+            out["doc_id"].append(ids[i])
+            out["chunk_idx"].append(ci)
+            out["chunk_start"].append(start)
+            out["chunk_end"].append(e)
+            out["chunk_hash"].append(
+                hashlib.md5(data[start:e + 1].tobytes()).hexdigest())
+            start = e + 1
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+        "chunk_start": pa.array(out["chunk_start"], pa.int64()),
+        "chunk_end": pa.array(out["chunk_end"], pa.int64()),
+        "chunk_hash": pa.array(out["chunk_hash"], pa.string()),
+    })
+
+
+def cdc_chunks(docs_ds, window: int = 16, modulus: int = 64):
+    """Distributed CDC pass — stateless per-doc map, no exchange. Chunk
+    hashes feed a groupby for sub-document (chunk-level) dedup."""
+    return docs_ds.map_batches(
+        lambda t: cdc_chunk_batch(t, window, modulus), batch_format="pyarrow")

@@ -497,6 +497,58 @@ SELECT doc_id, rolling_fp FROM fp
 SQL_ROLLING_FP = _sql_rolling_fp()
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (rsync/LBFS boundary rule) — sub-document
+    chunk spans + md5 chunk ids for chunk-level dedup
+    (`textops.cdc_chunks`; stateless map, no exchange)."""
+    from cosmos_ray.functions.textops import cdc_chunks
+
+    return cdc_chunks(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_cdc_chunks(window: int = 16, modulus: int = 64) -> str:
+    """Replay of ``cdc_chunk_batch``: base-257 Mersenne-31 window hashes
+    over text bytes (ASCII corpus), a cut after byte i+W-1 wherever
+    h % modulus == 0, chunk spans from lagged cut ends plus a tail
+    chunk, chunk ids = md5 of the substring."""
+    from cosmos_ray.functions.textops import _ROLL_BASE, _ROLL_MOD
+
+    W = window
+    pow1 = [pow(_ROLL_BASE, W - 1 - k, _ROLL_MOD) for k in range(W)]
+    h_terms = " + ".join(
+        f"ord(substr(text, i+{k}, 1))::HUGEINT * {pow1[k]}" for k in range(W))
+    return f"""
+WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, greatest(length(text) - {W} + 2, 1))) AS i
+             FROM documents WHERE length(text) > 0),
+h AS (SELECT doc_id, i, CAST(({h_terms}) % {_ROLL_MOD} AS UBIGINT) AS h
+      FROM pos),
+cuts AS (SELECT doc_id, i + {W} - 1 AS e FROM h WHERE h % {modulus} = 0),
+nume AS (SELECT doc_id, e,
+                row_number() OVER (PARTITION BY doc_id ORDER BY e) AS rn
+         FROM cuts),
+ch AS (SELECT doc_id, rn - 1 AS chunk_idx,
+              COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+              e
+       FROM nume),
+lastc AS (SELECT d.doc_id, COALESCE(max(n.rn), 0) AS nc,
+                 COALESCE(max(n.e), 0) AS laste, length(d.text) AS L
+          FROM documents d LEFT JOIN nume n USING (doc_id)
+          WHERE length(d.text) > 0
+          GROUP BY d.doc_id, length(d.text)),
+tail AS (SELECT doc_id, nc AS chunk_idx, laste + 1 AS s, L AS e
+         FROM lastc WHERE laste < L),
+allc AS (SELECT * FROM ch UNION ALL SELECT * FROM tail)
+SELECT a.doc_id, a.chunk_idx::BIGINT AS chunk_idx,
+       (a.s - 1)::BIGINT AS chunk_start, (a.e - 1)::BIGINT AS chunk_end,
+       md5(substr(d.text, a.s, a.e - a.s + 1)) AS chunk_hash
+FROM allc a JOIN documents d USING (doc_id)
+"""
+
+
+SQL_CDC_CHUNKS = _sql_cdc_chunks()
+
+
 def q_fingerprints(sf_dir: str):
     from cosmos_ray.functions.textops import fingerprints
 
@@ -2208,6 +2260,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "regex_tokens": q_regex_tokens,
     "rolling_fp": q_rolling_fp,
+    "cdc_chunks": q_cdc_chunks,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -2341,6 +2394,7 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "rolling_fp": SQL_ROLLING_FP,
+    "cdc_chunks": SQL_CDC_CHUNKS,
     "rerank_windows": SQL_RERANK_WINDOWS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);

@@ -115,3 +115,37 @@ def test_repetition_stats_hand_values():
     assert dup[1] == 0.0
     assert abs(top[1] - 12 / 15) < 1e-6
     assert out.column("rep_keep").to_pylist() == [False, False]
+
+
+def test_cdc_chunks_cover_and_shift_stability():
+    from cosmos_ray.functions.textops import cdc_chunk_batch
+
+    base = " ".join(f"word{i} token{i*7%991}" for i in range(300))
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([base])})
+    out = cdc_chunk_batch(t).to_pandas().sort_values("chunk_idx")
+    # chunks tile the byte range exactly
+    assert out["chunk_start"].iloc[0] == 0
+    assert out["chunk_end"].iloc[-1] == len(base.encode()) - 1
+    assert (out["chunk_start"].iloc[1:].to_numpy()
+            == out["chunk_end"].iloc[:-1].to_numpy() + 1).all()
+    assert len(out) > 2  # the rule actually cuts on this input
+
+    # content-defined property: a prefix insertion leaves the tail
+    # chunk hashes intact (boundaries re-align after the edit window)
+    edited = "XXXXX " + base
+    t2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "text": pa.array([edited])})
+    out2 = cdc_chunk_batch(t2).to_pandas()
+    shared = set(out["chunk_hash"]) & set(out2["chunk_hash"])
+    assert len(shared) >= len(out) - 2  # at most the first chunks differ
+
+
+def test_cdc_short_doc_single_chunk():
+    from cosmos_ray.functions.textops import cdc_chunk_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["tiny", ""])})
+    out = cdc_chunk_batch(t).to_pandas()
+    assert out["doc_id"].tolist() == [1]  # empty doc emits nothing
+    assert out[["chunk_start", "chunk_end"]].values.tolist() == [[0, 3]]
