@@ -752,3 +752,102 @@ def contaminated_docs(docs_ds, bench_ds, n: int = 8,
                         cap_rows=cap_rows)
     return (hits.groupby(id_col).aggregate(Count(alias_name="__n"))
             .drop_columns(["__n"]))
+
+
+# ---------------------------------------------------- sub-document dedup
+
+def subdoc_dedup(docs_ds, window: int = 16, modulus: int = 64,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Chunk-level exact substring dedup (Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better', at CDC-chunk granularity
+    instead of suffix arrays): content-defined chunks whose byte content
+    appears elsewhere in the corpus are REMOVED from every document
+    except the canonical first occurrence (minimum ``(doc_id,
+    chunk_idx)``); each doc's text is rewritten as the concatenation of
+    its kept chunks in order. -> (doc_id, dedup_text, n_kept, n_removed),
+    one row per input doc (docs with empty text keep an empty rewrite).
+
+    Scale shape: the CDC pass is a stateless map (no exchange); the
+    winner election is one groupby over (chunk_hash, packed-key) rows —
+    16-byte digests plus one int64, never chunk bytes; kept-flags re-key
+    via a bucketed union-groupby on chunk_hash (span ints only); the
+    rewrite re-keys spans onto docs via a bucketed union-groupby on
+    doc_id, where each doc's text crosses the exchange exactly once.
+    Packing assumption (documented): doc_id < 2^31 and chunk_idx < 2^32
+    so ``packed = doc_id * 2^32 + chunk_idx`` fits int64 and sorts
+    lexicographically by (doc_id, chunk_idx)."""
+    from ray.data.aggregate import Min
+
+    from cosmos_ray.functions.textops import cdc_chunk_batch
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def chunks_packed(t: pa.Table) -> pa.Table:
+        c = cdc_chunk_batch(t, window, modulus, id_col=id_col, text_col=text_col)
+        packed = pc.add(pc.multiply(c.column(id_col), pa.scalar(1 << 32, pa.int64())),
+                        c.column("chunk_idx"))
+        return c.drop_columns(["chunk_idx"]).append_column("packed", packed)
+
+    occ = docs_ds.select_columns([id_col, text_col]).map_batches(
+        chunks_packed, batch_format="pyarrow").materialize()
+    winners = occ.groupby("chunk_hash").aggregate(Min("packed", alias_name="win"))
+
+    # re-key winners onto occurrences: union + bucketed groupby on the
+    # digest (the dup_ngram_fraction pattern — no hash join)
+    tagged = occ.map_batches(
+        lambda t: t.append_column("win", pa.nulls(len(t), pa.int64())),
+        batch_format="pyarrow").union(
+        winners.map_batches(lambda t: pa.table({
+            id_col: pa.nulls(len(t), pa.int64()),
+            "chunk_start": pa.nulls(len(t), pa.int64()),
+            "chunk_end": pa.nulls(len(t), pa.int64()),
+            "chunk_hash": t.column("chunk_hash"),
+            "packed": pa.nulls(len(t), pa.int64()),
+            "win": t.column("win").cast(pa.int64())}), batch_format="pyarrow"))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        win = int(g.loc[g[id_col].isna(), "win"].iloc[0])
+        o = g.loc[g[id_col].notna()]
+        return pd.DataFrame({
+            id_col: o[id_col].astype("int64"),
+            "chunk_start": o["chunk_start"].astype("int64"),
+            "chunk_end": o["chunk_end"].astype("int64"),
+            "kept": (o["packed"].astype("int64") == win).astype("int64"),
+        })
+
+    spans = bucketed_group_apply(tagged, ["chunk_hash"], flag)
+
+    # rewrite: union doc texts with their kept spans, bucketed on doc_id
+    docs_tagged = docs_ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            text_col: t.column(text_col),
+            "chunk_start": pa.nulls(len(t), pa.int64()),
+            "chunk_end": pa.nulls(len(t), pa.int64()),
+            "kept": pa.nulls(len(t), pa.int64())}), batch_format="pyarrow")
+    spans_tagged = spans.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            text_col: pa.nulls(len(t), pa.string()),
+            "chunk_start": t.column("chunk_start"),
+            "chunk_end": t.column("chunk_end"),
+            "kept": t.column("kept")}), batch_format="pyarrow")
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        doc = int(g[id_col].iloc[0])
+        text = g.loc[g[text_col].notna(), text_col].iloc[0]
+        sp = g.loc[g["chunk_start"].notna()].sort_values("chunk_start")
+        data = text.encode("utf-8")
+        kept_parts = [
+            data[int(s):int(e) + 1]
+            for s, e, k in zip(sp["chunk_start"], sp["chunk_end"], sp["kept"])
+            if int(k) == 1
+        ]
+        n_kept = int(sp["kept"].astype("int64").sum())
+        return pd.DataFrame({
+            id_col: [doc],
+            "dedup_text": [b"".join(kept_parts).decode("utf-8")],
+            "n_kept": [n_kept],
+            "n_removed": [len(sp) - n_kept],
+        })
+
+    return bucketed_group_apply(docs_tagged.union(spans_tagged), [id_col], rewrite)

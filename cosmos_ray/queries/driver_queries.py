@@ -549,6 +549,43 @@ FROM allc a JOIN documents d USING (doc_id)
 SQL_CDC_CHUNKS = _sql_cdc_chunks()
 
 
+def q_subdoc_dedup(sf_dir: str):
+    """Chunk-level exact substring dedup: CDC chunks duplicated anywhere
+    in the corpus are removed except their first (doc_id, chunk_idx)
+    occurrence; docs rewritten from kept chunks
+    (`dedup.subdoc_dedup` — Lee et al. 2022 at CDC granularity)."""
+    from cosmos_ray.functions.dedup import subdoc_dedup
+
+    return subdoc_dedup(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_SUBDOC_DEDUP = f"""
+WITH cdc AS ({SQL_CDC_CHUNKS}),
+occ AS (SELECT doc_id, chunk_start, chunk_end, chunk_hash,
+               doc_id * 4294967296 + chunk_idx AS packed
+        FROM cdc),
+win AS (SELECT chunk_hash, min(packed) AS win FROM occ GROUP BY chunk_hash),
+flag AS (SELECT o.doc_id, o.chunk_start, o.chunk_end,
+                CASE WHEN o.packed = w.win THEN 1 ELSE 0 END AS kept
+         FROM occ o JOIN win w USING (chunk_hash)),
+agg AS (SELECT f.doc_id,
+               coalesce(string_agg(
+                   substr(d.text, f.chunk_start + 1,
+                          f.chunk_end - f.chunk_start + 1), ''
+                   ORDER BY f.chunk_start) FILTER (WHERE f.kept = 1),
+                   '') AS dedup_text,
+               sum(f.kept)::BIGINT AS n_kept,
+               (count(*) - sum(f.kept))::BIGINT AS n_removed
+        FROM flag f JOIN documents d USING (doc_id)
+        GROUP BY f.doc_id)
+SELECT d.doc_id,
+       coalesce(a.dedup_text, '') AS dedup_text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_fingerprints(sf_dir: str):
     from cosmos_ray.functions.textops import fingerprints
 
@@ -2261,6 +2298,7 @@ QUERIES = {
     "regex_tokens": q_regex_tokens,
     "rolling_fp": q_rolling_fp,
     "cdc_chunks": q_cdc_chunks,
+    "subdoc_dedup": q_subdoc_dedup,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -2395,6 +2433,7 @@ ORACLES = {
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "rolling_fp": SQL_ROLLING_FP,
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "subdoc_dedup": SQL_SUBDOC_DEDUP,
     "rerank_windows": SQL_RERANK_WINDOWS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);

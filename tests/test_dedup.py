@@ -191,3 +191,45 @@ def test_embedding_near_dups_degenerate_bucket_bounded():
     # lowest ids (stable truncation)
     assert 0 < len(pairs) <= 120
     assert max(max(r["vec_a"], r["vec_b"]) for r in pairs) < 16
+
+
+# ---------------------------------------------------- sub-document dedup
+
+def test_subdoc_dedup_removes_shared_chunks():
+    """A doc that embeds another doc's full text loses the shared chunks;
+    the canonical first occurrence keeps all of its own."""
+    a = " ".join(f"w{(i * 7919) % 997}x{i}" for i in range(400))
+    b = "unique prefix words here " + a + " unique suffix tail"
+    c = "completely different content with no overlap whatsoever at all"
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": [a, b, c]}))
+    out = {r["doc_id"]: r for r in dedup.subdoc_dedup(ds).take_all()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 (min id) keeps everything; rewrite is identity
+    assert out[1]["dedup_text"] == a and out[1]["n_removed"] == 0
+    # doc 2 loses the chunks it shares with doc 1 but keeps its own
+    assert out[2]["n_removed"] >= 1
+    assert "unique prefix words here" in out[2]["dedup_text"]
+    assert len(out[2]["dedup_text"]) < len(b)
+    # doc 3 untouched
+    assert out[3]["dedup_text"] == c and out[3]["n_removed"] == 0
+
+
+def test_subdoc_dedup_exact_copy_fully_removed():
+    """An exact duplicate doc is rewritten to the empty string (every
+    chunk's canonical occurrence is in the lower-id doc); kept+removed
+    tiles each doc exactly."""
+    t = "one two three four five six seven eight nine ten " * 8
+    ds = rd.from_arrow(pa.table({"doc_id": [5, 9], "text": [t, t]}))
+    out = {r["doc_id"]: r for r in dedup.subdoc_dedup(ds).take_all()}
+    assert out[5]["dedup_text"] == t and out[5]["n_removed"] == 0
+    assert out[9]["dedup_text"] == "" and out[9]["n_kept"] == 0
+    assert out[9]["n_removed"] == out[5]["n_kept"]
+
+
+def test_subdoc_dedup_empty_doc():
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "text": ["", "some actual words here"]}))
+    out = {r["doc_id"]: r for r in dedup.subdoc_dedup(ds).take_all()}
+    assert out[1]["dedup_text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["dedup_text"] == "some actual words here"
