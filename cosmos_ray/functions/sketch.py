@@ -96,3 +96,64 @@ def distinct_count_exact(ds, key_cols: list[str], count_col: str):
         distinct.groupby(key_cols)
         .aggregate(Count(alias_name=f"n_distinct_{count_col}"))
     )
+
+
+def histogram_quantiles(ds, keys: list[str], value_col: str,
+                        lo: float = 0.0, hi: float = 1024.0,
+                        nbins: int = 256,
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Mergeable fixed-bin histogram quantiles — the 100-TB percentile
+    path: exact per-group quantiles (`relational.group_quantiles`) pull
+    every value of a group into one task, which dies on a hot key; this
+    sketch's exchange is bounded by keys × nbins COUNTS regardless of
+    input rows, and partials merge by addition (like HLL registers merge
+    by max). Estimate error is one bin width.
+
+    Convention (replayed exactly by the SQL oracle): bin =
+    clip(floor((v - lo) / w), 0, nbins-1) with w = (hi - lo) / nbins;
+    the q-quantile is the LOWER EDGE of the bin holding the ceil(q*n)-th
+    ordered value. Pick lo/hi/nbins so w is a power of two and the
+    float division is bit-identical across engines.
+    -> one row per (key..., q): (keys..., q, approx_value)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [value_col]).to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / w), 0, nbins - 1).astype(np.int64)
+        df = df.drop(columns=[value_col])
+        df["bin"] = b
+        g = df.groupby(keys + ["bin"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.select_columns(keys + [value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(keys + ["bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        total = int(cum[-1])
+        bins = g["bin"].to_numpy(dtype=np.int64)
+        rows = {k: [] for k in keys}
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            i = int(np.searchsorted(cum, max(rank, 1)))
+            for k in keys:
+                rows[k].append(g[k].iloc[0])
+            out_q.append(float(q))
+            out_v.append(round(lo + w * float(bins[i]), 6))
+        rows["q"] = out_q
+        rows["approx_value"] = out_v
+        return pd.DataFrame(rows)
+
+    return counts.groupby(keys).map_groups(finish, batch_format="pandas")

@@ -974,6 +974,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_value_quantiles_sketch(sf_dir: str):
+    """Mergeable histogram-quantile sketch per event_type — the bounded-
+    exchange percentile path for hot keys (`sketch.histogram_quantiles`;
+    exchange = keys x nbins counts, partials merge by addition)."""
+    from cosmos_ray.functions.sketch import histogram_quantiles
+
+    return histogram_quantiles(read(sf_dir, "events", ["event_type", "value"]),
+                               ["event_type"], "value",
+                               lo=0.0, hi=1024.0, nbins=256)
+
+
+SQL_VALUE_QUANTILES_SKETCH = """
+WITH b AS (SELECT event_type,
+                  least(greatest(floor(value / 4.0), 0), 255)::BIGINT AS bin
+           FROM events),
+c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n) AS total FROM c GROUP BY 1),
+cum AS (SELECT event_type, bin,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM c),
+qv(q) AS (VALUES (0.5), (0.9), (0.99)),
+r AS (SELECT event_type, q, greatest(ceil(q * total), 1)::BIGINT AS rnk
+      FROM t CROSS JOIN qv),
+pick AS (SELECT r.event_type, r.q, min(cum.bin) AS bin
+         FROM r JOIN cum ON cum.event_type = r.event_type
+                        AND cum.cum >= r.rnk
+         GROUP BY 1, 2)
+SELECT event_type, q::DOUBLE AS q,
+       round(4.0 * bin, 6) AS approx_value
+FROM pick
+"""
+
+
 def q_props_k_by_type(sf_dir: str):
     """Semi-structured JSON column extraction (web-pipeline staple):
     pull ``k`` out of the props JSON with one vectorized arrow
@@ -2314,6 +2347,7 @@ QUERIES = {
     "distinct_users_daily": q_distinct_users_daily,
     "top_terms_by_lang": q_top_terms_by_lang,
     "value_quantiles": q_value_quantiles,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
     "props_k_by_type": q_props_k_by_type,
     "embedding_kmeans": q_embedding_kmeans,
     "curate_docs": q_curate_docs,
@@ -2392,6 +2426,7 @@ ORACLES = {
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
     "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "value_quantiles_sketch": SQL_VALUE_QUANTILES_SKETCH,
     "props_k_by_type": SQL_PROPS_K_BY_TYPE,
     "curate_docs": SQL_CURATE_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,

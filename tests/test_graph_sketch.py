@@ -207,3 +207,48 @@ def test_kg_diff_statuses():
     new = tri([("a", "p", "x"), ("c", "p", "z")])
     df = kg_diff(old, new).to_pandas().sort_values(["subj"]).reset_index(drop=True)
     assert list(zip(df["subj"], df["status"])) == [("b", "removed"), ("c", "added")]
+
+
+class TestHistogramQuantiles:
+    def _ds(self, vals, keys=None):
+        keys = keys or ["k"] * len(vals)
+        return rd.from_arrow(pa.table({
+            "k": pa.array(keys), "v": pa.array(vals, pa.float64())}))
+
+    def test_within_one_bin_of_exact(self):
+        from cosmos_ray.functions.sketch import histogram_quantiles
+
+        rng = np.random.RandomState(7)
+        vals = rng.uniform(0, 900, size=20_000)
+        out = histogram_quantiles(self._ds(vals.tolist()), ["k"], "v",
+                                  lo=0.0, hi=1024.0, nbins=256).to_pandas()
+        w = 1024.0 / 256
+        for _, r in out.iterrows():
+            exact = np.quantile(vals, r["q"])
+            assert abs(r["approx_value"] - exact) <= w + 1e-9, (r["q"], exact)
+
+    def test_bin_edge_convention_exact_on_grid(self):
+        """Values already on bin edges reproduce the exact quantile."""
+        from cosmos_ray.functions.sketch import histogram_quantiles
+
+        vals = [4.0 * i for i in range(100)]  # one value per bin
+        out = (histogram_quantiles(self._ds(vals), ["k"], "v",
+                                   lo=0.0, hi=1024.0, nbins=256)
+               .to_pandas().set_index("q"))
+        # ceil(0.5*100)=50th ordered value = 4*49
+        assert out.loc[0.5, "approx_value"] == 4.0 * 49
+        assert out.loc[0.99, "approx_value"] == 4.0 * 98
+
+    def test_hot_key_and_multi_key(self):
+        """A key with 100x the rows of another: both get correct rows and
+        the exchange stays bounded (sketch never groups raw values)."""
+        from cosmos_ray.functions.sketch import histogram_quantiles
+
+        hot = [float(i % 800) for i in range(10_000)]
+        cold = [100.0] * 100
+        ds = self._ds(hot + cold, keys=["hot"] * len(hot) + ["cold"] * len(cold))
+        out = histogram_quantiles(ds, ["k"], "v", lo=0.0, hi=1024.0,
+                                  nbins=256).to_pandas()
+        assert set(out["k"]) == {"hot", "cold"}
+        cold_rows = out[out["k"] == "cold"]
+        assert (cold_rows["approx_value"] == 100.0).all()
