@@ -851,3 +851,77 @@ def subdoc_dedup(docs_ds, window: int = 16, modulus: int = 64,
         })
 
     return bucketed_group_apply(docs_tagged.union(spans_tagged), [id_col], rewrite)
+
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup(emb_ds, n_clusters: int = 16, threshold: float = 0.95,
+                   seed: int = 7, iters: int = 10, max_group: int = 4096):
+    """SemDedup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication'): k-means the embedding
+    space, then within each cluster greedily remove vectors whose cosine
+    to an already-kept LOWER-ID vector exceeds ``threshold``.
+    -> (vec_id, cluster, kept, dup_of) — dup_of is the kept vector that
+    claimed the duplicate (null when kept=1).
+
+    Scale shape: clustering is the parameter-server-lite Lloyd's from
+    `similarity.kmeans_fit` (exchange per iteration = batches x k x dim
+    partials); the final assignment broadcasts centroids once; the
+    in-cluster prune is a bucketed groupby on cluster id where each
+    group does ONE matmul + a greedy mask scan. Clusters cap the pair
+    work by construction (that is SemDedup's point); a ``max_group``
+    guard truncates degenerate giant clusters (lowest ids kept first),
+    matching `self_join_pairs` / `embedding_near_dups` semantics."""
+    import ray
+
+    from cosmos_ray.functions.similarity import kmeans_fit
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    _, centroids = kmeans_fit(emb_ds, k=n_clusters, iters=iters, seed=seed)
+    c_ref = ray.put(centroids)
+
+    def assign_unit(t: pa.Table, _r=c_ref) -> pa.Table:
+        C = ray.get(_r)
+        X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = np.argmin(d, axis=1).astype(np.int64)
+        unit = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(a, pa.int64()),
+            "unit": pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
+        })
+
+    assigned = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_unit, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="stable")
+        if len(g) > max_group:
+            g = g.iloc[:max_group]
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        U = np.asarray(g["unit"].tolist(), dtype=np.float64)
+        sims = U @ U.T
+        kept_idx: list[int] = []
+        kept = np.zeros(len(ids), np.int64)
+        dup_of = np.full(len(ids), -1, np.int64)
+        for i in range(len(ids)):
+            if kept_idx:
+                s = sims[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] > threshold:
+                    dup_of[i] = ids[kept_idx[j]]
+                    continue
+            kept[i] = 1
+            kept_idx.append(i)
+        out = pd.DataFrame({
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy(dtype=np.int64),
+            "kept": kept,
+            "dup_of": dup_of,
+        })
+        out["dup_of"] = out["dup_of"].astype("Int64")
+        out.loc[out["dup_of"] < 0, "dup_of"] = pd.NA
+        return out
+
+    return bucketed_group_apply(assigned, ["cluster"], prune)

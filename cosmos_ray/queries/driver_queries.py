@@ -1233,6 +1233,17 @@ def q_embedding_kmeans(sf_dir: str):
     return assigns
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDedup over the embeddings table (`dedup.semantic_dedup`):
+    k-means buckets + in-cluster greedy cosine prune. Iterative float
+    clustering — no SQL oracle (like embedding_kmeans); planted-duplicate
+    recall and greedy semantics are pytest-gated in test_dedup."""
+    from cosmos_ray.functions.dedup import semantic_dedup
+
+    return semantic_dedup(read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          n_clusters=8, threshold=0.99, iters=5)
+
+
 def q_vocab_counts(sf_dir: str):
     """Corpus token counts (global representation-learning pass, G8)."""
     from cosmos_ray.functions.embed import corpus_vocab
@@ -2350,6 +2361,7 @@ QUERIES = {
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "props_k_by_type": q_props_k_by_type,
     "embedding_kmeans": q_embedding_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     "curate_docs": q_curate_docs,
     "pack_sequences": q_pack_sequences,
     "contamination": q_contamination,

@@ -233,3 +233,58 @@ def test_subdoc_dedup_empty_doc():
     out = {r["doc_id"]: r for r in dedup.subdoc_dedup(ds).take_all()}
     assert out[1]["dedup_text"] == "" and out[1]["n_kept"] == 0
     assert out[2]["dedup_text"] == "some actual words here"
+
+
+# ------------------------------------------------------- semantic dedup
+
+def _planted_embeddings(n=120, dim=16, seed=3):
+    """n/3 base vectors, each with one exact copy (id+1000) and one
+    tiny-perturbation copy (id+2000); plus orthogonal-ish distractors."""
+    rng = np.random.RandomState(seed)
+    base = rng.normal(size=(n, dim))
+    rows = []
+    for i in range(n):
+        rows.append({"vec_id": i, "embedding": base[i].tolist()})
+    for i in range(0, n, 3):
+        rows.append({"vec_id": i + 1000, "embedding": base[i].tolist()})
+        rows.append({"vec_id": i + 2000,
+                     "embedding": (base[i] + 1e-4 * rng.normal(size=dim)).tolist()})
+    return pa.Table.from_pylist(rows)
+
+
+def test_semantic_dedup_prunes_planted_copies():
+    tbl = _planted_embeddings()
+    res = dedup.semantic_dedup(rd.from_arrow(tbl), n_clusters=6,
+                               threshold=0.999, iters=4).to_pandas()
+    assert len(res) == tbl.num_rows
+    by_id = res.set_index("vec_id")
+    for i in range(0, 120, 3):
+        # original (lowest id) survives; copies are pruned onto it
+        assert by_id.loc[i, "kept"] == 1
+        for dup in (i + 1000, i + 2000):
+            assert by_id.loc[dup, "kept"] == 0, dup
+            assert by_id.loc[dup, "dup_of"] == i
+    # distinct random vectors (no planted copy) all survive
+    for i in range(1, 120, 3):
+        assert by_id.loc[i, "kept"] == 1
+
+
+def test_semantic_dedup_threshold_monotone():
+    tbl = _planted_embeddings()
+    ds = rd.from_arrow(tbl)
+    strict = dedup.semantic_dedup(ds, n_clusters=6, threshold=0.9999,
+                                  iters=4).to_pandas()
+    loose = dedup.semantic_dedup(ds, n_clusters=6, threshold=0.5,
+                                 iters=4).to_pandas()
+    assert loose["kept"].sum() <= strict["kept"].sum()
+
+
+def test_semantic_dedup_copies_in_same_cluster():
+    """An exact copy always lands in the same k-means cell as its
+    original (identical coordinates), so the prune can never miss it."""
+    tbl = _planted_embeddings()
+    res = dedup.semantic_dedup(rd.from_arrow(tbl), n_clusters=6,
+                               threshold=0.999, iters=4).to_pandas()
+    cl = res.set_index("vec_id")["cluster"]
+    for i in range(0, 120, 3):
+        assert cl[i] == cl[i + 1000]
