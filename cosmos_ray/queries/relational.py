@@ -103,13 +103,80 @@ def join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
     return j
 
 
+def _bloom_indices(vals: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """k double-hashed bit positions per value -> (n, k) int64 array."""
+    import pandas as pd
+
+    h1 = pd.util.hash_array(vals, hash_key="1b4e6a7c9d2f8e3a")
+    h2 = pd.util.hash_array(vals, hash_key="8c1d3f5a7b9e2c4d") | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _key_np(col) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(a.type) or pa.types.is_floating(a.type):
+        return a.to_numpy(zero_copy_only=False)
+    return np.asarray(a.cast(pa.string()).to_pylist(), dtype=object)
+
+
+def build_bloom(keys_ds, key_col: str, m_bits: int = 1 << 23,
+                k_hashes: int = 4) -> np.ndarray:
+    """Bloom filter over a key column as a packed uint64 bitmap —
+    mergeable partials like the HLL registers: each batch emits ONE
+    bitmap row (m_bits/8 bytes, independent of batch rows) and the
+    driver ORs them streaming. 2^23 bits = 1 MiB; at k=4 the false-
+    positive rate stays ~1e-3 up to ~6e5 keys (size m_bits to ~14 bits
+    per expected key). No false negatives ever."""
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = _bloom_indices(_key_np(t.column(key_col)), m_bits, k_hashes)
+        w = np.zeros(words, np.uint64)
+        flat = idx.reshape(-1)
+        np.bitwise_or.at(w, flat >> 6, np.uint64(1) << (flat & 63).astype(np.uint64))
+        return pa.table({"w": pa.array([w], pa.list_(pa.uint64()))})
+
+    merged = np.zeros(words, np.uint64)
+    for b in keys_ds.select_columns([key_col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.column("w").to_pylist():
+            np.bitwise_or(merged, np.asarray(r, np.uint64), out=merged)
+    return merged
+
+
+def bloom_filter_ds(big_ds, bloom: np.ndarray, big_key: str, keep_hits: bool,
+                    m_bits: int, k_hashes: int = 4):
+    """Keep rows whose key hits (keep_hits=True) / misses the bloom —
+    the bitmap is put in the object store once and read per task."""
+    bloom_ref = ray.put(bloom)
+
+    def member(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        idx = _bloom_indices(_key_np(t.column(big_key)), m_bits, k_hashes)
+        hit = ((bl[idx >> 6] >> (idx & 63).astype(np.uint64))
+               & np.uint64(1)).all(axis=1)
+        return t.filter(pa.array(hit if keep_hits else ~hit))
+
+    return big_ds.map_batches(member, batch_format="pyarrow")
+
+
 def semi_join_ds(big_ds, keys_ds, key_col: str, big_key: str, keep: bool = True,
-                 cap_rows: int = 2_000_000):
+                 cap_rows: int = 2_000_000, bloom_bits: int = 0):
     """Semi (keep=True) / anti (keep=False) join of ``big_ds`` against the
     key set of ``keys_ds``: broadcast key-set membership filter under
     ``cap_rows``, else a distributed join (inner for semi; left_outer +
     null-marker filter for anti) — the ES doc-filter semi-join analog
-    (`elastic_retriever.py:260-310`) with a bounded driver footprint."""
+    (`elastic_retriever.py:260-310`) with a bounded driver footprint.
+
+    ``bloom_bits`` > 0 inserts the middle tier for key sets too big to
+    broadcast: a packed bloom bitmap (built from mergeable per-batch
+    partials, broadcast once) pre-filters the big side, so the exact
+    distributed join sees only matches + the ~1e-3 false positives
+    instead of every big-side row. Results stay EXACT: for semi, the
+    join removes false positives; for anti, bloom misses are definite
+    non-members kept directly and only bloom hits are join-verified."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Count
@@ -120,6 +187,15 @@ def semi_join_ds(big_ds, keys_ds, key_col: str, big_key: str, keep: bool = True,
         if not keys:
             return big_ds if not keep else big_ds.limit(0)
         return semi_join_filter(big_ds, keys, big_key, keep=keep)
+    if bloom_bits:
+        bloom = build_bloom(keys_ds, key_col, bloom_bits)
+        hits = bloom_filter_ds(big_ds, bloom, big_key, True, bloom_bits)
+        if keep:
+            big_ds = hits
+        else:
+            misses = bloom_filter_ds(big_ds, bloom, big_key, False, bloom_bits)
+            return misses.union(semi_join_ds(hits, keys_ds, key_col, big_key,
+                                             keep=False, cap_rows=0))
     distinct = keys_ds.groupby(key_col).aggregate(Count(alias_name="__m"))
     j = big_ds.join(
         distinct,

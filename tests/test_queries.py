@@ -149,3 +149,57 @@ def test_entry_contract():
     assert len(df) > 0
     assert {"url", "subj", "pred", "obj"}.issubset(df.columns)
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_bloom_tier_agrees_with_exact_paths():
+    """bloom_bits forces the bloom pre-filter tier (with cap_rows=0 so
+    the keys never broadcast); a deliberately TINY bitmap (2^10 bits for
+    ~300 keys => heavy false-positive rate) must still return exactly
+    the broadcast-path result for both semi and anti — false positives
+    are join-verified, false negatives are impossible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cosmos_ray.queries.relational import read, semi_join_ds
+
+    def keys():
+        return read(SF, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("o_totalprice"), pa.scalar(300000.0))
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+
+    def cust():
+        return read(SF, "customer", ["c_custkey", "c_name"])
+
+    for keep in (True, False):
+        fast = _norm(_to_df(semi_join_ds(cust(), keys(), "o_custkey",
+                                         "c_custkey", keep=keep)))
+        bloom = _norm(_to_df(semi_join_ds(cust(), keys(), "o_custkey",
+                                          "c_custkey", keep=keep,
+                                          cap_rows=0, bloom_bits=1 << 10)))
+        assert len(fast) > 0
+        assert fast.equals(bloom), f"bloom tier keep={keep} diverged"
+
+
+def test_bloom_no_false_negatives_string_keys():
+    """String-typed keys through the bloom: every true member survives
+    the pre-filter (bitmap has no false negatives), checked directly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.queries.relational import (
+        bloom_filter_ds,
+        build_bloom,
+    )
+
+    keys = [f"url-{i}" for i in range(0, 4000, 2)]
+    big = [f"url-{i}" for i in range(4000)]
+    bloom = build_bloom(
+        rd.from_arrow(pa.table({"k": pa.array(keys)})), "k", m_bits=1 << 16)
+    hits = bloom_filter_ds(
+        rd.from_arrow(pa.table({"k": pa.array(big)})), bloom, "k",
+        keep_hits=True, m_bits=1 << 16).to_pandas()
+    assert set(keys) <= set(hits["k"])
