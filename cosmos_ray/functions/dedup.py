@@ -315,8 +315,14 @@ def _verify_pairs_by_join(cand, value_ds, value_col: str, mode: str, k: int = 3,
             if len(a_vals) == 0:
                 sims: list[float] = []
             else:
-                A = np.asarray(a_vals, dtype=np.uint64)
-                B = np.asarray(b_vals, dtype=np.uint64)
+                # signatures may arrive packed as binary (Acero joins
+                # reject list<uint64> non-key payloads)
+                if isinstance(a_vals[0], (bytes, bytearray)):
+                    A = np.vstack([np.frombuffer(x, np.uint64) for x in a_vals])
+                    B = np.vstack([np.frombuffer(x, np.uint64) for x in b_vals])
+                else:
+                    A = np.asarray(a_vals, dtype=np.uint64)
+                    B = np.asarray(b_vals, dtype=np.uint64)
                 sims = (A == B).mean(axis=1).tolist()
         else:
             sims = [ngram_jaccard(x, y, k) for x, y in zip(a_vals, b_vals)]
@@ -925,3 +931,147 @@ def semantic_dedup(emb_ds, n_clusters: int = 16, threshold: float = 0.95,
         return out
 
     return bucketed_group_apply(assigned, ["cluster"], prune)
+
+
+# ------------------------------------------- minhash index at rest
+
+def _banded_bucketed(t: pa.Table, bands: int, n_buckets: int) -> pa.Table:
+    """(doc_id, sig) -> band rows carrying BOTH the partition columns and
+    an in-data band id (`bid`) — hive partitioning strips partition
+    columns from the files, and candidates must match on band position."""
+    b = _explode_bands(t, bands)
+    bucket = np.array([int(h, 16) % n_buckets
+                       for h in b.column("band_hash").to_pylist()], np.int64)
+    return pa.table({
+        "band_id": b.column("band_id").cast(pa.int64()),
+        "bucket": pa.array(bucket, pa.int64()),
+        "bid": b.column("band_id").cast(pa.int64()),
+        "band_hash": b.column("band_hash"),
+        "doc_id": b.column("doc_id"),
+    })
+
+
+def build_minhash_index(docs_ds, out_dir: str, num_perm: int = 128,
+                        bands: int = 16, n_buckets: int = 32,
+                        concurrency: int | tuple = (1, 4)) -> None:
+    """Index-time half of CROSS-CRAWL near-dup: sign the at-rest corpus
+    once and persist two hive-partitioned tables under ``out_dir`` —
+    ``bands/band_id=K/bucket=B/`` (LSH bucket rows; bucket = band-hash
+    mod ``n_buckets``) and ``sigs/sbucket=B/`` (full signatures keyed by
+    doc_id mod ``n_buckets``). A later crawl dedups against the corpus
+    by reading ONLY the band/sig partitions its own sketches touch
+    (disk-level partition pruning — the `build_ivf_index` shape applied
+    to dedup), never the corpus text. Reference analog: the persistent
+    ES index the reference dedups retrievals against
+    (`elastic_retriever.py:383-501` bulk upserts)."""
+    import os
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    sigs = minhash_signatures(docs_ds, num_perm=num_perm,
+                              concurrency=concurrency).materialize()
+    os.makedirs(out_dir, exist_ok=True)
+    sigs.map_batches(lambda t: _banded_bucketed(t, bands, n_buckets),
+                     batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "bands"), partition_cols=["band_id", "bucket"])
+    sigs.map_batches(
+        lambda t: t.append_column(
+            "sbucket", pc.cast(pc.bit_wise_and(
+                t.column("doc_id"), pa.scalar(n_buckets - 1, pa.int64())),
+                pa.int64())),
+        batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "sigs"), partition_cols=["sbucket"])
+
+
+def minhash_dedup_against_index(new_docs, index_dir: str,
+                                threshold: float = 0.8, num_perm: int = 128,
+                                bands: int = 16, n_buckets: int = 32,
+                                concurrency: int | tuple = (1, 4)):
+    """Query-time half: sign the NEW crawl, read only the index band
+    partitions the new sketches hit (≤ bands × n_buckets dirs, typically
+    a small subset for an incremental slice), join on (band position,
+    band hash) for candidates, then signature-verify against old
+    signatures fetched from only the sig buckets containing candidate
+    docs. -> (new_id, old_id, est) pairs with est ≥ threshold.
+
+    doc_ids must be globally unique across crawls (standard for crawl
+    snapshots); text never leaves its original location — the exchange
+    carries sketch rows and int pairs only."""
+    import glob
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    empty = rd.from_arrow(pa.table({
+        "new_id": pa.array([], pa.int64()),
+        "old_id": pa.array([], pa.int64()),
+        "est": pa.array([], pa.float64())}))
+
+    new_sigs = minhash_signatures(new_docs, num_perm=num_perm,
+                                  concurrency=concurrency).materialize()
+    new_bands = new_sigs.map_batches(
+        lambda t: _banded_bucketed(t, bands, n_buckets),
+        batch_format="pyarrow").materialize()
+
+    # partitions to read: distinct (band, bucket) — bounded by
+    # bands * n_buckets rows, a driver pull that cannot grow with data
+    hit = new_bands.select_columns(["bid", "bucket"]).groupby(
+        ["bid", "bucket"]).aggregate(Count(alias_name="__n")).take_all()
+    paths = [p for r in hit for p in glob.glob(os.path.join(
+        index_dir, "bands", f"band_id={int(r['bid'])}",
+        f"bucket={int(r['bucket'])}", "*.parquet"))]
+    if not paths:
+        return empty
+
+    old_bands = rd.read_parquet(paths, columns=["bid", "band_hash", "doc_id"]
+                                ).map_batches(
+        lambda t: t.rename_columns(["bid", "band_hash", "old_id"]),
+        batch_format="pyarrow")
+    nb = new_bands.select_columns(["bid", "band_hash", "doc_id"]).map_batches(
+        lambda t: t.rename_columns(["bid", "band_hash", "new_id"]),
+        batch_format="pyarrow")
+    cand = (nb.join(old_bands, join_type="inner",
+                    num_partitions=_join_partitions(chained=1),
+                    on=("bid", "band_hash"))
+            .groupby(["new_id", "old_id"]).aggregate(Count(alias_name="__b"))
+            .drop_columns(["__b"]))
+
+    # old signatures: read only the sig buckets holding candidate docs
+    sbuckets = cand.map_batches(
+        lambda t: pa.table({"sb": pc.cast(pc.bit_wise_and(
+            t.column("old_id"), pa.scalar(n_buckets - 1, pa.int64())),
+            pa.int64())}), batch_format="pyarrow").groupby("sb").aggregate(
+        Count(alias_name="__n")).take_all()
+    sig_paths = [p for r in sbuckets for p in glob.glob(os.path.join(
+        index_dir, "sigs", f"sbucket={int(r['sb'])}", "*.parquet"))]
+    if not sig_paths:
+        return empty
+    old_sigs = rd.read_parquet(sig_paths, columns=["doc_id", "sig"])
+
+    pairs = cand.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        # pack list<uint64> sigs to binary: Acero hash joins reject
+        # list-typed non-key payload columns
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "sig": pa.array([np.asarray(x, np.uint64).tobytes()
+                             for x in t.column("sig").to_pylist()], pa.binary()),
+        })
+
+    values = (new_sigs.select_columns(["doc_id", "sig"]).union(old_sigs)
+              .map_batches(pack, batch_format="pyarrow"))
+    scored = _verify_pairs_by_join(pairs, values, "sig", "signature")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold)))
+        return pa.table({
+            "new_id": t.column("doc_a"),
+            "old_id": t.column("doc_b"),
+            "est": pc.round(t.column("jaccard"), 6,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")

@@ -2188,19 +2188,12 @@ def q_minhash_clusters(sf_dir: str):
     return minhash_dedup(read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
 
 
-def _sql_minhash_clusters() -> str:
-    """DuckDB replay of the ENTIRE minhash near-dup pipeline
-    (num_perm=128, 16 bands x 8 rows, signature verification at 0.8,
-    transitive clustering): token md5s via md5_number_upper, shingle
-    hashes as the engine's positional odd-multiplier combine (mod-2^64
-    multiply split into 32-bit halves so HUGEINT never overflows), the
-    128 (a,b) permutation constants inlined from the MinHasher's seeded
-    RNG, band keys as md5 of the '|'-joined signature rows, pigeonhole
-    band self-join, mean(sig_a==sig_b) >= 0.8 verification, and
-    connected components via a recursive reachability CTE with
-    cluster_id = min doc_id. Exact for corpora whose docs have >= 3
-    tokens and whose band buckets stay under the engine's max_group
-    truncation (both hold for the synthetic corpus)."""
+def _sql_minhash_prefix() -> str:
+    """Shared CTE prefix replaying the MinHash sketch (token md5s via
+    md5_number_upper, positional mod-2^64 shingle combine, the 128
+    seeded permutation constants inlined, band keys as md5 of the
+    '|'-joined signature rows) up through the ``sig`` and ``bands``
+    tables — reused by the clustering and the cross-crawl oracles."""
     from cosmos_ray.functions.dedup import _SH_COEF, MinHasher
 
     mh = MinHasher()  # seed=7: the same constants the engine signs with
@@ -2218,9 +2211,7 @@ def _sql_minhash_clusters() -> str:
         f"({p},{int(a)}::UBIGINT,{int(b)}::UBIGINT)"
         for p, (a, b) in enumerate(zip(mh.a, mh.b))
     )
-    return f"""
-WITH RECURSIVE
-perms(perm, a, b) AS (VALUES {perm_rows}),
+    return f"""perms(perm, a, b) AS (VALUES {perm_rows}),
 d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (SELECT doc_id,
                unnest(range(1, len(toks)+1)) AS pos,
@@ -2233,12 +2224,27 @@ shin AS (SELECT DISTINCT t0.doc_id,
          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
          JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
 sig AS (SELECT s.doc_id, p.perm,
-               min(CAST((CAST(p.a AS HUGEINT) * s.sh + p.b) % {M61} AS UBIGINT)) AS m
+               min(CAST(((CAST(p.a AS HUGEINT) * s.sh + p.b) % {TWO64})
+                        % {M61} AS UBIGINT)) AS m
         FROM shin s CROSS JOIN perms p
         GROUP BY s.doc_id, p.perm),
 bands AS (SELECT doc_id, perm // 8 AS band,
                  substr(md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY perm)), 1, 16) AS bh
-          FROM sig GROUP BY doc_id, perm // 8),
+          FROM sig GROUP BY doc_id, perm // 8)"""
+
+
+def _sql_minhash_clusters() -> str:
+    """DuckDB replay of the ENTIRE minhash near-dup pipeline
+    (num_perm=128, 16 bands x 8 rows, signature verification at 0.8,
+    transitive clustering): the shared sketch prefix, pigeonhole band
+    self-join, mean(sig_a==sig_b) >= 0.8 verification, and connected
+    components via a recursive reachability CTE with cluster_id = min
+    doc_id. Exact for corpora whose docs have >= 3 tokens and whose band
+    buckets stay under the engine's max_group truncation (both hold for
+    the synthetic corpus)."""
+    return f"""
+WITH RECURSIVE
+{_sql_minhash_prefix()},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -2260,6 +2266,54 @@ FROM reach GROUP BY node
 
 
 SQL_MINHASH_CLUSTERS = _sql_minhash_clusters()
+
+_CRAWL_MID = 250  # doc_id split: < mid plays the at-rest corpus, >= mid the new crawl
+
+
+def q_crawl_dedup_index(sf_dir: str):
+    """Cross-crawl near-dup against a persisted LSH index: docs below
+    the id split are signed and written as the at-rest index (hive
+    band/bucket partitions under scratch), the rest play the incoming
+    crawl and dedup against it reading ONLY the partitions their own
+    sketches hit (`dedup.build_minhash_index` /
+    `minhash_dedup_against_index`)."""
+    import tempfile
+
+    from cosmos_ray.functions.dedup import (
+        build_minhash_index,
+        minhash_dedup_against_index,
+    )
+
+    def keep(lo, hi):
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id")
+            return t.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                                    pc.less(d, pa.scalar(hi))))
+        return f
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="mhidx_", dir="/tmp")
+    build_minhash_index(
+        docs.map_batches(keep(0, _CRAWL_MID), batch_format="pyarrow"), idx)
+    new = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keep(_CRAWL_MID, 1 << 60), batch_format="pyarrow")
+    return minhash_dedup_against_index(new, idx, threshold=0.8)
+
+
+SQL_CRAWL_DEDUP_INDEX = f"""
+WITH
+{_sql_minhash_prefix()},
+cand AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+         FROM bands o JOIN bands n ON o.band = n.band AND o.bh = n.bh
+         WHERE o.doc_id < {_CRAWL_MID} AND n.doc_id >= {_CRAWL_MID})
+SELECT c.new_id, c.old_id,
+       round(avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END), 6) AS est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.old_id
+JOIN sig sb ON sb.doc_id = c.new_id AND sb.perm = sa.perm
+GROUP BY c.new_id, c.old_id
+HAVING avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) >= 0.8
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -2402,6 +2456,7 @@ QUERIES = {
     "kg_table_qa": q_kg_table_qa,
     "langid": q_langid,
     "minhash_clusters": q_minhash_clusters,
+    "crawl_dedup_index": q_crawl_dedup_index,
     "simhash_pairs": q_simhash_pairs,
     "ivf_topk": q_ivf_topk,
 }
@@ -2478,6 +2533,7 @@ ORACLES = {
     "langid": SQL_LANGID,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
+    "crawl_dedup_index": SQL_CRAWL_DEDUP_INDEX,
     "rolling_fp": SQL_ROLLING_FP,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "subdoc_dedup": SQL_SUBDOC_DEDUP,

@@ -288,3 +288,49 @@ def test_semantic_dedup_copies_in_same_cluster():
     cl = res.set_index("vec_id")["cluster"]
     for i in range(0, 120, 3):
         assert cl[i] == cl[i + 1000]
+
+
+# ------------------------------------------- minhash index at rest
+
+def test_minhash_index_cross_crawl(tmp_path, planted_corpus):
+    """Index crawl A; a new crawl with near-dup copies of A docs (at
+    fresh ids) plus genuinely new docs: every planted near-dup maps back
+    to its indexed original, the new docs map to nothing."""
+    idx = str(tmp_path / "mhidx")
+    base = planted_corpus.to_pylist()[:40]
+    old = pa.Table.from_pylist(base)
+    dedup.build_minhash_index(rd.from_arrow(old), idx)
+
+    new_rows = []
+    for r in base[:10]:  # one-token-edit near-dups at ids 50000+
+        toks = r["text"].split()
+        toks[len(toks) // 3] = "crawltwoedit"
+        new_rows.append({"doc_id": r["doc_id"] + 50000, "text": " ".join(toks)})
+    for j in range(10):  # genuinely new content
+        new_rows.append({"doc_id": 90000 + j,
+                         "text": " ".join(f"fresh{j}word{i}" for i in range(40))})
+    pairs = dedup.minhash_dedup_against_index(
+        rd.from_arrow(pa.Table.from_pylist(new_rows)), idx,
+        threshold=0.7).take_all()
+    got = {(r["new_id"], r["old_id"]) for r in pairs}
+    found = sum(1 for r in base[:10]
+                if (r["doc_id"] + 50000, r["doc_id"]) in got)
+    assert found >= 8, f"cross-crawl recall too low: {found}/10"
+    assert all(p[0] < 90000 for p in got), f"fresh docs matched: {got}"
+
+
+def test_minhash_index_partition_layout_and_empty_query(tmp_path, planted_corpus):
+    import glob as _glob
+
+    idx = str(tmp_path / "mhidx2")
+    old = pa.Table.from_pylist(planted_corpus.to_pylist()[:20])
+    dedup.build_minhash_index(rd.from_arrow(old), idx, n_buckets=8)
+    band_dirs = _glob.glob(f"{idx}/bands/band_id=*/bucket=*")
+    sig_dirs = _glob.glob(f"{idx}/sigs/sbucket=*")
+    assert band_dirs and sig_dirs
+    # an all-new crawl returns zero pairs (and reads only hit partitions)
+    fresh = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array(["totally novel words " * 20])})
+    out = dedup.minhash_dedup_against_index(rd.from_arrow(fresh), idx,
+                                            n_buckets=8).take_all()
+    assert out == []
