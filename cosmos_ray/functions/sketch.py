@@ -157,3 +157,59 @@ def histogram_quantiles(ds, keys: list[str], value_col: str,
         return pd.DataFrame(rows)
 
     return counts.groupby(keys).map_groups(finish, batch_format="pandas")
+
+
+_CMS_KEYS = ("f71a2b3c4d5e6a7b", "0192a3b4c5d6e7f8",
+             "aabbccdd11223344", "5566778899aabbcc")
+
+
+def _cms_rows(vals, width: int, depth: int) -> np.ndarray:
+    """(n, depth) column indices — one salted siphash per depth row.
+    Values are canonicalized to STRINGS first: pandas' siphash ignores
+    ``hash_key`` for numeric dtypes, which would collapse the depth rows
+    into one hash function."""
+    import pandas as pd
+
+    vals = np.asarray([x if isinstance(x, str) else str(x) for x in vals],
+                      dtype=object)
+    return np.stack([
+        (pd.util.hash_array(vals, hash_key=_CMS_KEYS[d])
+         % np.uint64(width)).astype(np.int64)
+        for d in range(depth)], axis=1)
+
+
+def cms_build(ds, col: str, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Count-min sketch over a column (Cormode & Muthukrishnan 2005) —
+    the mergeable approximate-frequency path when exact per-key counts
+    would shuffle an unbounded key set: each batch folds its values into
+    a (depth, width) int64 counter grid, ONE grid row flows per batch
+    (exchange independent of input rows, like the HLL registers and the
+    bloom bitmaps), and grids merge by addition. Point estimates
+    overcount only: true_count <= est <= true_count + 2n/width with
+    probability 1 - 2^-depth."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column(col)
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        vals = np.asarray(a.cast(pa.string()).to_pylist(), dtype=object)
+        idx = _cms_rows(vals, width, depth)
+        grid = np.zeros((depth, width), np.int64)
+        for d in range(depth):
+            np.add.at(grid[d], idx[:, d], 1)
+        return pa.table({"g": pa.array([grid.reshape(-1)],
+                                       pa.list_(pa.int64()))})
+
+    merged = np.zeros(depth * width, np.int64)
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.column("g").to_pylist():
+            merged += np.asarray(r, np.int64)
+    return merged.reshape(depth, width)
+
+
+def cms_estimate(grid: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates: min over the depth rows."""
+    depth, width = grid.shape
+    idx = _cms_rows(np.asarray(values, dtype=object), width, depth)
+    return np.min(np.stack([grid[d, idx[:, d]] for d in range(depth)],
+                           axis=1), axis=1)

@@ -252,3 +252,39 @@ class TestHistogramQuantiles:
         assert set(out["k"]) == {"hot", "cold"}
         cold_rows = out[out["k"] == "cold"]
         assert (cold_rows["approx_value"] == 100.0).all()
+
+
+class TestCountMin:
+    def test_overcount_only_and_bounded(self):
+        from cosmos_ray.functions.sketch import cms_build, cms_estimate
+
+        n = 30_000
+        vals = [f"k{i % 500}" for i in range(n)]  # 500 keys x 60 each
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+        grid = cms_build(ds, "v", width=2048, depth=4)
+        assert grid.sum() == n * 4
+        keys = [f"k{i}" for i in range(500)]
+        est = cms_estimate(grid, keys)
+        assert (est >= 60).all()  # never undercounts
+        # the e*n/width overcount bound holds per key with probability
+        # 1 - 2^-depth = 93.75%; allow the expected tail across 500 keys
+        bound = 60 + np.e * n / 2048
+        assert (est > bound).mean() <= 0.0625, est[est > bound]
+
+    def test_merge_equals_single_pass(self):
+        from cosmos_ray.functions.sketch import cms_build
+
+        vals = [f"u{i % 97}" for i in range(8000)]
+        whole = cms_build(rd.from_arrow(pa.table({"v": pa.array(vals)})), "v")
+        a = cms_build(rd.from_arrow(pa.table({"v": pa.array(vals[:4000])})), "v")
+        b = cms_build(rd.from_arrow(pa.table({"v": pa.array(vals[4000:])})), "v")
+        assert np.array_equal(a + b, whole)
+
+    def test_int_column(self):
+        from cosmos_ray.functions.sketch import cms_build, cms_estimate
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([1, 1, 1, 2, 2, 9],
+                                                   pa.int64())}))
+        grid = cms_build(ds, "v", width=64, depth=4)
+        est = cms_estimate(grid, np.array([1, 2, 9], dtype=np.int64))
+        assert (est >= np.array([3, 2, 1])).all()
