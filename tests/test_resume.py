@@ -109,3 +109,52 @@ def test_partitioned_outputs_union_equals_single_run(pages_file, tmp_path, golde
     g = golden_small["triples"]
     want = set(zip(*[g.column(c).to_pylist() for c in ["url", "subj", "pred", "obj"]]))
     assert got == want
+
+
+# ----------------------------------------------------------- compaction
+
+def test_compaction_roundtrip_and_resume(tmp_path):
+    """Many small files compact to few target-size files with identical
+    rows; outputs publish atomically and a re-run (or a run resumed
+    after some groups finished) skips existing outputs untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.state.compact import compact_parquet_dir, plan_groups
+
+    src = tmp_path / "small"
+    dst = tmp_path / "compacted"
+    src.mkdir()
+    total = 0
+    for k in range(20):
+        t = pa.table({"doc_id": pa.array(range(k * 50, k * 50 + 50), pa.int64()),
+                      "text": pa.array([f"row {k}-{i}" for i in range(50)])})
+        pq.write_table(t, src / f"shard-{k:03d}.parquet")
+        total += 50
+
+    target = 4 * os.path.getsize(src / "shard-000.parquet") + 64
+    groups = plan_groups(str(src), target)
+    assert 1 < len(groups) < 20
+
+    m = compact_parquet_dir(str(src), str(dst), target)
+    assert m["groups"] == len(groups) and m["written"] == len(groups)
+    assert m["rows"] == total
+    out_files = sorted(dst.glob("*.parquet"))
+    assert len(out_files) == len(groups)
+    got = pq.read_table([str(f) for f in out_files])
+    assert got.num_rows == total
+    assert sorted(got.column("doc_id").to_pylist()) == list(range(total))
+
+    # re-run: everything skipped, outputs untouched (mtime-stable)
+    mtimes = {f.name: f.stat().st_mtime_ns for f in out_files}
+    m2 = compact_parquet_dir(str(src), str(dst), target)
+    assert m2["written"] == 0 and m2["skipped"] == len(groups)
+    assert m2["rows"] == total
+    assert {f.name: f.stat().st_mtime_ns for f in out_files} == mtimes
+
+    # resume: delete one output, only that group rewrites
+    out_files[1].unlink()
+    m3 = compact_parquet_dir(str(src), str(dst), target)
+    assert m3["written"] == 1 and m3["skipped"] == len(groups) - 1
