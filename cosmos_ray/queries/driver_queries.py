@@ -1333,6 +1333,45 @@ FROM j
 """
 
 
+def q_nb_lang(sf_dir: str):
+    """Trainable corpus classifier (CCNet-style fastText-filter analog,
+    count-based so it replays exactly in SQL): multinomial Naive Bayes
+    trained distributed on (lang, token) counts, scored distributed with
+    the model broadcast once (`functions/classify.py`). Argmax over
+    6dp-rounded class scores, lowest-label tie-break."""
+    from cosmos_ray.functions.classify import naive_bayes_predict
+
+    return naive_bayes_predict(
+        read(sf_dir, "documents", ["doc_id", "lang", "text"]))
+
+
+SQL_NB_LANG = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+lab AS (SELECT doc_id, lang AS c FROM documents),
+cnt AS (SELECT l.c, t.w, count(*)::DOUBLE AS n
+        FROM tok t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+nd AS (SELECT lang AS c, count(*)::DOUBLE AS d FROM documents GROUP BY 1),
+tot AS (SELECT c, sum(n) AS tc FROM cnt GROUP BY c),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS V FROM tok),
+td AS (SELECT sum(d) AS t FROM nd),
+sc AS (SELECT t.doc_id, n.c,
+              ln(n.d / td.t)
+              + sum(ln((coalesce(cn.n, 0) + 1.0) / (tt.tc + v.V))) AS s
+       FROM tok t
+       CROSS JOIN nd n
+       JOIN tot tt ON tt.c = n.c
+       CROSS JOIN v CROSS JOIN td
+       LEFT JOIN cnt cn ON cn.c = n.c AND cn.w = t.w
+       GROUP BY t.doc_id, n.c, n.d, tt.tc, v.V, td.t),
+rs AS (SELECT doc_id, c, round(s, 6) AS r FROM sc),
+pick AS (SELECT doc_id, c AS pred, r AS score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY r DESC, c ASC) AS rn
+         FROM rs)
+SELECT doc_id, pred, score FROM pick WHERE rn = 1
+"""
+
+
 def q_perplexity(sf_dir: str):
     """Model-based quality filter: per-doc perplexity under an
     add-1-smoothed bigram LM trained on the same corpus
@@ -2425,6 +2464,7 @@ QUERIES = {
     "vocab_counts": q_vocab_counts,
     "redact_pii": q_redact_pii,
     "perplexity": q_perplexity,
+    "nb_lang": q_nb_lang,
     "repetition_stats": q_repetition_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2503,6 +2543,7 @@ ORACLES = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "redact_pii": SQL_REDACT_PII,
     "perplexity": SQL_PERPLEXITY,
+    "nb_lang": SQL_NB_LANG,
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

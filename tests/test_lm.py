@@ -66,3 +66,60 @@ def test_vocab_truncation_bounds_model():
     assert set(lm["uni"]) == {"a", "b"}
     assert lm["V"] == 2
     assert all(w1 in lm["uni"] and w2 in lm["uni"] for w1, w2 in lm["bi"])
+
+
+# ----------------------------------------------------------- naive bayes
+
+class TestNaiveBayes:
+    def _corpus(self):
+        rows = []
+        for i in range(30):
+            rows.append({"doc_id": i, "lang": "aa",
+                         "text": f"apple apfel apples fruit{i % 5} apple"})
+            rows.append({"doc_id": 100 + i, "lang": "bb",
+                         "text": f"banane banana bananas obst{i % 5} banane"})
+        return pa.Table.from_pylist(rows)
+
+    def test_separable_corpus_perfect_train_accuracy(self):
+        from cosmos_ray.functions.classify import naive_bayes_predict
+
+        tbl = self._corpus()
+        out = naive_bayes_predict(rd.from_arrow(tbl)).to_pandas()
+        truth = {r["doc_id"]: r["lang"] for r in tbl.to_pylist()}
+        assert len(out) == tbl.num_rows
+        assert all(truth[d] == p for d, p in zip(out["doc_id"], out["pred"]))
+
+    def test_model_transfers_to_unseen_docs(self):
+        from cosmos_ray.functions.classify import (
+            naive_bayes_predict,
+            train_naive_bayes,
+        )
+
+        model = train_naive_bayes(rd.from_arrow(self._corpus()))
+        new = pa.Table.from_pylist([
+            {"doc_id": 900, "text": "apple apple unseen fruit"},
+            {"doc_id": 901, "text": "banana banane unseen obst"},
+        ])
+        out = naive_bayes_predict(rd.from_arrow(new), model=model) \
+            .to_pandas().set_index("doc_id")
+        assert out.loc[900, "pred"] == "aa"
+        assert out.loc[901, "pred"] == "bb"
+
+    def test_tie_breaks_to_lowest_label(self):
+        from cosmos_ray.functions.classify import naive_bayes_predict
+
+        # perfectly symmetric classes: every class score identical
+        tbl = pa.Table.from_pylist([
+            {"doc_id": 1, "lang": "zz", "text": "x y"},
+            {"doc_id": 2, "lang": "aa", "text": "x y"},
+        ])
+        out = naive_bayes_predict(rd.from_arrow(tbl)).to_pandas()
+        assert set(out["pred"]) == {"aa"}
+
+    def test_deterministic(self):
+        from cosmos_ray.functions.classify import naive_bayes_predict
+
+        ds = rd.from_arrow(self._corpus())
+        a = sorted(map(tuple, naive_bayes_predict(ds).to_pandas().values.tolist()))
+        b = sorted(map(tuple, naive_bayes_predict(ds).to_pandas().values.tolist()))
+        assert a == b
