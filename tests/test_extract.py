@@ -60,3 +60,55 @@ def test_normalize_text_contract():
     assert normalize_text("  a\t b\n c ") == "a b c"
     # NFC normalization: decomposed e + combining acute -> composed
     assert normalize_text("é") == "é"
+
+
+# ------------------------------------------------- interchange sources
+
+def test_jsonl_and_csv_sources_roundtrip(tmp_path, documents_small):
+    """A JSONL (and CSV) dump of the documents table reads back through
+    the normalizing source into exactly the parquet rows; missing
+    optional columns arrive as typed nulls; a dump without the required
+    columns is rejected."""
+    import csv
+    import json
+
+    import pytest as _pytest
+
+    from cosmos_ray.sources.text_formats import read_csv_docs, read_jsonl_docs
+
+    rows = documents_small.to_pylist()[:100]
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got = (read_jsonl_docs(str(jl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 100
+    for r, (_, g) in zip(sorted(rows, key=lambda x: x["doc_id"]),
+                         got.iterrows()):
+        assert g["doc_id"] == r["doc_id"] and g["text"] == r["text"]
+        assert g["lang"] == r["lang"] and g["n_chars"] == r["n_chars"]
+
+    # minimal dump: only required columns -> optional ones are nulls
+    jl2 = tmp_path / "mini.jsonl"
+    with open(jl2, "w") as f:
+        for r in rows[:5]:
+            f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    mini = read_jsonl_docs(str(jl2)).to_pandas()
+    assert mini["lang"].isna().all() and len(mini) == 5
+
+    cv = tmp_path / "docs.csv"
+    with open(cv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["doc_id", "text", "lang"])
+        w.writeheader()
+        for r in rows[:20]:
+            w.writerow({k: r[k] for k in ("doc_id", "text", "lang")})
+    gcsv = (read_csv_docs(str(cv)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(gcsv) == 20 and gcsv["text"].notna().all()
+
+    bad = tmp_path / "bad.jsonl"
+    with open(bad, "w") as f:
+        f.write(json.dumps({"text": "no id"}) + "\n")
+    with _pytest.raises(Exception):
+        read_jsonl_docs(str(bad)).take_all()
