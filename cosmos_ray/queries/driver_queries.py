@@ -1333,6 +1333,29 @@ FROM j
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis one-pass keys over md5 uniforms, `relational.weighted_sample`)
+    — 50 docs with inclusion probability proportional to n_chars."""
+    from cosmos_ray.queries.relational import weighted_sample
+
+    return weighted_sample(read(sf_dir, "documents", ["doc_id", "n_chars"]),
+                           n=50, weight_col="n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH h AS (SELECT doc_id, n_chars,
+                  md5_number_upper('w0:' || doc_id) AS hh
+           FROM documents WHERE n_chars > 0),
+k AS (SELECT doc_id, n_chars,
+             ln((hh::DOUBLE + 0.5) / 18446744073709551616.0)
+               / n_chars::DOUBLE AS key
+      FROM h)
+SELECT doc_id, n_chars, round(key, 9) AS draw
+FROM k ORDER BY key DESC, doc_id ASC LIMIT 50
+"""
+
+
 def q_nb_lang(sf_dir: str):
     """Trainable corpus classifier (CCNet-style fastText-filter analog,
     count-based so it replays exactly in SQL): multinomial Naive Bayes
@@ -2465,6 +2488,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "perplexity": q_perplexity,
     "nb_lang": q_nb_lang,
+    "weighted_sample": q_weighted_sample,
     "repetition_stats": q_repetition_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2544,6 +2568,7 @@ ORACLES = {
     "redact_pii": SQL_REDACT_PII,
     "perplexity": SQL_PERPLEXITY,
     "nb_lang": SQL_NB_LANG,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -390,3 +390,48 @@ def topk(ds, sort_cols: list[tuple[str, bool]], k: int, offset: int = 0):
         promote_options="default",
     ).slice(offset, k)
     return rd.from_arrow(page)
+
+
+def weighted_sample(ds, n: int, weight_col: str, id_col: str = "doc_id",
+                    seed: str = "w0"):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
+    A-ES, one pass): each row draws a deterministic md5 uniform
+    u = (h + 0.5) / 2^64 and scores key = ln(u) / w — the n largest keys
+    are exactly an without-replacement sample with inclusion probability
+    proportional to weight. Deterministic (seedable) and replayable by
+    ANY engine, unlike PRNG sampling; rows with weight <= 0 are excluded.
+    -> (id, weight, draw=round(key, 9)) via the distributed top-k.
+
+    Scale shape: the draw is a stateless vectorized map; selection is
+    one sample-sort limit n — ids and one float move, payload stays."""
+    import hashlib
+
+    import numpy as np
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.array([int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "little")
+            for i in ids], dtype=np.uint64)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        k = np.log(u) / np.maximum(w, 1e-300)
+        t = pa.table({id_col: t.column(id_col),
+                      weight_col: t.column(weight_col),
+                      "__key": pa.array(k, pa.float64())})
+        return t.filter(pa.array(w > 0))
+
+    picked = topk(ds.map_batches(key, batch_format="pyarrow"),
+                  [("__key", True), (id_col, False)], n)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: t.column(id_col),
+            weight_col: t.column(weight_col),
+            "draw": pc.round(t.column("__key"), 9,
+                             round_mode="half_towards_infinity"),
+        })
+
+    return picked.map_batches(finish, batch_format="pyarrow")

@@ -203,3 +203,27 @@ def test_bloom_no_false_negatives_string_keys():
         rd.from_arrow(pa.table({"k": pa.array(big)})), bloom, "k",
         keep_hits=True, m_bits=1 << 16).to_pandas()
     assert set(keys) <= set(hits["k"])
+
+
+def test_weighted_sample_properties():
+    """A-ES gates: a dominant-weight row is always selected, zero/negative
+    weights never are, the sample is without replacement, and the draw
+    keys are deterministic across runs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.queries.relational import weighted_sample
+
+    rows = [{"doc_id": i, "w": 1.0} for i in range(200)]
+    rows.append({"doc_id": 900, "w": 1e9})
+    rows.append({"doc_id": 901, "w": 0.0})
+    rows.append({"doc_id": 902, "w": -5.0})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = weighted_sample(ds, n=20, weight_col="w").to_pandas()
+    assert len(got) == 20
+    assert got["doc_id"].is_unique
+    assert 900 in set(got["doc_id"])  # ~1e9 weight: P(miss) astronomically small
+    assert not {901, 902} & set(got["doc_id"])
+    again = weighted_sample(rd.from_arrow(pa.Table.from_pylist(rows)),
+                            n=20, weight_col="w").to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
