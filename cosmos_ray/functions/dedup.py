@@ -1075,3 +1075,32 @@ def minhash_dedup_against_index(new_docs, index_dir: str,
         })
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def append_minhash_index(new_docs, index_dir: str, num_perm: int = 128,
+                         bands: int = 16, n_buckets: int = 32,
+                         concurrency: int | tuple = (1, 4)) -> None:
+    """Fold a new crawl INTO an existing at-rest index: sign it and
+    append band/sig rows into the same hive partition directories (new
+    uniquely-named files — existing files are never rewritten, so the
+    append is safe to run while readers query and idempotent to retry
+    after dedup'ing the new slice). Typical loop: dedup the incoming
+    crawl against the index (`minhash_dedup_against_index`), then append
+    its survivors here."""
+    import os
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    assert os.path.isdir(os.path.join(index_dir, "bands")), \
+        "append target must be an existing build_minhash_index directory"
+    sigs = minhash_signatures(new_docs, num_perm=num_perm,
+                              concurrency=concurrency).materialize()
+    sigs.map_batches(lambda t: _banded_bucketed(t, bands, n_buckets),
+                     batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["band_id", "bucket"])
+    sigs.map_batches(
+        lambda t: t.append_column(
+            "sbucket", pc.cast(pc.bit_wise_and(
+                t.column("doc_id"), pa.scalar(n_buckets - 1, pa.int64())),
+                pa.int64())),
+        batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "sigs"), partition_cols=["sbucket"])

@@ -334,3 +334,26 @@ def test_minhash_index_partition_layout_and_empty_query(tmp_path, planted_corpus
     out = dedup.minhash_dedup_against_index(rd.from_arrow(fresh), idx,
                                             n_buckets=8).take_all()
     assert out == []
+
+
+def test_minhash_index_append_extends_coverage(tmp_path, planted_corpus):
+    """Index crawl A, append crawl B; a third crawl's near-dups of BOTH
+    A and B docs are found against the one index."""
+    idx = str(tmp_path / "mhidx3")
+    rows = planted_corpus.to_pylist()
+    a_rows, b_rows = rows[:20], rows[20:40]
+    dedup.build_minhash_index(rd.from_arrow(pa.Table.from_pylist(a_rows)), idx)
+    dedup.append_minhash_index(
+        rd.from_arrow(pa.Table.from_pylist(b_rows)), idx)
+
+    probes = []
+    for r in (a_rows[0], b_rows[0]):
+        toks = r["text"].split()
+        toks[len(toks) // 4] = "thirdcrawledit"
+        probes.append({"doc_id": r["doc_id"] + 70000, "text": " ".join(toks)})
+    got = {(p["new_id"], p["old_id"])
+           for p in dedup.minhash_dedup_against_index(
+               rd.from_arrow(pa.Table.from_pylist(probes)), idx,
+               threshold=0.7).take_all()}
+    assert (a_rows[0]["doc_id"] + 70000, a_rows[0]["doc_id"]) in got
+    assert (b_rows[0]["doc_id"] + 70000, b_rows[0]["doc_id"]) in got
