@@ -144,3 +144,32 @@ def export_training_shards(docs_ds, out_dir: str, n_shards: int = 8,
     tagged = docs_ds.map_batches(tag, batch_format="pyarrow")
     tagged.write_parquet(out_dir, partition_cols=["shard"], mode="overwrite")
     return out_dir
+
+
+def assign_splits(ds, id_col: str = "doc_id", seed: str = "sp0",
+                  train: int = 900, val: int = 950):
+    """Deterministic train/val/test assignment: draw = md5(seed:id) %
+    1000; < ``train`` -> 'train', < ``val`` -> 'val', else 'test'. The
+    standard leakage-safe split for training-data exports — stable
+    across runs, engines and re-shards because the draw depends only on
+    the id (the shuffle_shards md5 convention); a stateless map, no
+    exchange. -> (id, draw, split)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.array([int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "little")
+            for i in ids], dtype=np.uint64)
+        d = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(d < train, "train", np.where(d < val, "val", "test"))
+        return pa.table({
+            id_col: t.column(id_col),
+            "draw": pa.array(d, pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(f, batch_format="pyarrow")

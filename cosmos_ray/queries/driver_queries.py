@@ -1333,6 +1333,27 @@ FROM j
 """
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic leakage-safe train/val/test assignment
+    (`pack.assign_splits`: md5(seed:id) % 1000 thresholds — stable
+    across runs, engines and re-shards)."""
+    from cosmos_ray.functions.pack import assign_splits
+
+    return assign_splits(read(sf_dir, "documents", ["doc_id"]))
+
+
+SQL_DOC_SPLITS = """
+WITH h AS (SELECT doc_id,
+                  (md5_number_upper('sp0:' || doc_id) % 1000)::BIGINT AS draw
+           FROM documents)
+SELECT doc_id, draw,
+       CASE WHEN draw < 900 THEN 'train'
+            WHEN draw < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis one-pass keys over md5 uniforms, `relational.weighted_sample`)
@@ -2489,6 +2510,7 @@ QUERIES = {
     "perplexity": q_perplexity,
     "nb_lang": q_nb_lang,
     "weighted_sample": q_weighted_sample,
+    "doc_splits": q_doc_splits,
     "repetition_stats": q_repetition_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2569,6 +2591,7 @@ ORACLES = {
     "perplexity": SQL_PERPLEXITY,
     "nb_lang": SQL_NB_LANG,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "doc_splits": SQL_DOC_SPLITS,
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
