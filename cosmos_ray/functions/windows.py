@@ -138,3 +138,59 @@ def cumulative_value(events_ds, round_to: int = 4):
         )
 
     return _bucketed_by_user(events_ds, fn)
+
+
+def cohort_retention(events_ds, ts_col: str = "ts", user_col: str = "user_id"):
+    """Cohort-retention rollup (the product-analytics staple): a user's
+    cohort is the epoch-day of their FIRST event; for every distinct
+    (user, active day) the offset from their cohort day is counted ->
+    (cohort_day, day_offset, n_users).
+
+    Scale shape: per-batch distinct (user, day) combiners feed one
+    groupby-distinct (exchange = one row per distinct pair, never per
+    event); cohorts are a second groupby min; the cohort re-keys onto
+    the pairs with the bucketed union-groupby pattern (ints only); the
+    final rollup exchange is bounded by cohorts x horizon."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column(ts_col), pa.int64()), 86_400_000_000)
+        df = pd.DataFrame({
+            "user_id": t.column(user_col).to_numpy(zero_copy_only=False),
+            "day": day.to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (events_ds.select_columns([user_col, ts_col])
+             .map_batches(pairs_batch, batch_format="pyarrow")
+             .groupby(["user_id", "day"]).aggregate(Count(alias_name="__n"))
+             .drop_columns(["__n"]).materialize())
+    cohorts = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort"))
+
+    tagged = pairs.map_batches(
+        lambda t: t.append_column("cohort", pa.nulls(len(t), pa.int64())),
+        batch_format="pyarrow").union(
+        cohorts.map_batches(lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "day": pa.nulls(len(t), pa.int64()),
+            "cohort": t.column("cohort").cast(pa.int64())}),
+            batch_format="pyarrow"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        c = int(g.loc[g["day"].isna(), "cohort"].iloc[0])
+        days = g.loc[g["day"].notna(), "day"].astype("int64")
+        return pd.DataFrame({
+            "cohort_day": np.full(len(days), c, dtype=np.int64),
+            "day_offset": days.to_numpy() - c,
+        })
+
+    per_pair = bucketed_group_apply(tagged, ["user_id"], attach)
+    return per_pair.groupby(["cohort_day", "day_offset"]).aggregate(
+        Count(alias_name="n_users"))

@@ -1333,6 +1333,26 @@ FROM j
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention rollup over the events stream
+    (`windows.cohort_retention`): users bucketed by first-event day,
+    distinct active days counted per (cohort, offset)."""
+    from cosmos_ray.functions.windows import cohort_retention
+
+    return cohort_retention(read(sf_dir, "events", ["user_id", "ts"]))
+
+
+SQL_COHORT_RETENTION = """
+WITH pd AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day FROM events),
+co AS (SELECT user_id, min(day) AS cohort FROM pd GROUP BY user_id)
+SELECT c.cohort AS cohort_day, p.day - c.cohort AS day_offset,
+       count(*) AS n_users
+FROM pd p JOIN co c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_doc_splits(sf_dir: str):
     """Deterministic leakage-safe train/val/test assignment
     (`pack.assign_splits`: md5(seed:id) % 1000 thresholds — stable
@@ -2511,6 +2531,7 @@ QUERIES = {
     "nb_lang": q_nb_lang,
     "weighted_sample": q_weighted_sample,
     "doc_splits": q_doc_splits,
+    "cohort_retention": q_cohort_retention,
     "repetition_stats": q_repetition_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2592,6 +2613,7 @@ ORACLES = {
     "nb_lang": SQL_NB_LANG,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "doc_splits": SQL_DOC_SPLITS,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

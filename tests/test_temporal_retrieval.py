@@ -168,3 +168,37 @@ class TestStratifiedSample:
         }))
         df = stratified_sample(ds, "lang", 5, "doc_id").to_pandas()
         assert sorted(df["doc_id"]) == [1, 2]
+
+
+class TestCohortRetention:
+    def test_hand_cohorts(self):
+        """Two users, hand-computed cohorts and offsets; duplicate events
+        within a day count once."""
+        import pandas as pd
+
+        from cosmos_ray.functions.windows import cohort_retention
+
+        D = 86_400_000_000  # one epoch-day in microseconds
+        rows = [
+            # user 1: first day 10, active 10, 11, 13 (day 10 twice)
+            {"user_id": 1, "ts": 10 * D + 5},
+            {"user_id": 1, "ts": 10 * D + 999},
+            {"user_id": 1, "ts": 11 * D + 1},
+            {"user_id": 1, "ts": 13 * D + 1},
+            # user 2: first day 11, active 11, 13
+            {"user_id": 2, "ts": 11 * D + 7},
+            {"user_id": 2, "ts": 13 * D + 2},
+        ]
+        t = pa.table({
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows],
+                           pa.timestamp("us")),
+        })
+        out = (cohort_retention(rd.from_arrow(t)).to_pandas()
+               .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True))
+        exp = pd.DataFrame({
+            "cohort_day": [10, 10, 10, 11, 11],
+            "day_offset": [0, 1, 3, 0, 2],
+            "n_users": [1, 1, 1, 1, 1],
+        })
+        assert out.astype("int64").values.tolist() == exp.values.tolist()
