@@ -89,3 +89,58 @@ def bm25_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
         score, batch_format="pyarrow"
     )
     return topk(scored, [("bm25", True), (id_col, False)], k)
+
+
+def rrf_fuse(ranked, n: int = 10, k_rrf: int = 60, id_col: str = "doc_id",
+             cap_rows: int = 100_000):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of multiple ranked
+    retrievals — the standard hybrid-retrieval combiner (ES calls it the
+    `rrf` retriever): score(d) = sum over lists of 1 / (k_rrf + rank_d).
+    ``ranked``: [(dataset, score_col), ...] where each dataset is a
+    TOP-K result (driver-small by definition; a guard enforces it);
+    ranks are 1-based under (score DESC, id ASC). Ties in the fused
+    score break to the lower id. -> (doc_id, rrf) top-``n``.
+
+    Scale shape: the inputs are already-reduced top-k pages, so rank
+    assignment is a bounded driver step (same contract as `topk`'s
+    offset slice); the fuse itself stays a Dataset groupby + sample-sort
+    so missing-from-one-list docs need no outer-join special case."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.queries.relational import collect_small, topk
+
+    partials = []
+    for ds, score_col in ranked:
+        t = collect_small(ds.select_columns([id_col, score_col]), cap_rows)
+        if t is None:
+            raise ValueError("rrf_fuse inputs must be top-k results "
+                             f"(under {cap_rows} rows)")
+        ids = np.asarray(t.column(id_col).to_pylist())
+        sc = np.asarray(t.column(score_col).to_pylist(), dtype=np.float64)
+        order = np.lexsort((ids, -sc))  # score desc, id asc
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = np.arange(1, len(ids) + 1)
+        partials.append(pa.table({
+            id_col: t.column(id_col),
+            "c": pa.array(1.0 / (k_rrf + rank), pa.float64()),
+        }))
+    if not partials:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "rrf": pa.array([], pa.float64())}))
+    from ray.data.aggregate import Sum
+
+    u = rd.from_arrow(pa.concat_tables(partials))
+    fused = u.groupby(id_col).aggregate(Sum("c", alias_name="rrf"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(t.schema.get_field_index("rrf"), "rrf",
+                            pc.round(t.column("rrf"), 6,
+                                     round_mode="half_towards_infinity"))
+
+    return topk(fused.map_batches(finish, batch_format="pyarrow"),
+                [("rrf", True), (id_col, False)], n)

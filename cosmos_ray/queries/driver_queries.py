@@ -832,11 +832,11 @@ def q_bm25_docs(sf_dir: str):
                      query="spark data processing", k=10)
 
 
-def _sql_bm25_docs() -> str:
+def _sql_bm25(query: str, limit: int = 10) -> str:
     """BM25 replay: identical idf/tf formula with per-term contributions
     added in the same fixed (sorted-term) order, so the IEEE float sum
     is bit-identical before the 6dp round."""
-    terms = sorted(set("spark data processing".lower().split()))
+    terms = sorted(set(query.lower().split()))
     k1, b = 1.2, 0.75
     tf_exprs = [
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)" for t in terms
@@ -861,11 +861,45 @@ st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
 SELECT doc_id,
        floor(({contribs}) * 1e6 + 0.5) / 1e6 AS bm25
 FROM d, st
-ORDER BY bm25 DESC, doc_id LIMIT 10
+ORDER BY bm25 DESC, doc_id LIMIT {limit}
 """
 
 
-SQL_BM25_DOCS = _sql_bm25_docs()
+SQL_BM25_DOCS = _sql_bm25("spark data processing", 10)
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of two BM25 runs
+    (`retrieval.rrf_fuse` — the ES `rrf` retriever analog; ranker-
+    agnostic, so the same combiner fuses lexical + embedding lists)."""
+    from cosmos_ray.functions.retrieval import bm25_topk, rrf_fuse
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    a = bm25_topk(docs, query="spark data processing", k=10)
+    b = bm25_topk(read(sf_dir, "documents", ["doc_id", "text"]),
+                  query="window batch stream", k=10)
+    return rrf_fuse([(a, "bm25"), (b, "bm25")], n=10)
+
+
+def _sql_hybrid_rrf() -> str:
+    a = _sql_bm25("spark data processing", 10)
+    b = _sql_bm25("window batch stream", 10)
+    return f"""
+WITH la AS ({a}),
+lb AS ({b}),
+ra AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM la),
+rb AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM lb),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM ra
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM rb)
+SELECT doc_id, round(sum(c), 6) AS rrf
+FROM u GROUP BY doc_id
+ORDER BY round(sum(c), 6) DESC, doc_id LIMIT 10
+"""
+
+
+SQL_HYBRID_RRF = _sql_hybrid_rrf()
 
 
 def q_stratified_docs(sf_dir: str):
@@ -2510,6 +2544,7 @@ QUERIES = {
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
+    "hybrid_rrf": q_hybrid_rrf,
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
     "distinct_users_daily": q_distinct_users_daily,
@@ -2595,6 +2630,7 @@ ORACLES = {
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
+    "hybrid_rrf": SQL_HYBRID_RRF,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,

@@ -202,3 +202,31 @@ class TestCohortRetention:
             "n_users": [1, 1, 1, 1, 1],
         })
         assert out.astype("int64").values.tolist() == exp.values.tolist()
+
+
+class TestRrfFuse:
+    def test_hand_fusion(self):
+        """Two 3-item lists with one shared doc: shared doc's fused score
+        is the sum of both reciprocal ranks and wins."""
+        from cosmos_ray.functions.retrieval import rrf_fuse
+
+        a = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                                    "s": pa.array([9.0, 8.0, 7.0])}))
+        b = rd.from_arrow(pa.table({"doc_id": pa.array([3, 4, 5], pa.int64()),
+                                    "s": pa.array([9.0, 8.0, 7.0])}))
+        out = rrf_fuse([(a, "s"), (b, "s")], n=5).to_pandas()
+        top = out.iloc[0]
+        # doc 3: rank 3 in a, rank 1 in b -> 1/63 + 1/61
+        assert top["doc_id"] == 3
+        assert abs(top["rrf"] - round(1 / 63 + 1 / 61, 6)) < 1e-9
+        # singles: 1/(60+rank)
+        d1 = out.set_index("doc_id").loc[1, "rrf"]
+        assert abs(d1 - round(1 / 61, 6)) < 1e-9
+
+    def test_score_tie_rank_by_id(self):
+        from cosmos_ray.functions.retrieval import rrf_fuse
+
+        a = rd.from_arrow(pa.table({"doc_id": pa.array([7, 2], pa.int64()),
+                                    "s": pa.array([5.0, 5.0])}))
+        out = rrf_fuse([(a, "s")], n=2).to_pandas().set_index("doc_id")
+        assert out.loc[2, "rrf"] > out.loc[7, "rrf"]  # id asc gets rank 1
