@@ -291,3 +291,82 @@ def kmeans_fit(emb_ds, k: int = 8, iters: int = 10, seed: int = 7):
     assigns = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
         final_assign, batch_format="pyarrow")
     return assigns, C
+
+
+# ------------------------------------------------- scalar quantization
+
+def fit_quantizer(emb_ds) -> dict:
+    """Per-dimension (min, max) for int8 scalar quantization — the
+    memory side of ANN at rest (a float32 corpus stores 4x smaller as
+    uint8 codes, which is what keeps a 100-TB embedding table in the
+    object store's working set). Distributed combiner: each batch emits
+    ONE row of per-dim mins + maxes; the driver folds (exchange
+    independent of corpus size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _as_matrix(t.column("embedding"))
+        return pa.table({
+            "mn": pa.array([X.min(axis=0).tolist()], pa.list_(pa.float64())),
+            "mx": pa.array([X.max(axis=0).tolist()], pa.list_(pa.float64())),
+        })
+
+    mn = mx = None
+    for b in emb_ds.select_columns(["embedding"]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for lo, hi in zip(b.column("mn").to_pylist(), b.column("mx").to_pylist()):
+            lo, hi = np.asarray(lo), np.asarray(hi)
+            mn = lo if mn is None else np.minimum(mn, lo)
+            mx = hi if mx is None else np.maximum(mx, hi)
+    scale = np.maximum(mx - mn, 1e-12) / 255.0
+    return {"min": mn, "scale": scale}
+
+
+def quantize_embeddings(emb_ds, q: dict):
+    """(vec_id, embedding) -> (vec_id, qvec: list<uint8>) with
+    code = round((x - min) / scale), clipped to [0, 255]."""
+    import ray
+
+    q_ref = ray.put(q)
+
+    def f(t: pa.Table, _r=q_ref) -> pa.Table:
+        import ray as _ray
+
+        qq = _ray.get(_r)
+        X = _as_matrix(t.column("embedding"))
+        codes = np.clip(np.round((X - qq["min"]) / qq["scale"]), 0, 255
+                        ).astype(np.uint8)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "qvec": pa.array([c.tolist() for c in codes],
+                             pa.list_(pa.uint8())),
+        })
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def quantized_topk(q_ds, q: dict, query_vecs: np.ndarray, k: int = 10):
+    """Brute-force cosine top-k over the QUANTIZED corpus: each batch
+    dequantizes (x̂ = min + code·scale) and runs the same partial-top-k
+    matmul as `brute_force_topk` — same output shape, 4x less data at
+    rest, recall gated in tests."""
+    import ray
+
+    import ray.data as rd
+
+    q_ref = ray.put(q)
+
+    def deq(t: pa.Table, _r=q_ref) -> pa.Table:
+        import ray as _ray
+
+        qq = _ray.get(_r)
+        codes = np.asarray(t.column("qvec").to_pylist(), dtype=np.float64)
+        X = qq["min"] + codes * qq["scale"]
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "embedding": pa.array([x.tolist() for x in X],
+                                  pa.list_(pa.float64())),
+        })
+
+    deq_ds = q_ds.map_batches(deq, batch_format="pyarrow")
+    return brute_force_topk(deq_ds, query_vecs, k=k)

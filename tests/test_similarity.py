@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -129,3 +130,57 @@ def test_kmeans_empty_cluster_keeps_centroid():
     df = assigns.to_pandas()
     assert df["cluster"].nunique() == 1  # all points in one cluster
     assert C.shape == (3, 2) and np.isfinite(C).all()
+
+
+class TestScalarQuantization:
+    def _emb(self, n=400, dim=32, seed=11):
+        rng = np.random.RandomState(seed)
+        X = rng.normal(size=(n, dim))
+        return X, rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([x.tolist() for x in X],
+                                  pa.list_(pa.float64()))}))
+
+    def test_roundtrip_error_bounded(self):
+        from cosmos_ray.functions.similarity import (
+            fit_quantizer,
+            quantize_embeddings,
+        )
+
+        X, ds = self._emb()
+        q = fit_quantizer(ds)
+        codes = (quantize_embeddings(ds, q).to_pandas()
+                 .sort_values("vec_id"))
+        Xq = q["min"] + np.asarray(codes["qvec"].tolist(), np.float64) * q["scale"]
+        # reconstruction error per coordinate <= half a quantization step
+        assert (np.abs(Xq - X) <= q["scale"] / 2 + 1e-12).all()
+
+    def test_quantized_recall(self):
+        from cosmos_ray.functions.similarity import (
+            brute_force_topk,
+            fit_quantizer,
+            quantize_embeddings,
+            quantized_topk,
+        )
+
+        X, ds = self._emb()
+        rng = np.random.RandomState(5)
+        Q = rng.normal(size=(4, X.shape[1]))
+        exact = brute_force_topk(ds, Q, k=10).to_pandas()
+        q = fit_quantizer(ds)
+        qds = quantize_embeddings(ds, q).materialize()
+        approx = quantized_topk(qds, q, Q, k=10).to_pandas()
+        recalls = []
+        for qi in range(4):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            recalls.append(len(e & a) / 10)
+        assert np.mean(recalls) >= 0.85, recalls
+
+    def test_fit_merge_matches_global(self):
+        from cosmos_ray.functions.similarity import fit_quantizer
+
+        X, ds = self._emb()
+        q = fit_quantizer(ds)
+        assert np.allclose(q["min"], X.min(axis=0))
+        assert np.allclose(q["min"] + 255 * q["scale"], X.max(axis=0))
