@@ -91,6 +91,167 @@ def bm25_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
     return topk(scored, [("bm25", True), (id_col, False)], k)
 
 
+# ------------------------------------------------------ inverted index at rest
+
+def _term_buckets(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic md5-based term -> bucket (stable across processes,
+    replayable in DuckDB via md5_number_upper % num_buckets)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         % num_buckets for t in terms],
+        dtype=np.int64,
+    )
+
+
+def build_text_index(docs_ds, out_dir: str, num_buckets: int = 32,
+                     id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Index-time half of ranked retrieval — the at-rest analog of the
+    reference's ES bulk indexing (`elasticsearch_ingest.py` /
+    `elastic_retriever.py:182-227`): explode documents into postings
+    ``(term, doc_id, tf, dl)`` and write them hive-partitioned by a
+    deterministic term-hash bucket (``tbucket=K/``), plus corpus stats
+    (``n_docs``, ``sum_dl``) in ``meta.json``. Queries read ONLY their
+    terms' buckets (disk-level partition pruning, the inverted-index
+    lookup ES does in memory).
+
+    Scale shape: one vectorized pass — per-(doc, term) tf comes from an
+    arrow C++ ``group_by`` inside the batch, term bucketing hashes the
+    batch's UNIQUE terms only; postings shuffle once into the hive
+    write. Corpus stats move one row per batch."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        parents = np.repeat(np.arange(t.num_rows), dl.to_numpy())
+        grp = (
+            pa.table({"p": pa.array(parents, pa.int64()), "term": flat})
+            .group_by(["p", "term"])
+            .aggregate([([], "count_all")])
+        )
+        p = grp.column("p").to_numpy()
+        terms = grp.column("term").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        tb = _term_buckets(uniq, num_buckets)[inv]
+        return pa.table({
+            "term": grp.column("term"),
+            id_col: t.column(id_col).take(pa.array(p)),
+            "tf": grp.column("count_all").cast(pa.int64()),
+            "dl": dl.take(pa.array(p)),
+            "tbucket": pa.array(tb, pa.int64()),
+        })
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array(
+                [pc.sum(pc.list_value_length(toks)).as_py() or 0], pa.int64()),
+        })
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["tbucket"])
+    agg = (docs_ds.select_columns([id_col, text_col])
+           .map_batches(stats, batch_format="pyarrow").sum(["n_docs", "sum_dl"]))
+    meta = {"n_docs": int(agg["sum(n_docs)"]),
+            "sum_dl": int(agg["sum(sum_dl)"]),
+            "num_buckets": num_buckets, "id_col": id_col}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bm25_query_index(index_dir: str, query: str, k: int = 10,
+                     k1: float = 1.2, b: float = 0.75):
+    """Query-time half: read ONLY the query terms' ``tbucket=K/``
+    partitions, compute df from the pruned postings (exact — a term's
+    every posting lives in its bucket), score per (doc, term) into
+    per-term columns and reduce with one groupby — the float sum runs
+    in fixed sorted-term order on every path, so results are
+    bit-identical to the from-scratch ``bm25_topk`` (zero-tf terms
+    contribute exactly 0.0, an IEEE identity).
+
+    Docs containing none of the terms never leave disk; they all score
+    0, so the top-k is unchanged whenever >= k docs match any term."""
+    import glob
+    import json
+    import math
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.queries.relational import topk as _topk
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    terms = sorted(set(query.lower().split()))
+    tb = _term_buckets(np.array(terms), meta["num_buckets"])
+    paths = [p for c in sorted({int(x) for x in tb})
+             for p in glob.glob(os.path.join(index_dir, f"tbucket={c}", "*.parquet"))]
+    if not paths:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    ds = rd.read_parquet(paths, columns=["term", id_col, "tf", "dl"])
+
+    def only_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), pa.array(terms)))
+
+    hits = ds.map_batches(only_terms, batch_format="pyarrow")
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        tcol = t.column("term").to_numpy(zero_copy_only=False)
+        return pa.table({f"df_{i}": pa.array([int((tcol == term).sum())],
+                                             pa.int64())
+                         for i, term in enumerate(terms)})
+
+    sums = hits.map_batches(df_partials, batch_format="pyarrow").sum(
+        [f"df_{i}" for i in range(len(terms))])
+    if sums is None:  # no posting matched any term
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    df = {t: (sums[f"sum(df_{i})"] or 0) for i, t in enumerate(terms)}
+    n, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    idf = {t: math.log(1.0 + (n - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5))
+           for t in terms}
+
+    def contribs(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        tcol = t.column("term").to_numpy(zero_copy_only=False)
+        denom_base = k1 * (1.0 - b + b * (dl / avgdl))
+        cols = {id_col: t.column(id_col)}
+        for i, term in enumerate(terms):
+            m = (tcol == term).astype(np.float64)
+            cols[f"c_{i}"] = pa.array(
+                m * idf[term] * (tf / (tf + denom_base)), pa.float64())
+        return pa.table(cols)
+
+    per_doc = (hits.map_batches(contribs, batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(*[Sum(f"c_{i}", alias_name=f"c_{i}")
+                            for i in range(len(terms))]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = np.zeros(t.num_rows, dtype=np.float64)
+        for i in range(len(terms)):  # fixed order: float parity with bm25_topk
+            total = total + t.column(f"c_{i}").to_numpy()
+        rounded = np.floor(total * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: t.column(id_col),
+                         "bm25": pa.array(rounded, pa.float64())})
+
+    scored = per_doc.map_batches(finish, batch_format="pyarrow")
+    return _topk(scored, [("bm25", True), (id_col, False)], k)
+
+
 def rrf_fuse(ranked, n: int = 10, k_rrf: int = 60, id_col: str = "doc_id",
              cap_rows: int = 100_000):
     """Reciprocal-rank fusion (Cormack et al. 2009) of multiple ranked

@@ -868,6 +868,22 @@ ORDER BY bm25 DESC, doc_id LIMIT {limit}
 SQL_BM25_DOCS = _sql_bm25("spark data processing", 10)
 
 
+def q_bm25_index_docs(sf_dir: str):
+    """Same ranking served from the AT-REST inverted index — the disk
+    analog of the reference's persisted ES index (`elasticsearch_ingest`
+    bulk index + `elastic_retriever` query): postings are written
+    hive-partitioned by term-hash bucket and the query reads ONLY its
+    terms' buckets. Bit-identical to `bm25_topk` (fixed-order float
+    sums), so it shares its SQL oracle."""
+    import tempfile
+
+    from cosmos_ray.functions.retrieval import bm25_query_index, build_text_index
+
+    idx = tempfile.mkdtemp(prefix="txtidx_", dir="/tmp")
+    build_text_index(read(sf_dir, "documents", ["doc_id", "text"]), idx)
+    return bm25_query_index(idx, "spark data processing", k=10)
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of two BM25 runs
     (`retrieval.rrf_fuse` — the ES `rrf` retriever analog; ranker-
@@ -2544,6 +2560,7 @@ QUERIES = {
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
+    "bm25_index_docs": q_bm25_index_docs,
     "hybrid_rrf": q_hybrid_rrf,
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
@@ -2630,6 +2647,7 @@ ORACLES = {
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
+    "bm25_index_docs": SQL_BM25_DOCS,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,

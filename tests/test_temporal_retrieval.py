@@ -134,6 +134,54 @@ class TestBM25:
                        "zzz_not_there", k=2).to_pandas()
         assert df["bm25"].tolist() == [0.0, 0.0]
 
+    def test_index_at_rest_matches_from_scratch(self, tmp_path):
+        """The at-rest inverted index must reproduce bm25_topk
+        BIT-identically (fixed-order float sums on both paths), while
+        reading only the query terms' tbucket partitions."""
+        import glob
+
+        from cosmos_ray.functions.retrieval import (
+            _term_buckets,
+            bm25_query_index,
+            bm25_topk,
+            build_text_index,
+        )
+
+        texts = ["data data data pad", "data pad pad pad", "pad pad pad pad",
+                 "spark data pad pad", "spark spark engine", "engine pad data"]
+        idx = str(tmp_path / "txtidx")
+        meta = build_text_index(self._docs(texts), idx, num_buckets=8)
+        assert meta["n_docs"] == 6 and meta["sum_dl"] == sum(
+            len(t.split()) for t in texts)
+        # hive layout exists and query terms map to a strict subset
+        assert glob.glob(f"{idx}/tbucket=*/*.parquet")
+        terms = np.array(sorted({"spark", "data"}))
+        hit_buckets = set(_term_buckets(terms, 8).tolist())
+        all_buckets = {int(p.split("tbucket=")[1].split("/")[0])
+                       for p in glob.glob(f"{idx}/tbucket=*/*.parquet")}
+        assert hit_buckets <= all_buckets
+
+        got = (bm25_query_index(idx, "spark data", k=4).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (bm25_topk(self._docs(texts), "spark data", k=4).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["bm25"].tolist() == want["bm25"].tolist()  # bitwise
+
+    def test_index_query_missing_terms(self, tmp_path):
+        from cosmos_ray.functions.retrieval import (
+            bm25_query_index,
+            build_text_index,
+        )
+
+        idx = str(tmp_path / "txtidx2")
+        build_text_index(self._docs(["alpha beta", "beta gamma"]), idx,
+                         num_buckets=4)
+        got = bm25_query_index(idx, "alpha zzz_not_there", k=2).to_pandas()
+        # only the doc containing 'alpha' is retrievable from postings
+        assert got["doc_id"].tolist() == [0]
+        assert got["bm25"].iloc[0] > 0
+
 
 class TestStratifiedSample:
     def test_exact_membership_and_determinism(self):
