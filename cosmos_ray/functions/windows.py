@@ -194,3 +194,124 @@ def cohort_retention(events_ds, ts_col: str = "ts", user_col: str = "user_id"):
     per_pair = bucketed_group_apply(tagged, ["user_id"], attach)
     return per_pair.groupby(["cohort_day", "day_offset"]).aggregate(
         Count(alias_name="n_users"))
+
+
+def funnel(events_ds, steps: list[str], window_s: int = 86_400):
+    """Ordered funnel over the events stream (the product-analytics
+    sequence-match): a user completes step ``i`` when there exist events
+    of types ``steps[0..i]`` at strictly increasing timestamps, all
+    within ``window_s`` seconds of the user's FIRST step-0 event
+    (earliest-completion greedy semantics — each step matches its
+    earliest admissible event, which is SQL-replayable step by step).
+    -> one row per step: (step 1-based, event_type, users).
+
+    Scale shape: the input is pre-filtered to the funnel's event types
+    and projected to three columns before the single user-hash exchange;
+    inside a bucket the per-step matching is vectorized pandas merges
+    (rows = that bucket's funnel events only). Per-user output is one
+    row per COMPLETED step, so the final rollup exchange is bounded by
+    n_steps x users."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w_us = window_s * 1_000_000
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "ts", "event_type"])
+        return t.filter(pc.is_in(t.column("event_type"), pa.array(steps)))
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "ts": ts_us,
+                           "event_type": g["event_type"].to_numpy()})
+        cur = (df[df["event_type"] == steps[0]]
+               .groupby("user_id", as_index=False)["ts"].min())
+        cur["t1"] = cur["ts"]
+        out = [pd.DataFrame({"user_id": cur["user_id"], "step": 1})]
+        for i, s in enumerate(steps[1:], start=2):
+            cand = df[df["event_type"] == s].merge(cur[["user_id", "ts", "t1"]],
+                                                   on="user_id",
+                                                   suffixes=("", "_prev"))
+            cand = cand[(cand["ts"] > cand["ts_prev"])
+                        & (cand["ts"] <= cand["t1"] + w_us)]
+            if len(cand) == 0:
+                break
+            cur = (cand.groupby("user_id", as_index=False)
+                   .agg(ts=("ts", "min"), t1=("t1", "first")))
+            out.append(pd.DataFrame({"user_id": cur["user_id"], "step": i}))
+        res = pd.concat(out, ignore_index=True)
+        res["step"] = res["step"].astype(np.int64)
+        return res
+
+    per_user = _bucketed_by_user(
+        events_ds.map_batches(keep, batch_format="pyarrow"), fn)
+    counts = per_user.groupby("step").aggregate(Count(alias_name="users"))
+
+    name = {i + 1: s for i, s in enumerate(steps)}
+
+    def label(t: pa.Table) -> pa.Table:
+        st = t.column("step").to_numpy()
+        return pa.table({
+            "step": t.column("step"),
+            "event_type": pa.array([name[int(x)] for x in st]),
+            "users": t.column("users"),
+        })
+
+    return counts.map_batches(label, batch_format="pyarrow")
+
+
+def daily_anomalies(events_ds, z_thresh: float = 2.0, round_to: int = 6):
+    """Per-event-type daily-volume anomaly flags: day counts whose
+    z-score against that type's own daily distribution (population
+    stddev over the days the type appears) meets ``|z| >= z_thresh``.
+    Types with zero variance are never anomalous. -> (event_type, day,
+    n, z) with z rounded.
+
+    Scale shape: per-batch (type, day) count partials are the only
+    exchange (bounded by types x days, independent of event rows); the
+    per-type stats run as one map_groups over that tiny table."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), 86_400_000_000)
+        grp = (pa.table({"event_type": t.column("event_type"), "day": day})
+               .group_by(["event_type", "day"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"event_type": grp.column("event_type"),
+                         "day": grp.column("day"),
+                         "n": grp.column("count_all").cast(pa.int64())})
+
+    daily = (events_ds.select_columns(["event_type", "ts"])
+             .map_batches(partials, batch_format="pyarrow")
+             .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n")))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        # float parity with the SQL oracle: counts and their squares are
+        # exact in float64 and their sums stay < 2^53, so mu / E[n^2] are
+        # order-independent; sd uses the same sqrt(E[n^2] - mu^2) formula
+        # as the SQL, and rounding is half-away-from-zero like DuckDB's.
+        n = g["n"].to_numpy(dtype=np.float64)
+        mu = n.sum() / len(n)
+        sd = np.sqrt((n * n).sum() / len(n) - mu * mu)
+        if not sd > 0.0:
+            keep = np.zeros(len(n), dtype=bool)
+            z = n
+        else:
+            z = (n - mu) / sd
+            scale = 10.0 ** round_to
+            z = np.sign(z) * np.floor(np.abs(z) * scale + 0.5) / scale
+            keep = np.abs(z) >= z_thresh
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[keep],
+            "day": g["day"].to_numpy()[keep].astype(np.int64),
+            "n": g["n"].to_numpy()[keep].astype(np.int64),
+            "z": z[keep].astype(np.float64),
+        })
+
+    return daily.groupby("event_type").map_groups(flag, batch_format="pandas")

@@ -1383,6 +1383,61 @@ FROM j
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel within 24h of the user's
+    first view (`windows.funnel`, earliest-completion greedy semantics
+    replayed step by step in SQL)."""
+    from cosmos_ray.functions.windows import funnel
+
+    return funnel(read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+                  steps=["view", "click", "purchase"], window_s=86_400)
+
+
+SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t1) AS t1
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+         AND epoch_us(e.ts) <= s1.t1 + 86400000000
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+         AND epoch_us(e.ts) <= s2.t1 + 86400000000
+       GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       count(*) AS users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+"""
+
+
+def q_daily_anomalies(sf_dir: str):
+    """Per-event-type daily-volume anomaly flags
+    (`windows.daily_anomalies`): z-score vs the type's own daily
+    distribution, |z| >= 2."""
+    from cosmos_ray.functions.windows import daily_anomalies
+
+    return daily_anomalies(read(sf_dir, "events", ["event_type", "ts"]),
+                           z_thresh=2.0)
+
+
+SQL_DAILY_ANOMALIES = """
+WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+st AS (SELECT event_type,
+              sum(CAST(n AS DOUBLE)) / count(*) AS mu,
+              sqrt(sum(CAST(n AS DOUBLE) * n) / count(*)
+                   - (sum(CAST(n AS DOUBLE)) / count(*))
+                     * (sum(CAST(n AS DOUBLE)) / count(*))) AS sd
+       FROM daily GROUP BY 1)
+SELECT d.event_type, d.day, d.n, round((d.n - st.mu) / st.sd, 6) AS z
+FROM daily d JOIN st USING (event_type)
+WHERE st.sd > 0 AND abs(round((d.n - st.mu) / st.sd, 6)) >= 2.0
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort-retention rollup over the events stream
     (`windows.cohort_retention`): users bucketed by first-event day,
@@ -2584,6 +2639,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "doc_splits": q_doc_splits,
     "cohort_retention": q_cohort_retention,
+    "funnel": q_funnel,
+    "daily_anomalies": q_daily_anomalies,
     "repetition_stats": q_repetition_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2668,6 +2725,8 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "doc_splits": SQL_DOC_SPLITS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "funnel": SQL_FUNNEL,
+    "daily_anomalies": SQL_DAILY_ANOMALIES,
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -278,3 +278,100 @@ class TestRrfFuse:
                                     "s": pa.array([5.0, 5.0])}))
         out = rrf_fuse([(a, "s")], n=2).to_pandas().set_index("doc_id")
         assert out.loc[2, "rrf"] > out.loc[7, "rrf"]  # id asc gets rank 1
+
+
+def _typed_events(rows):
+    """rows: list of (user_id, ts_us, event_type)."""
+    uid, ts, et = zip(*rows) if rows else ((), (), ())
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(list(ts), pa.timestamp("us")),
+        "event_type": pa.array(et),
+    }))
+
+
+class TestFunnel:
+    STEPS = ["view", "click", "purchase"]
+
+    def _run(self, rows, window_s=100):
+        from cosmos_ray.functions.windows import funnel
+
+        df = funnel(_typed_events(rows), self.STEPS, window_s=window_s)
+        return {int(r["step"]): int(r["users"])
+                for r in df.to_pandas().to_dict("records")}
+
+    def test_full_and_partial_depths(self):
+        rows = [
+            # user 1 completes all three steps in order
+            (1, 1_000_000, "view"), (1, 2_000_000, "click"),
+            (1, 3_000_000, "purchase"),
+            # user 2 stops after click
+            (2, 1_000_000, "view"), (2, 2_000_000, "click"),
+            # user 3 has purchase BEFORE click -> depth 2 only
+            (3, 1_000_000, "view"), (3, 1_500_000, "purchase"),
+            (3, 2_000_000, "click"),
+            # user 4 never views (click+purchase don't count)
+            (4, 1_000_000, "click"), (4, 2_000_000, "purchase"),
+        ]
+        assert self._run(rows) == {1: 3, 2: 3, 3: 1}
+
+    def test_window_anchored_at_first_view(self):
+        rows = [
+            # first view at t=0; purchase lands at exactly t=window (in),
+            # click strictly inside
+            (1, 0, "view"), (1, 50_000_000, "click"),
+            (1, 100_000_000, "purchase"),
+            # user 2: purchase one microsecond past the window -> out
+            (2, 0, "view"), (2, 50_000_000, "click"),
+            (2, 100_000_001, "purchase"),
+            # user 3: a LATER view would allow the purchase, but the
+            # anchor is the FIRST view (greedy semantics)
+            (3, 0, "view"), (3, 90_000_000, "view"),
+            (3, 95_000_000, "click"), (3, 150_000_000, "purchase"),
+        ]
+        assert self._run(rows) == {1: 3, 2: 3, 3: 1}
+
+    def test_strictly_increasing_ts(self):
+        # click at the SAME microsecond as the view does not advance
+        rows = [(1, 1_000_000, "view"), (1, 1_000_000, "click"),
+                (2, 1_000_000, "view"), (2, 1_000_001, "click")]
+        assert self._run(rows) == {1: 2, 2: 1}
+
+    def test_empty_and_no_step0(self):
+        assert self._run([]) == {}
+        assert self._run([(1, 0, "click"), (1, 1, "purchase")]) == {}
+
+
+class TestDailyAnomalies:
+    def test_spike_flagged_zero_variance_not(self):
+        from cosmos_ray.functions.windows import daily_anomalies
+
+        day = 86_400_000_000
+        rows = []
+        # 'click': 9 quiet days of 1 event + one day with 11 -> big z
+        for d in range(9):
+            rows.append((1, d * day + 1, "click"))
+        rows += [(1, 9 * day + i, "click") for i in range(11)]
+        # 'view': constant volume -> zero variance, never flagged
+        for d in range(10):
+            rows.append((2, d * day + 5, "view"))
+        df = daily_anomalies(_typed_events(rows), z_thresh=2.0).to_pandas()
+        assert set(df["event_type"]) == {"click"}
+        assert df["day"].tolist() == [9] and df["n"].tolist() == [11]
+        n = np.array([1.0] * 9 + [11.0])
+        mu = n.sum() / 10
+        sd = np.sqrt((n * n).sum() / 10 - mu * mu)
+        want = np.floor(abs((11 - mu) / sd) * 1e6 + 0.5) / 1e6
+        assert df["z"].iloc[0] == want
+
+    def test_negative_dip_flagged(self):
+        from cosmos_ray.functions.windows import daily_anomalies
+
+        day = 86_400_000_000
+        rows = []
+        for d in range(9):
+            rows += [(1, d * day + i, "view") for i in range(10)]
+        rows.append((1, 9 * day + 1, "view"))  # dip day: 1 event
+        df = daily_anomalies(_typed_events(rows), z_thresh=2.0).to_pandas()
+        assert df["day"].tolist() == [9]
+        assert df["z"].iloc[0] < 0
