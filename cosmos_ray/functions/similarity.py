@@ -25,17 +25,21 @@ def _as_matrix(col) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
-def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10):
+def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                     exclude_ids: np.ndarray | None = None):
     """-> Dataset (query_id, vec_id, cosine, rank). Exact; per-batch
     partial top-k (k rows per query per batch cross the shuffle, not the
-    full score matrix)."""
+    full score matrix). ``exclude_ids[qi]`` (optional, aligned with the
+    query rows) removes that vec_id from query qi's candidates — the
+    self-match mask for ``knn_join``."""
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    q_ref = ray.put(qn)
+    excl = None if exclude_ids is None else np.asarray(exclude_ids, np.int64)
+    q_ref = ray.put((qn, excl))
 
     class Scorer:
         def __init__(self, q_ref=None) -> None:
-            self.q = ray.get(q_ref)
+            self.q, self.excl = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -45,6 +49,8 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10):
             o_q, o_id, o_s = [], [], []
             for qi in range(sims.shape[1]):
                 col = sims[:, qi]
+                if self.excl is not None:
+                    col = np.where(ids == self.excl[qi], -np.inf, col)
                 top = np.argsort(-col, kind="stable")[:k]
                 o_q.extend([qi] * len(top))
                 o_id.extend(ids[top].tolist())
@@ -66,6 +72,7 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10):
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[np.isfinite(g["cosine"].to_numpy())]  # masked self-matches
         top = heapq.nsmallest(k, g.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id))
         return pd.DataFrame(
             {
@@ -77,6 +84,52 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10):
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_join(left_ds, right_ds, k: int = 3, exclude_self: bool = False,
+             slab: int = 4096, left_id_col: str = "vec_id"):
+    """Similarity join: for every LEFT row, its ``k`` nearest RIGHT rows
+    by cosine -> (left_id, vec_id, cosine, rank).
+
+    Scale shape: the left side is consumed in driver slabs of ``slab``
+    rows (bounded memory — never the whole left at once); each slab
+    broadcasts one query matrix via ``ray.put`` and the RIGHT side
+    streams through the partial-top-k scorer (k rows per query per batch
+    cross the exchange, never the score matrix). Total work is
+    ceil(|L|/slab) streaming passes over the right side — the standard
+    block-nested-loop kNN-join decomposition; for very large lefts,
+    build an at-rest IVF index over the right side instead
+    (`build_ivf_index`) and probe per slab."""
+    import ray.data as rd
+
+    parts = []
+    for batch in left_ds.select_columns([left_id_col, "embedding"]).iter_batches(
+            batch_size=slab, batch_format="pyarrow"):
+        lids = np.asarray(batch.column(left_id_col).to_pylist(), dtype=np.int64)
+        Q = _as_matrix(batch.column("embedding"))
+        res = brute_force_topk(right_ds, Q, k=k,
+                               exclude_ids=lids if exclude_self else None)
+
+        def remap(t: pa.Table, lids=lids) -> pa.Table:
+            qi = t.column("query_id").to_numpy()
+            return pa.table({
+                "left_id": pa.array(lids[qi], pa.int64()),
+                "vec_id": t.column("vec_id"),
+                "cosine": t.column("cosine"),
+                "rank": t.column("rank").cast(pa.int64()),
+            })
+
+        parts.append(res.map_batches(remap, batch_format="pyarrow"))
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64())}))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _seeded_centroids(emb_ds, n_centroids: int, seed: int, sample_n: int = 2048, iters: int = 5) -> np.ndarray:

@@ -1664,6 +1664,34 @@ def q_embedding_topk(sf_dir: str):
     )
 
 
+def q_knn_join(sf_dir: str):
+    """kNN similarity join: each of the first 5 vectors joined to its 3
+    nearest OTHER vectors (`similarity.knn_join`, slabbed broadcast +
+    streaming partial top-k over the right side)."""
+    from cosmos_ray.functions.similarity import knn_join
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    left = emb.filter(expr="vec_id < 5")
+    right = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_join(left, right, k=3, exclude_self=True)
+
+
+SQL_KNN_JOIN = """
+WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS le
+           FROM embeddings WHERE vec_id < 5),
+p AS (SELECT l.left_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), l.le)
+               AS raw,
+             CAST(row_number() OVER (PARTITION BY l.left_id
+                  ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), l.le) DESC, e.vec_id)
+               AS BIGINT) AS rank
+      FROM embeddings e, l WHERE e.vec_id <> l.left_id)
+SELECT left_id, vec_id, round(raw, 6) AS cosine, rank
+FROM p WHERE rank <= 3
+"""
+
+
 SQL_EMBEDDING_TOPK = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -2648,6 +2676,7 @@ QUERIES = {
     "embed_docs": q_embed_docs,
     "doc_windows": q_doc_windows,
     "embedding_topk": q_embedding_topk,
+    "knn_join": q_knn_join,
     "doc_triples": q_doc_triples,
     "doc_adjacency": q_doc_adjacency,
     "kg_triples": q_kg_triples,
@@ -2730,6 +2759,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "knn_join": SQL_KNN_JOIN,
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,
     "doc_windows": SQL_DOC_WINDOWS,

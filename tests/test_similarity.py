@@ -184,3 +184,49 @@ class TestScalarQuantization:
         q = fit_quantizer(ds)
         assert np.allclose(q["min"], X.min(axis=0))
         assert np.allclose(q["min"] + 255 * q["scale"], X.max(axis=0))
+
+
+class TestKnnJoin:
+    def test_matches_per_row_brute_force(self):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.similarity import brute_force_topk, knn_join
+
+        rng = np.random.RandomState(11)
+        V = rng.randn(40, 8)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(V.tolist()),
+        }))
+        left = ds.filter(expr="vec_id < 6")
+        got = (knn_join(left, ds, k=3, exclude_self=True, slab=4)
+               .to_pandas().sort_values(["left_id", "rank"])
+               .reset_index(drop=True))
+        # reference: per-left brute force with the self row masked
+        for lid in range(6):
+            ref = brute_force_topk(ds, V[lid:lid + 1], k=4).to_pandas()
+            ref = ref[ref["vec_id"] != lid].head(3)
+            sub = got[got["left_id"] == lid]
+            assert sub["vec_id"].tolist() == ref["vec_id"].tolist()
+            assert sub["cosine"].tolist() == ref["cosine"].tolist()
+            assert sub["rank"].tolist() == [1, 2, 3]
+
+    def test_self_kept_when_not_excluded(self):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.similarity import knn_join
+
+        V = np.eye(5)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array(V.tolist()),
+        }))
+        got = knn_join(ds.filter(expr="vec_id == 0"), ds, k=1).to_pandas()
+        assert got["vec_id"].tolist() == [0]  # self is the nearest
+        assert got["cosine"].iloc[0] == 1.0
