@@ -283,9 +283,9 @@ def _scaling(max_attempts: int = 2) -> dict:
     """Run the headline pipeline at lo and hi cpus (fresh processes, same
     input) with a host-calibration probe interleaved in the SAME window,
     so each attempt carries (engine_eff, host_ceiling, normalized).
-    Stops early once an attempt qualifies (raw >= 0.8); otherwise reports
-    the best window. Criterion: raw eff >= 0.8 N->4N, or normalized
-    (raw / host cpu ceiling) when the box itself can't scale 1.0."""
+    Stops early once an attempt qualifies (raw >= 0.8, or normalized
+    >= 0.9 when the box's own same-window ceiling explains the rest);
+    otherwise reports the closest window by that score."""
     global REPEAT
     REPEAT = SCALING_REPEAT
     _prepare_pages()  # build cache once so all children skip it
@@ -307,10 +307,15 @@ def _scaling(max_attempts: int = 2) -> dict:
             "host_cpu_eff": cal["cpu_eff"],
             "normalized": round(eff / cal["cpu_eff"], 3),
         }
+        # an attempt qualifies at raw >= 0.8, or normalized >= 0.9 (the
+        # host's own ceiling measured in the same window explains the
+        # rest); rank attempts by how close they get to either bar
+        att["score"] = round(max(att["value"] / 0.8,
+                                 att["normalized"] / 0.9), 3)
         attempts.append(att)
-        if best is None or att["value"] > best["value"]:
+        if best is None or att["score"] > best["score"]:
             best = att
-        if att["value"] >= 0.8:
+        if att["score"] >= 1.0:
             break
     return {
         "metric": "scaling_efficiency",

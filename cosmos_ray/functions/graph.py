@@ -15,6 +15,7 @@ cap (the two paths agree exactly — gated in tests)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -388,3 +389,68 @@ def k_hop_neighborhood(edges_ds, seeds, k: int = 2,
     for l in layers[1:]:
         out = out.union(l)
     return out.groupby("entity").aggregate(Min("hops", alias_name="hops"))
+
+
+def triangle_count(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
+                   num_buckets: int = 64):
+    """Global triangle count of the UNDIRECTED simple graph underlying
+    the edge table (self-loops and duplicate/reverse edges collapsed).
+    -> one-row Dataset (triangles).
+
+    Algorithm (compact-forward with id orientation): canonicalize every
+    edge to (a=min, b=max); per node a, emit the wedge (b, c) for each
+    id-ordered pair of its forward neighbors; a wedge that is itself an
+    edge closes exactly one triangle (a < b < c counts each triangle
+    once). Wedge emission is vectorized ``triu_indices`` per group; the
+    closing test is a string-keyed semi-join through the size-guarded
+    broadcast / bloom / distributed-join tiers of ``semi_join_ds``.
+    Skew note: wedge volume is sum(forward_deg^2) — at web scale,
+    orienting by (degree, id) instead of id bounds it by arboricity;
+    id-order is kept here for exact SQL-oracle parity."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply, semi_join_ds
+
+    def canon(t: pa.Table) -> pa.Table:
+        # type-agnostic orientation (int or string node ids): any strict
+        # total order yields the same triangle set
+        s, d = t.column(src), t.column(dst)
+        lt = pc.less(s, d)
+        a = pc.if_else(lt, s, d)
+        b = pc.if_else(lt, d, s)
+        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
+
+    edges = (edges_ds.select_columns([src, dst])
+             .map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
+             .drop_columns(["__n"]))
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column("a"), pa.string()),
+            pc.cast(t.column("b"), pa.string()), ":")
+        return pa.table({"k": k})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # one true group (a single source node a) per call
+        v = np.sort(g["b"].to_numpy())
+        if len(v) < 2:
+            return pd.DataFrame({"k": pd.Series([], dtype=str)})
+        i, j = np.triu_indices(len(v), k=1)
+        return pd.DataFrame({"k": np.char.add(np.char.add(
+            v[i].astype(str), ":"), v[j].astype(str))})
+
+    w = bucketed_group_apply(edges, ["a"], wedges, num_buckets=num_buckets)
+    closed = semi_join_ds(w, edges.map_batches(edge_key, batch_format="pyarrow"),
+                          key_col="k", big_key="k")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    total = closed.map_batches(ones, batch_format="pyarrow").sum("n")
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "triangles": pa.array([int(total or 0)], pa.int64())}))

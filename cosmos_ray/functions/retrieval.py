@@ -305,3 +305,124 @@ def rrf_fuse(ranked, n: int = 10, k_rrf: int = 60, id_col: str = "doc_id",
 
     return topk(fused.map_batches(finish, batch_format="pyarrow"),
                 [("rrf", True), (id_col, False)], n)
+
+
+def mmr_rerank(candidates_ds, query_vec, k: int = 10, lam: float = 0.7,
+               id_col: str = "doc_id", emb_col: str = "embedding",
+               cap_rows: int = 100_000):
+    """Maximal-marginal-relevance diversity re-ranking (Carbonell &
+    Goldstein 1998) of a retrieved candidate set: greedily pick the item
+    maximizing ``lam * cos(q, d) - (1 - lam) * max cos(d, selected)``,
+    ties broken to the lower id. -> (doc_id, mmr, rank) with mmr rounded
+    to 6dp.
+
+    Scale shape: candidates are an already-reduced top-N page (a guard
+    enforces driver-small, same contract as `rrf_fuse`); the greedy loop
+    is k iterations of one vectorized similarity row each — the
+    inherently sequential part runs on model-sized data only."""
+    import ray.data as rd
+
+    from cosmos_ray.queries.relational import collect_small
+
+    t = collect_small(candidates_ds.select_columns([id_col, emb_col]), cap_rows)
+    if t is None:
+        raise ValueError(f"mmr_rerank input must be a top-N result "
+                         f"(under {cap_rows} rows)")
+    ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+    V = np.asarray(t.column(emb_col).to_pylist(), dtype=np.float64)
+    if len(ids) == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "mmr": pa.array([], pa.float64()),
+                                       "rank": pa.array([], pa.int64())}))
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64).ravel()
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    rel = Vn @ qn
+    # deterministic: order candidates by (relevance desc, id asc) so the
+    # argmax tie-break is by id regardless of input row order
+    order = np.lexsort((ids, -rel))
+    ids, Vn, rel = ids[order], Vn[order], rel[order]
+    n = len(ids)
+    selected: list[int] = []
+    max_sim = np.zeros(n)  # max cosine to any selected item (none yet)
+    picked = np.zeros(n, dtype=bool)
+    scores: list[float] = []
+    for step in range(min(k, n)):
+        # first pick: pure relevance (no diversity penalty yet)
+        mmr = lam * rel - ((1.0 - lam) * max_sim if step else 0.0)
+        mmr = np.where(picked, -np.inf, mmr)
+        i = int(np.argmax(mmr))  # first max = lowest id under the presort
+        picked[i] = True
+        selected.append(i)
+        scores.append(float(mmr[i]))
+        max_sim = np.maximum(max_sim, Vn @ Vn[i])
+    sel = np.asarray(selected)
+    rounded = [float(np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6)
+               for s in scores]
+    return rd.from_arrow(pa.table({
+        id_col: pa.array(ids[sel], pa.int64()),
+        "mmr": pa.array(rounded, pa.float64()),
+        "rank": pa.array(np.arange(1, len(sel) + 1), pa.int64()),
+    }))
+
+
+def snippet_extract(docs_ds, query: str, window: int = 5,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Matched-context snippets — the batch analog of ES highlighting
+    (the reference serves matched contexts from `elastic_retriever`
+    query results): for every document containing at least one query
+    term, emit the ±``window`` tokens around the EARLIEST first
+    occurrence across terms. -> (doc_id, snippet); non-matching docs are
+    dropped.
+
+    Fully vectorized: one arrow lowercase+split per batch, first-match
+    positions via flat-token equality + np.unique per term, and the
+    per-row variable slices are gathered with a repeat/cumsum index
+    build into one ListArray + ``binary_join`` — no Python loop over
+    rows or tokens."""
+
+    terms = sorted(set(query.lower().split()))
+    big = np.iinfo(np.int64).max
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        flat = pc.list_flatten(toks).combine_chunks() if isinstance(
+            pc.list_flatten(toks), pa.ChunkedArray) else pc.list_flatten(toks)
+        n = t.num_rows
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(dl, out=off[1:])
+        parents = np.repeat(np.arange(n), dl)
+        fl = flat.to_numpy(zero_copy_only=False)
+        best = np.full(n, big)
+        for term in terms:
+            idxs = np.flatnonzero(fl == term)
+            if idxs.size:
+                par, first_i = np.unique(parents[idxs], return_index=True)
+                pos = idxs[first_i] - off[par]
+                best[par] = np.minimum(best[par], pos)
+        rows = np.flatnonzero(best < big)
+        if rows.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "snippet": pa.array([], pa.string())})
+        p0 = best[rows]
+        starts = np.maximum(0, p0 - window) + off[rows]
+        ends = np.minimum(dl[rows], p0 + window + 1) + off[rows]  # exclusive
+        lens = ends - starts
+        total = int(lens.sum())
+        cum = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=cum[1:])
+        gather = np.repeat(starts, lens) + (np.arange(total) - np.repeat(cum, lens))
+        taken = flat.take(pa.array(gather, pa.int64()))
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                      taken.combine_chunks() if isinstance(
+                                          taken, pa.ChunkedArray) else taken)
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(rows, pa.int64())),
+            "snippet": pc.binary_join(la, " "),
+        })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

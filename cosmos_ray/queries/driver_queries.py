@@ -884,6 +884,32 @@ def q_bm25_index_docs(sf_dir: str):
     return bm25_query_index(idx, "spark data processing", k=10)
 
 
+def q_snippets(sf_dir: str):
+    """Matched-context snippets (ES highlighting analog,
+    `retrieval.snippet_extract`): +/-5 tokens around the earliest first
+    occurrence of any query term."""
+    from cosmos_ray.functions.retrieval import snippet_extract
+
+    return snippet_extract(read(sf_dir, "documents", ["doc_id", "text"]),
+                           "spark shuffle", window=5)
+
+
+SQL_SNIPPETS = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks,
+             least(coalesce(NULLIF(list_position(toks, 'shuffle'), 0),
+                            999999999),
+                   coalesce(NULLIF(list_position(toks, 'spark'), 0),
+                            999999999)) AS pos
+      FROM d)
+SELECT doc_id,
+       array_to_string(list_slice(toks, greatest(1, pos - 5), pos + 5),
+                       ' ') AS snippet
+FROM p WHERE pos < 999999999
+"""
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of two BM25 runs
     (`retrieval.rrf_fuse` — the ES `rrf` retriever analog; ranker-
@@ -1664,6 +1690,56 @@ def q_embedding_topk(sf_dir: str):
     )
 
 
+def q_mmr_rerank(sf_dir: str):
+    """Diversity re-ranking of a retrieved candidate page with MMR
+    (`retrieval.mmr_rerank`): greedy relevance-vs-redundancy tradeoff
+    over the first 50 vectors, query = embedding of vec_id 0. Greedy
+    sequential selection isn't SQL-replayable; the pytest gate replays
+    it by hand."""
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.functions.retrieval import mmr_rerank
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(
+        tbl.filter(pc.equal(tbl.column("vec_id"), 0))
+        .column("embedding").to_pylist(), dtype=np.float64)
+    cands = read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id < 50")
+    return mmr_rerank(cands, qvec, k=10, lam=0.7, id_col="vec_id")
+
+
+def q_char_outliers(sf_dir: str):
+    """Per-language length-outlier docs: n_chars strictly above the
+    lang's own exact p95 (`relational.group_quantiles` composed into a
+    broadcast filter — the percentile-based quality-filter shape)."""
+    from cosmos_ray.queries.relational import collect_small, group_quantiles
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    qs = group_quantiles(docs, ["lang"], "n_chars", qs=(0.95,))
+    t = collect_small(qs, cap_rows=100_000)  # one row per language
+    cut = dict(zip(t.column("lang").to_pylist(),
+                   t.column("q95").to_pylist()))
+
+    def keep(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        lim = np.empty(len(lang), dtype=np.float64)
+        for lg, v in cut.items():  # loop over LANGUAGES, not rows
+            lim[lang == lg] = v
+        return b.filter(pa.array(b.column("n_chars").to_numpy() > lim))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_CHAR_OUTLIERS = """
+WITH q AS (SELECT lang, quantile_disc(n_chars, 0.95) AS p95
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars > q.p95
+"""
+
+
 def q_knn_join(sf_dir: str):
     """kNN similarity join: each of the first 5 vectors joined to its 3
     nearest OTHER vectors (`similarity.knn_join`, slabbed broadcast +
@@ -1876,6 +1952,25 @@ SELECT COALESCE(s.entity, t.entity) AS entity,
        COALESCE(s.out_weight, 0.0) AS out_weight,
        COALESCE(t.in_weight, 0.0) AS in_weight
 FROM s FULL OUTER JOIN t ON t.entity = s.entity
+""")
+
+
+def q_kg_triangles(sf_dir: str):
+    """Global triangle count of the undirected entity graph
+    (`graph.triangle_count`, compact-forward wedge generation + edge
+    semi-join)."""
+    from cosmos_ray.functions.graph import triangle_count
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return triangle_count(build_kg(_pages_ds(sf_dir)).adjacency)
+
+
+SQL_KG_TRIANGLES = with_goldens(_SQL_ADJ_CTE + """
+, e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM adj WHERE src <> dst)
+SELECT count(*) AS triangles
+FROM e xy JOIN e yz ON xy.b = yz.a
+JOIN e xz ON xz.a = xy.a AND xz.b = yz.b
 """)
 
 
@@ -2644,6 +2739,7 @@ QUERIES = {
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
     "bm25_index_docs": q_bm25_index_docs,
+    "snippets": q_snippets,
     "hybrid_rrf": q_hybrid_rrf,
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
@@ -2677,12 +2773,15 @@ QUERIES = {
     "doc_windows": q_doc_windows,
     "embedding_topk": q_embedding_topk,
     "knn_join": q_knn_join,
+    "mmr_rerank": q_mmr_rerank,
+    "char_outliers": q_char_outliers,
     "doc_triples": q_doc_triples,
     "doc_adjacency": q_doc_adjacency,
     "kg_triples": q_kg_triples,
     "kg_entities": q_kg_entities,
     "kg_adjacency": q_kg_adjacency,
     "kg_degree": q_kg_degree,
+    "kg_triangles": q_kg_triangles,
     "kg_pagerank": q_kg_pagerank,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
@@ -2734,6 +2833,7 @@ ORACLES = {
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
     "bm25_index_docs": SQL_BM25_DOCS,
+    "snippets": SQL_SNIPPETS,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,
@@ -2760,6 +2860,7 @@ ORACLES = {
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
+    "char_outliers": SQL_CHAR_OUTLIERS,
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,
     "doc_windows": SQL_DOC_WINDOWS,
@@ -2771,6 +2872,7 @@ ORACLES = {
     "kg_entities": SQL_KG_ENTITIES,
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_degree": SQL_KG_DEGREE,
+    "kg_triangles": SQL_KG_TRIANGLES,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,

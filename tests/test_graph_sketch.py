@@ -288,3 +288,41 @@ class TestCountMin:
         grid = cms_build(ds, "v", width=64, depth=4)
         est = cms_estimate(grid, np.array([1, 2, 9], dtype=np.int64))
         assert (est >= np.array([3, 2, 1])).all()
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _edges(pairs):
+        s, d = zip(*pairs) if pairs else ((), ())
+        return rd.from_arrow(pa.table({
+            "src_entity": pa.array(s, pa.int64()),
+            "dst_entity": pa.array(d, pa.int64()),
+        }))
+
+    def _count(self, pairs):
+        from cosmos_ray.functions.graph import triangle_count
+
+        return triangle_count(self._edges(pairs)).take_all()[0]["triangles"]
+
+    def test_k4_has_four_triangles(self):
+        pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._count(pairs) == 4
+
+    def test_duplicates_reverses_selfloops_collapsed(self):
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+        assert self._count(pairs) == 1
+
+    def test_square_no_triangle(self):
+        assert self._count([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0
+
+    def test_string_node_ids(self):
+        from cosmos_ray.functions.graph import triangle_count
+
+        ds = rd.from_arrow(pa.table({
+            "src_entity": pa.array(["x", "y", "z", "x"]),
+            "dst_entity": pa.array(["y", "z", "x", "w"]),
+        }))
+        assert triangle_count(ds).take_all()[0]["triangles"] == 1
+
+    def test_empty(self):
+        assert self._count([]) == 0

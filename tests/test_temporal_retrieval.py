@@ -375,3 +375,107 @@ class TestDailyAnomalies:
         df = daily_anomalies(_typed_events(rows), z_thresh=2.0).to_pandas()
         assert df["day"].tolist() == [9]
         assert df["z"].iloc[0] < 0
+
+
+class TestMmrRerank:
+    def test_hand_replay(self):
+        from cosmos_ray.functions.retrieval import mmr_rerank
+
+        rng = np.random.RandomState(3)
+        V = rng.randn(12, 6)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(V.tolist()),
+        }))
+        q = rng.randn(6)
+        lam = 0.7
+        got = mmr_rerank(ds, q, k=5, lam=lam).to_pandas()
+
+        # hand greedy replay
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        rel = Vn @ qn
+        order = np.lexsort((np.arange(12), -rel))
+        idx, Vs, rs = np.arange(12)[order], Vn[order], rel[order]
+        sel, scores = [], []
+        max_sim = np.zeros(12)
+        picked = np.zeros(12, bool)
+        for step in range(5):
+            m = lam * rs - ((1 - lam) * max_sim if step else 0.0)
+            m[picked] = -np.inf
+            i = int(np.argmax(m))
+            picked[i] = True
+            sel.append(int(idx[i]))
+            scores.append(m[i])
+            max_sim = np.maximum(max_sim, Vs @ Vs[i])
+        assert got["doc_id"].tolist() == sel
+        want = [float(np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6)
+                for s in scores]
+        assert got["mmr"].tolist() == want
+        assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_duplicates_pushed_down(self):
+        """Two identical top-relevance vectors: MMR must NOT pick both
+        first — the duplicate's diversity penalty demotes it."""
+        from cosmos_ray.functions.retrieval import mmr_rerank
+
+        q = np.array([1.0, 0.0])
+        V = [[1.0, 0.0], [1.0, 0.0], [0.8, 0.6]]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(V),
+        }))
+        got = mmr_rerank(ds, q, k=3, lam=0.3).to_pandas()
+        # doc1 duplicates doc0: mmr1 = .3*1 - .7*1 = -0.4; doc2 = .3*.8
+        # - .7*.8 = -0.32 > -0.4 -> diversity wins
+        assert got["doc_id"].tolist() == [0, 2, 1]
+
+    def test_k_exceeds_candidates(self):
+        from cosmos_ray.functions.retrieval import mmr_rerank
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]]),
+        }))
+        got = mmr_rerank(ds, np.array([1.0, 0.0]), k=5).to_pandas()
+        assert got["doc_id"].tolist() == [7] and got["rank"].tolist() == [1]
+
+
+class TestSnippets:
+    def _run(self, texts, query, window=2):
+        from cosmos_ray.functions.retrieval import snippet_extract
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }))
+        df = snippet_extract(ds, query, window=window).to_pandas()
+        return dict(zip(df["doc_id"], df["snippet"]))
+
+    def test_window_and_clamping(self):
+        got = self._run([
+            "a b c TARGET d e f",   # interior: full window
+            "TARGET x y",            # match at doc start: clamp left
+            "x y z TARGET",          # match at doc end: clamp right
+            "no match here",         # dropped
+        ], "target")
+        assert got == {0: "b c target d e",
+                       1: "target x y",
+                       2: "y z target"}
+
+    def test_earliest_across_terms_wins(self):
+        got = self._run(["p q BETA r s ALPHA t"], "alpha beta", window=1)
+        assert got == {0: "q beta r"}
+
+    def test_first_occurrence_only(self):
+        got = self._run(["z hit a b c hit d"], "hit", window=1)
+        assert got == {0: "z hit a"}
+
+    def test_all_dropped(self):
+        from cosmos_ray.functions.retrieval import snippet_extract
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aa bb", "cc dd"]),
+        }))
+        assert snippet_extract(ds, "zz").count() == 0
