@@ -173,3 +173,47 @@ def assign_splits(ds, id_col: str = "doc_id", seed: str = "sp0",
         })
 
     return ds.select_columns([id_col]).map_batches(f, batch_format="pyarrow")
+
+
+def token_budget_sample(docs_ds, budget: int, group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_buckets: int = 64):
+    """Data-mixture construction: per ``group_col`` (data source), keep
+    documents in the deterministic md5-of-id order until the group's
+    running token total would exceed ``budget`` — the standard
+    "N tokens per source" sampling step when assembling a pretraining
+    mix. A doc is kept iff its INCLUSIVE running sum <= budget (so one
+    doc larger than the whole budget is dropped, and document order is
+    an engine-replayable uniform draw, not a PRNG). -> (doc_id, source,
+    n_tokens, cum_tokens).
+
+    Scale shape: token counts are computed vectorized per batch; only
+    (id, group, n_tokens) enter the one coarse group-hash exchange; the
+    in-group order + cumsum is vectorized numpy."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(t.column(text_col), " ")).cast(pa.int64())
+        return pa.table({id_col: t.column(id_col),
+                         group_col: t.column(group_col),
+                         "n_tokens": toks})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(x).encode()).hexdigest()
+             for x in g[id_col].tolist()]
+        g = g.assign(__h=h).sort_values(["__h", id_col], kind="stable")
+        cum = g["n_tokens"].to_numpy().cumsum()
+        keep = cum <= budget
+        out = g.loc[keep, [id_col, group_col, "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out.reset_index(drop=True)
+
+    slim = docs_ds.select_columns([id_col, group_col, text_col]).map_batches(
+        counts, batch_format="pyarrow")
+    return bucketed_group_apply(slim, [group_col], pick,
+                                num_buckets=num_buckets)

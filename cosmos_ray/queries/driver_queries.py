@@ -821,6 +821,68 @@ GROUP BY s.user_id, s.event_id, epoch_us(s.ts)
 """
 
 
+def q_token_budget(sf_dir: str):
+    """Per-source token-budget sampling (`pack.token_budget_sample`):
+    keep docs in md5-of-id order until each source's running token total
+    exceeds 700 — the per-source cap step of pretraining-mix assembly."""
+    from cosmos_ray.functions.pack import token_budget_sample
+
+    return token_budget_sample(
+        read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        budget=700)
+
+
+SQL_TOKEN_BUDGET = """
+WITH t AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents)
+SELECT doc_id, source, n_tokens,
+       sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY h, doc_id) AS cum_tokens
+FROM t
+QUALIFY cum_tokens <= 700
+"""
+
+
+def q_event_pivot(sf_dir: str):
+    """Daily event-type pivot (wide per-day counts — the reshape every
+    analytics consumer of the events stream wants): one vectorized
+    conditional-count combiner per batch, one small groupby."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        86_400_000_000).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(day, return_inverse=True)
+        cols = {"day": pa.array(uniq, pa.int64())}
+        for ty in types:
+            cols[f"n_{ty}"] = pa.array(
+                np.bincount(inv, weights=(et == ty).astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64))
+        return pa.table(cols)
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}")
+                         for ty in types]))
+
+
+SQL_EVENT_PIVOT = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def q_bm25_docs(sf_dir: str):
     """BM25 top-10 for a fixed query — the batch analog of the
     reference's ES ranked retrieval (`elastic_retriever.py:228-342`),
@@ -2740,6 +2802,8 @@ QUERIES = {
     "bm25_docs": q_bm25_docs,
     "bm25_index_docs": q_bm25_index_docs,
     "snippets": q_snippets,
+    "token_budget": q_token_budget,
+    "event_pivot": q_event_pivot,
     "hybrid_rrf": q_hybrid_rrf,
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
@@ -2834,6 +2898,8 @@ ORACLES = {
     "bm25_docs": SQL_BM25_DOCS,
     "bm25_index_docs": SQL_BM25_DOCS,
     "snippets": SQL_SNIPPETS,
+    "token_budget": SQL_TOKEN_BUDGET,
+    "event_pivot": SQL_EVENT_PIVOT,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,

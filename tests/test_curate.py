@@ -108,3 +108,50 @@ def test_export_training_shards_roundtrip(tmp_path):
     # idempotent re-run: same layout
     export_training_shards(_docs(rows), str(tmp_path / "shards"), n_shards=4)
     assert pq.read_table(out).num_rows == 40
+
+
+class TestTokenBudgetSample:
+    def test_budget_binds_in_md5_order(self):
+        import hashlib
+
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.pack import token_budget_sample
+
+        texts = {0: "a b c", 1: "d e", 2: "f", 3: "g h i j"}  # 3,2,1,4 tokens
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "source": pa.array(["s"] * 4),
+            "text": pa.array(list(texts.values())),
+        }))
+        got = token_budget_sample(ds, budget=5, group_col="source").to_pandas()
+        # hand replay: md5-of-id order, inclusive cumsum <= 5
+        order = sorted(texts, key=lambda i: (hashlib.md5(str(i).encode())
+                                             .hexdigest(), i))
+        keep, cum = [], 0
+        for i in order:
+            n = len(texts[i].split())
+            if cum + n <= 5:
+                cum += n
+                keep.append((i, n, cum))
+        got = got.sort_values("cum_tokens").reset_index(drop=True)
+        assert list(zip(got["doc_id"], got["n_tokens"],
+                        got["cum_tokens"])) == keep
+
+    def test_oversized_first_doc_dropped_group_isolation(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.pack import token_budget_sample
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "source": pa.array(["big", "small"]),
+            "text": pa.array(["w " * 99 + "w", "x y"]),  # 100 vs 2 tokens
+        }))
+        got = token_budget_sample(ds, budget=10).to_pandas()
+        assert got["source"].tolist() == ["small"]
+        assert got["cum_tokens"].tolist() == [2]
