@@ -111,10 +111,19 @@ def _sections_for_url(g: pd.DataFrame, column_split: float | None = None) -> lis
     return out
 
 
+# The reference export applies its column-break heuristic
+# unconditionally (`parquet_to_json.py:42-94`, x // 500 on its page
+# width); ours defaults to the synthetic 1920-px page midline. On
+# single-column layouts every x-bin is identical, so the default is a
+# no-op there — it only reorders genuinely two-column pages.
+DEFAULT_COLUMN_SPLIT = 960.0
+
+
 def aggregate_sections(segments_ds, num_buckets: int = 64,
-                       column_split: float | None = None):
+                       column_split: float | None = DEFAULT_COLUMN_SPLIT):
     """classified segments -> sections table (grouped by url).
-    ``column_split`` enables the multi-column reading order."""
+    ``column_split`` sets the multi-column reading-order break
+    (``None`` disables — plain (page, y, x) order)."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(np.asarray(t.column("url").to_pylist(), dtype=object))

@@ -304,7 +304,70 @@ def test_multicolumn_reading_order():
         seg(4, "Body Text", "A2", 72.0, 368.0),
     ]
     ds = rd.from_arrow(_seg_table(rows))
-    single = aggregate_sections(ds).take_all()[0]["content"]
+    single = aggregate_sections(ds, column_split=None).take_all()[0]["content"]
     multi = aggregate_sections(ds, column_split=500.0).take_all()[0]["content"]
+    default = aggregate_sections(ds).take_all()[0]["content"]
     assert single == "A1\nB1\nA2\nB2"      # y-major interleave
     assert multi == "A1\nA2\nB1\nB2"       # whole left column first
+    # the DEFAULT is column-aware (reference applies x//500 always)
+    assert default == "A1\nA2\nB1\nB2"
+
+
+def test_two_column_page_end_to_end(kg_small):
+    """Pipeline-level multi-column gate: take a REAL classified document
+    from the corpus, re-lay its segments out as a two-column page (first
+    half of each page's rows -> left column, rest -> right column, y
+    restarting), and assert the DEFAULT sections aggregation (column-
+    aware, the reference's unconditional x//500 export heuristic)
+    recovers the DOM reading order exactly, while the plain (page, y, x)
+    order does not."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.stages.aggregate import aggregate_sections
+
+    segs = kg_small.segments.to_pandas()
+    # the url with the most single-page rows (>= 6 so both columns hold
+    # multiple rows and interleaving is observable)
+    url = segs.groupby("url").size().idxmax()
+    one = segs[segs["url"] == url].sort_values("seg_id").reset_index(drop=True)
+    assert len(one) >= 6
+
+    def to_ds(df):
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        bb = pa.array([list(map(float, b)) for b in df["bbox"]],
+                      pa.list_(pa.float32(), 4))
+        return rd.from_arrow(t.set_column(
+            t.schema.get_field_index("bbox"), "bbox", bb))
+
+    def sections(df, **kw):
+        return (aggregate_sections(to_ds(df), **kw).to_pandas()
+                .sort_values("section_id").reset_index(drop=True)
+                [["section_id", "section_header", "content"]])
+
+    base = sections(one)
+
+    twocol = one.copy()
+    for page, idx in twocol.groupby("page_num").groups.items():
+        idx = list(idx)
+        half = (len(idx) + 1) // 2
+        ys = [list(twocol.loc[i, "bbox"])[1] for i in idx]  # original slots
+        boxes = []
+        for k, i in enumerate(idx):
+            x1, y1, x2, y2 = map(float, twocol.loc[i, "bbox"])
+            h = y2 - y1
+            if k < half:
+                boxes.append([x1, ys[k], min(x2, 900.0), ys[k] + h])
+            else:  # right column, y restarts at the top slots
+                y = ys[k - half]
+                boxes.append([x1 + 960.0, y, min(x2, 900.0) + 960.0, y + h])
+        for i, b in zip(idx, boxes):
+            twocol.at[i, "bbox"] = b
+
+    got_aware = sections(twocol)  # default column_split = page midline
+    got_plain = sections(twocol, column_split=None)
+
+    assert got_aware.equals(base)          # DOM order recovered
+    assert not got_plain.equals(base)      # plain y-order interleaves
