@@ -2178,6 +2178,68 @@ def _pages_subset(sf_dir: str, mod: int, rem: int, invert: bool = False):
     return rd.from_arrow(generate_pages_table(docs.filter(pa.array(mask))))
 
 
+def q_kg_dead_letter(sf_dir: str):
+    """Dead-letter audit: the malformed pages the extractor side-wrote
+    instead of crashing (planted invalid-UTF8 docs at doc_id %% 97 == 13
+    — the oracle reconstructs exactly which urls must be quarantined)."""
+    from cosmos_ray.pipelines.kg import build_kg
+
+    return build_kg(_pages_ds(sf_dir)).dead_letter.select_columns(
+        ["url", "stage"])
+
+
+SQL_KG_DEAD_LETTER = """
+WITH bad AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 13),
+pages AS (SELECT doc_id FROM bad
+          UNION ALL  -- the stale-duplicate page planted for dup docs
+          SELECT doc_id FROM bad WHERE doc_id % 50 = 7)
+SELECT 'https://web' || CAST(doc_id % 20 AS VARCHAR)
+       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+       'extract' AS stage
+FROM pages
+"""
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host crawl rollup over the EXTRACTED corpus: host parsed from
+    the url STRING with one vectorized regex (the real operator), then
+    distinct docs / segment counts / total extracted chars per host —
+    the per-site shard statistics any crawl pipeline keeps. Two bounded
+    groupbys: (host, url) first, then host."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.pipelines.kg import build_kg
+
+    segs = build_kg(_pages_ds(sf_dir)).segments
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t.column("url"), r"https?://(?P<host>[^/]+)/")
+        return pa.table({
+            "host": pc.struct_field(host, "host"),
+            "url": t.column("url"),
+            "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+        })
+
+    per_url = (segs.map_batches(prep, batch_format="pyarrow")
+               .groupby(["host", "url"])
+               .aggregate(Count(alias_name="n_blocks"),
+                          Sum("n_chars", alias_name="chars")))
+    return (per_url.groupby("host")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_blocks", alias_name="n_blocks"),
+                       Sum("chars", alias_name="total_chars")))
+
+
+SQL_HOST_STATS = with_goldens("""
+, per AS (SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+                 url, count(*) AS n_blocks, sum(length(text)) AS chars
+          FROM blocks GROUP BY 1, 2)
+SELECT host, count(*) AS n_docs, sum(n_blocks) AS n_blocks,
+       sum(chars) AS total_chars
+FROM per GROUP BY host
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -2851,6 +2913,8 @@ QUERIES = {
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
     "kg_sections": q_kg_sections,
+    "kg_dead_letter": q_kg_dead_letter,
+    "host_stats": q_host_stats,
     "kg_captions": q_kg_captions,
     "kg_table_context": q_kg_table_context,
     "dehyphenate": q_dehyphenate,
@@ -2944,6 +3008,8 @@ ORACLES = {
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,
     "kg_sections": SQL_KG_SECTIONS,
+    "kg_dead_letter": SQL_KG_DEAD_LETTER,
+    "host_stats": SQL_HOST_STATS,
     "kg_captions": SQL_KG_CAPTIONS,
     "kg_table_context": SQL_KG_TABLE_CONTEXT,
     "kg_boilerplate": SQL_KG_BOILERPLATE,
