@@ -426,3 +426,36 @@ def snippet_extract(docs_ds, query: str, window: int = 5,
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def append_text_index(new_docs_ds, index_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Fold new documents INTO an existing at-rest inverted index (the
+    incremental-indexing half of the ES analog): postings for the new
+    docs are appended into the same ``tbucket=K/`` hive partitions as
+    new uniquely-named files (existing files never rewritten — safe
+    while readers query), and the additive corpus stats in
+    ``meta.json`` are updated last, so a query sees either the old or
+    the new consistent index. Doc ids must be disjoint from the
+    existing index; queries after the append are bit-identical to a
+    fresh ``build_text_index`` over the union (df / n_docs / sum_dl
+    compose additively)."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    tmp = os.path.join(index_dir, ".meta_next")
+    new_meta = build_text_index(new_docs_ds, index_dir,
+                                num_buckets=meta["num_buckets"],
+                                id_col=id_col, text_col=text_col)
+    # build_text_index just overwrote meta.json with the NEW slice's
+    # stats; restore the additive union atomically
+    merged = {"n_docs": meta["n_docs"] + new_meta["n_docs"],
+              "sum_dl": meta["sum_dl"] + new_meta["sum_dl"],
+              "num_buckets": meta["num_buckets"], "id_col": meta["id_col"]}
+    with open(tmp, "w") as f:
+        json.dump(merged, f)
+    os.replace(tmp, meta_path)
+    return merged

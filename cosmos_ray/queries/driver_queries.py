@@ -1471,6 +1471,46 @@ FROM j
 """
 
 
+def q_validate_events(sf_dir: str):
+    """Data-quality expectations over the events stream
+    (`functions/validate.py`): per-rule violation counts, evaluated as
+    per-batch combiners (+ one distinct pass for uniqueness)."""
+    from cosmos_ray.functions.validate import validate
+
+    ev = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+    return validate(ev, [
+        {"check": "not_null", "col": "user_id"},
+        {"check": "in_set", "col": "event_type",
+         "values": ["click", "error", "purchase", "signup", "view"]},
+        {"check": "range", "col": "value", "lo": 0.0, "hi": 30.0},
+        {"check": "unique", "col": "event_id"},
+    ])
+
+
+SQL_VALIDATE_EVENTS = """
+SELECT 'user_id_not_null' AS rule,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS violations
+FROM events
+UNION ALL
+SELECT 'event_type_in_set',
+       sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                ('click', 'error', 'purchase', 'signup', 'view')
+                THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'value_range',
+       sum(CASE WHEN value IS NULL OR value < 0.0 OR value > 30.0
+                THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'event_id_unique',
+       count(CASE WHEN event_id IS NOT NULL THEN 1 END)
+       - count(DISTINCT event_id)
+FROM events
+"""
+
+
 def q_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel within 24h of the user's
     first view (`windows.funnel`, earliest-completion greedy semantics
@@ -2889,6 +2929,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "doc_splits": q_doc_splits,
     "cohort_retention": q_cohort_retention,
+    "validate_events": q_validate_events,
     "funnel": q_funnel,
     "daily_anomalies": q_daily_anomalies,
     "repetition_stats": q_repetition_stats,
@@ -2984,6 +3025,7 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "doc_splits": SQL_DOC_SPLITS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "validate_events": SQL_VALIDATE_EVENTS,
     "funnel": SQL_FUNNEL,
     "daily_anomalies": SQL_DAILY_ANOMALIES,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -479,3 +479,36 @@ class TestSnippets:
             "text": pa.array(["aa bb", "cc dd"]),
         }))
         assert snippet_extract(ds, "zz").count() == 0
+
+
+class TestAppendTextIndex:
+    def test_append_equals_fresh_union(self, tmp_path):
+        from cosmos_ray.functions.retrieval import (
+            append_text_index,
+            bm25_query_index,
+            build_text_index,
+        )
+
+        texts = ["data data data pad", "data pad pad pad", "pad pad pad pad",
+                 "spark data pad pad", "spark spark engine", "engine pad data"]
+
+        def docs(lo, hi):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": pa.array(texts[lo:hi]),
+            }))
+
+        inc = str(tmp_path / "inc")
+        build_text_index(docs(0, 4), inc, num_buckets=8)
+        merged = append_text_index(docs(4, 6), inc)
+        assert merged["n_docs"] == 6
+
+        fresh = str(tmp_path / "fresh")
+        build_text_index(docs(0, 6), fresh, num_buckets=8)
+
+        a = (bm25_query_index(inc, "spark data", k=6).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (bm25_query_index(fresh, "spark data", k=6).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["bm25"].tolist() == b["bm25"].tolist()  # bitwise
