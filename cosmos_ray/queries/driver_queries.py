@@ -1811,6 +1811,81 @@ def q_mmr_rerank(sf_dir: str):
     return mmr_rerank(cands, qvec, k=10, lam=0.7, id_col="vec_id")
 
 
+def q_percent_rank(sf_dir: str):
+    """Per-language percentile-rank normalization of doc length (the
+    SQL window function percent_rank, replayed distributed): rank ties
+    share the min rank; single-row groups rank 0."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy()
+        sv = np.sort(v)
+        r = np.searchsorted(sv, v, side="left")  # count strictly less
+        denom = max(len(v) - 1, 1)
+        out = g[["doc_id", "lang", "n_chars"]].copy()
+        p = r / denom
+        out["pr"] = np.floor(p * 1e6 + 0.5) / 1e6
+        return out
+
+    return bucketed_group_apply(docs, ["lang"], pr)
+
+
+SQL_PERCENT_RANK = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars),
+             6) AS pr
+FROM documents
+"""
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUPING-SETS rollup of events: (type, day) cells, per-type
+    subtotals and the grand total in one result (sentinels day=-1,
+    event_type='ALL'), built from ONE combiner pass reused by all three
+    levels."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        86_400_000_000)
+        grp = (pa.table({"event_type": t.column("event_type"), "day": day})
+               .group_by(["event_type", "day"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"event_type": grp.column("event_type"),
+                         "day": grp.column("day"),
+                         "n": grp.column("count_all").cast(pa.int64())})
+
+    cells = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("n", alias_name="n")).materialize())
+    by_type = (cells.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+               .map_batches(lambda t: t.append_column(
+                   "day", pa.array([-1] * t.num_rows, pa.int64())),
+                   batch_format="pyarrow")
+               .select_columns(["event_type", "day", "n"]))
+    total = int(cells.sum("n") or 0)
+    grand = rd.from_arrow(pa.table({
+        "event_type": pa.array(["ALL"]),
+        "day": pa.array([-1], pa.int64()),
+        "n": pa.array([total], pa.int64())}))
+    return cells.select_columns(["event_type", "day", "n"]).union(
+        by_type).union(grand)
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, -1) AS day,
+       n
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY ROLLUP (event_type, day))
+"""
+
+
 def q_char_outliers(sf_dir: str):
     """Per-language length-outlier docs: n_chars strictly above the
     lang's own exact p95 (`relational.group_quantiles` composed into a
@@ -2941,6 +3016,8 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "knn_join": q_knn_join,
     "mmr_rerank": q_mmr_rerank,
+    "percent_rank": q_percent_rank,
+    "events_rollup": q_events_rollup,
     "char_outliers": q_char_outliers,
     "doc_triples": q_doc_triples,
     "doc_adjacency": q_doc_adjacency,
@@ -3032,6 +3109,8 @@ ORACLES = {
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
+    "percent_rank": SQL_PERCENT_RANK,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "char_outliers": SQL_CHAR_OUTLIERS,
     "doc_triples": SQL_DOC_TRIPLES,
     "doc_adjacency": SQL_DOC_ADJACENCY,
