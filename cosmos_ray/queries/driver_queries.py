@@ -1917,6 +1917,65 @@ WHERE d.n_chars > q.p95
 """
 
 
+def q_class_centroids(sf_dir: str):
+    """Per-label embedding centroids (the class-prototype computation
+    behind centroid classifiers and SemDedup cells): per-batch
+    (label, dim-sum, count) combiners, one small groupby — the exchange
+    is labels x dims, independent of corpus size. -> (label, dim, mean),
+    mean rounded to 6dp."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+    DIM = 64
+
+    def partials(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), V.shape[1]))
+        np.add.at(sums, inv, V)
+        cnt = np.bincount(inv)
+        cols = {"label": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt, pa.int64())}
+        for d in range(V.shape[1]):
+            cols[f"s_{d}"] = pa.array(sums[:, d], pa.float64())
+        return pa.table(cols)
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("c", alias_name="c"),
+                      *[Sum(f"s_{d}", alias_name=f"s_{d}")
+                        for d in range(DIM)]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy()
+        c = t.column("c").to_numpy().astype(np.float64)
+        n = t.num_rows
+        labs, dims, means = [], [], []
+        for d in range(DIM):  # loop over DIMS, not rows
+            m = t.column(f"s_{d}").to_numpy() / c
+            labs.append(lab)
+            dims.append(np.full(n, d, np.int64))
+            means.append(np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5) / 1e6)
+        return pa.table({
+            "label": pa.array(np.concatenate(labs), pa.int64()),
+            "dim": pa.array(np.concatenate(dims), pa.int64()),
+            "mean": pa.array(np.concatenate(means), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CLASS_CENTROIDS = """
+WITH x AS (SELECT label,
+                  CAST(unnest(embedding) AS DOUBLE) AS v,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+           FROM embeddings)
+SELECT label, dim, round(avg(v), 6) AS mean
+FROM x GROUP BY label, dim
+"""
+
+
 def q_knn_join(sf_dir: str):
     """kNN similarity join: each of the first 5 vectors joined to its 3
     nearest OTHER vectors (`similarity.knn_join`, slabbed broadcast +
@@ -3014,6 +3073,7 @@ QUERIES = {
     "embed_docs": q_embed_docs,
     "doc_windows": q_doc_windows,
     "embedding_topk": q_embedding_topk,
+    "class_centroids": q_class_centroids,
     "knn_join": q_knn_join,
     "mmr_rerank": q_mmr_rerank,
     "percent_rank": q_percent_rank,
@@ -3108,6 +3168,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "class_centroids": SQL_CLASS_CENTROIDS,
     "knn_join": SQL_KNN_JOIN,
     "percent_rank": SQL_PERCENT_RANK,
     "events_rollup": SQL_EVENTS_ROLLUP,
