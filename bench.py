@@ -267,6 +267,9 @@ def main() -> None:
         print(json.dumps(_scaling(max_attempts=int(
             os.environ.get("GRAFT_SCALE_ATTEMPTS", "3")))))
         return
+    if "--stats" in sys.argv:
+        _print_stats()
+        return
     result = _run_bench()
     if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
         # self-qualifying scaling evidence in the same bench output: the
@@ -277,6 +280,46 @@ def main() -> None:
         except Exception as e:  # never lose the main line to a flaky probe
             result["scaling"] = {"error": repr(e)}
     print(json.dumps(result))
+
+
+def _print_stats() -> None:
+    """Print `Dataset.stats()` for the flagship chain at small scale —
+    the per-operator wall-time breakdown used to keep stages vectorized
+    and actor pools sized (read BEFORE changing batch sizes)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from cosmos_ray.sources.pages import generate_pages_table
+
+    sf = os.environ.get("GRAFT_STATS_SF", "/root/testdata/sf0.01")
+    docs = pq.read_table(f"{sf}/documents.parquet")
+    from cosmos_ray.sources.entity_dict import build_entity_dict
+    from cosmos_ray.stages import extract, link, segment, triples
+
+    pages = rd.from_arrow(generate_pages_table(docs))
+    ex = extract.extract(pages).materialize()
+    print("==== extract ====")
+    print(ex.stats())
+    ok, _dead = extract.split_dead_letter(ex)
+    segs = segment.segment(ok).materialize()
+    print("==== segment + classify ====")
+    print(segs.stats())
+    kb_ref = link.broadcast_kb(build_entity_dict())
+    linked = link.link_triples(triples.extract_triples(segs),
+                               kb_ref).materialize()
+    print("==== triples + link ====")
+    print(linked.stats())
+    ray.shutdown()
 
 
 def _scaling(max_attempts: int = 2) -> dict:
