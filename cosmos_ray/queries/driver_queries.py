@@ -821,6 +821,56 @@ GROUP BY s.user_id, s.event_id, epoch_us(s.ts)
 """
 
 
+def q_mixture_weights(sf_dir: str):
+    """Temperature-scaled source-mixture weights (the multinomial
+    sampling-probability step of pretraining-mix assembly, tau = 0.7):
+    one combiner groupby for per-source token totals (model-sized), then
+    driver arithmetic on the 20-row table."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")).cast(pa.int64())
+        return pa.table({"source": t.column("source"), "n": toks})
+
+    per_src = (ds.map_batches(counts, batch_format="pyarrow")
+               .groupby("source").aggregate(Sum("n", alias_name="n_tokens")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # sources table is model-sized; weights need the global sum, so
+        # this runs on the single reduced block
+        n = t.column("n_tokens").to_numpy().astype(np.float64)
+        p = n ** 0.7
+        w = p / p.sum()
+        return pa.table({
+            "source": t.column("source"),
+            "n_tokens": t.column("n_tokens"),
+            "weight": pa.array(np.floor(w * 1e6 + 0.5) / 1e6, pa.float64()),
+        })
+
+    import pyarrow as _pa
+
+    tbl = per_src.take_all()  # 20 rows — bounded by the source vocabulary
+    cols = {k: [r[k] for r in tbl] for k in ("source", "n_tokens")}
+    return rd.from_arrow(finish(_pa.table({
+        "source": _pa.array(cols["source"]),
+        "n_tokens": _pa.array(cols["n_tokens"], _pa.int64())})))
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH t AS (SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source)
+SELECT source, n_tokens,
+       floor(pow(n_tokens, 0.7)
+             / sum(pow(n_tokens, 0.7)) OVER () * 1e6 + 0.5) / 1e6 AS weight
+FROM t
+"""
+
+
 def q_token_budget(sf_dir: str):
     """Per-source token-budget sampling (`pack.token_budget_sample`):
     keep docs in md5-of-id order until each source's running token total
@@ -3038,6 +3088,7 @@ QUERIES = {
     "bm25_docs": q_bm25_docs,
     "bm25_index_docs": q_bm25_index_docs,
     "snippets": q_snippets,
+    "mixture_weights": q_mixture_weights,
     "token_budget": q_token_budget,
     "event_pivot": q_event_pivot,
     "hybrid_rrf": q_hybrid_rrf,
@@ -3140,6 +3191,7 @@ ORACLES = {
     "bm25_docs": SQL_BM25_DOCS,
     "bm25_index_docs": SQL_BM25_DOCS,
     "snippets": SQL_SNIPPETS,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "token_budget": SQL_TOKEN_BUDGET,
     "event_pivot": SQL_EVENT_PIVOT,
     "hybrid_rrf": SQL_HYBRID_RRF,
