@@ -306,6 +306,31 @@ GROUP BY r_name
 """
 
 
+def q_customer_order_counts(sf_dir: str):
+    """Per-customer order counts INCLUDING zero-order customers — the
+    left-outer-join tier (`relational.left_join_or_broadcast`: broadcast
+    lookup with fill under the cap, distributed left_outer join past
+    it)."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import left_join_or_broadcast
+
+    cust = read(sf_dir, "customer", ["c_custkey"])
+    counts = (read(sf_dir, "orders", ["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+    return left_join_or_broadcast(cust, counts, key="o_custkey",
+                                  add_cols=["n_orders"],
+                                  big_key="c_custkey", fill=0)
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_custkey, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) cnt
+ON cnt.o_custkey = c.c_custkey
+"""
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti-join: customers with no order above 400k (broadcast key-set
     filter, keep=False)."""
@@ -3066,6 +3091,7 @@ QUERIES = {
     "count_by_lang": q_count_by_lang,
     "events_hourly": q_events_hourly,
     "big_spenders": q_big_spenders,
+    "customer_order_counts": q_customer_order_counts,
     "customers_no_orders": q_customers_no_orders,
     "distinct_pairs": q_distinct_pairs,
     "median_order": q_median_order,
@@ -3172,6 +3198,7 @@ ORACLES = {
     "count_by_lang": SQL_COUNT_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
     "big_spenders": SQL_BIG_SPENDERS,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "distinct_pairs": SQL_DISTINCT_PAIRS,
     "median_order": SQL_MEDIAN_ORDER,

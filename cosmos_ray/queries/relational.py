@@ -293,6 +293,55 @@ def broadcast_join(big_ds, small_table: pa.Table, key: str, add_cols: list[str],
     return big_ds.map_batches(lookup, batch_format="pyarrow", batch_size=65536)
 
 
+def left_join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
+                           big_key: str | None = None, fill=None,
+                           cap_rows: int = 2_000_000):
+    """LEFT-OUTER variant of ``join_or_broadcast``: append ``add_cols``
+    from ``small_ds`` by key, keeping unmatched big-side rows with
+    ``fill`` (e.g. 0 for counts). Broadcast lookup under ``cap_rows``
+    (big side never moves), else a distributed left_outer
+    ``Dataset.join`` with a vectorized null-fill — paths agree
+    (test-gated with a forced tiny cap)."""
+    import pyarrow.compute as pc
+
+    big_key = big_key or key
+    small = collect_small(small_ds.select_columns([key] + add_cols), cap_rows)
+    if small is not None:
+        small = small.combine_chunks()
+        ref = ray.put(small)
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            idx = pc.index_in(batch.column(big_key), value_set=s.column(key))
+            for c in add_cols:
+                v = pc.take(s.column(c), idx)  # null where no match
+                if fill is not None:
+                    v = pc.fill_null(v, fill)
+                batch = batch.append_column(c, v)
+            return batch
+
+        return big_ds.map_batches(lookup, batch_format="pyarrow",
+                                  batch_size=65536)
+    j = big_ds.join(
+        small_ds.select_columns([key] + add_cols),
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=(big_key,),
+        right_on=(key,),
+    )
+
+    def postfill(t: pa.Table) -> pa.Table:
+        if key in t.column_names and key != big_key:
+            t = t.drop_columns([key])
+        if fill is not None:
+            for c in add_cols:
+                i = t.schema.get_field_index(c)
+                t = t.set_column(i, c, pc.fill_null(t.column(c), fill))
+        return t
+
+    return j.map_batches(postfill, batch_format="pyarrow")
+
+
 def semi_join_filter(big_ds, keys: set, key_col: str, keep: bool = True):
     """Broadcast semi/anti join: filter big rows by key-set membership."""
     import pyarrow.compute as pc

@@ -227,3 +227,35 @@ def test_weighted_sample_properties():
     again = weighted_sample(rd.from_arrow(pa.Table.from_pylist(rows)),
                             n=20, weight_col="w").to_pandas()
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+class TestLeftJoinOrBroadcast:
+    @staticmethod
+    def _sides():
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        big = rd.from_arrow(pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+        small = rd.from_arrow(pa.table({
+            "o_custkey": pa.array([2, 4], pa.int64()),
+            "n_orders": pa.array([7, 9], pa.int64())}))
+        return big, small
+
+    def _run(self, cap):
+        from cosmos_ray.queries.relational import left_join_or_broadcast
+
+        big, small = self._sides()
+        df = left_join_or_broadcast(
+            big, small, key="o_custkey", add_cols=["n_orders"],
+            big_key="c_custkey", fill=0, cap_rows=cap,
+        ).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+        return list(zip(df["c_custkey"], df["n_orders"].astype(int)))
+
+    def test_broadcast_path_fills_zero(self):
+        assert self._run(cap=1000) == [(1, 0), (2, 7), (3, 0), (4, 9), (5, 0)]
+
+    def test_distributed_fallback_agrees(self):
+        # cap 0 forces the left_outer Dataset.join path
+        assert self._run(cap=0) == self._run(cap=1000)
