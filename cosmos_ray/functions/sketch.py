@@ -213,3 +213,38 @@ def cms_estimate(grid: np.ndarray, values) -> np.ndarray:
     idx = _cms_rows(np.asarray(values, dtype=object), width, depth)
     return np.min(np.stack([grid[d, idx[:, d]] for d in range(depth)],
                            axis=1), axis=1)
+
+
+def table_checksum(ds, cols: list[str]):
+    """Order-insensitive content checksum of a table — the cheap
+    corpus-equality probe for verifying a migration / rerun / resume
+    produced byte-identical data without moving it: per row, the md5
+    (upper-64, little-endian — DuckDB ``md5_number_upper`` parity) of
+    the ':'-joined column values; per batch, XOR + count partials (one
+    row per batch crosses the exchange); the XOR merge is associative
+    and commutative, so block order never matters. -> one-row Dataset
+    (checksum hex string, n_rows)."""
+    import hashlib
+
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [t.column(c).cast(pa.string()).to_pylist() for c in cols]
+        x = np.uint64(0)
+        for vals in zip(*arrs):
+            h = int.from_bytes(
+                hashlib.md5(":".join(vals).encode("utf-8")).digest()[:8],
+                "little")
+            x ^= np.uint64(h)
+        return pa.table({"x": pa.array([int(x)], pa.uint64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    x = np.uint64(0)
+    n = 0
+    for r in parts:  # one row per BATCH — bounded driver reduce
+        x ^= np.uint64(r["x"])
+        n += r["n"]
+    return rd.from_arrow(pa.table({"checksum": pa.array([format(int(x), "x")]),
+                                   "n_rows": pa.array([n], pa.int64())}))

@@ -1546,6 +1546,25 @@ FROM j
 """
 
 
+def q_table_checksum(sf_dir: str):
+    """Order-insensitive corpus checksum (`sketch.table_checksum`): XOR
+    of per-row md5s — the migration/resume equality probe; one partial
+    row per batch crosses the exchange."""
+    from cosmos_ray.functions.sketch import table_checksum
+
+    return table_checksum(read(sf_dir, "documents", ["doc_id", "text"]),
+                          ["doc_id", "text"])
+
+
+SQL_TABLE_CHECKSUM = """
+SELECT lower(to_hex(bit_xor(
+           md5_number_upper(CAST(doc_id AS VARCHAR) || ':' || text))))
+         AS checksum,
+       count(*) AS n_rows
+FROM documents
+"""
+
+
 def q_validate_events(sf_dir: str):
     """Data-quality expectations over the events stream
     (`functions/validate.py`): per-rule violation counts, evaluated as
@@ -3140,6 +3159,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "doc_splits": q_doc_splits,
     "cohort_retention": q_cohort_retention,
+    "table_checksum": q_table_checksum,
     "validate_events": q_validate_events,
     "funnel": q_funnel,
     "daily_anomalies": q_daily_anomalies,
@@ -3241,6 +3261,7 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "doc_splits": SQL_DOC_SPLITS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "table_checksum": SQL_TABLE_CHECKSUM,
     "validate_events": SQL_VALIDATE_EVENTS,
     "funnel": SQL_FUNNEL,
     "daily_anomalies": SQL_DAILY_ANOMALIES,

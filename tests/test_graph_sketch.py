@@ -326,3 +326,21 @@ class TestTriangleCount:
 
     def test_empty(self):
         assert self._count([]) == 0
+
+
+class TestTableChecksum:
+    def test_order_insensitive_and_sensitive_to_content(self):
+        from cosmos_ray.functions.sketch import table_checksum
+
+        t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["a", "b", "c"])})
+        a = table_checksum(rd.from_arrow(t), ["id", "text"]).take_all()[0]
+        # same rows, different block order/partitioning
+        shuf = rd.from_arrow(t).repartition(3).random_shuffle(seed=5)
+        b = table_checksum(shuf, ["id", "text"]).take_all()[0]
+        assert a == b and a["n_rows"] == 3
+        # one changed byte changes the checksum
+        t2 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                       "text": pa.array(["a", "b", "C"])})
+        c = table_checksum(rd.from_arrow(t2), ["id", "text"]).take_all()[0]
+        assert c["checksum"] != a["checksum"]
