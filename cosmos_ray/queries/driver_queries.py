@@ -913,8 +913,8 @@ WITH t AS (SELECT doc_id, source,
                   md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents)
 SELECT doc_id, source, n_tokens,
-       sum(n_tokens) OVER (PARTITION BY source
-                           ORDER BY h, doc_id) AS cum_tokens
+       CAST(sum(n_tokens) OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
 FROM t
 QUALIFY cum_tokens <= 700
 """
@@ -949,11 +949,11 @@ def q_event_pivot(sf_dir: str):
 
 SQL_EVENT_PIVOT = """
 SELECT epoch_us(ts) // 86400000000 AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """
 
@@ -1584,23 +1584,23 @@ def q_validate_events(sf_dir: str):
 
 SQL_VALIDATE_EVENTS = """
 SELECT 'user_id_not_null' AS rule,
-       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS violations
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
 FROM events
 UNION ALL
 SELECT 'event_type_in_set',
-       sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+       CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
                 ('click', 'error', 'purchase', 'signup', 'view')
-                THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 UNION ALL
 SELECT 'value_range',
-       sum(CASE WHEN value IS NULL OR value < 0.0 OR value > 30.0
-                THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN value IS NULL OR value < 0.0 OR value > 30.0
+                THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 UNION ALL
 SELECT 'event_id_unique',
-       count(CASE WHEN event_id IS NOT NULL THEN 1 END)
-       - count(DISTINCT event_id)
+       CAST(count(CASE WHEN event_id IS NOT NULL THEN 1 END)
+       - count(DISTINCT event_id) AS BIGINT)
 FROM events
 """
 
@@ -2061,7 +2061,7 @@ def q_class_centroids(sf_dir: str):
 
 
 SQL_CLASS_CENTROIDS = """
-WITH x AS (SELECT label,
+WITH x AS (SELECT CAST(label AS BIGINT) AS label,
                   CAST(unnest(embedding) AS DOUBLE) AS v,
                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
            FROM embeddings)
@@ -2500,10 +2500,10 @@ def q_host_stats(sf_dir: str):
 
 SQL_HOST_STATS = with_goldens("""
 , per AS (SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
-                 url, count(*) AS n_blocks, sum(length(text)) AS chars
+                 url, count(*) AS n_blocks, CAST(sum(length(text)) AS BIGINT) AS chars
           FROM blocks GROUP BY 1, 2)
-SELECT host, count(*) AS n_docs, sum(n_blocks) AS n_blocks,
-       sum(chars) AS total_chars
+SELECT host, count(*) AS n_docs, CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(sum(chars) AS BIGINT) AS total_chars
 FROM per GROUP BY host
 """)
 
