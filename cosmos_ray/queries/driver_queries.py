@@ -2446,6 +2446,92 @@ def _pages_subset(sf_dir: str, mod: int, rem: int, invert: bool = False):
     return rd.from_arrow(generate_pages_table(docs.filter(pa.array(mask))))
 
 
+def q_entity_pmi(sf_dir: str):
+    """Document-level entity co-occurrence PMI over the linked KG (the
+    'which entities go together' analytics a KG feeds downstream):
+    pmi(a,b) = ln(n_ab * N / (n_a * n_b)) over distinct (url, entity)
+    incidence, unordered pairs, 6dp.
+
+    Scale shape: incidence dedups via one groupby-distinct (rows =
+    url x entities-in-url); per-entity counts are entity-vocab-sized and
+    broadcast; the per-url pair fan-out is bounded by entities-per-doc
+    squared (small by construction) and flows through one bucketed
+    group apply + one pair groupby."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.pipelines.kg import build_kg
+    from cosmos_ray.queries.relational import bucketed_group_apply, collect_small
+
+    linked = build_kg(_pages_ds(sf_dir)).linked
+
+    def ue_batch(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t.column("url").combine_chunks()] * 2)
+        e = pa.concat_arrays([t.column("subj_id").combine_chunks(),
+                              t.column("obj_id").combine_chunks()])
+        tt = pa.table({"url": u, "e": e}).filter(
+            pc.not_equal(e, pa.scalar("")))
+        return (tt.group_by(["url", "e"]).aggregate([([], "count_all")])
+                .drop_columns(["count_all"]))
+
+    ue = (linked.select_columns(["url", "subj_id", "obj_id"])
+          .map_batches(ue_batch, batch_format="pyarrow")
+          .groupby(["url", "e"]).aggregate(Count(alias_name="__n"))
+          .drop_columns(["__n"]).materialize())
+
+    ne_tbl = collect_small(
+        ue.groupby("e").aggregate(Count(alias_name="n")), cap_rows=2_000_000)
+    ne = dict(zip(ne_tbl.column("e").to_pylist(),
+                  ne_tbl.column("n").to_pylist()))
+    n_urls = (ue.groupby("url").aggregate(Count(alias_name="__n")).count())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["e"].to_numpy())
+        if len(v) < 2:
+            return pd.DataFrame({"ea": pd.Series([], dtype=str),
+                                 "eb": pd.Series([], dtype=str)})
+        i, j = np.triu_indices(len(v), k=1)
+        return pd.DataFrame({"ea": v[i], "eb": v[j]})
+
+    nab = (bucketed_group_apply(ue, ["url"], pairs)
+           .groupby(["ea", "eb"]).aggregate(Count(alias_name="n_ab")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ea = t.column("ea").to_numpy(zero_copy_only=False)
+        eb = t.column("eb").to_numpy(zero_copy_only=False)
+        n_ab = t.column("n_ab").to_numpy().astype(np.float64)
+        na = np.empty(len(ea))
+        nb = np.empty(len(eb))
+        for ent, c in ne.items():  # loop over the entity VOCAB, not rows
+            na[ea == ent] = c
+            nb[eb == ent] = c
+        x = np.log(n_ab * float(n_urls) / (na * nb))
+        pmi = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        return pa.table({"ea": t.column("ea"), "eb": t.column("eb"),
+                         "n_ab": t.column("n_ab"),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return nab.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ENTITY_PMI = with_goldens("""
+, ue AS (SELECT DISTINCT f.url, s.canonical_id AS e
+         FROM facts f JOIN surf s ON s.surface = f.subj
+         UNION
+         SELECT DISTINCT f.url, s.canonical_id
+         FROM facts f JOIN surf s ON s.surface = f.obj)
+, ne AS (SELECT e, count(*) AS n FROM ue GROUP BY e)
+, nn AS (SELECT CAST(count(DISTINCT url) AS DOUBLE) AS N FROM ue)
+, nab AS (SELECT a.e AS ea, b.e AS eb, count(*) AS n_ab
+          FROM ue a JOIN ue b ON a.url = b.url AND a.e < b.e
+          GROUP BY 1, 2)
+SELECT nab.ea, nab.eb, nab.n_ab,
+       round(ln(CAST(nab.n_ab AS DOUBLE) * nn.N / (na.n * nb.n)), 6) AS pmi
+FROM nab, nn
+JOIN ne na ON na.e = nab.ea
+JOIN ne nb ON nb.e = nab.eb
+""")
+
+
 def q_kg_dead_letter(sf_dir: str):
     """Dead-letter audit: the malformed pages the extractor side-wrote
     instead of crashing (planted invalid-UTF8 docs at doc_id %% 97 == 13
@@ -3188,6 +3274,7 @@ QUERIES = {
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
     "kg_sections": q_kg_sections,
+    "entity_pmi": q_entity_pmi,
     "kg_dead_letter": q_kg_dead_letter,
     "host_stats": q_host_stats,
     "kg_captions": q_kg_captions,
@@ -3290,6 +3377,7 @@ ORACLES = {
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,
     "kg_sections": SQL_KG_SECTIONS,
+    "entity_pmi": SQL_ENTITY_PMI,
     "kg_dead_letter": SQL_KG_DEAD_LETTER,
     "host_stats": SQL_HOST_STATS,
     "kg_captions": SQL_KG_CAPTIONS,
