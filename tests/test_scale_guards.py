@@ -1,0 +1,65 @@
+"""Scale-discipline lint: every driver-side pull (`take_all()` /
+dataset-level `to_pandas()`) in library code must be a consciously
+allowlisted site (bounded by construction: model-sized tables, one row
+per batch combiners, or collect_small-guarded). Adding a new pull makes
+this test fail until the author justifies the site here — the review
+gate the 100-TB design relies on.
+
+Note: `pa.Table.to_pandas()` INSIDE a map_batches fn is a worker-local
+conversion, not a driver pull; the allowlist below distinguishes sites
+by file and expected count.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent / "cosmos_ray"
+
+# file (relative to cosmos_ray/) -> max allowed pull sites, each audited:
+ALLOWED = {
+    # worker-local Table.to_pandas inside bucketed group fns
+    "stages/export.py": 1,
+    "stages/canonicalize.py": 1,      # hash_pandas_object on a pa.Table slice
+    "stages/aggregate.py": 4,         # per-bucket worker-local conversions
+    "functions/sketch.py": 2,         # in-group quantile frame + checksum
+                                      # one-row-per-batch partials
+    # bounded driver reduces (model-sized / one row per batch):
+    "stages/extract.py": 1,           # capped dup plan (5M guard + fallback)
+    "state/compact.py": 1,            # one row per compaction group
+    "functions/classify.py": 1,       # (label, token) model table
+    "functions/textops.py": 1,        # vocabulary df table
+    "functions/dedup.py": 2,          # bucket-size histograms (counts only)
+    "functions/pack.py": 1,           # one row per bucket prefix table
+    "functions/bpe.py": 1,            # word-frequency model table
+    "functions/embed.py": 2,          # vocab + co-occurrence partials
+    "functions/lm.py": 1,             # bigram model table
+    "functions/similarity.py": 2,     # seeded centroid samples (capped n)
+    "functions/retrieval.py": 0,      # df via .sum() combiner only
+    "functions/windows.py": 0,
+    "functions/temporal.py": 0,
+    "functions/graph.py": 0,
+    "functions/validate.py": 0,
+    "functions/geometry.py": 0,
+    # relational.py hosts collect_small itself (the guard) + topk merge
+    "queries/relational.py": None,    # exempt: IS the guarded layer
+    "queries/driver_queries.py": None,  # query layer: pulls documented inline
+    "queries/oracle_gen.py": None,
+}
+
+PAT = re.compile(r"\.take_all\(\)|\.to_pandas\(\)")
+
+
+def test_no_new_unguarded_driver_pulls():
+    unexpected = {}
+    for f in sorted(ROOT.rglob("*.py")):
+        rel = str(f.relative_to(ROOT))
+        n = len(PAT.findall(f.read_text()))
+        cap = ALLOWED.get(rel, 0)
+        if cap is None:
+            continue
+        if n > cap:
+            unexpected[rel] = (n, cap)
+    assert not unexpected, (
+        f"new driver-pull sites need an audit + allowlist bump: {unexpected}")
