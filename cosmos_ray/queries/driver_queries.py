@@ -1660,6 +1660,38 @@ WHERE st.sd > 0 AND abs(round((d.n - st.mu) / st.sd, 6)) >= 2.0
 """
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap (the SQL lag() window): microseconds
+    since the user's previous event, -1 for their first. Same
+    one-user-hash-exchange shape as sessionize."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = -1
+        if len(g) > 1:
+            gap[1:] = np.where(user[1:] == user[:-1],
+                               ts_us[1:] - ts_us[:-1], -1)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": user, "ts_us": ts_us,
+                             "gap_us": gap})
+
+    return _bucketed_by_user(ev, fn)
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort-retention rollup over the events stream
     (`windows.cohort_retention`): users bucketed by first-event day,
@@ -3244,6 +3276,7 @@ QUERIES = {
     "nb_lang": q_nb_lang,
     "weighted_sample": q_weighted_sample,
     "doc_splits": q_doc_splits,
+    "event_gaps": q_event_gaps,
     "cohort_retention": q_cohort_retention,
     "table_checksum": q_table_checksum,
     "validate_events": q_validate_events,
@@ -3347,6 +3380,7 @@ ORACLES = {
     "nb_lang": SQL_NB_LANG,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "doc_splits": SQL_DOC_SPLITS,
+    "event_gaps": SQL_EVENT_GAPS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "table_checksum": SQL_TABLE_CHECKSUM,
     "validate_events": SQL_VALIDATE_EVENTS,
