@@ -2222,6 +2222,23 @@ SELECT subj, pred, obj, count(*) AS weight FROM m GROUP BY subj, pred, obj
 from cosmos_ray.queries.oracle_gen import with_goldens
 
 
+_KG_CACHE: dict = {}
+
+
+def _built_kg(sf_dir: str):
+    """Session-scoped memo of the built KG per sf dir: ~20 kg_* queries
+    consume the SAME materialized graph, so the driver's side-by-side
+    correctness run builds it once instead of once per query. The
+    KgDatasets hold materialized Datasets (object-store refs), valid for
+    the life of the Ray session."""
+    kg = _KG_CACHE.get(sf_dir)
+    if kg is None:
+        from cosmos_ray.pipelines.kg import build_kg
+
+        kg = _KG_CACHE[sf_dir] = build_kg(_pages_ds(sf_dir))
+    return kg
+
+
 def _pages_ds(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -2232,9 +2249,8 @@ def _pages_ds(sf_dir: str):
 
 
 def q_kg_triples(sf_dir: str):
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return build_kg(_pages_ds(sf_dir)).triples.select_columns(
+    return _built_kg(sf_dir).triples.select_columns(
         ["url", "subj", "pred", "obj", "n_mentions"]
     )
 
@@ -2246,9 +2262,8 @@ FROM facts GROUP BY url, subj, pred, obj
 
 
 def q_kg_entities(sf_dir: str):
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return build_kg(_pages_ds(sf_dir)).entities.select_columns(
+    return _built_kg(sf_dir).entities.select_columns(
         ["canonical_id", "name", "n_mentions"]
     )
 
@@ -2266,9 +2281,8 @@ GROUP BY e.canonical_id
 
 
 def q_kg_adjacency(sf_dir: str):
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return build_kg(_pages_ds(sf_dir)).adjacency
+    return _built_kg(sf_dir).adjacency
 
 
 SQL_KG_ADJACENCY = with_goldens("""
@@ -2298,9 +2312,8 @@ def q_kg_degree(sf_dir: str):
     """Degree centrality over the entity adjacency graph (distinct
     neighbours + weighted totals; `functions/graph.py`)."""
     from cosmos_ray.functions.graph import degree_centrality
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return degree_centrality(build_kg(_pages_ds(sf_dir)).adjacency)
+    return degree_centrality(_built_kg(sf_dir).adjacency)
 
 
 SQL_KG_DEGREE = with_goldens(_SQL_ADJ_CTE + """
@@ -2322,9 +2335,8 @@ def q_kg_triangles(sf_dir: str):
     (`graph.triangle_count`, compact-forward wedge generation + edge
     semi-join)."""
     from cosmos_ray.functions.graph import triangle_count
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return triangle_count(build_kg(_pages_ds(sf_dir)).adjacency)
+    return triangle_count(_built_kg(sf_dir).adjacency)
 
 
 SQL_KG_TRIANGLES = with_goldens(_SQL_ADJ_CTE + """
@@ -2341,9 +2353,8 @@ def q_kg_pagerank(sf_dir: str):
     damping 0.85, uniform dangling redistribution) — the 'which
     entities matter' materialization a KG build feeds downstream."""
     from cosmos_ray.functions.graph import pagerank
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return pagerank(build_kg(_pages_ds(sf_dir)).adjacency, iters=10)
+    return pagerank(_built_kg(sf_dir).adjacency, iters=10)
 
 
 def _sql_kg_pagerank(iters: int = 10, damping: float = 0.85) -> str:
@@ -2389,9 +2400,8 @@ def q_kg_components(sf_dir: str):
     id = lexicographic-min member (`graph.connected_components`: driver
     union-find under the cap, distributed min-label fixpoint past it)."""
     from cosmos_ray.functions.graph import connected_components
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return connected_components(build_kg(_pages_ds(sf_dir)).adjacency)
+    return connected_components(_built_kg(sf_dir).adjacency)
 
 
 SQL_KG_COMPONENTS = with_goldens("""
@@ -2417,7 +2427,7 @@ def q_kg_2hop(sf_dir: str):
     from cosmos_ray.functions.graph import k_hop_neighborhood
     from cosmos_ray.pipelines.kg import build_kg
 
-    adj = build_kg(_pages_ds(sf_dir)).adjacency
+    adj = _built_kg(sf_dir).adjacency
     seed = min(adj.min("src_entity"), adj.min("dst_entity"))
     return k_hop_neighborhood(adj, [seed], k=2)
 
@@ -2491,10 +2501,9 @@ def q_entity_pmi(sf_dir: str):
     group apply + one pair groupby."""
     from ray.data.aggregate import Count
 
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.queries.relational import bucketed_group_apply, collect_small
 
-    linked = build_kg(_pages_ds(sf_dir)).linked
+    linked = _built_kg(sf_dir).linked
 
     def ue_batch(t: pa.Table) -> pa.Table:
         u = pa.concat_arrays([t.column("url").combine_chunks()] * 2)
@@ -2568,9 +2577,8 @@ def q_kg_dead_letter(sf_dir: str):
     """Dead-letter audit: the malformed pages the extractor side-wrote
     instead of crashing (planted invalid-UTF8 docs at doc_id %% 97 == 13
     — the oracle reconstructs exactly which urls must be quarantined)."""
-    from cosmos_ray.pipelines.kg import build_kg
 
-    return build_kg(_pages_ds(sf_dir)).dead_letter.select_columns(
+    return _built_kg(sf_dir).dead_letter.select_columns(
         ["url", "stage"])
 
 
@@ -2596,7 +2604,7 @@ def q_host_stats(sf_dir: str):
 
     from cosmos_ray.pipelines.kg import build_kg
 
-    segs = build_kg(_pages_ds(sf_dir)).segments
+    segs = _built_kg(sf_dir).segments
 
     def prep(t: pa.Table) -> pa.Table:
         host = pc.extract_regex(t.column("url"), r"https?://(?P<host>[^/]+)/")
@@ -2629,10 +2637,9 @@ FROM per GROUP BY host
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.aggregate import aggregate_sections
 
-    return aggregate_sections(build_kg(_pages_ds(sf_dir)).segments).select_columns(
+    return aggregate_sections(_built_kg(sf_dir).segments).select_columns(
         ["url", "section_id", "section_header", "section_header_page", "content"]
     )
 
@@ -2655,10 +2662,9 @@ FROM b3 GROUP BY url, sid
 def q_kg_captions(sf_dir: str):
     """Caption↔object association over classified segments (J2): one row
     per Table Caption with its greedily matched Table segment."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.aggregate import associate_captions
 
-    return associate_captions(build_kg(_pages_ds(sf_dir)).segments).select_columns(
+    return associate_captions(_built_kg(sf_dir).segments).select_columns(
         ["url", "page_num", "caption_seg_id", "caption_text",
          "object_seg_id", "object_text"]
     )
@@ -2727,10 +2733,9 @@ def q_kg_table_context(sf_dir: str):
     """Table-context enrichment over the classified segments
     (`context_enrichment.py:180-238`): per Table Caption label, the body
     sentences mentioning it."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.enrich import table_context
 
-    return table_context(build_kg(_pages_ds(sf_dir)).segments)
+    return table_context(_built_kg(sf_dir).segments)
 
 
 # the (?<=[.!?])\s+ sentence split is lookbehind, which RE2 lacks —
@@ -2763,10 +2768,9 @@ SELECT url, table_label, context_from_text FROM ctx
 def q_kg_table_qa(sf_dir: str):
     """QA-enriched table contexts (the reference's use_qa_table_enrichment
     composition): extractive QA over each caption's context_from_text."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.enrich import qa_table_enrichment
 
-    out = qa_table_enrichment(build_kg(_pages_ds(sf_dir)).segments,
+    out = qa_table_enrichment(_built_kg(sf_dir).segments,
                               question="what scans?")
     return out.select_columns(["url", "table_label", "answer"])
 
@@ -2803,10 +2807,9 @@ FROM ctx
 
 def q_kg_boilerplate(sf_dir: str):
     """Site-level boilerplate blocks (M14 web analog)."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.enrich import detect_boilerplate
 
-    return detect_boilerplate(build_kg(_pages_ds(sf_dir)).segments)
+    return detect_boilerplate(_built_kg(sf_dir).segments)
 
 
 SQL_KG_BOILERPLATE = with_goldens("""
@@ -2913,10 +2916,9 @@ SQL_RERANK_WINDOWS = _sql_rerank_windows()
 def q_kg_equations(sf_dir: str):
     """Equation rows with nearest-midline (X.Y) label association
     (J3/G4, `reaggregate_equations.py:61-120`)."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.aggregate import aggregate_equations
 
-    return aggregate_equations(build_kg(_pages_ds(sf_dir)).segments).select_columns(
+    return aggregate_equations(_built_kg(sf_dir).segments).select_columns(
         ["url", "equation_page", "label", "content"]
     )
 
@@ -2953,10 +2955,9 @@ def q_kg_eval_ap(sf_dir: str):
     reproduces every golden class, so AP == 1.0 per class and
     n_pred == n_gold == that class's block count — any engine
     misclassification breaks the value hash."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.metrics import detection_ap
 
-    return detection_ap(build_kg(_pages_ds(sf_dir)).segments, _golden_annotations(sf_dir))
+    return detection_ap(_built_kg(sf_dir).segments, _golden_annotations(sf_dir))
 
 
 SQL_KG_EVAL_AP = with_goldens("""
@@ -2970,10 +2971,9 @@ def q_kg_eval_prf(sf_dir: str):
     """Per-document P/R/F1 self-evaluation vs golden classes (G9,
     `context_enrichment.py:246-319`). Oracle = the perfect-classifier
     invariant per url (see q_kg_eval_ap)."""
-    from cosmos_ray.pipelines.kg import build_kg
     from cosmos_ray.stages.metrics import detection_prf
 
-    return detection_prf(build_kg(_pages_ds(sf_dir)).segments, _golden_annotations(sf_dir))
+    return detection_prf(_built_kg(sf_dir).segments, _golden_annotations(sf_dir))
 
 
 SQL_KG_EVAL_PRF = with_goldens("""
