@@ -1104,3 +1104,63 @@ def append_minhash_index(new_docs, index_dir: str, num_perm: int = 128,
                 pa.int64())),
         batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "sigs"), partition_cols=["sbucket"])
+
+
+# ------------------------------------------------ quality-aware dedup
+
+def dedup_keep_best(docs_ds, threshold: float = 0.8,
+                    quality_col: str = "n_chars", id_col: str = "doc_id",
+                    **mh_kwargs):
+    """Near-dup dedup with quality-aware representative selection: run
+    the MinHash+LSH clustering (`minhash_dedup`) and keep, per cluster,
+    the member with the HIGHEST ``quality_col`` (ties -> lowest doc_id)
+    instead of the arbitrary first — the FineWeb/RefinedWeb-style "keep
+    the best duplicate" policy. Docs in no cluster are kept.
+
+    Returns ``(doc_id, keep)`` for EVERY input doc.
+
+    Scale shape: cluster membership is a small fraction of the corpus
+    (the near-dup pairs), so the rep selection runs entirely on the
+    member set: one inner join attaches quality, two groupby aggregates
+    (max quality per cluster, then min doc_id among the tied) pick the
+    rep, and the final keep flag is one guarded anti-join of the id
+    column against the drop set — the corpus text never reshuffles.
+    """
+    from cosmos_ray.queries.relational import join_or_broadcast, semi_join_ds
+
+    clusters = minhash_dedup(docs_ds.select_columns([id_col, "text"]),
+                             threshold=threshold, **mh_kwargs)
+    members = join_or_broadcast(
+        docs_ds.select_columns([id_col, quality_col]), clusters,
+        key=id_col, add_cols=["cluster_id"],
+    )
+    max_q = members.groupby("cluster_id").max(quality_col)
+    mq_col = f"max({quality_col})"
+    tied = join_or_broadcast(members, max_q, key="cluster_id",
+                             add_cols=[mq_col]).map_batches(
+        lambda t: t.filter(pc.equal(t.column(quality_col), t.column(mq_col))),
+        batch_format="pyarrow",
+    )
+    reps = tied.groupby("cluster_id").min(id_col)
+    rep_col = f"min({id_col})"
+    # drop = member whose doc_id != its cluster's representative
+    drops = join_or_broadcast(members, reps, key="cluster_id",
+                              add_cols=[rep_col]).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column(id_col), t.column(rep_col)))
+                   .select([id_col]),
+        batch_format="pyarrow",
+    )
+    kept = semi_join_ds(docs_ds.select_columns([id_col]), drops,
+                        key_col=id_col, big_key=id_col, keep=False)
+
+    def flag(v: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                "keep": pa.array(np.full(t.num_rows, v), pa.bool_()),
+            })
+        return fn
+
+    return kept.map_batches(flag(True), batch_format="pyarrow").union(
+        drops.map_batches(flag(False), batch_format="pyarrow")
+    )

@@ -94,8 +94,10 @@ def bm25_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
 # ------------------------------------------------------ inverted index at rest
 
 def _term_buckets(terms: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic md5-based term -> bucket (stable across processes,
-    replayable in DuckDB via md5_number_upper % num_buckets)."""
+    """Deterministic md5-based term -> bucket (stable across processes;
+    internal partitioning only — the oracle checks scores, not buckets).
+    Big-endian upper-64 (NOT DuckDB md5_number_upper, which is
+    little-endian; see selection._hash_bucket for the replayable form)."""
     import hashlib
 
     return np.array(

@@ -3085,7 +3085,17 @@ def _sql_minhash_clusters() -> str:
     the synthetic corpus)."""
     return f"""
 WITH RECURSIVE
-{_sql_minhash_prefix()},
+{_sql_minhash_clu_prefix()}
+SELECT doc_id, cluster_id FROM clu
+"""
+
+
+def _sql_minhash_clu_prefix() -> str:
+    """CTE chain (recursive — embed under ``WITH RECURSIVE``) replaying
+    minhash candidate gen + verification + transitive clustering up
+    through ``clu(doc_id, cluster_id)`` — shared by the clustering and
+    the keep-best-representative oracles."""
+    return f"""{_sql_minhash_prefix()},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -3100,10 +3110,9 @@ edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
 reach(src, node) AS (
   SELECT a, a FROM (SELECT DISTINCT a FROM edges)
   UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
-SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id
-FROM reach GROUP BY node
-"""
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+clu AS (SELECT node AS doc_id, CAST(min(src) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node)"""
 
 
 SQL_MINHASH_CLUSTERS = _sql_minhash_clusters()
@@ -3218,6 +3227,148 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, qvec, k=10)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR hashed-bigram importance weights (Xie et al. 2023,
+    arXiv:2302.03169) toward the lang='en' target slice — the data-
+    selection operator; value-exact vs the DuckDB md5-bucket replay."""
+    from cosmos_ray.functions.selection import dsir_weights
+
+    return dsir_weights(read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
+SQL_DSIR_WEIGHTS = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, lang,
+               unnest(toks) AS tok,
+               unnest(range(1, len(toks)+1)) AS pos
+        FROM d),
+bg AS (SELECT t0.doc_id, t0.lang,
+              CAST(md5_number_upper(t0.tok || ' ' || t1.tok) % 1024 AS BIGINT) AS bucket
+       FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+cnt AS (SELECT bucket, count(*) AS n_raw,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+        FROM bg GROUP BY bucket),
+tot AS (SELECT sum(n_raw) AS sr, sum(n_tgt) AS st FROM cnt),
+lw AS (SELECT bucket,
+              (ln(n_tgt + 1.0) - ln(st + 1024.0))
+              - (ln(n_raw + 1.0) - ln(sr + 1024.0)) AS w
+       FROM cnt CROSS JOIN tot)
+SELECT doc.doc_id,
+       round(coalesce(sum(lw.w), 0.0), 6) AS dsir_weight
+FROM documents doc
+LEFT JOIN bg ON bg.doc_id = doc.doc_id
+LEFT JOIN lw ON lw.bucket = bg.bucket
+GROUP BY doc.doc_id
+"""
+
+
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization over a deterministically synthesized messy
+    url per doc (mixed-case scheme/host, default ports, trailing
+    slashes, tracking params, fragments — the shapes real crawl urls
+    arrive in). The construction is pure doc_id arithmetic so the
+    DuckDB oracle rebuilds the same inputs and replays the same spec."""
+    from cosmos_ray.functions.urlops import canonical_urls
+
+    def messy(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = ids.astype(str).astype(object)
+        scheme = np.where(ids % 2 == 0, "HTTPS", "https").astype(object)
+        host = "://Web" + (ids % 20).astype(str).astype(object) + ".Example.ORG"
+        port = np.where(ids % 7 == 0, ":443", "").astype(object)
+        path = "/P/" + s + np.where(ids % 5 == 0, "/", "").astype(object)
+        q0 = "?utm_source=feed&utm_campaign=c" + (ids % 3).astype(str).astype(object) + "&id=" + s
+        q1 = "?id=" + s + "&gclid=g" + s
+        query = np.select([ids % 4 == 0, ids % 4 == 1, ids % 4 == 2],
+                          [q0, q1, "?utm_medium=x&ref=rss"], "").astype(object)
+        frag = np.where(ids % 3 == 0,
+                        "#sec" + (ids % 6).astype(str).astype(object),
+                        "").astype(object)
+        url = scheme + host + port + path + query + frag
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": pa.array(list(url), pa.string()),
+        })
+
+    ds = read(sf_dir, "documents", ["doc_id"]).map_batches(
+        messy, batch_format="pyarrow"
+    )
+    return canonical_urls(ds)
+
+
+SQL_CANONICAL_URLS = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://Web' || CAST(doc_id % 20 AS VARCHAR) || '.Example.ORG'
+         || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+         || '/P/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE doc_id % 4
+              WHEN 0 THEN '?utm_source=feed&utm_campaign=c'
+                          || CAST(doc_id % 3 AS VARCHAR)
+                          || '&id=' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                          || '&gclid=g' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '?utm_medium=x&ref=rss'
+              ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+              THEN '#sec' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS pre,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+c AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(pre, '^(https://[^:/]+):443$', '\\1'),
+                        '^(http://[^:/]+):80$', '\\1') AS pre2,
+         regexp_replace(path, '/+$', '') AS path2,
+         coalesce(array_to_string(list_filter(string_split(q, '&'),
+             x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|ref)=')
+                  AND x <> ''), '&'), '') AS q2
+  FROM p)
+SELECT doc_id, url,
+       pre2 || path2 || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+       AS canonical_url
+FROM c
+"""
+
+
+def q_dedup_best_rep(sf_dir: str):
+    """MinHash near-dup dedup with quality-aware representative
+    selection (keep the longest member per cluster, ties -> lowest
+    doc_id) — the FineWeb-style keep-best policy, per-doc keep flags."""
+    from cosmos_ray.functions.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        read(sf_dir, "documents", ["doc_id", "text", "n_chars"]),
+        threshold=0.8,
+    )
+
+
+def _sql_dedup_best_rep() -> str:
+    return f"""
+WITH RECURSIVE
+{_sql_minhash_clu_prefix()},
+m AS (SELECT c.doc_id, c.cluster_id, dd.n_chars
+      FROM clu c JOIN documents dd ON dd.doc_id = c.doc_id),
+rep AS (SELECT cluster_id, min(doc_id) AS rep_id FROM m m1
+        WHERE n_chars = (SELECT max(n_chars) FROM m m2
+                         WHERE m2.cluster_id = m1.cluster_id)
+        GROUP BY cluster_id)
+SELECT d0.doc_id, (c.doc_id IS NULL OR d0.doc_id = r.rep_id) AS keep
+FROM documents d0
+LEFT JOIN clu c ON c.doc_id = d0.doc_id
+LEFT JOIN rep r ON r.cluster_id = c.cluster_id
+"""
+
+
+SQL_DEDUP_BEST_REP = _sql_dedup_best_rep()
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -3326,6 +3477,9 @@ QUERIES = {
     "crawl_dedup_index": q_crawl_dedup_index,
     "simhash_pairs": q_simhash_pairs,
     "ivf_topk": q_ivf_topk,
+    "dsir_weights": q_dsir_weights,
+    "canonical_urls": q_canonical_urls,
+    "dedup_best_rep": q_dedup_best_rep,
 }
 
 ORACLES = {
@@ -3430,6 +3584,9 @@ ORACLES = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "subdoc_dedup": SQL_SUBDOC_DEDUP,
     "rerank_windows": SQL_RERANK_WINDOWS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "canonical_urls": SQL_CANONICAL_URLS,
+    "dedup_best_rep": SQL_DEDUP_BEST_REP,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates

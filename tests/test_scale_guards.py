@@ -36,6 +36,8 @@ ALLOWED = {
     "functions/embed.py": 2,          # vocab + co-occurrence partials
     "functions/lm.py": 1,             # bigram model table
     "functions/similarity.py": 2,     # seeded centroid samples (capped n)
+    "functions/selection.py": 1,      # arrow Array.to_pandas inside a
+                                      # map_batches fn (worker-local)
     "functions/retrieval.py": 0,      # df via .sum() combiner only
     "functions/windows.py": 0,
     "functions/temporal.py": 0,
