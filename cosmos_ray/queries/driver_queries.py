@@ -1921,9 +1921,9 @@ def q_embedding_topk(sf_dir: str):
 def q_mmr_rerank(sf_dir: str):
     """Diversity re-ranking of a retrieved candidate page with MMR
     (`retrieval.mmr_rerank`): greedy relevance-vs-redundancy tradeoff
-    over the first 50 vectors, query = embedding of vec_id 0. Greedy
-    sequential selection isn't SQL-replayable; the pytest gate replays
-    it by hand."""
+    over the first 50 vectors, query = embedding of vec_id 0. The
+    greedy selection is replayed in SQL by unrolling the k=10 steps
+    into chained pick/sel CTEs (argmax with the same id tie-break)."""
     import pyarrow.parquet as pq
 
     from cosmos_ray.functions.retrieval import mmr_rerank
@@ -1935,6 +1935,53 @@ def q_mmr_rerank(sf_dir: str):
     cands = read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
         expr="vec_id < 50")
     return mmr_rerank(cands, qvec, k=10, lam=0.7, id_col="vec_id")
+
+
+def _sql_mmr_rerank(k: int = 10, lam: float = 0.7, n_cands: int = 50) -> str:
+    """DuckDB replay of the greedy MMR loop: step i's pick is the
+    unselected candidate maximizing ``lam*rel - (1-lam)*max cos(d,
+    selected)`` (ties -> lowest vec_id), unrolled into k chained CTEs.
+    Exact modulo float argmax near-ties (none in the synthetic data —
+    the same tolerance embedding_topk's oracle already relies on)."""
+    # MATERIALIZED everywhere: DuckDB inlines plain CTEs, so an
+    # un-materialized sel{i} (referenced 3x by level i+1) expands
+    # ~3^k-fold and hangs the planner; the base CTEs would also
+    # rescan the parquet source once per unrolled step
+    parts = [f"""
+q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+c AS MATERIALIZED (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qv FROM q)) AS rel
+  FROM embeddings WHERE vec_id < {n_cands}),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS s
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < {n_cands} AND b.vec_id < {n_cands}),
+pick0 AS (SELECT vec_id, {lam}*rel AS mmr, 1 AS rank FROM c
+          ORDER BY mmr DESC, vec_id LIMIT 1),
+sel0 AS MATERIALIZED (SELECT vec_id, mmr, rank FROM pick0)"""]
+    for i in range(1, k):
+        parts.append(f"""
+pick{i} AS (
+  SELECT c.vec_id,
+         {lam}*c.rel - {round(1 - lam, 12)}*(
+             SELECT max(s) FROM sims
+             WHERE sims.ia = c.vec_id
+               AND sims.ib IN (SELECT vec_id FROM sel{i - 1})
+         ) AS mmr,
+         {i + 1} AS rank
+  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    return ("WITH " + ",".join(parts) +
+            f"\nSELECT vec_id, round(mmr, 6) AS mmr, CAST(rank AS BIGINT) AS rank FROM sel{k - 1}")
+
+
+SQL_MMR_RERANK = _sql_mmr_rerank()
 
 
 def q_percent_rank(sf_dir: str):
@@ -3587,6 +3634,7 @@ ORACLES = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "canonical_urls": SQL_CANONICAL_URLS,
     "dedup_best_rep": SQL_DEDUP_BEST_REP,
+    "mmr_rerank": SQL_MMR_RERANK,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
