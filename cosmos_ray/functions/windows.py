@@ -140,6 +140,50 @@ def cumulative_value(events_ds, round_to: int = 4):
     return _bucketed_by_user(events_ds, fn)
 
 
+def rolling_value(events_ds, window_rows: int = 5, round_to: int = 6):
+    """Frame-bounded rolling aggregate (the SQL ``ROWS BETWEEN N-1
+    PRECEDING AND CURRENT ROW`` window): per user, ordered by
+    (ts, event_id), the mean and sum of ``value`` over the current row
+    and up to ``window_rows - 1`` preceding rows.
+
+    -> (user_id, event_id, ts_us, roll_sum, roll_mean)
+
+    Scale shape: one coarse user-hash exchange (same as `sessionize`);
+    inside a bucket the frame sums are ``window_rows`` shifted vectorized
+    adds, accumulated left-to-right within the frame so float order
+    matches the oracle's ascending frame scan — no per-row Python.
+    """
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        n = len(g)
+        val = g["value"].to_numpy(dtype=np.float64)
+        user = g["user_id"].to_numpy()
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        idx = np.arange(n)
+        starts = np.flatnonzero(new_user)
+        first = np.repeat(starts, np.diff(np.append(starts, n)))
+        acc = np.zeros(n)
+        cnt = np.zeros(n, dtype=np.int64)
+        for j in range(window_rows - 1, -1, -1):  # ascending frame order
+            src = idx - j
+            ok = src >= first
+            acc[ok] += val[src[ok]]
+            cnt[ok] += 1
+        return pd.DataFrame(
+            {
+                "user_id": user,
+                "event_id": g["event_id"].to_numpy(),
+                "ts_us": g["ts"].values.astype("datetime64[us]").astype(np.int64),
+                "roll_sum": np.round(acc, round_to),
+                "roll_mean": np.round(acc / cnt, round_to),
+            }
+        )
+
+    return _bucketed_by_user(events_ds, fn)
+
+
 def cohort_retention(events_ds, ts_col: str = "ts", user_col: str = "user_id"):
     """Cohort-retention rollup (the product-analytics staple): a user's
     cohort is the epoch-day of their FIRST event; for every distinct

@@ -768,6 +768,25 @@ FROM events
 """
 
 
+def q_rolling_value(sf_dir: str):
+    """Frame-bounded rolling window (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW): per-user rolling sum/mean of value over the last 5
+    events in (ts, event_id) order."""
+    from cosmos_ray.functions.windows import rolling_value
+
+    return rolling_value(read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
+SQL_ROLLING_VALUE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(SUM(value) OVER w, 6) AS roll_sum,
+       round(AVG(value) OVER w, 6) AS roll_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_event_attribution(sf_dir: str):
     """As-of join (attribution): every click matched to the user's most
     recent signup at or before it — the temporal custom operator Ray
@@ -3444,6 +3463,7 @@ QUERIES = {
     "events_latest": q_events_latest,
     "sessionize": q_sessionize,
     "user_cumsum": q_user_cumsum,
+    "rolling_value": q_rolling_value,
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
@@ -3554,6 +3574,7 @@ ORACLES = {
     "events_latest": SQL_EVENTS_LATEST,
     "sessionize": SQL_SESSIONIZE,
     "user_cumsum": SQL_USER_CUMSUM,
+    "rolling_value": SQL_ROLLING_VALUE,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
