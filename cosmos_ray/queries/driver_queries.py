@@ -768,6 +768,24 @@ FROM events
 """
 
 
+def q_fuzzy_parts(sf_dir: str):
+    """Fuzzy record linkage: all pairs of distinct part names within
+    Levenshtein distance 2, found via complete SymSpell deletion-
+    neighborhood blocking (no cross join) + batched exact DP verify."""
+    from cosmos_ray.functions.linkage import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(read(sf_dir, "part", ["p_name"]), "p_name", max_dist=2)
+
+
+SQL_FUZZY_PARTS = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
 def q_rolling_value(sf_dir: str):
     """Frame-bounded rolling window (ROWS BETWEEN 4 PRECEDING AND
     CURRENT ROW): per-user rolling sum/mean of value over the last 5
@@ -3464,6 +3482,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "user_cumsum": q_user_cumsum,
     "rolling_value": q_rolling_value,
+    "fuzzy_parts": q_fuzzy_parts,
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
@@ -3575,6 +3594,7 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "user_cumsum": SQL_USER_CUMSUM,
     "rolling_value": SQL_ROLLING_VALUE,
+    "fuzzy_parts": SQL_FUZZY_PARTS,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
