@@ -80,6 +80,69 @@ def hll_count(ds, col: str, p: int = 12) -> int:
     return round(_hll_estimate(merged))
 
 
+def kmv_distinct(ds, key_cols: list[str], value_col: str, k: int = 64,
+                 seed: str = "kmv0", round_to: int = 6):
+    """K-minimum-values distinct sketch per group (Bar-Yossef et al.
+    2002): estimate COUNT(DISTINCT value) as (k-1) * 2^64 / h_(k) where
+    h_(k) is the k-th smallest md5 hash of the distinct values — exact
+    count when fewer than k distinct values exist.
+
+    Unlike HLL this sketch is DETERMINISTIC given the seed, so the
+    DuckDB oracle replays the estimate bit-for-bit (md5_number_upper +
+    row_number window) — an approximate operator with an exact
+    correctness gate.
+
+    Scale shape: each batch emits at most k hashes per group it touches
+    (batch-local drop_duplicates first), so the exchange is k uint64s
+    per (batch, group) regardless of row count; the merge is a unique +
+    head-k per group. Hashing runs over batch-DISTINCT values only.
+
+    -> (key_cols..., n_distinct_est DOUBLE)
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def _hash_vals(vals) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(f"{seed}:{v}".encode()).digest()[:8],
+                            "little") for v in vals),
+            dtype=np.uint64, count=len(vals))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[key_cols + [value_col]].drop_duplicates()
+        d = d.assign(__h=_hash_vals(d[value_col].tolist()))
+        rows = {c: [] for c in key_cols}
+        hh = []
+        for key, g in d.groupby(key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            u = np.unique(g["__h"].to_numpy())[:k]
+            for c, v in zip(key_cols, key):
+                rows[c].append(v)
+            hh.append(u.astype(np.uint64).tolist())
+        rows["__kmin"] = hh
+        return pd.DataFrame(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate(
+            [np.asarray(x, dtype=np.uint64) for x in g["__kmin"]]))
+        m = len(u)
+        if m < k:
+            est = float(m)
+        else:
+            est = round((k - 1) * 2.0 ** 64 / float(u[k - 1]), round_to)
+        out = g.iloc[:1][key_cols].copy()
+        out["n_distinct_est"] = est
+        return out
+
+    return (
+        ds.select_columns(key_cols + [value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_cols)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def distinct_count_exact(ds, key_cols: list[str], count_col: str):
     """Exact COUNT(DISTINCT count_col) per key_cols group as a two-stage
     distinct (groupby the full tuple first, then count per key) — the

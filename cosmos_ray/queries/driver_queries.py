@@ -1188,6 +1188,31 @@ FROM events GROUP BY 1
 """
 
 
+def q_distinct_users_kmv(sf_dir: str):
+    """K-minimum-values distinct sketch per event_type — deterministic
+    (md5-hash order statistic), so the approximate estimate itself is
+    oracle-checked bit-for-bit (`sketch.kmv_distinct`, k=64)."""
+    from cosmos_ray.functions.sketch import kmv_distinct
+
+    return kmv_distinct(read(sf_dir, "events", ["event_type", "user_id"]),
+                        ["event_type"], "user_id", k=64)
+
+
+SQL_DISTINCT_USERS_KMV = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, md5_number_upper('kmv0:' || user_id) AS hh FROM d),
+r AS (SELECT event_type, hh,
+             row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+      FROM h)
+SELECT event_type,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 * 18446744073709551616.0 /
+                       CAST(max(CASE WHEN rn = 64 THEN hh END) AS DOUBLE)
+             END, 6) AS n_distinct_est
+FROM r GROUP BY event_type
+"""
+
+
 def q_top_terms_by_lang(sf_dir: str):
     """Exact heavy hitters: top-10 tokens per language (combiner counts
     inside each batch; the exchange is vocabulary-bounded)."""
@@ -3483,6 +3508,7 @@ QUERIES = {
     "user_cumsum": q_user_cumsum,
     "rolling_value": q_rolling_value,
     "fuzzy_parts": q_fuzzy_parts,
+    "distinct_users_kmv": q_distinct_users_kmv,
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
@@ -3595,6 +3621,7 @@ ORACLES = {
     "user_cumsum": SQL_USER_CUMSUM,
     "rolling_value": SQL_ROLLING_VALUE,
     "fuzzy_parts": SQL_FUZZY_PARTS,
+    "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,

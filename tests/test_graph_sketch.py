@@ -114,6 +114,46 @@ class TestHLL:
         assert abs(hll_count(ds, "v", p=12) - 1000) / 1000 < 0.05
 
 
+class TestKMV:
+    def test_exact_below_k(self):
+        from cosmos_ray.functions.sketch import kmv_distinct
+
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["a"] * 90 + ["b"] * 30),
+            "v": pa.array([i % 30 for i in range(90)] + list(range(30)),
+                          pa.int64()),
+        }))
+        df = (kmv_distinct(ds, ["g"], "v", k=64).to_pandas()
+              .set_index("g")["n_distinct_est"])
+        assert df["a"] == 30.0  # < k distinct -> exact, duplicates collapse
+        assert df["b"] == 30.0
+
+    def test_estimator_error_bound(self):
+        from cosmos_ray.functions.sketch import kmv_distinct
+
+        n = 5_000
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["x"] * (2 * n)),
+            "v": pa.array([i % n for i in range(2 * n)], pa.int64()),
+        }))
+        est = kmv_distinct(ds, ["g"], "v", k=256).to_pandas()[
+            "n_distinct_est"].iloc[0]
+        # KMV std ~ n/sqrt(k-2); allow 4 sigma
+        assert abs(est - n) < 4 * n / np.sqrt(254)
+
+    def test_batch_split_invariant(self):
+        """k-min merge over batch partials must equal the single-batch
+        sketch (the mergeability the exchange relies on)."""
+        from cosmos_ray.functions.sketch import kmv_distinct
+
+        vals = [f"u{i % 700}" for i in range(4000)]
+        t = pa.table({"g": pa.array(["s"] * 4000), "v": pa.array(vals)})
+        one = kmv_distinct(rd.from_arrow(t), ["g"], "v", k=64).to_pandas()
+        many = kmv_distinct(
+            rd.from_arrow(t).repartition(13), ["g"], "v", k=64).to_pandas()
+        assert one["n_distinct_est"].iloc[0] == many["n_distinct_est"].iloc[0]
+
+
 class TestHoppingWindow:
     def test_hand_windows(self):
         from cosmos_ray.functions.windows import hopping_window
