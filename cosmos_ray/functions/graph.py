@@ -391,6 +391,103 @@ def k_hop_neighborhood(edges_ds, seeds, k: int = 2,
     return out.groupby("entity").aggregate(Min("hops", alias_name="hops"))
 
 
+def link_prediction(edges_ds, src: str = "src_entity",
+                    dst: str = "dst_entity", k: int = 20,
+                    num_buckets: int = 64, round_to: int = 6):
+    """Link prediction over the undirected simple graph: for every NON-
+    edge pair sharing at least one common neighbor, the common-neighbor
+    count and the Adamic-Adar score sum(1/ln(deg(ctr))) over shared
+    neighbors ctr (Adamic & Adar 2003); returns the global top-k by
+    (aa desc, cn desc, node_a, node_b) with aa pre-rounded so the
+    cutoff is float-order-stable against the SQL oracle.
+
+    -> (node_a, node_b, cn, aa), node_a < node_b, k rows.
+
+    Scale shape: mirrors `triangle_count` — distinct canonical edges,
+    full (center, neighbor) fan-out grouped per center (a center's
+    degree is its group size, so no separate degree join), vectorized
+    triu pair emission, then one (pair) aggregate; existing edges are
+    removed by the tiered anti semi-join and the top-k is one
+    distributed sample-sort. Wedge volume is sum(deg^2) — salt or
+    degree-cap hot centers at web scale (same note as triangle_count).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.queries.relational import (
+        bucketed_group_apply,
+        semi_join_ds,
+        topk,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column(src), t.column(dst)
+        lt = pc.less(s, d)
+        a = pc.if_else(lt, s, d)
+        b = pc.if_else(lt, d, s)
+        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
+
+    edges = (edges_ds.select_columns([src, dst])
+             .map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
+             .drop_columns(["__n"]))
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        return pa.table({
+            "ctr": pa.concat_arrays([a.combine_chunks().cast(pa.string()),
+                                     b.combine_chunks().cast(pa.string())]),
+            "nb": pa.concat_arrays([b.combine_chunks().cast(pa.string()),
+                                    a.combine_chunks().cast(pa.string())]),
+        })
+
+    und = edges.map_batches(both, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["nb"].to_numpy())
+        d = len(v)  # distinct by construction (edges are distinct)
+        if d < 2:
+            return pd.DataFrame({"node_a": pd.Series([], dtype=str),
+                                 "node_b": pd.Series([], dtype=str),
+                                 "cn": pd.Series([], dtype=np.int64),
+                                 "aa": pd.Series([], dtype=np.float64)})
+        i, j = np.triu_indices(d, k=1)
+        w = 1.0 / np.log(d)
+        return pd.DataFrame({"node_a": v[i], "node_b": v[j],
+                             "cn": np.ones(len(i), dtype=np.int64),
+                             "aa": np.full(len(i), w)})
+
+    w = bucketed_group_apply(und, ["ctr"], wedges, num_buckets=num_buckets)
+    scores = (w.groupby(["node_a", "node_b"])
+              .aggregate(Sum("cn", alias_name="cn"),
+                         Sum("aa", alias_name="aa")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("node_a"), pa.string()),
+            pc.cast(t.column("node_b"), pa.string()), ":")
+        return pa.table({
+            "node_a": t.column("node_a"),
+            "node_b": t.column("node_b"),
+            "cn": t.column("cn").cast(pa.int64()),
+            "aa": pc.round(t.column("aa"), ndigits=round_to),
+            "__k": key,
+        })
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            pc.cast(t.column("a"), pa.string()),
+            pc.cast(t.column("b"), pa.string()), ":")})
+
+    nonedge = semi_join_ds(
+        scores.map_batches(finish, batch_format="pyarrow"),
+        edges.map_batches(edge_key, batch_format="pyarrow"),
+        key_col="k", big_key="__k", keep=False).drop_columns(["__k"])
+    return topk(nonedge, [("aa", True), ("cn", True),
+                          ("node_a", False), ("node_b", False)], k)
+
+
 def triangle_count(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
                    num_buckets: int = 64):
     """Global triangle count of the UNDIRECTED simple graph underlying

@@ -2439,6 +2439,36 @@ FROM s FULL OUTER JOIN t ON t.entity = s.entity
 """)
 
 
+def q_kg_linkpred(sf_dir: str):
+    """Link prediction on the entity graph: top-20 NON-edge pairs by
+    Adamic-Adar score over shared neighbors (`graph.link_prediction`;
+    wedge fan-out + pair aggregate + tiered anti-join)."""
+    from cosmos_ray.functions.graph import link_prediction
+
+    return link_prediction(_built_kg(sf_dir).adjacency, k=20)
+
+
+SQL_KG_LINKPRED = with_goldens(_SQL_ADJ_CTE + """
+, e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM adj WHERE src <> dst)
+, und AS (SELECT a AS ctr, b AS nb FROM e UNION ALL SELECT b, a FROM e)
+, deg AS (SELECT ctr, count(*) AS d FROM und GROUP BY ctr)
+, s AS (
+  SELECT u1.nb AS node_a, u2.nb AS node_b,
+         CAST(count(*) AS BIGINT) AS cn,
+         round(sum(1.0 / ln(deg.d)), 6) AS aa
+  FROM und u1
+  JOIN und u2 ON u1.ctr = u2.ctr AND u1.nb < u2.nb
+  JOIN deg ON deg.ctr = u1.ctr
+  GROUP BY 1, 2)
+SELECT s.node_a, s.node_b, s.cn, s.aa
+FROM s LEFT JOIN e ON e.a = s.node_a AND e.b = s.node_b
+WHERE e.a IS NULL
+ORDER BY s.aa DESC, s.cn DESC, s.node_a, s.node_b
+LIMIT 20
+""")
+
+
 def q_kg_triangles(sf_dir: str):
     """Global triangle count of the undirected entity graph
     (`graph.triangle_count`, compact-forward wedge generation + edge
@@ -3565,6 +3595,7 @@ QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "kg_degree": q_kg_degree,
     "kg_triangles": q_kg_triangles,
+    "kg_linkpred": q_kg_linkpred,
     "kg_pagerank": q_kg_pagerank,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
@@ -3675,6 +3706,7 @@ ORACLES = {
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_degree": SQL_KG_DEGREE,
     "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_linkpred": SQL_KG_LINKPRED,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,

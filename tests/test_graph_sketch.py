@@ -203,6 +203,22 @@ def _ent_edges(pairs):
     }))
 
 
+def test_link_prediction_hand_graph():
+    from cosmos_ray.functions.graph import link_prediction
+
+    # square a-b-c-d-a: non-edge diagonals (a,c) and (b,d) each share
+    # two degree-2 neighbors -> cn=2, aa=2/ln(2); edges themselves
+    # (e.g. a-b, sharing no neighbor here) must not appear
+    edges = pd.DataFrame({
+        "src_entity": ["a", "b", "c", "d"],
+        "dst_entity": ["b", "c", "d", "a"],
+    })
+    out = link_prediction(rd.from_pandas(edges), k=10).to_pandas()
+    got = {(r.node_a, r.node_b): (r.cn, r.aa) for r in out.itertuples()}
+    want_aa = round(2 / np.log(2), 6)
+    assert got == {("a", "c"): (2, want_aa), ("b", "d"): (2, want_aa)}
+
+
 def test_connected_components_driver_and_distributed_agree():
     from cosmos_ray.functions.graph import connected_components
 
