@@ -167,6 +167,88 @@ LIMIT 10 OFFSET 10
 """
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the deepest relational chain: revenue from 1996
+    ASIA lineitems where the supplier's nation equals the customer's
+    nation. Dimension hops (region, nation, supplier) ride the guarded
+    broadcast tier; customer->orders rides join_or_broadcast; the one
+    genuinely large-large edge (orders ⨝ lineitem) is a hash-partitioned
+    native Dataset.join. The same-nation predicate is a post-join
+    vectorized filter, and every input is column-pruned at the read."""
+    import datetime
+
+    from cosmos_ray.queries.relational import _join_partitions
+
+    nation = read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = read(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia_nations = join_or_broadcast(
+        nation, region.filter(lambda r: r["r_name"] == "ASIA"),
+        key="r_regionkey", add_cols=["r_name"], big_key="n_regionkey",
+    ).select_columns(["n_nationkey", "n_name"])
+
+    customer = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = join_or_broadcast(customer, asia_nations, key="n_nationkey",
+                             add_cols=["n_name"], big_key="c_nationkey")
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def in_1996(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        return t.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                                pc.less(d, pa.scalar(hi)))).drop_columns(
+            ["o_orderdate"])
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        in_1996, batch_format="pyarrow")
+    ordn = join_or_broadcast(orders, cust, key="c_custkey",
+                             add_cols=["c_nationkey", "n_name"],
+                             big_key="o_custkey")
+
+    items = read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = items.join(ordn.select_columns(["o_orderkey", "c_nationkey", "n_name"]),
+                        join_type="inner", num_partitions=_join_partitions(),
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    supplier = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    withsup = join_or_broadcast(joined, supplier, key="s_suppkey",
+                                add_cols=["s_nationkey"], big_key="l_suppkey")
+
+    def local_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nationkey"), t.column("c_nationkey")))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"n_name": t.column("n_name"), "rev": rev})
+
+    agg = (withsup.map_batches(local_rev, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n_items")))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.round(t.column("revenue"), 4)),
+        batch_format="pyarrow")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Large-large hash join via native ``Dataset.join`` (hash-partitioned
     on the key — the non-broadcast join shape, J5): revenue per order
@@ -3512,6 +3594,7 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
     "order_lineitem_join": q_order_lineitem_join,
+    "local_supplier_volume": q_local_supplier_volume,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
@@ -3629,6 +3712,7 @@ ORACLES = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "top_customers": SQL_TOP_CUSTOMERS,
     "top_customers_page2": SQL_TOP_CUSTOMERS_PAGE2,
     "phrase_search": SQL_PHRASE_SEARCH,
