@@ -1270,6 +1270,48 @@ FROM events GROUP BY 1
 """
 
 
+def q_fuzzy_clusters(sf_dir: str):
+    """Entity resolution end-to-end: fuzzy Levenshtein pairs
+    (`linkage.fuzzy_name_pairs`) fed into `graph.connected_components`;
+    every distinct part name gets the lexicographic-min member of its
+    fuzzy component as canonical representative (singletons map to
+    themselves)."""
+    from cosmos_ray.functions.graph import connected_components
+    from cosmos_ray.functions.linkage import fuzzy_name_pairs
+
+    names = read(sf_dir, "part", ["p_name"]).groupby("p_name").map_groups(
+        lambda g: g.iloc[:1][["p_name"]], batch_format="pandas")
+    pairs = fuzzy_name_pairs(read(sf_dir, "part", ["p_name"]), "p_name",
+                             max_dist=2)
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    single = semi_join_ds(
+        names,
+        comp.map_batches(lambda t: pa.table({"k": t.column("entity")}),
+                         batch_format="pyarrow"),
+        key_col="k", big_key="p_name", keep=False)
+    return comp.map_batches(
+        lambda t: pa.table({"p_name": t.column("entity"),
+                            "cluster": t.column("component")}),
+        batch_format="pyarrow").union(
+        single.map_batches(
+            lambda t: pa.table({"p_name": t.column("p_name"),
+                                "cluster": t.column("p_name")}),
+            batch_format="pyarrow"))
+
+
+SQL_FUZZY_CLUSTERS = """
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (SELECT a.p_name AS x, b.p_name AS y FROM names a JOIN names b
+          ON a.p_name < b.p_name
+          WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2),
+und AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+reach(a, b) AS (SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+SELECT a AS p_name, min(b) AS cluster FROM reach GROUP BY a
+"""
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """K-minimum-values distinct sketch per event_type — deterministic
     (md5-hash order statistic), so the approximate estimate itself is
@@ -3622,6 +3664,7 @@ QUERIES = {
     "rolling_value": q_rolling_value,
     "fuzzy_parts": q_fuzzy_parts,
     "distinct_users_kmv": q_distinct_users_kmv,
+    "fuzzy_clusters": q_fuzzy_clusters,
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
@@ -3737,6 +3780,7 @@ ORACLES = {
     "rolling_value": SQL_ROLLING_VALUE,
     "fuzzy_parts": SQL_FUZZY_PARTS,
     "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
+    "fuzzy_clusters": SQL_FUZZY_CLUSTERS,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
