@@ -1270,6 +1270,70 @@ FROM events GROUP BY 1
 """
 
 
+def q_docs_merged(sf_dir: str):
+    """MERGE / upsert (`relational.merge_upsert`): apply a CDC changeset
+    to the documents table — updates (doc_id % 7 == 0 gains 1000
+    n_chars), deletes (doc_id % 11 == 3, unless updated), inserts
+    (doc_id % 13 == 0 re-keyed +1_000_000) — in one key-hash exchange."""
+    from cosmos_ray.queries.relational import merge_upsert
+
+    base = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = t.column("lang")
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        m_upd = d % 7 == 0
+        m_del = (d % 11 == 3) & ~m_upd
+        m_ins = d % 13 == 0
+        parts = []
+        if m_upd.any():
+            parts.append(pa.table({
+                "doc_id": pa.array(d[m_upd]), "lang": lang.filter(pa.array(m_upd)),
+                "n_chars": pa.array(n[m_upd] + 1000),
+                "is_delete": pa.array(np.zeros(int(m_upd.sum()), bool))}))
+        if m_del.any():
+            parts.append(pa.table({
+                "doc_id": pa.array(d[m_del]), "lang": lang.filter(pa.array(m_del)),
+                "n_chars": pa.array(n[m_del]),
+                "is_delete": pa.array(np.ones(int(m_del.sum()), bool))}))
+        if m_ins.any():
+            parts.append(pa.table({
+                "doc_id": pa.array(d[m_ins] + 1_000_000),
+                "lang": lang.filter(pa.array(m_ins)),
+                "n_chars": pa.array(n[m_ins]),
+                "is_delete": pa.array(np.zeros(int(m_ins.sum()), bool))}))
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "is_delete": pa.array([], pa.bool_())})
+        return pa.concat_tables(parts)
+
+    changes = base.map_batches(make_changes, batch_format="pyarrow")
+    return merge_upsert(base, changes, key="doc_id")
+
+
+SQL_DOCS_MERGED = """
+WITH changes AS (
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars, FALSE AS is_delete
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars, TRUE
+  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, n_chars, FALSE
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+       COALESCE(c.lang, b.lang) AS lang,
+       COALESCE(c.n_chars, b.n_chars) AS n_chars
+FROM (SELECT doc_id, lang, n_chars FROM documents) b
+FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+WHERE NOT COALESCE(c.is_delete, FALSE)
+"""
+
+
 def q_fuzzy_clusters(sf_dir: str):
     """Entity resolution end-to-end: fuzzy Levenshtein pairs
     (`linkage.fuzzy_name_pairs`) fed into `graph.connected_components`;
@@ -3665,6 +3729,7 @@ QUERIES = {
     "fuzzy_parts": q_fuzzy_parts,
     "distinct_users_kmv": q_distinct_users_kmv,
     "fuzzy_clusters": q_fuzzy_clusters,
+    "docs_merged": q_docs_merged,
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
@@ -3781,6 +3846,7 @@ ORACLES = {
     "fuzzy_parts": SQL_FUZZY_PARTS,
     "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
     "fuzzy_clusters": SQL_FUZZY_CLUSTERS,
+    "docs_merged": SQL_DOCS_MERGED,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,

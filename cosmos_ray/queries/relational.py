@@ -358,6 +358,52 @@ def semi_join_filter(big_ds, keys: set, key_col: str, keep: bool = True):
     return big_ds.map_batches(member, batch_format="pyarrow")
 
 
+def merge_upsert(base_ds, changes_ds, key: str, delete_col: str = "is_delete",
+                 num_buckets: int = 256):
+    """SQL MERGE semantics in ONE key-hash exchange: a change row
+    replaces the base row with the same ``key`` (update), change rows
+    with ``delete_col`` true remove the key, unmatched change rows
+    insert. ``changes_ds`` must carry the base columns plus
+    ``delete_col`` and at most one row per key (compact CDC upstream —
+    `state.compact` / keep-latest — if not).
+
+    Shape (the `extract.keep_latest` coarse-bucket pattern): tag rank
+    (base 0 / change 1), hash the key into ``num_buckets`` coarse
+    groups, vectorized in-bucket keep-max-rank via pandas
+    ``drop_duplicates``, then a delete filter — no join, no per-key
+    python."""
+    import pandas as pd
+
+    cols = [c for c in base_ds.schema().names]
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        t = t.append_column(delete_col, pa.array(np.zeros(len(t), bool)))
+        return t.append_column("__rank", pa.array(np.zeros(len(t), np.int8)))
+
+    def tag_change(t: pa.Table) -> pa.Table:
+        t = t.select(cols + [delete_col])
+        return t.append_column("__rank", pa.array(np.ones(len(t), np.int8)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        vals = _key_np(t.column(key))
+        h = pd.util.hash_array(vals)
+        return t.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "__rank"], kind="stable")
+        win = df.drop_duplicates(subset=[key], keep="last")
+        return win.loc[~win[delete_col], cols]
+
+    tagged = (base_ds.map_batches(tag_base, batch_format="pyarrow")
+              .union(changes_ds.map_batches(tag_change,
+                                            batch_format="pyarrow")))
+    return (tagged.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pandas"))
+
+
 def bucketed_group_apply(ds, keys: list[str], fn, num_buckets: int = 64):
     """``groupby(keys).map_groups(fn)`` with per-group overhead amortized.
 

@@ -259,3 +259,42 @@ class TestLeftJoinOrBroadcast:
     def test_distributed_fallback_agrees(self):
         # cap 0 forces the left_outer Dataset.join path
         assert self._run(cap=0) == self._run(cap=1000)
+
+
+class TestMergeUpsert:
+    def test_update_delete_insert_semantics(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.queries.relational import merge_upsert
+
+        base = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"])}))
+        changes = rd.from_arrow(pa.table({
+            "id": pa.array([2, 3, 9, 5], pa.int64()),
+            "v": pa.array(["B", "x", "zz", "e"]),
+            "is_delete": pa.array([False, True, True, False])}))
+        got = (merge_upsert(base, changes, key="id").to_pandas()
+               .sort_values("id").reset_index(drop=True))
+        # 1 kept, 2 updated, 3 deleted, 4 kept, 5 inserted,
+        # 9 delete-of-absent-key stays absent
+        assert list(zip(got["id"], got["v"])) == [
+            (1, "a"), (2, "B"), (4, "d"), (5, "e")]
+
+    def test_empty_changes_is_identity(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.queries.relational import merge_upsert
+
+        base = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2], pa.int64()), "v": pa.array(["a", "b"])}))
+        empty = rd.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()), "v": pa.array([], pa.string()),
+            "is_delete": pa.array([], pa.bool_())}))
+        got = (merge_upsert(base, empty, key="id").to_pandas()
+               .sort_values("id").reset_index(drop=True))
+        assert list(zip(got["id"], got["v"])) == [(1, "a"), (2, "b")]
