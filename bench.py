@@ -154,6 +154,8 @@ def _run_bench() -> dict:
         "minhash_clusters",
         "bm25_docs",
         "curate_docs",
+        "local_supplier_volume",
+        "fuzzy_parts",
     )
     for name in q_names:
         t0 = time.perf_counter()
