@@ -97,13 +97,20 @@ def degree_centrality(edges_ds, src: str = "src_entity",
 
 def pagerank(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
              weight: str = "weight", damping: float = 0.85, iters: int = 20,
-             broadcast_cap: int = 2_000_000, ndigits: int = 6):
+             broadcast_cap: int = 2_000_000, ndigits: int = 6,
+             seeds: list | None = None):
     """Weighted PageRank -> (entity, rank), ranks rounded to ``ndigits``
     (sum over nodes ~= 1). Dangling mass is redistributed uniformly each
     iteration (standard formulation). Fixed ``iters`` power iterations —
     deterministic given the graph; float partial-sum order may wiggle
     well below the rounding digit (same tolerance story as the rounded
-    SQL-checked aggregates)."""
+    SQL-checked aggregates).
+
+    ``seeds`` switches to PERSONALIZED PageRank (random-walk-with-
+    restart): the teleport vector is uniform over the seed set instead
+    of all nodes, and dangling mass restarts at the seeds too. The seed
+    set is a query parameter (driver-small by definition); seeds absent
+    from the graph are ignored."""
     from cosmos_ray.queries.relational import collect_small
 
     e = _edge_weights(edges_ds, src, dst, weight).materialize()
@@ -111,7 +118,7 @@ def pagerank(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
     # node table + per-src total outgoing weight (both node-sized)
     nodes_tbl = collect_small(_distinct_entities(e), cap_rows=broadcast_cap)
     if nodes_tbl is None:
-        return _pagerank_joined(e, damping, iters, ndigits)
+        return _pagerank_joined(e, damping, iters, ndigits, seeds=seeds)
     node_ids = np.sort(nodes_tbl.column("entity").to_numpy(zero_copy_only=False))
     n = len(node_ids)
     if n == 0:
@@ -128,7 +135,15 @@ def pagerank(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
     idx = np.searchsorted(node_ids, outw_tbl.column("src").to_numpy(zero_copy_only=False))
     outw[idx] = outw_tbl.column("outw").to_numpy(zero_copy_only=False)
 
-    ranks = np.full(n, 1.0 / n)
+    if seeds is None:
+        v = np.full(n, 1.0 / n)
+    else:
+        present = np.intersect1d(np.asarray(sorted(set(seeds))), node_ids)
+        if len(present) == 0:
+            raise ValueError("personalized pagerank: no seed is a graph node")
+        v = np.zeros(n)
+        v[np.searchsorted(node_ids, present)] = 1.0 / len(present)
+    ranks = v.copy()
     ids_ref = ray.put(node_ids)
     for _ in range(iters):
         r_ref = ray.put(ranks / np.where(outw > 0, outw, 1.0))  # rank/outw per node
@@ -155,7 +170,7 @@ def pagerank(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
             j = np.searchsorted(node_ids, agg.column("dst").to_numpy(zero_copy_only=False))
             incoming[j] = agg.column("c").to_numpy(zero_copy_only=False)
         dangling = ranks[outw == 0].sum()
-        ranks = (1.0 - damping) / n + damping * (incoming + dangling / n)
+        ranks = (1.0 - damping) * v + damping * (incoming + dangling * v)
 
     return rd.from_arrow(pa.table({
         "entity": pa.array(node_ids.tolist()),
@@ -163,21 +178,48 @@ def pagerank(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
     }))
 
 
-def _pagerank_joined(e, damping: float, iters: int, ndigits: int):
+def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
+                     seeds: list | None = None):
     """Node table exceeds the broadcast cap: every iteration is a
     distributed hash join of edges against the rank table plus a
     groupby-sum — the all-to-all form. Agrees exactly with the broadcast
-    path (test-gated); used only past ``broadcast_cap`` nodes."""
+    path (test-gated); used only past ``broadcast_cap`` nodes. The seed
+    set (personalized teleport) is query-sized, so its membership test
+    rides inside the map closures."""
     import ray as _ray
 
     num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
 
     nodes = _distinct_entities(e).materialize()
     n = nodes.count()
+    seed_set = None
+    if seeds is not None:
+        seed_set = frozenset(seeds)
+
+        def count_present(t: pa.Table) -> pa.Table:
+            ent = t.column("entity").to_numpy(zero_copy_only=False)
+            hit = sum(1 for x in ent if x in seed_set)
+            return pa.table({"n": pa.array([hit], pa.int64())})
+
+        n_seed = int(nodes.map_batches(
+            count_present, batch_format="pyarrow").sum("n") or 0)
+        if n_seed == 0:
+            raise ValueError("personalized pagerank: no seed is a graph node")
+
+    def teleport(t: pa.Table) -> pa.Table:
+        ent = t.column("entity").to_numpy(zero_copy_only=False)
+        if seed_set is None:
+            tv = np.full(len(ent), 1.0 / n)
+        else:
+            tv = np.fromiter((1.0 / n_seed if x in seed_set else 0.0
+                              for x in ent), np.float64, count=len(ent))
+        return t.append_column("tv", pa.array(tv, pa.float64()))
+
     outw = e.groupby("src").aggregate(Sum("w", alias_name="outw"))
+    nodes = nodes.map_batches(teleport, batch_format="pyarrow").materialize()
     ranks = nodes.map_batches(
-        lambda t: t.append_column("rank", pa.array(
-            np.full(t.num_rows, 1.0 / n), pa.float64())),
+        lambda t: pa.table({"entity": t.column("entity"),
+                            "rank": t.column("tv")}),
         batch_format="pyarrow",
     ).materialize()
 
@@ -210,15 +252,18 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int):
             )
             .groupby("entity").aggregate(Sum("c", alias_name="c"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = nodes.join(contrib, join_type="left_outer",
                            num_partitions=num_partitions, on=("entity",),
                            right_on=("entity",)).map_batches(
-            lambda t, _b=base: pa.table({
+            lambda t, _dang=dangling: pa.table({
                 "entity": t.column("entity"),
                 "rank": pa.array(
-                    _b + damping * np.nan_to_num(
-                        t.column("c").to_numpy(zero_copy_only=False), nan=0.0),
+                    (1.0 - damping) * t.column("tv").to_numpy(
+                        zero_copy_only=False)
+                    + damping * (np.nan_to_num(
+                        t.column("c").to_numpy(zero_copy_only=False), nan=0.0)
+                        + _dang * t.column("tv").to_numpy(
+                            zero_copy_only=False)),
                     pa.float64()),
             }),
             batch_format="pyarrow",

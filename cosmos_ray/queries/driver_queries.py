@@ -834,6 +834,81 @@ FROM (
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Pearson correlation / covariance / stddev of (quantity,
+    extendedprice) per returnflag via mergeable power-sum partials
+    (`stats.grouped_corr`): 6 doubles per (batch, group) move, nothing
+    else. The oracle replays the identical closed form over SQL SUMs
+    (the daily_anomalies shared-formula convention) so float parity
+    holds to the rounding digit."""
+    from cosmos_ray.functions.stats import grouped_corr
+
+    return grouped_corr(
+        read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                  "l_extendedprice"]),
+        ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+SQL_LINEITEM_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round((sxy/n - (sx/n)*(sy/n)) /
+             sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))), 6)
+           AS corr,
+       round(sxy/n - (sx/n)*(sy/n), 6) AS covar_pop,
+       round(sqrt(sxx/n - (sx/n)*(sx/n)), 6) AS stddev_x,
+       round(sqrt(syy/n - (sy/n)*(sy/n)), 6) AS stddev_y
+FROM s
+"""
+
+
+def q_ewma_value(sf_dir: str):
+    """Exponentially-weighted moving average of value per user in
+    event-time order (`stats.ewma_value`, alpha=0.3, adjust=True
+    weighted-mean semantics — SQL-replayable as normalized power sums
+    over preceding rows)."""
+    from cosmos_ray.functions.stats import ewma_value
+
+    return ewma_value(read(sf_dir, "events",
+                           ["user_id", "event_id", "ts", "value"]), alpha=0.3)
+
+
+SQL_EWMA_VALUE = """
+WITH r AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.user_id, a.event_id, epoch_us(a.ts) AS ts_us,
+       round(sum(b.value * pow(0.7, a.rn - b.rn)) /
+             sum(pow(0.7, a.rn - b.rn)), 6) AS ewma
+FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY a.user_id, a.event_id, a.ts
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width value histogram per event_type
+    (`stats.value_histogram`, bin width 5): batch-local bincount
+    partials, one row per non-empty (type, bin) exchanged."""
+    from cosmos_ray.functions.stats import value_histogram
+
+    return value_histogram(read(sf_dir, "events", ["event_type", "value"]),
+                           ["event_type"], "value", bin_width=5.0)
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, floor(value / 5.0) * 5.0 AS bin_lo, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_user_cumsum(sf_dir: str):
     """Running sum of value per user in event-time order (window
     aggregate in batch form)."""
@@ -2722,6 +2797,56 @@ SELECT entity, round(pr, 6) AS "rank" FROM r{iters}
 SQL_KG_PAGERANK = _sql_kg_pagerank()
 
 
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank (random-walk-with-restart) from the
+    lexicographic-min entity — the 'entities related to X' retrieval
+    primitive (`graph.pagerank(seeds=...)`: teleport AND dangling mass
+    restart at the seed)."""
+    from cosmos_ray.functions.graph import pagerank
+
+    adj = _built_kg(sf_dir).adjacency
+    seed = min(adj.min("src_entity"), adj.min("dst_entity"))
+    return pagerank(adj, iters=10, seeds=[seed])
+
+
+def _sql_kg_ppr(iters: int = 10, damping: float = 0.85) -> str:
+    """PPR replay: the pagerank unroll with the uniform teleport 1/n
+    replaced by the seed indicator vector (min node), dangling mass
+    restarting at the seed."""
+    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+, nodes AS MATERIALIZED (SELECT DISTINCT e FROM
+            (SELECT src AS e FROM adj UNION ALL SELECT dst FROM adj))
+, outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM adj GROUP BY src)
+, tp AS MATERIALIZED (SELECT e AS entity,
+            CASE WHEN e = (SELECT min(e) FROM nodes)
+                 THEN 1.0 ELSE 0.0 END AS tv FROM nodes)
+, r0 AS MATERIALIZED (SELECT entity, tv AS pr FROM tp)
+"""]
+    for i in range(iters):
+        parts.append(f"""
+, d{i} AS MATERIALIZED (SELECT COALESCE(sum(r.pr), 0.0) AS dang
+           FROM r{i} r LEFT JOIN outw o ON o.src = r.entity
+           WHERE o.src IS NULL)
+, c{i} AS MATERIALIZED (SELECT a.dst AS entity, sum(r.pr / o.ow * a.w) AS inc
+           FROM adj a
+           JOIN r{i} r ON r.entity = a.src
+           JOIN outw o ON o.src = a.src
+           GROUP BY a.dst)
+, r{i + 1} AS MATERIALIZED (SELECT t.entity,
+               (1.0 - {damping}) * t.tv
+               + {damping} * (COALESCE(c.inc, 0.0)
+                              + (SELECT dang FROM d{i}) * t.tv) AS pr
+               FROM tp t LEFT JOIN c{i} c ON c.entity = t.entity)
+""")
+    parts.append(f"""
+SELECT entity, round(pr, 6) AS "rank" FROM r{iters}
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_PPR = _sql_kg_ppr()
+
+
 def q_kg_components(sf_dir: str):
     """Connected components over the entity graph (undirected), component
     id = lexicographic-min member (`graph.connected_components`: driver
@@ -3727,6 +3852,9 @@ QUERIES = {
     "user_cumsum": q_user_cumsum,
     "rolling_value": q_rolling_value,
     "fuzzy_parts": q_fuzzy_parts,
+    "lineitem_corr": q_lineitem_corr,
+    "ewma_value": q_ewma_value,
+    "value_histogram": q_value_histogram,
     "distinct_users_kmv": q_distinct_users_kmv,
     "fuzzy_clusters": q_fuzzy_clusters,
     "docs_merged": q_docs_merged,
@@ -3788,6 +3916,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_linkpred": q_kg_linkpred,
     "kg_pagerank": q_kg_pagerank,
+    "kg_ppr": q_kg_ppr,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
@@ -3844,6 +3973,9 @@ ORACLES = {
     "user_cumsum": SQL_USER_CUMSUM,
     "rolling_value": SQL_ROLLING_VALUE,
     "fuzzy_parts": SQL_FUZZY_PARTS,
+    "lineitem_corr": SQL_LINEITEM_CORR,
+    "ewma_value": SQL_EWMA_VALUE,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
     "fuzzy_clusters": SQL_FUZZY_CLUSTERS,
     "docs_merged": SQL_DOCS_MERGED,
@@ -3902,6 +4034,7 @@ ORACLES = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_ppr": SQL_KG_PPR,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,

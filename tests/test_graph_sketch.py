@@ -68,6 +68,65 @@ class TestPageRank:
         assert abs(df["rank"].sum() - 1.0) < 1e-4
 
 
+def _numpy_ppr(rows, seeds, iters, damping=0.85):
+    nodes = sorted({x for s, d, _ in rows for x in (s, d)})
+    m = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in rows:
+        W[m[s], m[d]] += w
+    outw = W.sum(1)
+    v = np.zeros(n)
+    for s in seeds:
+        v[m[s]] = 1.0 / len(seeds)
+    r = v.copy()
+    for _ in range(iters):
+        share = np.where(outw > 0, r / np.where(outw > 0, outw, 1), 0)
+        r = (1 - damping) * v + damping * (W.T @ share + r[outw == 0].sum() * v)
+    return nodes, np.round(r, 6)
+
+
+class TestPersonalizedPageRank:
+    def test_matches_numpy_restart_iteration(self):
+        from cosmos_ray.functions.graph import pagerank
+
+        df = pagerank(_edges(EDGE_ROWS), iters=10, seeds=["a"]).to_pandas()
+        df = df.sort_values("entity").reset_index(drop=True)
+        nodes, want = _numpy_ppr(EDGE_ROWS, ["a"], iters=10)
+        assert df["entity"].tolist() == nodes
+        assert np.allclose(df["rank"], want, atol=2e-6)
+        assert abs(df["rank"].sum() - 1.0) < 1e-4
+
+    def test_seed_concentrates_mass(self):
+        from cosmos_ray.functions.graph import pagerank
+
+        ppr = pagerank(_edges(EDGE_ROWS), iters=10, seeds=["a"]).to_pandas()
+        uni = pagerank(_edges(EDGE_ROWS), iters=10).to_pandas()
+        pa_ = ppr.set_index("entity")["rank"]
+        ua = uni.set_index("entity")["rank"]
+        assert pa_["a"] > ua["a"]  # restart mass concentrates at the seed
+        assert pa_["e"] == 0.0  # nothing walks INTO e: zero personalized mass
+
+    def test_joined_fallback_agrees_with_broadcast(self):
+        from cosmos_ray.functions.graph import pagerank
+
+        fast = pagerank(_edges(EDGE_ROWS), iters=5, seeds=["a"]).to_pandas()
+        slow = pagerank(_edges(EDGE_ROWS), iters=5, seeds=["a"],
+                        broadcast_cap=0).to_pandas()
+        f = fast.sort_values("entity").reset_index(drop=True)
+        s = slow.sort_values("entity").reset_index(drop=True)
+        assert f["entity"].tolist() == s["entity"].tolist()
+        assert np.allclose(f["rank"], s["rank"], atol=2e-6)
+
+    def test_unknown_seed_raises(self):
+        import pytest as _pytest
+
+        from cosmos_ray.functions.graph import pagerank
+
+        with _pytest.raises(ValueError):
+            pagerank(_edges(EDGE_ROWS), iters=2, seeds=["zzz"]).to_pandas()
+
+
 class TestDegree:
     def test_counts_and_weights(self):
         from cosmos_ray.functions.graph import degree_centrality
