@@ -909,6 +909,79 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_session_stats(sf_dir: str):
+    """Composition: sessionize -> per-session rollup (n_events, duration,
+    sum of value rounded 4) — the session-window aggregate analytics
+    stacks on gap-based sessions. One extra groupby over the sessionize
+    exchange; value rides along so no second scan."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from cosmos_ray.functions.windows import _bucketed_by_user
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_session = new_user | (gap > 1800 * 1_000_000)
+        s = np.cumsum(new_session)
+        first_idx = np.flatnonzero(new_user)
+        runs = np.diff(np.append(first_idx, len(s)))
+        base = np.repeat(s[first_idx], runs)
+        return pd.DataFrame({
+            "user_id": user, "session_id": s - base,
+            "ts_us": ts_us, "value": g["value"].to_numpy(),
+        })
+
+    sess = _bucketed_by_user(ev, fn)
+    agg = (sess.groupby(["user_id", "session_id"])
+           .aggregate(Count(alias_name="n_events"),
+                      Min("ts_us", alias_name="t0"),
+                      Max("ts_us", alias_name="t1"),
+                      Sum("value", alias_name="sum_value")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "session_id": t.column("session_id").cast(pa.int64()),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "duration_us": pc.subtract(t.column("t1"), t.column("t0")),
+            # np.round, not pc.round: pyarrow's kernel lands on a
+            # different ulp of the unrepresentable decimal than DuckDB
+            "sum_value": pa.array(np.round(
+                t.column("sum_value").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SESSION_STATS = """
+WITH l AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CAST(SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - prev_ts > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM l)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS duration_us,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_user_cumsum(sf_dir: str):
     """Running sum of value per user in event-time order (window
     aggregate in batch form)."""
@@ -3853,6 +3926,7 @@ QUERIES = {
     "rolling_value": q_rolling_value,
     "fuzzy_parts": q_fuzzy_parts,
     "lineitem_corr": q_lineitem_corr,
+    "session_stats": q_session_stats,
     "ewma_value": q_ewma_value,
     "value_histogram": q_value_histogram,
     "distinct_users_kmv": q_distinct_users_kmv,
@@ -3974,6 +4048,7 @@ ORACLES = {
     "rolling_value": SQL_ROLLING_VALUE,
     "fuzzy_parts": SQL_FUZZY_PARTS,
     "lineitem_corr": SQL_LINEITEM_CORR,
+    "session_stats": SQL_SESSION_STATS,
     "ewma_value": SQL_EWMA_VALUE,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
