@@ -2547,6 +2547,77 @@ FROM x GROUP BY label, dim
 """
 
 
+def q_centroid_assign(sf_dir: str):
+    """Nearest-centroid classification: every vector assigned to the
+    closest per-label centroid (squared euclidean on 6dp-rounded
+    centroids so engine and oracle argmin over identical values; ties
+    -> lowest label). Centroids move as (labels x dims) combiner
+    partials; assignment is one broadcast matrix per batch."""
+    import ray as _ray
+
+    from cosmos_ray.queries.relational import collect_small
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    DIM = 64
+
+    def partials(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), V.shape[1]))
+        np.add.at(sums, inv, V)
+        cols = {"label": pa.array(uniq, pa.int64()),
+                "c": pa.array(np.bincount(inv), pa.int64())}
+        for d in range(V.shape[1]):
+            cols[f"s_{d}"] = pa.array(sums[:, d], pa.float64())
+        return pa.table(cols)
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("c", alias_name="c"),
+                      *[Sum(f"s_{d}", alias_name=f"s_{d}")
+                        for d in range(DIM)]))
+    cent = collect_small(agg, cap_rows=100_000)
+    if cent is None:
+        raise ValueError("centroid table exceeded the broadcast cap")
+    order = np.argsort(cent.column("label").to_numpy())
+    labels = cent.column("label").to_numpy()[order]
+    cnt = cent.column("c").to_numpy().astype(np.float64)[order]
+    C = np.stack([cent.column(f"s_{d}").to_numpy()[order] / cnt
+                  for d in range(DIM)], axis=1)
+    C = np.round(C, 6)
+    c_ref = _ray.put((labels, C))
+
+    def assign(t: pa.Table, _c=c_ref) -> pa.Table:
+        labs, cm = _ray.get(_c)
+        V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = ((V[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(d2, axis=1)  # labels sorted asc -> tie = lowest
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "label": pa.array(labs[j], pa.int64()),
+            "dist": pa.array(np.round(d2[np.arange(len(j)), j], 6),
+                             pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_CENTROID_ASSIGN = """
+WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  CAST(unnest(embedding) AS DOUBLE) AS v,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+           FROM embeddings),
+cent AS (SELECT label, dim, round(avg(v), 6) AS m FROM x GROUP BY 1, 2),
+d AS (SELECT x.vec_id, cent.label,
+             round(sum((x.v - cent.m) * (x.v - cent.m)), 6) AS dist
+      FROM (SELECT vec_id, v, dim FROM x) x
+      JOIN cent ON cent.dim = x.dim GROUP BY 1, 2)
+SELECT vec_id, label, dist FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) = 1
+"""
+
+
 def q_knn_join(sf_dir: str):
     """kNN similarity join: each of the first 5 vectors joined to its 3
     nearest OTHER vectors (`similarity.knn_join`, slabbed broadcast +
@@ -3976,6 +4047,7 @@ QUERIES = {
     "doc_windows": q_doc_windows,
     "embedding_topk": q_embedding_topk,
     "class_centroids": q_class_centroids,
+    "centroid_assign": q_centroid_assign,
     "knn_join": q_knn_join,
     "mmr_rerank": q_mmr_rerank,
     "percent_rank": q_percent_rank,
@@ -4091,6 +4163,7 @@ ORACLES = {
     "vocab_counts": SQL_VOCAB_COUNTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "class_centroids": SQL_CLASS_CENTROIDS,
+    "centroid_assign": SQL_CENTROID_ASSIGN,
     "knn_join": SQL_KNN_JOIN,
     "percent_rank": SQL_PERCENT_RANK,
     "events_rollup": SQL_EVENTS_ROLLUP,
