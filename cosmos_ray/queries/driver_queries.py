@@ -909,6 +909,102 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_mad_outlier_days(sf_dir: str):
+    """Robust (median/MAD) daily-volume outliers per event_type — the
+    median-based twin of daily_anomalies' z-score: flag days where
+    |n - median| > 3 * MAD. The (type, day) count table is bounded by
+    days x types (not corpus size), so after the count exchange the
+    two-level holistic medians are model-sized driver work (the
+    mixture_weights convention); dev/MAD are exact 0.5-step floats, so
+    the strict > threshold is float-exact vs SQL."""
+    from cosmos_ray.queries.relational import collect_small
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000)),
+                          pa.scalar(86_400_000_000))
+        return pa.table({"event_type": t.column("event_type"),
+                         "day_us": day})
+
+    counts = (ev.map_batches(to_day, batch_format="pyarrow")
+              .groupby(["event_type", "day_us"])
+              .aggregate(Count(alias_name="n")))
+    tbl = collect_small(counts, cap_rows=2_000_000)
+    if tbl is None:
+        raise ValueError("(type, day) table exceeded the driver cap")
+    df = tbl.to_pandas()
+    med = df.groupby("event_type")["n"].transform(lambda s: float(np.median(s)))
+    dev = (df["n"] - med).abs()
+    mad = dev.groupby(df["event_type"]).transform(lambda s: float(np.median(s)))
+    out = df[dev > 3 * mad]
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "day_us": pa.array(out["day_us"].tolist(), pa.int64()),
+        "n": pa.array(out["n"].tolist(), pa.int64()),
+    }))
+
+
+SQL_MAD_OUTLIER_DAYS = """
+WITH d AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, median(n) AS med FROM d GROUP BY 1),
+a AS (SELECT d.event_type, d.day_us, d.n, abs(d.n - m.med) AS dev
+      FROM d JOIN m USING (event_type)),
+md AS (SELECT event_type, median(dev) AS mad FROM a GROUP BY 1)
+SELECT a.event_type, a.day_us, CAST(a.n AS BIGINT) AS n
+FROM a JOIN md USING (event_type)
+WHERE a.dev > 3 * md.mad
+"""
+
+
+def q_scaled_lengths(sf_dir: str):
+    """Per-language min-max feature scaling of doc length (the
+    normalize-before-training staple): (x - min) / (max - min), groups
+    with max == min excluded on both sides. Group extrema are a tiny
+    broadcast; the scale map is stateless."""
+    from cosmos_ray.queries.relational import collect_small
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ext = collect_small(
+        docs.groupby("lang").aggregate(Min("n_chars", alias_name="mn"),
+                                       Max("n_chars", alias_name="mx")),
+        cap_rows=1_000_000)
+    if ext is None:
+        raise ValueError("per-lang extrema exceeded the driver cap")
+    mn = dict(zip(ext.column("lang").to_pylist(), ext.column("mn").to_pylist()))
+    mx = dict(zip(ext.column("lang").to_pylist(), ext.column("mx").to_pylist()))
+
+    def scale(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_pylist()
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.array([mn[x] for x in lang], np.float64)
+        hi = np.array([mx[x] for x in lang], np.float64)
+        keep = hi > lo
+        s = np.round((n[keep] - lo[keep]) / (hi[keep] - lo[keep]), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "lang": t.column("lang").filter(pa.array(keep)),
+            "scaled": pa.array(s, pa.float64()),
+        })
+
+    return docs.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_SCALED_LENGTHS = """
+SELECT doc_id, lang,
+       round((n_chars - mn) * 1.0 / (mx - mn), 6) AS scaled
+FROM (SELECT doc_id, lang, n_chars,
+             min(n_chars) OVER (PARTITION BY lang) AS mn,
+             max(n_chars) OVER (PARTITION BY lang) AS mx
+      FROM documents)
+WHERE mx > mn
+"""
+
+
 def q_session_stats(sf_dir: str):
     """Composition: sessionize -> per-session rollup (n_events, duration,
     sum of value rounded 4) — the session-window aggregate analytics
@@ -3998,6 +4094,8 @@ QUERIES = {
     "fuzzy_parts": q_fuzzy_parts,
     "lineitem_corr": q_lineitem_corr,
     "session_stats": q_session_stats,
+    "mad_outlier_days": q_mad_outlier_days,
+    "scaled_lengths": q_scaled_lengths,
     "ewma_value": q_ewma_value,
     "value_histogram": q_value_histogram,
     "distinct_users_kmv": q_distinct_users_kmv,
@@ -4121,6 +4219,8 @@ ORACLES = {
     "fuzzy_parts": SQL_FUZZY_PARTS,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "session_stats": SQL_SESSION_STATS,
+    "mad_outlier_days": SQL_MAD_OUTLIER_DAYS,
+    "scaled_lengths": SQL_SCALED_LENGTHS,
     "ewma_value": SQL_EWMA_VALUE,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
