@@ -2507,6 +2507,71 @@ FROM documents
 """
 
 
+def q_order_quartiles(sf_dir: str):
+    """SQL NTILE(4) replayed distributed: quartile bucket of
+    o_totalprice within each priority (first n%4 buckets take the extra
+    row, ties broken by orderkey exactly like the window's ORDER BY
+    o_totalprice, o_orderkey)."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ntile4(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="stable")
+        n = len(g)
+        q, rem = divmod(n, 4)
+        r = np.arange(n)  # 0-based rank
+        cut = rem * (q + 1)
+        bucket = np.where(r < cut, r // max(q + 1, 1),
+                          rem + (r - cut) // max(q, 1)) + 1
+        out = g[["o_orderkey", "o_orderpriority"]].copy()
+        out["quartile"] = bucket.astype(np.int64)
+        return out
+
+    return bucketed_group_apply(orders, ["o_orderpriority"], ntile4)
+
+
+SQL_ORDER_QUARTILES = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS quartile
+FROM orders
+"""
+
+
+def q_user_paths(sf_dir: str):
+    """Path analysis: the '>'-joined sequence of each user's FIRST 5
+    event types (ts, event_id order), counted across users — the
+    product-analytics 'common onboarding paths' rollup. Per-user
+    assembly is one hash-bucket exchange; the path strings (bounded:
+    5 short tokens) then take a tiny groupby."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        h = g.groupby("user_id", sort=False).head(5)
+        p = h.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pd.DataFrame({"path5": p.to_numpy()})
+
+    seqs = _bucketed_by_user(ev, paths)
+    return seqs.groupby("path5").aggregate(Count(alias_name="n_users"))
+
+
+SQL_USER_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path5
+      FROM r WHERE rn <= 5 GROUP BY user_id)
+SELECT path5, count(*) AS n_users FROM p GROUP BY 1
+"""
+
+
 def q_events_rollup(sf_dir: str):
     """GROUPING-SETS rollup of events: (type, day) cells, per-type
     subtotals and the grand total in one result (sentinels day=-1,
@@ -4095,6 +4160,8 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "session_stats": q_session_stats,
     "mad_outlier_days": q_mad_outlier_days,
+    "order_quartiles": q_order_quartiles,
+    "user_paths": q_user_paths,
     "scaled_lengths": q_scaled_lengths,
     "ewma_value": q_ewma_value,
     "value_histogram": q_value_histogram,
@@ -4220,6 +4287,8 @@ ORACLES = {
     "lineitem_corr": SQL_LINEITEM_CORR,
     "session_stats": SQL_SESSION_STATS,
     "mad_outlier_days": SQL_MAD_OUTLIER_DAYS,
+    "order_quartiles": SQL_ORDER_QUARTILES,
+    "user_paths": SQL_USER_PATHS,
     "scaled_lengths": SQL_SCALED_LENGTHS,
     "ewma_value": SQL_EWMA_VALUE,
     "value_histogram": SQL_VALUE_HISTOGRAM,
