@@ -2507,6 +2507,101 @@ FROM documents
 """
 
 
+def q_winsorized_values(sf_dir: str):
+    """Winsorization (outlier capping at group quantiles): clip value
+    into [p05, p95] per event_type, then roll up sum/count of the
+    clipped column. Quantiles are discrete (quantile_disc pick — exact
+    data values, no interpolation floats); caps broadcast tiny."""
+    from cosmos_ray.queries.relational import collect_small, group_quantiles
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+    caps_t = collect_small(
+        group_quantiles(ev, ["event_type"], "value", qs=(0.05, 0.95)),
+        cap_rows=1_000_000)
+    if caps_t is None:
+        raise ValueError("per-type caps exceeded the driver cap")
+    lo = dict(zip(caps_t.column("event_type").to_pylist(),
+                  caps_t.column("q5").to_pylist()))
+    hi = dict(zip(caps_t.column("event_type").to_pylist(),
+                  caps_t.column("q95").to_pylist()))
+
+    def clip(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        lov = np.array([lo[x] for x in et])
+        hiv = np.array([hi[x] for x in et])
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "w": pa.array(np.minimum(np.maximum(v, lov), hiv), pa.float64()),
+        })
+
+    agg = (ev.map_batches(clip, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("w", alias_name="sum_winsorized"),
+                      Count(alias_name="n")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "sum_winsorized": pa.array(np.round(
+                t.column("sum_winsorized").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            "n": t.column("n").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+SQL_WINSORIZED_VALUES = """
+WITH caps AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       round(sum(least(greatest(e.value, c.lo), c.hi)), 4) AS sum_winsorized,
+       count(*) AS n
+FROM events e JOIN caps c USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_revenue_share(sf_dir: str):
+    """Percent-of-total window (SUM OVER ()): each nation's share of
+    total ASIA-1996 local revenue — one grand-total broadcast over the
+    Q5 aggregate (the 'ratio to report' reporting window)."""
+    agg = q_local_supplier_volume(sf_dir)
+
+    def share(t: pa.Table) -> pa.Table:
+        rev = t.column("revenue").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "revenue": t.column("revenue"),
+            "share": pa.array(np.round(rev / rev.sum(), 6), pa.float64()),
+        })
+
+    # the aggregate is nations-sized: one block, so the in-batch total
+    # IS the grand total (repartition(1) keeps that true if it ever
+    # arrives split)
+    return agg.repartition(1).map_batches(share, batch_format="pyarrow")
+
+
+SQL_REVENUE_SHARE = """
+WITH a AS (
+  SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY n_name)
+SELECT n_name, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM a
+"""
+
+
 def q_order_quartiles(sf_dir: str):
     """SQL NTILE(4) replayed distributed: quartile bucket of
     o_totalprice within each priority (first n%4 buckets take the extra
@@ -4161,6 +4256,8 @@ QUERIES = {
     "session_stats": q_session_stats,
     "mad_outlier_days": q_mad_outlier_days,
     "order_quartiles": q_order_quartiles,
+    "winsorized_values": q_winsorized_values,
+    "revenue_share": q_revenue_share,
     "user_paths": q_user_paths,
     "scaled_lengths": q_scaled_lengths,
     "ewma_value": q_ewma_value,
@@ -4288,6 +4385,8 @@ ORACLES = {
     "session_stats": SQL_SESSION_STATS,
     "mad_outlier_days": SQL_MAD_OUTLIER_DAYS,
     "order_quartiles": SQL_ORDER_QUARTILES,
+    "winsorized_values": SQL_WINSORIZED_VALUES,
+    "revenue_share": SQL_REVENUE_SHARE,
     "user_paths": SQL_USER_PATHS,
     "scaled_lengths": SQL_SCALED_LENGTHS,
     "ewma_value": SQL_EWMA_VALUE,
