@@ -2507,6 +2507,117 @@ FROM documents
 """
 
 
+def q_user_modal_type(sf_dir: str):
+    """Per-group MODE: each user's most frequent event_type (ties ->
+    lexicographic min, DuckDB mode()'s deterministic pick replayed with
+    an explicit (count desc, type asc) argmax). Two-stage: (user, type)
+    count exchange, then a vectorized per-user argmax."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    counts = (read(sf_dir, "events", ["user_id", "event_type"])
+              .groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="n")))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+        h = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({"user_id": h["user_id"].to_numpy(),
+                             "modal_type": h["event_type"].to_numpy(),
+                             "n": h["n"].to_numpy()})
+
+    return bucketed_group_apply(counts, ["user_id"], argmax)
+
+
+SQL_USER_MODAL_TYPE = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT user_id, event_type AS modal_type, n
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+"""
+
+
+def q_user_growth(sf_dir: str):
+    """Cumulative-distinct growth curve: running total of users ever
+    seen, by day — first-seen day per user (one groupby-min), then a
+    day-bounded cumulative sum (the table is days-sized, driver-safe by
+    construction)."""
+    from cosmos_ray.queries.relational import collect_small
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000)),
+                          pa.scalar(86_400_000_000))
+        return pa.table({"user_id": t.column("user_id"), "day_us": day})
+
+    first = (ev.map_batches(to_day, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day_us", alias_name="d0")))
+    per_day = first.groupby("d0").aggregate(Count(alias_name="new_users"))
+    tbl = collect_small(per_day, cap_rows=2_000_000)
+    if tbl is None:
+        raise ValueError("per-day table exceeded the driver cap")
+    df = tbl.to_pandas().sort_values("d0")
+    return rd.from_arrow(pa.table({
+        "day_us": pa.array(df["d0"].to_numpy(), pa.int64()),
+        "new_users": pa.array(df["new_users"].to_numpy(), pa.int64()),
+        "total_users": pa.array(df["new_users"].cumsum().to_numpy(),
+                                pa.int64()),
+    }))
+
+
+SQL_USER_GROWTH = """
+WITH f AS (SELECT user_id,
+                  min((epoch_us(ts) // 86400000000) * 86400000000) AS d0
+           FROM events GROUP BY 1),
+d AS (SELECT d0 AS day_us, count(*) AS new_users FROM f GROUP BY 1)
+SELECT day_us, new_users,
+       SUM(new_users) OVER (ORDER BY day_us
+                            ROWS UNBOUNDED PRECEDING) AS total_users
+FROM d
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts: (prev event_type -> event_type) pairs
+    per user in time order, counted corpus-wide — the event-sequence
+    model input. One user-hash exchange; the in-bucket lag is a
+    vectorized shift."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        user = g["user_id"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = user[1:] == user[:-1]
+        src = np.empty_like(et)
+        src[1:] = et[:-1]
+        d = pd.DataFrame({"from_type": src[same], "to_type": et[same]})
+        return (d.groupby(["from_type", "to_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    partials = _bucketed_by_user(ev, trans)
+    return (partials.groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH l AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_winsorized_values(sf_dir: str):
     """Winsorization (outlier capping at group quantiles): clip value
     into [p05, p95] per event_type, then roll up sum/count of the
@@ -4257,6 +4368,9 @@ QUERIES = {
     "mad_outlier_days": q_mad_outlier_days,
     "order_quartiles": q_order_quartiles,
     "winsorized_values": q_winsorized_values,
+    "user_modal_type": q_user_modal_type,
+    "user_growth": q_user_growth,
+    "event_transitions": q_event_transitions,
     "revenue_share": q_revenue_share,
     "user_paths": q_user_paths,
     "scaled_lengths": q_scaled_lengths,
@@ -4386,6 +4500,9 @@ ORACLES = {
     "mad_outlier_days": SQL_MAD_OUTLIER_DAYS,
     "order_quartiles": SQL_ORDER_QUARTILES,
     "winsorized_values": SQL_WINSORIZED_VALUES,
+    "user_modal_type": SQL_USER_MODAL_TYPE,
+    "user_growth": SQL_USER_GROWTH,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "revenue_share": SQL_REVENUE_SHARE,
     "user_paths": SQL_USER_PATHS,
     "scaled_lengths": SQL_SCALED_LENGTHS,
