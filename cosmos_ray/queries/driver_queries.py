@@ -2507,6 +2507,130 @@ FROM documents
 """
 
 
+def q_assoc_rules(sf_dir: str):
+    """Association rules over per-user event-type baskets (market-basket
+    support / confidence / lift): ordered type pairs both done by the
+    same user. Baskets reduce to DISTINCT (user, type) first; in-bucket
+    per-user pair fan-out is bounded by the type vocabulary; the final
+    (from, to) rollup is vocabulary-sized. Ratios are computed from
+    exact BIGINT counts identically on both sides, rounded 6dp."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+    from cosmos_ray.queries.relational import collect_small
+
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+    distinct = (ev.groupby(["user_id", "event_type"])
+                .aggregate(Count(alias_name="__n")).drop_columns(["__n"]))
+
+    n_users = (distinct.groupby("user_id")
+               .aggregate(Count(alias_name="__k")).count())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_f, out_t = [], []
+        for _, h in g.groupby("user_id", sort=False):
+            tps = np.sort(h["event_type"].unique())
+            if len(tps) < 2:
+                continue
+            i, j = np.meshgrid(np.arange(len(tps)), np.arange(len(tps)),
+                               indexing="ij")
+            m = i.ravel() != j.ravel()
+            out_f.append(tps[i.ravel()[m]])
+            out_t.append(tps[j.ravel()[m]])
+        if not out_f:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=str),
+                                 "to_type": pd.Series([], dtype=str)})
+        return pd.DataFrame({"from_type": np.concatenate(out_f),
+                             "to_type": np.concatenate(out_t)})
+
+    pair_counts = (_bucketed_by_user(distinct, pairs)
+                   .groupby(["from_type", "to_type"])
+                   .aggregate(Count(alias_name="n_both")))
+    type_counts_t = collect_small(
+        distinct.groupby("event_type").aggregate(Count(alias_name="n")),
+        cap_rows=1_000_000)
+    tc = dict(zip(type_counts_t.column("event_type").to_pylist(),
+                  type_counts_t.column("n").to_pylist()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = t.column("from_type").to_pylist()
+        to = t.column("to_type").to_pylist()
+        nb = t.column("n_both").to_numpy(zero_copy_only=False).astype(np.float64)
+        nf = np.array([tc[x] for x in f], np.float64)
+        nt = np.array([tc[x] for x in to], np.float64)
+        return pa.table({
+            "from_type": t.column("from_type"),
+            "to_type": t.column("to_type"),
+            "n_both": t.column("n_both").cast(pa.int64()),
+            "support": pa.array(np.round(nb / n_users, 6), pa.float64()),
+            "confidence": pa.array(np.round(nb / nf, 6), pa.float64()),
+            "lift": pa.array(np.round(nb / nf / (nt / n_users), 6),
+                             pa.float64()),
+        })
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASSOC_RULES = """
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM b),
+tcnt AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM b GROUP BY 1),
+p AS (SELECT a.event_type AS from_type, c.event_type AS to_type,
+             count(*) AS n_both
+      FROM b a JOIN b c ON a.user_id = c.user_id
+                       AND a.event_type <> c.event_type
+      GROUP BY 1, 2)
+SELECT p.from_type, p.to_type, p.n_both,
+       round(p.n_both / (SELECT n FROM nu), 6) AS support,
+       round(p.n_both / f.n, 6) AS confidence,
+       round(p.n_both / f.n / (t.n / (SELECT n FROM nu)), 6) AS lift
+FROM p JOIN tcnt f ON f.event_type = p.from_type
+       JOIN tcnt t ON t.event_type = p.to_type
+"""
+
+
+def q_balanced_docs(sf_dir: str):
+    """Balanced class downsampling: every language reduced to the size
+    of the SMALLEST language by the deterministic md5-draw order (the
+    shuffle_shards convention) — the class-rebalance pass before
+    training. Group sizes broadcast tiny; selection is a vectorized
+    rank-within-group cut, payload untouched."""
+    from cosmos_ray.queries.relational import bucketed_group_apply, collect_small
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    sizes = collect_small(
+        docs.groupby("lang").aggregate(Count(alias_name="n")),
+        cap_rows=1_000_000)
+    min_n = int(min(sizes.column("n").to_pylist()))
+
+    import hashlib
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(f"bs0:{i}".encode()).digest()[:8],
+                            "little") for i in d),
+            dtype=np.uint64, count=len(d))
+        order = np.lexsort((d, h))
+        keep = np.zeros(len(d), dtype=bool)
+        # per-lang groups arrive whole; rank within THIS group
+        keep[order[:min_n]] = True
+        out = g.loc[keep, ["doc_id", "lang"]]
+        return out
+
+    return bucketed_group_apply(docs, ["lang"], cut)
+
+
+SQL_BALANCED_DOCS = """
+WITH m AS (SELECT min(n) AS min_n
+           FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5_number_upper('bs0:' || doc_id),
+                                         doc_id) AS rn
+      FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= (SELECT min_n FROM m)
+"""
+
+
 def q_user_modal_type(sf_dir: str):
     """Per-group MODE: each user's most frequent event_type (ties ->
     lexicographic min, DuckDB mode()'s deterministic pick replayed with
@@ -4369,6 +4493,8 @@ QUERIES = {
     "order_quartiles": q_order_quartiles,
     "winsorized_values": q_winsorized_values,
     "user_modal_type": q_user_modal_type,
+    "assoc_rules": q_assoc_rules,
+    "balanced_docs": q_balanced_docs,
     "user_growth": q_user_growth,
     "event_transitions": q_event_transitions,
     "revenue_share": q_revenue_share,
@@ -4501,6 +4627,8 @@ ORACLES = {
     "order_quartiles": SQL_ORDER_QUARTILES,
     "winsorized_values": SQL_WINSORIZED_VALUES,
     "user_modal_type": SQL_USER_MODAL_TYPE,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "balanced_docs": SQL_BALANCED_DOCS,
     "user_growth": SQL_USER_GROWTH,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "revenue_share": SQL_REVENUE_SHARE,
