@@ -158,3 +158,32 @@ def test_compaction_roundtrip_and_resume(tmp_path):
     out_files[1].unlink()
     m3 = compact_parquet_dir(str(src), str(dst), target)
     assert m3["written"] == 1 and m3["skipped"] == len(groups) - 1
+
+
+def test_transient_worker_crash_is_retried(ray_session, tmp_path):
+    """Fault tolerance under the streaming executor: a map task whose
+    worker DIES mid-batch (os._exit, i.e. a real process crash — not a
+    Python exception) is retried on a fresh worker and the pipeline
+    still produces the complete, correct result. This is the single-
+    node stand-in for the 'node loss on a 256-node cluster' story: Ray
+    Data task lineage re-executes only the lost block."""
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    sentinel = str(tmp_path / "crashed-once")
+
+    def maybe_crash(t: pa.Table) -> pa.Table:
+        if not os.path.exists(sentinel):
+            with open(sentinel, "w") as f:
+                f.write("x")
+            os._exit(1)  # simulate sudden worker death
+        return t
+
+    ds = (rd.range(1000, override_num_blocks=8)
+          .map_batches(maybe_crash, batch_format="pyarrow"))
+    got = sorted(r["id"] for r in ds.take_all())
+    assert got == list(range(1000))
+    assert os.path.exists(sentinel)
