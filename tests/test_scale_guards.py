@@ -35,6 +35,8 @@ ALLOWED = {
     "functions/bpe.py": 1,            # word-frequency model table
     "functions/embed.py": 2,          # vocab + co-occurrence partials
     "functions/lm.py": 1,             # bigram model table
+    "functions/stats.py": 2,          # worker-local Table.to_pandas inside
+                                      # grouped_corr/value_histogram partials
     "functions/similarity.py": 2,     # seeded centroid samples (capped n)
     "functions/selection.py": 1,      # arrow Array.to_pandas inside a
                                       # map_batches fn (worker-local)
