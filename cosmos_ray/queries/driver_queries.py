@@ -2507,6 +2507,103 @@ FROM documents
 """
 
 
+def q_seasonal_naive(sf_dir: str):
+    """Seasonal-naive backtest: predict each day's event volume with the
+    count 7 days earlier and score MAE per event_type — the sanity
+    baseline every volume forecast is judged against. The (type, day)
+    count table is days x types bounded; the lag-7 align + MAE is
+    vectorized driver work under the usual cap."""
+    from cosmos_ray.queries.relational import collect_small
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000)),
+                          pa.scalar(86_400_000_000))
+        return pa.table({"event_type": t.column("event_type"),
+                         "day_us": day})
+
+    counts = (ev.map_batches(to_day, batch_format="pyarrow")
+              .groupby(["event_type", "day_us"])
+              .aggregate(Count(alias_name="n")))
+    tbl = collect_small(counts, cap_rows=2_000_000)
+    if tbl is None:
+        raise ValueError("(type, day) table exceeded the driver cap")
+    df = tbl.to_pandas()
+    week = 7 * 86_400_000_000
+    prev = df.rename(columns={"day_us": "pday", "n": "n_prev"})
+    prev["day_us"] = prev["pday"] + week
+    m = df.merge(prev[["event_type", "day_us", "n_prev"]],
+                 on=["event_type", "day_us"], how="inner")
+    err = (m["n"] - m["n_prev"]).abs()
+    out = (pd.DataFrame({"event_type": m["event_type"], "err": err})
+           .groupby("event_type", as_index=False)
+           .agg(mae=("err", "mean"), n_days=("err", "size")))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "mae": pa.array(np.round(out["mae"].to_numpy(), 6), pa.float64()),
+        "n_days": pa.array(out["n_days"].to_numpy(), pa.int64()),
+    }))
+
+
+SQL_SEASONAL_NAIVE = """
+WITH d AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type,
+       round(avg(abs(a.n - b.n)), 6) AS mae,
+       count(*) AS n_days
+FROM d a JOIN d b ON b.event_type = a.event_type
+                 AND b.day_us = a.day_us - 7 * 86400000000
+GROUP BY 1
+"""
+
+
+def q_source_entropy(sf_dir: str):
+    """Diversity metric per language: Shannon entropy (nats) of the
+    source distribution — the mix-health check before sampling. Exact
+    (lang, source) counts exchange; entropy from ratios of BIGINTs is
+    a sources-bounded map, rounded 6dp."""
+    counts = (read(sf_dir, "documents", ["lang", "source"])
+              .groupby(["lang", "source"])
+              .aggregate(Count(alias_name="n")))
+    totals = counts.groupby("lang").aggregate(Sum("n", alias_name="tot"))
+    j = join_or_broadcast(counts, totals, key="lang", add_cols=["tot"])
+
+    def plogp(t: pa.Table) -> pa.Table:
+        p = (t.column("n").to_numpy(zero_copy_only=False)
+             / t.column("tot").to_numpy(zero_copy_only=False))
+        return pa.table({"lang": t.column("lang"),
+                         "e": pa.array(-p * np.log(p), pa.float64())})
+
+    ent = (j.map_batches(plogp, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("e", alias_name="entropy"),
+                                      Count(alias_name="n_sources")))
+    return ent.map_batches(
+        lambda t: pa.table({
+            "lang": t.column("lang"),
+            "entropy": pa.array(np.round(
+                t.column("entropy").to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+            "n_sources": t.column("n_sources").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+SQL_SOURCE_ENTROPY = """
+WITH c AS (SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.lang,
+       round(sum(-(c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6)
+           AS entropy,
+       count(*) AS n_sources
+FROM c JOIN t USING (lang)
+GROUP BY 1
+"""
+
+
 def q_assoc_rules(sf_dir: str):
     """Association rules over per-user event-type baskets (market-basket
     support / confidence / lift): ordered type pairs both done by the
@@ -4494,6 +4591,8 @@ QUERIES = {
     "winsorized_values": q_winsorized_values,
     "user_modal_type": q_user_modal_type,
     "assoc_rules": q_assoc_rules,
+    "seasonal_naive": q_seasonal_naive,
+    "source_entropy": q_source_entropy,
     "balanced_docs": q_balanced_docs,
     "user_growth": q_user_growth,
     "event_transitions": q_event_transitions,
@@ -4628,6 +4727,8 @@ ORACLES = {
     "winsorized_values": SQL_WINSORIZED_VALUES,
     "user_modal_type": SQL_USER_MODAL_TYPE,
     "assoc_rules": SQL_ASSOC_RULES,
+    "seasonal_naive": SQL_SEASONAL_NAIVE,
+    "source_entropy": SQL_SOURCE_ENTROPY,
     "balanced_docs": SQL_BALANCED_DOCS,
     "user_growth": SQL_USER_GROWTH,
     "event_transitions": SQL_EVENT_TRANSITIONS,
