@@ -249,6 +249,56 @@ GROUP BY n_name
 """
 
 
+def q_copart_join_revenue(sf_dir: str):
+    """The SAME revenue-per-status join served SHUFFLE-FREE from
+    co-partitioned at-rest tables (`state.copartition`): orders and
+    lineitem are written once as bucket-aligned hive partitions, then
+    the join is K independent bucket-local merges — the pay-the-
+    exchange-once pattern (Hive/Spark bucketed tables) for joins that
+    repeat at 100 TB. Shares order_lineitem_join's SQL oracle shape."""
+    import os
+    import tempfile
+
+    from cosmos_ray.state.copartition import join_copartitioned, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="copart_", dir="/tmp")
+    da, db = os.path.join(base, "orders"), os.path.join(base, "lineitem")
+    write_bucketed(read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+                   "o_orderkey", da, num_buckets=16)
+    write_bucketed(read(sf_dir, "lineitem",
+                        ["l_orderkey", "l_extendedprice", "l_discount"]),
+                   "l_orderkey", db, num_buckets=16)
+    joined = join_copartitioned(da, db, "o_orderkey", "l_orderkey",
+                                num_buckets=16)
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderstatus": t.column("o_orderstatus"), "rev": r})
+
+    agg = (joined.map_batches(rev, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n_items")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "revenue": pa.array(np.round(
+                t.column("revenue").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            "n_items": t.column("n_items").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+SQL_COPART_JOIN_REVENUE = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Large-large hash join via native ``Dataset.join`` (hash-partitioned
     on the key — the non-broadcast join shape, J5): revenue per order
@@ -4558,6 +4608,7 @@ QUERIES = {
     "revenue_by_segment": q_revenue_by_segment,
     "order_lineitem_join": q_order_lineitem_join,
     "local_supplier_volume": q_local_supplier_volume,
+    "copart_join_revenue": q_copart_join_revenue,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
@@ -4697,6 +4748,7 @@ ORACLES = {
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "copart_join_revenue": SQL_COPART_JOIN_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "top_customers_page2": SQL_TOP_CUSTOMERS_PAGE2,
     "phrase_search": SQL_PHRASE_SEARCH,

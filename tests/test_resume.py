@@ -187,3 +187,44 @@ def test_transient_worker_crash_is_retried(ray_session, tmp_path):
     got = sorted(r["id"] for r in ds.take_all())
     assert got == list(range(1000))
     assert os.path.exists(sentinel)
+
+
+def test_copartitioned_join_matches_pandas(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.state.copartition import join_copartitioned, write_bucketed
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6], "x": list("abcdef")})
+    b = pd.DataFrame({"j": [2, 2, 4, 9], "y": [10, 11, 12, 13]})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_pandas(a), "k", da, num_buckets=4)
+    write_bucketed(rd.from_pandas(b), "j", db, num_buckets=4)
+    got = (join_copartitioned(da, db, "k", "j", num_buckets=4)
+           .to_pandas().sort_values(["k", "y"]).reset_index(drop=True))
+    want = (a.merge(b, left_on="k", right_on="j")
+            .sort_values(["k", "y"]).reset_index(drop=True))
+    assert got[["k", "x", "j", "y"]].equals(want[["k", "x", "j", "y"]])
+
+
+def test_copartitioned_join_no_matches_keeps_schema(ray_session, tmp_path):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from cosmos_ray.state.copartition import join_copartitioned, write_bucketed
+
+    a = pd.DataFrame({"k": [1, 2], "x": ["a", "b"]})
+    b = pd.DataFrame({"j": [7, 8], "y": [1, 2]})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_pandas(a), "k", da, num_buckets=2)
+    write_bucketed(rd.from_pandas(b), "j", db, num_buckets=2)
+    ds = join_copartitioned(da, db, "k", "j", num_buckets=2)
+    # schema survives at the Dataset level (typed empty blocks — a
+    # zero-schema block would read as no columns here); ray's
+    # to_pandas() on an all-empty dataset drops columns, so assert on
+    # the Dataset contract
+    assert set(ds.schema().names) == {"k", "x", "j", "y"}
+    assert ds.count() == 0
