@@ -249,6 +249,39 @@ GROUP BY n_name
 """
 
 
+def q_events_range_scan(sf_dir: str):
+    """Time-slice scan over SORTED at-rest storage with zone-map
+    pruning (`state.sorted_store`): events written once in ts order,
+    the Jan-10..15 slice read via the footer-stats manifest — only
+    overlapping files open (~1/5 of the store); residual filter keeps
+    it exact. Counts per type over the slice."""
+    import datetime
+    import tempfile
+
+    from cosmos_ray.state.sorted_store import read_range, write_sorted
+
+    store = tempfile.mkdtemp(prefix="sorted_", dir="/tmp")
+    write_sorted(read(sf_dir, "events", ["event_type", "ts"]), "ts", store,
+                 num_partitions=16)
+    lo = int(datetime.datetime(2024, 1, 10,
+                               tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    hi = int(datetime.datetime(2024, 1, 15, 23, 59, 59, 999999,
+                               tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    epoch = datetime.datetime(1970, 1, 1)
+    ds = read_range(store, lo, hi,
+                    key_scalar=lambda us: epoch
+                    + datetime.timedelta(microseconds=us))
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+SQL_EVENTS_RANGE_SCAN = """
+SELECT event_type, count(*) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-10'
+  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'
+GROUP BY 1
+"""
+
+
 def q_copart_join_revenue(sf_dir: str):
     """The SAME revenue-per-status join served SHUFFLE-FREE from
     co-partitioned at-rest tables (`state.copartition`): orders and
@@ -4609,6 +4642,7 @@ QUERIES = {
     "order_lineitem_join": q_order_lineitem_join,
     "local_supplier_volume": q_local_supplier_volume,
     "copart_join_revenue": q_copart_join_revenue,
+    "events_range_scan": q_events_range_scan,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
@@ -4749,6 +4783,7 @@ ORACLES = {
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "copart_join_revenue": SQL_COPART_JOIN_REVENUE,
+    "events_range_scan": SQL_EVENTS_RANGE_SCAN,
     "top_customers": SQL_TOP_CUSTOMERS,
     "top_customers_page2": SQL_TOP_CUSTOMERS_PAGE2,
     "phrase_search": SQL_PHRASE_SEARCH,

@@ -228,3 +228,31 @@ def test_copartitioned_join_no_matches_keeps_schema(ray_session, tmp_path):
     # the Dataset contract
     assert set(ds.schema().names) == {"k", "x", "j", "y"}
     assert ds.count() == 0
+
+
+def test_sorted_store_zone_map_prunes_and_stays_exact(ray_session, tmp_path):
+    import glob as _glob
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.state.sorted_store import pruned_files, read_range, write_sorted
+
+    store = str(tmp_path / "store")
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), pa.int64()),
+        "v": pa.array([i * 2 for i in range(1000)], pa.int64()),
+    }))
+    m = write_sorted(ds, "k", store, num_partitions=10)
+    n_files = len(_glob.glob(store + "/*.parquet"))
+    assert len(m["zones"]) == n_files > 1
+    # narrow range must NOT touch every file
+    hit = pruned_files(store, 100, 199)
+    assert 0 < len(hit) < n_files
+    got = sorted(read_range(store, 100, 199).to_pandas()["k"].tolist())
+    assert got == list(range(100, 200))
+    # out-of-domain range: empty result, schema intact
+    empty = read_range(store, 5000, 6000)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"k", "v"}
