@@ -37,6 +37,8 @@ ALLOWED = {
     "functions/lm.py": 1,             # bigram model table
     "functions/stats.py": 2,          # worker-local Table.to_pandas inside
                                       # grouped_corr/value_histogram partials
+    "state/copartition.py": 4,        # worker-local bucket reads inside
+                                      # join_bucket (+ typed-empty fallback)
     "functions/similarity.py": 2,     # seeded centroid samples (capped n)
     "functions/selection.py": 1,      # arrow Array.to_pandas inside a
                                       # map_batches fn (worker-local)
