@@ -89,6 +89,97 @@ def ewma_value(events_ds, alpha: float = 0.3, round_to: int = 6):
     return _bucketed_by_user(events_ds, fn)
 
 
+def key_skew_report(ds, key: str, top: int = 10, round_to: int = 6):
+    """Shuffle-planning diagnostic: the ``top`` hottest keys with row
+    counts and corpus share — the 'do I need to salt this key' check
+    run before any groupby/join on it. Exchange = one row per distinct
+    key (combiner counts), the head is a tiny sort."""
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns([key]).groupby(key).aggregate(
+        Count(alias_name="n"))
+    total = int(counts.sum("n") or 0)
+
+    from cosmos_ray.queries.relational import topk
+
+    head = topk(counts, [("n", True), (key, False)], top)
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: t.column(key),
+            "n": t.column("n").cast(pa.int64()),
+            "share": pa.array(np.round(n / total, round_to), pa.float64()),
+        })
+
+    return head.map_batches(share, batch_format="pyarrow")
+
+
+def pca_fit(ds, col: str = "embedding", dim: int = 64, k: int = 8):
+    """Distributed PCA fit: each batch reduces to (n, sum x, sum x^T x)
+    — a dim + dim^2 partial independent of batch rows — merged on the
+    driver into the covariance; eigh there is model-sized (dim x dim).
+    Component signs are fixed (largest-|coef| coordinate positive) so
+    the model is deterministic across partial-sum orders.
+
+    -> dict(mean (dim,), components (k, dim), explained_var (k,))"""
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.asarray(t.column(col).to_pylist(), dtype=np.float64)
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(X.T @ X).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    n = 0
+    s = np.zeros(dim)
+    ss = np.zeros((dim, dim))
+    for b in (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        n += int(np.sum(b.column("n").to_numpy(zero_copy_only=False)))
+        for row in b.column("s").to_pylist():
+            s += np.asarray(row)
+        for row in b.column("ss").to_pylist():
+            ss += np.asarray(row).reshape(dim, dim)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    # deterministic sign: the largest-|coef| coordinate is positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {"mean": mu, "components": comps,
+            "explained_var": w[order]}
+
+
+def pca_transform(ds, model, col: str = "embedding",
+                  id_col: str = "vec_id", round_to: int = 6):
+    """Project onto the fitted components: broadcast the (k, dim) model
+    once, one matmul per batch. -> (id, pc_0..pc_{k-1})."""
+    import ray
+
+    ref = ray.put((model["mean"], model["components"]))
+
+    def project(t: pa.Table, _m=ref) -> pa.Table:
+        mu, comps = ray.get(_m)
+        X = np.asarray(t.column(col).to_pylist(), dtype=np.float64)
+        P = (X - mu) @ comps.T
+        cols = {id_col: t.column(id_col)}
+        for i in range(P.shape[1]):
+            cols[f"pc_{i}"] = pa.array(np.round(P[:, i], round_to),
+                                       pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def value_histogram(ds, keys: list[str], value_col: str, bin_width: float):
     """Fixed-width histogram per group: -> (keys..., bin_lo, n) with
     bin_lo = floor(value / bin_width) * bin_width. Partials combine in

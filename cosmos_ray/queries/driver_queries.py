@@ -249,6 +249,38 @@ GROUP BY n_name
 """
 
 
+def q_key_skew(sf_dir: str):
+    """Shuffle-planning skew report (`stats.key_skew_report`): the 10
+    hottest user_ids with row count and corpus share — the
+    salt-or-not diagnostic run before keyed exchanges."""
+    from cosmos_ray.functions.stats import key_skew_report
+
+    return key_skew_report(read(sf_dir, "events", ["user_id"]),
+                           "user_id", top=10)
+
+
+SQL_KEY_SKEW = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT user_id, n, round(n / (SELECT total FROM t), 6) AS share
+FROM c ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def q_pca_embed(sf_dir: str):
+    """Distributed PCA (`stats.pca_fit` + `pca_transform`): covariance
+    from (n, sum x, sum x^T x) batch partials — dim^2 bytes per batch,
+    never the data — eigh on the driver is model-sized, projections one
+    broadcast matmul per batch. Eigendecomposition is not
+    SQL-expressible; the pytest gate replays the whole fit in plain
+    numpy (sign-fixed) and requires matching projections."""
+    from cosmos_ray.functions.stats import pca_fit, pca_transform
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k=4)
+    return pca_transform(ds, model)
+
+
 def q_events_range_scan(sf_dir: str):
     """Time-slice scan over SORTED at-rest storage with zone-map
     pruning (`state.sorted_store`): events written once in ts order,
@@ -4643,6 +4675,8 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "copart_join_revenue": q_copart_join_revenue,
     "events_range_scan": q_events_range_scan,
+    "key_skew": q_key_skew,
+    "pca_embed": q_pca_embed,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
@@ -4784,6 +4818,9 @@ ORACLES = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "copart_join_revenue": SQL_COPART_JOIN_REVENUE,
     "events_range_scan": SQL_EVENTS_RANGE_SCAN,
+    "key_skew": SQL_KEY_SKEW,
+    # pca_embed: eigendecomposition (model op) — exact numpy-replay
+    # pytest gate instead of SQL (word_vectors convention)
     "top_customers": SQL_TOP_CUSTOMERS,
     "top_customers_page2": SQL_TOP_CUSTOMERS_PAGE2,
     "phrase_search": SQL_PHRASE_SEARCH,

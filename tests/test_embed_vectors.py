@@ -63,3 +63,65 @@ def test_word_vectors_corpus_runs(documents_small):
     rows = ds.take_all()
     assert 0 < len(rows) <= 128  # bounded by corpus vocab (31 at sf0.001)
     assert all(len(r["vector"]) == 16 for r in rows)
+
+
+class TestDistributedPCA:
+    @staticmethod
+    def _data(n=300, dim=16, seed=5):
+        rng = np.random.default_rng(seed)
+        # anisotropic: a few dominant directions so PCs are well-separated
+        basis = rng.normal(size=(dim, dim))
+        scales = np.linspace(3.0, 0.1, dim)
+        X = rng.normal(size=(n, dim)) * scales @ basis
+        return X
+
+    def test_fit_matches_numpy_replay(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.stats import pca_fit
+
+        X = self._data()
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(X)), pa.int64()),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        })).repartition(7)
+        m = pca_fit(ds, dim=X.shape[1], k=4)
+
+        mu = X.mean(axis=0)
+        cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:4]
+        comps = v[:, order].T
+        for i in range(4):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        assert np.allclose(m["mean"], mu, atol=1e-9)
+        assert np.allclose(m["components"], comps, atol=1e-7)
+        assert np.allclose(m["explained_var"], w[order], atol=1e-9)
+        # components orthonormal, variances descending
+        assert np.allclose(m["components"] @ m["components"].T,
+                           np.eye(4), atol=1e-9)
+        assert (np.diff(m["explained_var"]) <= 1e-12).all()
+
+    def test_transform_projects_consistently(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.stats import pca_fit, pca_transform
+
+        X = self._data(n=120)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(X)), pa.int64()),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        }))
+        m = pca_fit(ds, dim=X.shape[1], k=3)
+        got = (pca_transform(ds, m).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        want = np.round((X - m["mean"]) @ m["components"].T, 6)
+        for i in range(3):
+            assert np.allclose(got[f"pc_{i}"].to_numpy(), want[:, i],
+                               atol=1e-9)
