@@ -249,6 +249,61 @@ GROUP BY n_name
 """
 
 
+def q_source_prior(sf_dir: str):
+    """Bayesian-shrunk per-source quality prior (empirical Bayes, the
+    'rate small sources sanely' staple): each source's mean
+    stopword_ratio shrunk toward the global mean with m=20
+    pseudo-counts — shrunk = (sum + m*global)/(n + m). Per-doc ratios
+    are the ROUNDED quality features both engines already agree on, so
+    only summation order differs (1e-13 under the 6dp round)."""
+    from cosmos_ray.functions.textops import quality_score_batch
+
+    docs = read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def ratios(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t.select(["doc_id", "text"]))
+        return pa.table({"source": t.column("source"),
+                         "r": q.column("stopword_ratio")})
+
+    per_doc = docs.map_batches(ratios, batch_format="pyarrow")
+    agg = per_doc.groupby("source").aggregate(
+        Sum("r", alias_name="s"), Count(alias_name="n"))
+    tot = per_doc.sum("r")
+    cnt = per_doc.count()
+    g = tot / cnt
+    M = 20.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n").cast(pa.int64()),
+            "mean_ratio": pa.array(np.round(s / n, 6), pa.float64()),
+            "shrunk_ratio": pa.array(np.round((s + M * g) / (n + M), 6),
+                                     pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SOURCE_PRIOR = """
+WITH r AS (
+  SELECT source,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the', 'a', 'and', 'of', 'to')))
+                    AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1), 6) AS r
+  FROM documents),
+g AS (SELECT sum(r) / count(*) AS g FROM r)
+SELECT source, count(*) AS n_docs,
+       round(sum(r) / count(*), 6) AS mean_ratio,
+       round((sum(r) + 20.0 * (SELECT g FROM g)) / (count(*) + 20.0), 6)
+           AS shrunk_ratio
+FROM r GROUP BY 1
+"""
+
+
 def q_key_skew(sf_dir: str):
     """Shuffle-planning skew report (`stats.key_skew_report`): the 10
     hottest user_ids with row count and corpus share — the
@@ -4676,6 +4731,7 @@ QUERIES = {
     "copart_join_revenue": q_copart_join_revenue,
     "events_range_scan": q_events_range_scan,
     "key_skew": q_key_skew,
+    "source_prior": q_source_prior,
     "pca_embed": q_pca_embed,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
@@ -4819,6 +4875,7 @@ ORACLES = {
     "copart_join_revenue": SQL_COPART_JOIN_REVENUE,
     "events_range_scan": SQL_EVENTS_RANGE_SCAN,
     "key_skew": SQL_KEY_SKEW,
+    "source_prior": SQL_SOURCE_PRIOR,
     # pca_embed: eigendecomposition (model op) — exact numpy-replay
     # pytest gate instead of SQL (word_vectors convention)
     "top_customers": SQL_TOP_CUSTOMERS,
