@@ -249,6 +249,91 @@ GROUP BY n_name
 """
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (sweep-line over intervals): sessions
+    from the gap rule, each contributing +1 at its start and -1 just
+    after its end; the running sum's max is the peak, reported with the
+    first instant it is reached. The delta stream is 2 rows per session
+    (session-bounded, not event-bounded); the scan is one distributed
+    sort + a days-bounded driver cumsum under the usual cap."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+    from cosmos_ray.queries.relational import collect_small
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sess_bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_session = new_user | (gap > 1800 * 1_000_000)
+        sid = np.cumsum(new_session)
+        d = pd.DataFrame({"sid": sid, "ts": ts_us})
+        b = d.groupby("sid").agg(t0=("ts", "min"), t1=("ts", "max"))
+        return pd.DataFrame({"t0": b["t0"].to_numpy(),
+                             "t1": b["t1"].to_numpy()})
+
+    bounds = _bucketed_by_user(ev, sess_bounds)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        t0 = t.column("t0").to_numpy(zero_copy_only=False)
+        t1 = t.column("t1").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ts_us": pa.array(np.concatenate([t0, t1 + 1]), pa.int64()),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(t0), np.int64),
+                -np.ones(len(t1), np.int64)]), pa.int64()),
+        })
+
+    # pre-aggregate per (ts, delta) so the pulled stream is bounded by
+    # distinct boundary instants, then exact driver sweep
+    agg = (bounds.map_batches(deltas, batch_format="pyarrow")
+           .groupby(["ts_us", "delta"]).aggregate(Count(alias_name="c")))
+    tbl = collect_small(agg, cap_rows=2_000_000)
+    if tbl is None:
+        raise ValueError("boundary stream exceeded the driver cap")
+    df = tbl.to_pandas().sort_values(["ts_us", "delta"])  # ends before starts
+    run = (df["delta"] * df["c"]).cumsum()
+    peak = int(run.max())
+    at = int(df["ts_us"].to_numpy()[int(np.argmax(run.to_numpy()))])
+    return rd.from_arrow(pa.table({
+        "peak": pa.array([peak], pa.int64()),
+        "at_ts_us": pa.array([at], pa.int64()),
+    }))
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l),
+b AS (SELECT user_id, sid, min(ts_us) AS t0, max(ts_us) AS t1
+      FROM s GROUP BY 1, 2),
+d AS (SELECT t0 AS ts_us, CAST(1 AS BIGINT) AS delta FROM b
+      UNION ALL
+      SELECT t1 + 1, -1 FROM b),
+r AS (SELECT ts_us, delta,
+             SUM(delta) OVER (ORDER BY ts_us, delta
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d)
+SELECT CAST(max(run) AS BIGINT) AS peak,
+       (SELECT min(ts_us) FROM r
+        WHERE run = (SELECT max(run) FROM r)) AS at_ts_us
+FROM r
+"""
+
+
 def q_source_prior(sf_dir: str):
     """Bayesian-shrunk per-source quality prior (empirical Bayes, the
     'rate small sources sanely' staple): each source's mean
@@ -4732,6 +4817,7 @@ QUERIES = {
     "events_range_scan": q_events_range_scan,
     "key_skew": q_key_skew,
     "source_prior": q_source_prior,
+    "peak_concurrency": q_peak_concurrency,
     "pca_embed": q_pca_embed,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
@@ -4876,6 +4962,7 @@ ORACLES = {
     "events_range_scan": SQL_EVENTS_RANGE_SCAN,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     # pca_embed: eigendecomposition (model op) — exact numpy-replay
     # pytest gate instead of SQL (word_vectors convention)
     "top_customers": SQL_TOP_CUSTOMERS,
