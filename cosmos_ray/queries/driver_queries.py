@@ -249,6 +249,102 @@ GROUP BY n_name
 """
 
 
+def q_copurchase_pairs(sf_dir: str):
+    """Co-purchase affinity: the 20 most frequent part pairs appearing
+    in the same order — the recommender's co-occurrence table at the
+    real join key (orders), not the tiny type vocabulary. Pair fan-out
+    is per-order (bounded by lines-per-order^2) and pre-counted in the
+    bucket before the global pair rollup; top-k is one tiny sort."""
+    from cosmos_ray.queries.relational import bucketed_group_apply, topk
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, h in g.groupby("l_orderkey", sort=False):
+            p = np.sort(h["l_partkey"].unique())
+            if len(p) < 2:
+                continue
+            i, j = np.triu_indices(len(p), k=1)
+            out_a.append(p[i])
+            out_b.append(p[j])
+        if not out_a:
+            return pd.DataFrame({"part_a": pd.Series([], dtype=np.int64),
+                                 "part_b": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        d = pd.DataFrame({"part_a": np.concatenate(out_a),
+                          "part_b": np.concatenate(out_b)})
+        return (d.groupby(["part_a", "part_b"], sort=False)
+                .size().rename("c").reset_index())
+
+    counts = (bucketed_group_apply(li, ["l_orderkey"], pairs)
+              .groupby(["part_a", "part_b"])
+              .aggregate(Sum("c", alias_name="n_orders")))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_a": t.column("part_a").cast(pa.int64()),
+            "part_b": t.column("part_b").cast(pa.int64()),
+            "n_orders": t.column("n_orders").cast(pa.int64()),
+        })
+
+    return topk(counts.map_batches(fix, batch_format="pyarrow"),
+                [("n_orders", True), ("part_a", False), ("part_b", False)], 20)
+
+
+SQL_COPURCHASE_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def q_gap_quantiles(sf_dir: str):
+    """Composition: per-user inter-event gaps (lag) -> exact discrete
+    gap quantiles per event_type (p50/p90/p99) — the latency-percentile
+    rollup every stream monitor runs. Gaps need one user-hash exchange;
+    quantiles one coarse type bucket."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+    from cosmos_ray.queries.relational import group_quantiles
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = user[1:] == user[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame({"event_type": g["event_type"].to_numpy()[same],
+                             "gap_us": gap[same]})
+
+    g = _bucketed_by_user(ev, gaps)
+    return group_quantiles(g, ["event_type"], "gap_us",
+                           qs=(0.5, 0.9, 0.99))
+
+
+SQL_GAP_QUANTILES = """
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+       quantile_disc(gap_us, 0.5) AS q50,
+       quantile_disc(gap_us, 0.9) AS q90,
+       quantile_disc(gap_us, 0.99) AS q99
+FROM l WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_peak_concurrency(sf_dir: str):
     """Peak concurrent sessions (sweep-line over intervals): sessions
     from the gap rule, each contributing +1 at its start and -1 just
@@ -4818,6 +4914,8 @@ QUERIES = {
     "key_skew": q_key_skew,
     "source_prior": q_source_prior,
     "peak_concurrency": q_peak_concurrency,
+    "copurchase_pairs": q_copurchase_pairs,
+    "gap_quantiles": q_gap_quantiles,
     "pca_embed": q_pca_embed,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
@@ -4963,6 +5061,8 @@ ORACLES = {
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "gap_quantiles": SQL_GAP_QUANTILES,
     # pca_embed: eigendecomposition (model op) — exact numpy-replay
     # pytest gate instead of SQL (word_vectors convention)
     "top_customers": SQL_TOP_CUSTOMERS,
