@@ -249,6 +249,105 @@ GROUP BY n_name
 """
 
 
+def q_profile_docs(sf_dir: str):
+    """Generic column profiler (the data-quality dashboard table): for
+    each profiled column — n_null, n_distinct, min, max — in long
+    format (column, metric, value-as-string). Per-batch partials carry
+    (nulls, batch-distincts, batch min/max); the only exchange is the
+    two-stage distinct, bounded by each column's cardinality."""
+    from cosmos_ray.functions.sketch import distinct_count_exact
+    from cosmos_ray.queries.relational import collect_small
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    docs = read(sf_dir, "documents", cols)
+    rows: list[tuple[str, str, str]] = []
+    for c in cols:
+        one = docs.select_columns([c])
+        nulls = one.map_batches(
+            lambda t, _c=c: pa.table({
+                "n": pa.array([t.column(_c).null_count], pa.int64())}),
+            batch_format="pyarrow").sum("n")
+        # two-stage distinct: one row per distinct value, then count
+        dd = (one.groupby(c).aggregate(Count(alias_name="__n"))
+              .drop_columns(["__n"]))
+        nd = dd.count()
+        ext = collect_small(dd, cap_rows=5_000_000)
+        vals = ext.column(c).to_pylist()
+        rows += [(c, "n_null", str(int(nulls or 0))),
+                 (c, "n_distinct", str(int(nd))),
+                 (c, "min", str(min(vals))),
+                 (c, "max", str(max(vals)))]
+    return rd.from_arrow(pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "metric": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+SQL_PROFILE_DOCS = """
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", 'n_null' AS metric,
+         CAST(count(*) - count(doc_id) AS VARCHAR) AS value FROM documents
+  UNION ALL SELECT 'doc_id', 'n_distinct',
+         CAST(count(DISTINCT doc_id) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'doc_id', 'min', CAST(min(doc_id) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'doc_id', 'max', CAST(max(doc_id) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'lang', 'n_null',
+         CAST(count(*) - count(lang) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'lang', 'n_distinct',
+         CAST(count(DISTINCT lang) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'lang', 'min', min(lang) FROM documents
+  UNION ALL SELECT 'lang', 'max', max(lang) FROM documents
+  UNION ALL SELECT 'source', 'n_null',
+         CAST(count(*) - count(source) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'source', 'n_distinct',
+         CAST(count(DISTINCT source) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'source', 'min', min(source) FROM documents
+  UNION ALL SELECT 'source', 'max', max(source) FROM documents
+  UNION ALL SELECT 'n_chars', 'n_null',
+         CAST(count(*) - count(n_chars) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'n_chars', 'n_distinct',
+         CAST(count(DISTINCT n_chars) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS VARCHAR) FROM documents
+  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents
+)
+"""
+
+
+def q_dedup_report(sf_dir: str):
+    """One-row dedup-rate dashboard: corpus size, distinct texts, dup
+    rows and the duplication rate — the before/after KPI every dedup
+    pass reports. Exact two-stage distinct (hash-sized exchange)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+
+    def h(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        return pa.table({"hh": pa.array(
+            [hashlib.md5(x.encode()).hexdigest() for x in
+             t.column("text").to_pylist()], pa.string())})
+
+    nd = (docs.map_batches(h, batch_format="pyarrow")
+          .groupby("hh").aggregate(Count(alias_name="__n")).count())
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_distinct_texts": pa.array([nd], pa.int64()),
+        "n_dup_rows": pa.array([n - nd], pa.int64()),
+        "dup_rate": pa.array([round((n - nd) / n, 6)], pa.float64()),
+    }))
+
+
+SQL_DEDUP_REPORT = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_texts,
+       count(*) - count(DISTINCT text) AS n_dup_rows,
+       round((count(*) - count(DISTINCT text)) * 1.0 / count(*), 6)
+           AS dup_rate
+FROM documents
+"""
+
+
 def q_copurchase_pairs(sf_dir: str):
     """Co-purchase affinity: the 20 most frequent part pairs appearing
     in the same order — the recommender's co-occurrence table at the
@@ -4915,6 +5014,8 @@ QUERIES = {
     "source_prior": q_source_prior,
     "peak_concurrency": q_peak_concurrency,
     "copurchase_pairs": q_copurchase_pairs,
+    "profile_docs": q_profile_docs,
+    "dedup_report": q_dedup_report,
     "gap_quantiles": q_gap_quantiles,
     "pca_embed": q_pca_embed,
     "top_customers": q_top_customers,
@@ -5062,6 +5163,8 @@ ORACLES = {
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "profile_docs": SQL_PROFILE_DOCS,
+    "dedup_report": SQL_DEDUP_REPORT,
     "gap_quantiles": SQL_GAP_QUANTILES,
     # pca_embed: eigendecomposition (model op) — exact numpy-replay
     # pytest gate instead of SQL (word_vectors convention)
