@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
 
 
 def _distinct_entities(e):
@@ -278,6 +278,56 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
         }),
         batch_format="pyarrow",
     )
+
+
+def weighted_distances(edges_ds, seeds, hops: int = 4,
+                       src: str = "src_entity", dst: str = "dst_entity",
+                       weight: str = "weight", directed: bool = False):
+    """Hop-bounded weighted shortest-path distances from a seed set
+    (Bellman-Ford, ``hops`` relaxation rounds): -> (entity, d) with d =
+    minimum total edge weight over paths of <= hops edges, seeds at 0.
+
+    Fully distributed — no driver pull at any size: each round is one
+    hash join of the edge list against the current distance table plus
+    a min-reduce; the distance table is node-bounded. With
+    integer-valued weights (the adjacency's counts) path sums are exact
+    in float64, so the min is order-independent and SQL-replayable."""
+    import ray as _ray
+
+    num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    e = _edge_weights(edges_ds, src, dst, weight)
+    if not directed:
+        def both(t: pa.Table) -> pa.Table:
+            s, d, w = t.column("src"), t.column("dst"), t.column("w")
+            return pa.table({
+                "src": pa.chunked_array(s.chunks + d.chunks, type=s.type)
+                if isinstance(s, pa.ChunkedArray) else pa.concat_arrays([s, d]),
+                "dst": pa.chunked_array(d.chunks + s.chunks, type=s.type)
+                if isinstance(d, pa.ChunkedArray) else pa.concat_arrays([d, s]),
+                "w": pa.chunked_array(w.chunks + w.chunks, type=w.type)
+                if isinstance(w, pa.ChunkedArray) else pa.concat_arrays([w, w]),
+            })
+
+        e = e.map_batches(both, batch_format="pyarrow")
+    e = e.materialize()
+
+    dist = rd.from_arrow(pa.table({
+        "entity": pa.array(sorted(set(seeds))),
+        "d": pa.array([0.0] * len(set(seeds)), pa.float64()),
+    })).materialize()
+
+    for _ in range(hops):
+        cand = (e.join(dist, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("src",), right_on=("entity",))
+                .map_batches(
+                    lambda t: pa.table({
+                        "entity": t.column("dst"),
+                        "d": pc.add(t.column("d"), t.column("w")),
+                    }), batch_format="pyarrow"))
+        dist = (dist.union(cand).groupby("entity")
+                .aggregate(Min("d", alias_name="d")).materialize())
+    return dist
 
 
 # ------------------------------------------------- connected components

@@ -3884,6 +3884,48 @@ FROM s FULL OUTER JOIN t ON t.entity = s.entity
 """)
 
 
+def q_kg_shortest(sf_dir: str):
+    """Hop-bounded weighted shortest paths from the lexicographic-min
+    entity (`graph.weighted_distances`, 4 Bellman-Ford rounds, no
+    driver pull): minimum total edge weight (the adjacency's integer
+    counts — exact in float64) over paths of <= 4 edges, undirected."""
+    from cosmos_ray.functions.graph import weighted_distances
+
+    adj = _built_kg(sf_dir).adjacency
+    seed = min(adj.min("src_entity"), adj.min("dst_entity"))
+    return weighted_distances(adj, [seed], hops=4)
+
+
+def _sql_kg_shortest(hops: int = 4) -> str:
+    """Bellman-Ford replay: hops unrolled materialized relax rounds
+    (min over current table union edge-relaxed candidates)."""
+    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+, und AS MATERIALIZED (
+    SELECT src, dst, w FROM adj
+    UNION ALL SELECT dst, src, w FROM adj)
+, d0 AS MATERIALIZED (
+    SELECT min(e) AS entity, 0.0 AS d FROM (
+      SELECT src AS e FROM adj UNION ALL SELECT dst FROM adj))
+"""]
+    for i in range(hops):
+        parts.append(f"""
+, c{i} AS MATERIALIZED (
+    SELECT u.dst AS entity, min(r.d + u.w) AS d
+    FROM d{i} r JOIN und u ON u.src = r.entity GROUP BY 1)
+, d{i + 1} AS MATERIALIZED (
+    SELECT entity, min(d) AS d FROM (
+      SELECT entity, d FROM d{i} UNION ALL SELECT entity, d FROM c{i})
+    GROUP BY 1)
+""")
+    parts.append(f"""
+SELECT entity, d FROM d{hops}
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_SHORTEST = _sql_kg_shortest()
+
+
 def q_kg_linkpred(sf_dir: str):
     """Link prediction on the entity graph: top-20 NON-edge pairs by
     Adamic-Adar score over shared neighbors (`graph.link_prediction`;
@@ -5122,6 +5164,7 @@ QUERIES = {
     "kg_degree": q_kg_degree,
     "kg_triangles": q_kg_triangles,
     "kg_linkpred": q_kg_linkpred,
+    "kg_shortest": q_kg_shortest,
     "kg_pagerank": q_kg_pagerank,
     "kg_ppr": q_kg_ppr,
     "kg_components": q_kg_components,
@@ -5266,6 +5309,7 @@ ORACLES = {
     "kg_degree": SQL_KG_DEGREE,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_linkpred": SQL_KG_LINKPRED,
+    "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_ppr": SQL_KG_PPR,
     "kg_components": SQL_KG_COMPONENTS,
