@@ -249,6 +249,57 @@ GROUP BY n_name
 """
 
 
+def q_twap_value(sf_dir: str):
+    """Time-weighted average value per user (the TWAP staple): each
+    event's value held until the next event, weighted by its share of
+    the user's active span — sum(v_i * dur_i/T). Weights are
+    normalized BEFORE the sum so terms stay O(value) and the 6dp round
+    dominates float order; single-event users (T = 0) are excluded on
+    both sides. One user-hash exchange, vectorized in-bucket."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def twap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        same_next = np.zeros(len(g), dtype=bool)
+        same_next[:-1] = user[1:] == user[:-1]
+        dur = np.zeros(len(g), dtype=np.float64)
+        dur[:-1] = ts_us[1:] - ts_us[:-1]
+        dur[~same_next] = 0.0
+        d = pd.DataFrame({"u": user, "dur": dur, "val": val})
+        t_total = d.groupby("u", sort=False)["dur"].transform("sum")
+        keep = t_total > 0
+        d = d[keep]
+        w = d["dur"].to_numpy() / t_total[keep].to_numpy()
+        d = d.assign(term=w * d["val"].to_numpy())
+        out = d.groupby("u", sort=False)["term"].sum().reset_index()
+        return pd.DataFrame({"user_id": out["u"].to_numpy(),
+                             "twap": np.round(out["term"].to_numpy(), 6)})
+
+    return _bucketed_by_user(ev, twap)
+
+
+SQL_TWAP_VALUE = """
+WITH l AS (
+  SELECT user_id, value, epoch_us(ts) AS t0,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1
+  FROM events),
+d AS (SELECT user_id, value,
+             CAST(COALESCE(t1 - t0, 0) AS DOUBLE) AS dur
+      FROM l),
+t AS (SELECT user_id, sum(dur) AS total FROM d GROUP BY 1)
+SELECT d.user_id, round(sum(d.value * (d.dur / t.total)), 6) AS twap
+FROM d JOIN t USING (user_id)
+WHERE t.total > 0
+GROUP BY 1
+"""
+
+
 def q_profile_docs(sf_dir: str):
     """Generic column profiler (the data-quality dashboard table): for
     each profiled column — n_null, n_distinct, min, max — in long
@@ -5057,6 +5108,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "copurchase_pairs": q_copurchase_pairs,
     "profile_docs": q_profile_docs,
+    "twap_value": q_twap_value,
     "dedup_report": q_dedup_report,
     "gap_quantiles": q_gap_quantiles,
     "pca_embed": q_pca_embed,
@@ -5207,6 +5259,7 @@ ORACLES = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "profile_docs": SQL_PROFILE_DOCS,
+    "twap_value": SQL_TWAP_VALUE,
     "dedup_report": SQL_DEDUP_REPORT,
     "gap_quantiles": SQL_GAP_QUANTILES,
     # pca_embed: eigendecomposition (model op) — exact numpy-replay
