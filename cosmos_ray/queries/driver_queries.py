@@ -249,6 +249,93 @@ GROUP BY n_name
 """
 
 
+def q_weekly_growth(sf_dir: str):
+    """Week-over-week growth rate per event_type: weekly counts (epoch-
+    week buckets) with lag-1 percent change — the trend KPI on the
+    weeks-x-types-bounded rollup (exchange is count partials; the lag
+    align is driver work under the usual cap)."""
+    from cosmos_ray.queries.relational import collect_small
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+    WEEK = 7 * 86_400_000_000
+
+    def to_week(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        wk = pc.multiply(pc.divide(us, pa.scalar(WEEK)), pa.scalar(WEEK))
+        return pa.table({"event_type": t.column("event_type"),
+                         "week_us": wk})
+
+    counts = (ev.map_batches(to_week, batch_format="pyarrow")
+              .groupby(["event_type", "week_us"])
+              .aggregate(Count(alias_name="n")))
+    tbl = collect_small(counts, cap_rows=2_000_000)
+    if tbl is None:
+        raise ValueError("(type, week) table exceeded the driver cap")
+    df = tbl.to_pandas().sort_values(["event_type", "week_us"])
+    prev = df.groupby("event_type")["n"].shift(1)
+    prev_wk = df.groupby("event_type")["week_us"].shift(1)
+    m = prev.notna() & (prev_wk == df["week_us"] - WEEK)
+    out = df[m].copy()
+    p = prev[m].to_numpy(dtype=np.float64)
+    out["growth"] = np.round((out["n"].to_numpy() - p) / p, 6)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "week_us": pa.array(out["week_us"].to_numpy(), pa.int64()),
+        "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        "growth": pa.array(out["growth"].to_numpy(), pa.float64()),
+    }))
+
+
+SQL_WEEKLY_GROWTH = """
+WITH w AS (SELECT event_type,
+                  (epoch_us(ts) // 604800000000) * 604800000000 AS week_us,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, week_us, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week_us) AS pn,
+             LAG(week_us) OVER (PARTITION BY event_type
+                                ORDER BY week_us) AS pw
+      FROM w)
+SELECT event_type, week_us, n,
+       round((n - pn) * 1.0 / pn, 6) AS growth
+FROM l
+WHERE pn IS NOT NULL AND pw = week_us - 604800000000
+"""
+
+
+def q_value_percentiles_cont(sf_dir: str):
+    """Interpolated percentiles (SQL quantile_cont) of value per
+    event_type: v[f] + frac * (v[f+1] - v[f]) at rank q*(n-1) — the
+    continuous twin of the discrete group quantiles, same one-bucket
+    exchange, identical interpolation formula on both sides."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def qc(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        row = {"event_type": [g["event_type"].iloc[0]]}
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            pos = q * (n - 1)
+            f = int(np.floor(pos))
+            c = min(f + 1, n - 1)
+            frac = pos - f
+            row[name] = [round(v[f] + frac * (v[c] - v[f]), 6)]
+        return pd.DataFrame(row)
+
+    return bucketed_group_apply(ev, ["event_type"], qc)
+
+
+SQL_VALUE_PERCENTILES_CONT = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+
 def q_twap_value(sf_dir: str):
     """Time-weighted average value per user (the TWAP staple): each
     event's value held until the next event, weighted by its share of
@@ -5109,6 +5196,8 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "profile_docs": q_profile_docs,
     "twap_value": q_twap_value,
+    "weekly_growth": q_weekly_growth,
+    "value_percentiles_cont": q_value_percentiles_cont,
     "dedup_report": q_dedup_report,
     "gap_quantiles": q_gap_quantiles,
     "pca_embed": q_pca_embed,
@@ -5260,6 +5349,8 @@ ORACLES = {
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "profile_docs": SQL_PROFILE_DOCS,
     "twap_value": SQL_TWAP_VALUE,
+    "weekly_growth": SQL_WEEKLY_GROWTH,
+    "value_percentiles_cont": SQL_VALUE_PERCENTILES_CONT,
     "dedup_report": SQL_DEDUP_REPORT,
     "gap_quantiles": SQL_GAP_QUANTILES,
     # pca_embed: eigendecomposition (model op) — exact numpy-replay
