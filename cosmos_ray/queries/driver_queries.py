@@ -5183,6 +5183,65 @@ LEFT JOIN rep r ON r.cluster_id = c.cluster_id
 SQL_DEDUP_BEST_REP = _sql_dedup_best_rep()
 
 
+
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-10 for the query vector = embedding
+    of vec_id 0 — the compressed-corpus ANN path (codes are m bytes per
+    vector at rest; search is lookup-table sums, no decode). Recall vs
+    `brute_force_topk` is gated in tests/test_similarity.py."""
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.functions.similarity import pq_encode, pq_fit, pq_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(
+        tbl.filter(pc.equal(tbl.column("vec_id"), 0)).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_fit(ds, m=16, ks=64, seed=31)
+    return pq_topk(pq_encode(ds, books), books, qvec, k=10)
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt: lineitem's three numeric measures to long form
+    (l_orderkey, l_linenumber, measure, value) — the wide->long reshape
+    feature stores ingest with. Pure per-batch stack (3 column slices
+    concatenated), embarrassingly parallel, no exchange; oracle is
+    DuckDB UNION ALL."""
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+               "l_discount"])
+
+    measures = ["l_discount", "l_extendedprice", "l_quantity"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for mname in measures:
+            parts.append(pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "measure": pa.array([mname] * n, pa.string()),
+                "value": t.column(mname).cast(pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_LINEITEM_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_discount' AS measure,
+       CAST(l_discount AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_quantity',
+       CAST(l_quantity AS DOUBLE) FROM lineitem
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5331,6 +5390,8 @@ QUERIES = {
     "crawl_dedup_index": q_crawl_dedup_index,
     "simhash_pairs": q_simhash_pairs,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
+    "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
     "dedup_best_rep": q_dedup_best_rep,
@@ -5343,6 +5404,7 @@ ORACLES = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "copart_join_revenue": SQL_COPART_JOIN_REVENUE,
     "events_range_scan": SQL_EVENTS_RANGE_SCAN,
+    "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
