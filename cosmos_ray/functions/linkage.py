@@ -143,3 +143,126 @@ def fuzzy_name_pairs(ds, col: str, max_dist: int = 2, max_group: int = 256):
         })
 
     return cands.map_batches(score, batch_format="pyarrow")
+
+
+def jaro_winkler_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Jaro-Winkler similarity for each (a[i], b[i]) pair (Winkler 1990;
+    prefix scale 0.1, max prefix 4, boost threshold 0.7 — fuzz-verified
+    against DuckDB's ``jaro_winkler_similarity`` in tests), vectorized
+    across the batch: the greedy match scan runs as (i, j) window loops
+    of whole-batch numpy ops (same discipline as `levenshtein_batch` —
+    no per-pair Python)."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    ab = [s.encode("utf-8") for s in a]
+    bb = [s.encode("utf-8") for s in b]
+    la = np.array([len(s) for s in ab], dtype=np.int64)
+    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    ma, mb = int(la.max(initial=1)), int(lb.max(initial=1))
+    A = np.zeros((n, ma), dtype=np.uint8)
+    B = np.zeros((n, mb), dtype=np.uint8)
+    for i, s in enumerate(ab):
+        A[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for i, s in enumerate(bb):
+        B[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window per row
+
+    matchedA = np.zeros((n, ma), dtype=bool)
+    matchedB = np.zeros((n, mb), dtype=bool)
+    # greedy scan: a[i] takes the FIRST unmatched b[j] in its window
+    for i in range(ma):
+        got = np.zeros(n, dtype=bool)  # row already matched this i
+        jlo, jhi = max(0, i - int(w.max(initial=0))), min(mb, i + int(w.max(initial=0)) + 1)
+        for j in range(jlo, jhi):
+            ok = (
+                ~got
+                & ~matchedB[:, j]
+                & (i < la)
+                & (j < lb)
+                & (np.abs(i - j) <= w)
+                & (A[:, i] == B[:, j])
+            )
+            matchedA[ok, i] = True
+            matchedB[ok, j] = True
+            got |= ok
+    m = matchedA.sum(axis=1).astype(np.int64)
+
+    # transpositions: compact the matched chars of each side in order
+    # (cumsum scatter — no per-row Python), compare position-wise
+    posA = np.cumsum(matchedA, axis=1) - 1
+    posB = np.cumsum(matchedB, axis=1) - 1
+    SA = np.zeros((n, ma), dtype=np.uint8)
+    SB = np.zeros((n, mb), dtype=np.uint8)
+    rA, cA = np.nonzero(matchedA)
+    SA[rA, posA[rA, cA]] = A[rA, cA]
+    rB, cB = np.nonzero(matchedB)
+    SB[rB, posB[rB, cB]] = B[rB, cB]
+    mm = min(ma, mb)
+    diff = (SA[:, :mm] != SB[:, :mm]) & (np.arange(mm)[None, :] < m[:, None])
+    t = diff.sum(axis=1) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            m / np.maximum(la, 1)
+            + m / np.maximum(lb, 1)
+            + (m - t) / np.maximum(m, 1)
+        ) / 3.0
+    # m == 0 (incl. two empty strings) -> 0.0, matching DuckDB
+    jaro = np.where(m == 0, 0.0, jaro)
+
+    # Winkler prefix boost: l = common prefix length (<= 4)
+    pm = min(4, ma, mb)
+    if pm > 0:
+        pref_eq = (A[:, :pm] == B[:, :pm]) & (
+            np.arange(pm)[None, :] < np.minimum(la, lb)[:, None])
+        # length of the leading all-True run
+        l = np.where(pref_eq.all(axis=1), pm,
+                     np.argmin(pref_eq, axis=1))
+    else:
+        l = np.zeros(n, dtype=np.int64)
+    # boost threshold: the prefix bonus applies only when jaro > 0.7
+    # (matches DuckDB / the original Winkler formulation)
+    return np.where(jaro > 0.7, jaro + l * 0.1 * (1.0 - jaro), jaro)
+
+
+def jw_name_pairs(ds, col: str, threshold: float = 0.92,
+                  max_group: int = 512):
+    """Pairs of distinct ``col`` values sharing a first character with
+    Jaro-Winkler similarity >= ``threshold`` -> (name_a, name_b, jw),
+    name_a < name_b. First-character blocking is part of the operator's
+    SEMANTICS (the standard ER blocking key — Winkler's boost itself
+    rewards shared prefixes), so the DuckDB oracle states the identical
+    predicate; buckets cap at ``max_group`` names (sorted, deterministic
+    truncation) like `fuzzy_name_pairs`."""
+
+    def distinct_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][[col]]
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        names = np.sort(g[col].unique())[:max_group]
+        if len(names) < 2:
+            return pd.DataFrame({"name_a": pd.Series([], dtype=str),
+                                 "name_b": pd.Series([], dtype=str),
+                                 "jw": pd.Series([], dtype=np.float64)})
+        ia, ib = np.triu_indices(len(names), k=1)
+        a, b = names[ia], names[ib]
+        jw = jaro_winkler_batch(a.tolist(), b.tolist())
+        keep = jw >= threshold
+        return pd.DataFrame({"name_a": a[keep], "name_b": b[keep],
+                             "jw": np.round(jw[keep], 9)})
+
+    def add_block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # strip the pandas metadata the upstream map_groups attached —
+        # unhashable under pyarrow 16, defeats Ray's block-schema dedup
+        return t.replace_schema_metadata(None).append_column(
+            "block", pc.utf8_slice_codeunits(t.column(col), 0, 1))
+
+    return (
+        ds.groupby(col).map_groups(distinct_first, batch_format="pandas")
+        .map_batches(add_block, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

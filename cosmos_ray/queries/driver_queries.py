@@ -5242,6 +5242,33 @@ SELECT l_orderkey, l_linenumber, 'l_quantity',
 """
 
 
+
+def q_jw_part_pairs(sf_dir: str):
+    """Jaro-Winkler fuzzy linkage: pairs of distinct part names sharing
+    a first character (the standard ER blocking key — part of the
+    operator's stated semantics, mirrored in the oracle) with JW >= 0.85.
+    The JW kernel is batch-vectorized numpy, fuzz-verified bit-exact
+    against DuckDB's jaro_winkler_similarity (tests/test_linkage.py)."""
+    from cosmos_ray.functions.linkage import jw_name_pairs
+
+    return jw_name_pairs(read(sf_dir, "part", ["p_name"]), "p_name",
+                         threshold=0.85, max_group=512)
+
+
+SQL_JW_PART_PAIRS = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, substr(name, 1, 1) AS block,
+             row_number() OVER (PARTITION BY substr(name, 1, 1)
+                                ORDER BY name) AS rk
+      FROM names),
+k AS (SELECT * FROM b WHERE rk <= 512)
+SELECT a.name AS name_a, c.name AS name_b,
+       round(jaro_winkler_similarity(a.name, c.name), 9) AS jw
+FROM k a JOIN k c ON a.block = c.block AND a.name < c.name
+WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5391,6 +5418,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
+    "jw_part_pairs": q_jw_part_pairs,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5405,6 +5433,7 @@ ORACLES = {
     "copart_join_revenue": SQL_COPART_JOIN_REVENUE,
     "events_range_scan": SQL_EVENTS_RANGE_SCAN,
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
+    "jw_part_pairs": SQL_JW_PART_PAIRS,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,

@@ -82,3 +82,65 @@ def test_fuzzy_name_pairs_degenerate_bucket_cap(ray_session):
     first8 = set(sorted(names)[:8])
     # bucket truncation keeps the lexicographically first members
     assert set(out["name_a"]).issubset(first8)
+
+
+class TestJaroWinkler:
+    def test_classic_values(self):
+        from cosmos_ray.functions.linkage import jaro_winkler_batch
+
+        got = jaro_winkler_batch(
+            ["martha", "DWAYNE", "abc", "", "", "abc"],
+            ["marhta", "DUANE", "abc", "abc", "", "xyz"])
+        want = [0.9611111111111111, 0.84, 1.0, 0.0, 0.0, 0.0]
+        assert np.allclose(got, want, atol=1e-12)
+
+    def test_fuzz_matches_duckdb(self):
+        """Bit-exact vs DuckDB's jaro_winkler_similarity on 3000 random
+        pairs (mixed alphabets, insert/delete/substitute edits) — the
+        oracle-parity guarantee for jw_part_pairs."""
+        import duckdb
+        import pandas as pd
+
+        from cosmos_ray.functions.linkage import jaro_winkler_batch
+
+        rng = np.random.RandomState(13)
+        pairs = []
+        for alph in ["ab", "abcdef", "abcdefghijklm"]:
+            for _ in range(800):
+                la, lb = rng.randint(0, 14), rng.randint(0, 14)
+                pairs.append(("".join(rng.choice(list(alph), la)),
+                              "".join(rng.choice(list(alph), lb))))
+        for _ in range(600):
+            la = rng.randint(3, 18)
+            a = "".join(rng.choice(list("abcdefgh"), la))
+            b = list(a)
+            for _ in range(rng.randint(0, 4)):
+                op, i = rng.randint(3), rng.randint(0, max(1, len(b)))
+                if op == 0 and b:
+                    b[i % len(b)] = rng.choice(list("abcdefgh"))
+                elif op == 1:
+                    b.insert(i, rng.choice(list("abcdefgh")))
+                elif op == 2 and len(b) > 1:
+                    del b[i % len(b)]
+            pairs.append((a, "".join(b)))
+        A = [p[0] for p in pairs]
+        B = [p[1] for p in pairs]
+        got = jaro_winkler_batch(A, B)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"a": A, "b": B}))
+        want = np.array([r[0] for r in con.execute(
+            "SELECT jaro_winkler_similarity(a, b) FROM t").fetchall()])
+        assert np.abs(got - want).max() <= 1e-12
+
+    def test_jw_name_pairs_blocked(self):
+        from cosmos_ray.functions.linkage import jw_name_pairs
+
+        names = ["martha", "marhta", "marthaa", "dwayne", "duane", "zeta"]
+        ds = rd.from_arrow(pa.table({"name": pa.array(names * 3)}))
+        got = jw_name_pairs(ds, "name", threshold=0.9).to_pandas()
+        pairs = set(zip(got["name_a"], got["name_b"]))
+        assert ("marhta", "martha") in pairs
+        assert ("martha", "marthaa") in pairs
+        # dwayne/duane share 'd' block but JW 0.84 < 0.9
+        assert not any("dwayne" in p or "duane" in p for pair in pairs for p in pair)
+        assert (got["name_a"] < got["name_b"]).all()
