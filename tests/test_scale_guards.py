@@ -39,7 +39,8 @@ ALLOWED = {
                                       # grouped_corr/value_histogram partials
     "state/copartition.py": 4,        # worker-local bucket reads inside
                                       # join_bucket (+ typed-empty fallback)
-    "functions/similarity.py": 2,     # seeded centroid samples (capped n)
+    "functions/similarity.py": 3,     # seeded centroid samples (capped n)
+                                      # + pq_fit codebook sample (sample_n cap)
     "functions/selection.py": 1,      # arrow Array.to_pandas inside a
                                       # map_batches fn (worker-local)
     "functions/retrieval.py": 0,      # df via .sum() combiner only
