@@ -5269,6 +5269,50 @@ WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85
 """
 
 
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery decorrelation: orders whose o_totalprice
+    exceeds 1.5x THEIR customer's average order price. The correlated
+    `(SELECT avg(..) WHERE same customer)` rewrites to a per-customer
+    aggregate (combiner-backed groupby — one row per customer crosses
+    the exchange) joined back to orders (broadcast under the cap, hash
+    join past it) + a vectorized filter; the classic decorrelation every
+    planner performs, expressed Ray-Data-first."""
+    from ray.data.aggregate import Mean
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    avg = (orders.groupby("o_custkey")
+           .aggregate(Mean("o_totalprice", alias_name="avg_price")))
+    joined = join_or_broadcast(orders, avg, key="o_custkey",
+                               add_cols=["avg_price"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        f = pc.greater(t.column("o_totalprice"),
+                       pc.multiply(t.column("avg_price"), pa.scalar(1.5)))
+        t = t.filter(f)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "o_totalprice": t.column("o_totalprice"),
+            "avg_price": pc.round(t.column("avg_price"), 6,
+                                  round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_ORDERS_ABOVE_CUST_AVG = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       round(a.avg_price, 6) AS avg_price
+FROM orders o
+JOIN (SELECT o_custkey, avg(o_totalprice) AS avg_price
+      FROM orders GROUP BY 1) a USING (o_custkey)
+WHERE o.o_totalprice > 1.5 * a.avg_price
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5419,6 +5463,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
     "jw_part_pairs": q_jw_part_pairs,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5434,6 +5479,7 @@ ORACLES = {
     "events_range_scan": SQL_EVENTS_RANGE_SCAN,
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "jw_part_pairs": SQL_JW_PART_PAIRS,
+    "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
