@@ -193,3 +193,41 @@ def train_word_vectors(docs_ds, dim: int = 32, vocab_size: int = 1024,
             }
         )
     )
+
+
+def hash_embed_weights(docs_ds, dim: int = 64):
+    """The hashing embedder's exact core in long form: one row per
+    (doc_id, bucket) touched by at least one token, ``weight`` = the
+    signed token count (sum of +/-1 sign hashes) — an INTEGER, so the
+    DuckDB oracle (md5_number_upper == the engine's digest[:8]
+    little-endian token hash) matches bit-for-bit with zero float risk.
+    `HashingEmbedder`'s embedding is exactly these weights l2-normalized
+    (tied together in tests/test_embed_vectors.py)."""
+    from cosmos_ray.functions.dedup import _TOKEN_HASHES
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        toks, owner = [], []
+        for i, x in enumerate(texts):
+            ws = x.split()
+            toks.extend(ws)
+            owner.extend([i] * len(ws))
+        if not toks:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64())})
+        th = _TOKEN_HASHES.hashes(toks)
+        sign = 1 - 2 * (th >> np.uint64(63)).astype(np.int64)
+        bucket = (th % np.uint64(dim)).astype(np.int64)
+        key = np.asarray(owner, np.int64) * dim + bucket
+        uniq, inv = np.unique(key, return_inverse=True)
+        w = np.bincount(inv, weights=sign).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[uniq // dim], pa.int64()),
+            "bucket": pa.array(uniq % dim, pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

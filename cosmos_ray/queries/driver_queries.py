@@ -5313,6 +5313,30 @@ WHERE o.o_totalprice > 1.5 * a.avg_price
 """
 
 
+
+def q_hash_embed_long(sf_dir: str):
+    """The hashing embedder's core, oracle-checked: per-(doc, bucket)
+    signed token counts (`embed.hash_embed_weights`) — integer-exact vs
+    the DuckDB md5 replay. `embed_docs` (rows-only) is exactly this
+    l2-normalized, so this query is its correctness evidence."""
+    from cosmos_ray.functions.embed import hash_embed_weights
+
+    return hash_embed_weights(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_HASH_EMBED_LONG = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+h AS (SELECT doc_id, md5_number_upper(token) AS th
+      FROM tok WHERE token <> ''),
+b AS (SELECT doc_id, CAST(th % 64 AS BIGINT) AS bucket,
+             CASE WHEN th >= 9223372036854775808 THEN -1 ELSE 1 END AS sign
+      FROM h)
+SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+FROM b GROUP BY doc_id, bucket
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5464,6 +5488,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "jw_part_pairs": q_jw_part_pairs,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "hash_embed_long": q_hash_embed_long,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5480,6 +5505,7 @@ ORACLES = {
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "jw_part_pairs": SQL_JW_PART_PAIRS,
     "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
+    "hash_embed_long": SQL_HASH_EMBED_LONG,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,

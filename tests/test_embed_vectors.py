@@ -125,3 +125,21 @@ class TestDistributedPCA:
         for i in range(3):
             assert np.allclose(got[f"pc_{i}"].to_numpy(), want[:, i],
                                atol=1e-9)
+
+
+def test_hash_embed_weights_normalize_to_embedder(documents_small):
+    """The oracle-checked long-form weights, l2-normalized per doc, must
+    equal HashingEmbedder's embedding exactly — tying embed_docs
+    (rows-only) to hash_embed_long's DuckDB-verified core."""
+    from cosmos_ray.functions.embed import embed_documents, hash_embed_weights
+
+    ds = rd.from_arrow(documents_small).select_columns(["doc_id", "text"])
+    w = hash_embed_weights(ds).to_pandas()
+    emb = {r["doc_id"]: np.asarray(r["embedding"], np.float64)
+           for r in embed_documents(ds).take_all()}
+    for doc_id, g in w.groupby("doc_id"):
+        v = np.zeros(64)
+        v[g["bucket"].to_numpy()] = g["weight"].to_numpy().astype(np.float64)
+        n = np.linalg.norm(v)
+        expect = (v / n if n > 0 else v).astype(np.float32)
+        assert np.allclose(emb[doc_id], expect, atol=1e-7), doc_id
