@@ -311,3 +311,103 @@ def table_checksum(ds, cols: list[str]):
         n += r["n"]
     return rd.from_arrow(pa.table({"checksum": pa.array([format(int(x), "x")]),
                                    "n_rows": pa.array([n], pa.int64())}))
+
+
+def heavy_hitters(docs_ds, text_col: str = "text", phi: float = 0.005,
+                  round_to: int = 6):
+    """Corpus-scale frequent-token detection (phi-heavy hitters), exact.
+
+    The 100-TB shape is sketch-then-verify: an exact global
+    ``groupby(token)`` would shuffle the UNBOUNDED tail vocabulary; a
+    plain sketch alone gives approximate counts. This does both passes
+    but moves only bounded data:
+
+    1. **Candidate pass** (Misra-Gries pigeonhole): each batch counts
+       its tokens vectorized (``pc.value_counts`` over the flattened
+       split) and emits only tokens with in-batch count >= (phi/2) *
+       batch_tokens. A token with global frequency >= phi must reach
+       frequency >= phi in at least one batch (weighted-average
+       pigeonhole), so the union of survivors has NO false negatives;
+       the phi/2 margin covers frequency granularity in tiny batches.
+       Per batch at most 2/phi candidate rows cross the exchange, plus
+       one null-token row carrying the batch's exact token total.
+    2. **Verify pass**: the deduplicated candidate set (driver-bounded:
+       <= batches x 2/phi rows, guarded by ``collect_small``) is
+       broadcast into a second scan that counts ONLY candidate tokens
+       (vectorized ``is_in`` filter), then a tiny ``groupby(token)``
+       sums exact counts and filters ``cnt >= phi * N``.
+
+    Output is therefore EXACT (token, cnt, frac) — same rows as the
+    full-vocabulary SQL count — while the exchange stays O(batches/phi)
+    instead of O(distinct tokens)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.queries.relational import collect_small
+
+    def candidates(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t.column(text_col), " "))
+        n = len(toks)
+        if n == 0:
+            return pa.table({"token": pa.array([None], pa.string()),
+                             "cnt": pa.array([0], pa.int64())})
+        vc = pc.value_counts(toks)
+        vals, counts = vc.field("values"), vc.field("counts")
+        keep = pc.greater_equal(
+            pc.cast(counts, pa.float64()), (phi / 2.0) * n)
+        vals = pc.filter(vals, keep)
+        counts = pc.filter(pc.cast(counts, pa.int64()), keep)
+        return pa.table({
+            "token": pa.concat_arrays(
+                [vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
+                 else vals, pa.array([None], pa.string())]),
+            "cnt": pa.concat_arrays(
+                [counts.combine_chunks() if isinstance(counts, pa.ChunkedArray)
+                 else counts, pa.array([n], pa.int64())]),
+        })
+
+    part = docs_ds.select_columns([text_col]).map_batches(
+        candidates, batch_format="pyarrow")
+    # dedupe candidates distributed FIRST so the driver pull is the
+    # distinct candidate set, not per-batch partials
+    cand = part.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    cand_tbl = collect_small(cand)
+    if cand_tbl is None:  # pragma: no cover - degenerate phi misuse
+        raise ValueError("candidate set exceeds driver cap; raise phi")
+    tok_col = cand_tbl.column("token")
+    null_mask = pc.is_null(tok_col)
+    total = pc.sum(pc.filter(cand_tbl.column("cnt"), null_mask)).as_py() or 0
+    cand_tokens = pc.filter(tok_col, pc.invert(null_mask))
+    cand_ref = ray.put(cand_tokens.combine_chunks()
+                       if isinstance(cand_tokens, pa.ChunkedArray)
+                       else cand_tokens)
+
+    def verify(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        toks = pc.list_flatten(pc.split_pattern(t.column(text_col), " "))
+        toks = pc.filter(toks, pc.is_in(toks, value_set=cset))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = docs_ds.select_columns([text_col]).map_batches(
+        verify, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    thresh = phi * total
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.cast(t.column("cnt"), pa.float64()), thresh)
+        t = t.filter(keep)
+        frac = pc.round(pc.divide(pc.cast(t.column("cnt"), pa.float64()),
+                                  float(total) if total else 1.0),
+                        ndigits=round_to)
+        return pa.table({"token": t.column("token"),
+                         "cnt": pc.cast(t.column("cnt"), pa.int64()),
+                         "frac": frac})
+
+    return exact.map_batches(finish, batch_format="pyarrow")

@@ -5337,6 +5337,27 @@ FROM b GROUP BY doc_id, bucket
 """
 
 
+def q_heavy_tokens(sf_dir: str):
+    """phi-heavy-hitter tokens over the document corpus
+    (`sketch.heavy_hitters`): Misra-Gries candidate pass + exact-count
+    verify pass — output identical to a full-vocabulary count, exchange
+    bounded at O(batches/phi) instead of O(distinct tokens)."""
+    from cosmos_ray.functions.sketch import heavy_hitters
+
+    return heavy_hitters(read(sf_dir, "documents", ["text"]), phi=0.005)
+
+
+SQL_HEAVY_TOKENS = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM w),
+c AS (SELECT token, count(*) AS cnt FROM w GROUP BY token)
+SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt,
+       round(c.cnt::DOUBLE / tot.n, 6) AS frac
+FROM c, tot
+WHERE c.cnt >= 0.005 * tot.n
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5489,6 +5510,7 @@ QUERIES = {
     "jw_part_pairs": q_jw_part_pairs,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "hash_embed_long": q_hash_embed_long,
+    "heavy_tokens": q_heavy_tokens,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5506,6 +5528,7 @@ ORACLES = {
     "jw_part_pairs": SQL_JW_PART_PAIRS,
     "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
     "hash_embed_long": SQL_HASH_EMBED_LONG,
+    "heavy_tokens": SQL_HEAVY_TOKENS,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
