@@ -646,3 +646,60 @@ def triangle_count(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
 
     return rd.from_arrow(pa.table({
         "triangles": pa.array([int(total or 0)], pa.int64())}))
+
+
+def k_core(edges_ds, k: int = 3, src: str = "src_entity",
+           dst: str = "dst_entity", max_rounds: int = 64):
+    """k-core decomposition membership (Seidman 1983): the maximal
+    subgraph of the undirected SIMPLE graph (self-loops dropped,
+    parallel/reverse edges collapsed) in which every node keeps degree
+    >= k. -> (entity, degree) rows, degree measured INSIDE the core.
+
+    Algorithm (distributed peeling): each round recomputes degrees over
+    the surviving edge table (one groupby exchange over (node) rows),
+    keeps nodes with degree >= k, and semi-joins the edge table on BOTH
+    endpoints against the keep set (size-guarded broadcast via
+    ``semi_join_ds``, distributed-join fallback past the cap — the node
+    table is entity-vocabulary-sized, see module docstring). A round
+    that deletes no edge certifies the fixed point; rounds needed equal
+    the peel depth, bounded by ``max_rounds`` against a pathological
+    chain. No stage materializes node or edge payloads on the driver."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import semi_join_ds
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column(src), t.column(dst)
+        lt = pc.less(s, d)
+        a = pc.if_else(lt, s, d)
+        b = pc.if_else(lt, d, s)
+        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
+
+    edges = (edges_ds.select_columns([src, dst])
+             .map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
+             .drop_columns(["__n"]).materialize())
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        return pa.table({"node": pa.chunked_array(
+            list(a.chunks) + list(b.chunks), type=a.type)})
+
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (edges.map_batches(both_ends, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="deg")))
+        keep = deg.filter(lambda r: r["deg"] >= k).select_columns(["node"])
+        nxt = semi_join_ds(edges, keep, key_col="node", big_key="a")
+        nxt = semi_join_ds(nxt, keep, key_col="node", big_key="b").materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        edges, n_edges = nxt, n_next
+
+    deg = (edges.map_batches(both_ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg")))
+    return (deg.filter(lambda r: r["deg"] >= k)
+            .rename_columns({"node": "entity", "deg": "degree"}))

@@ -346,25 +346,30 @@ def heavy_hitters(docs_ds, text_col: str = "text", phi: float = 0.005,
 
     from cosmos_ray.queries.relational import collect_small
 
+    # marker rows ride the same exchange as candidate rows; keys are
+    # prefix-tagged ("t:" token / "n:" total) because Ray's sort-based
+    # groupby cannot order a null key against strings across partitions
     def candidates(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(t.column(text_col), " "))
         n = len(toks)
         if n == 0:
-            return pa.table({"token": pa.array([None], pa.string()),
+            return pa.table({"token": pa.array(["n:"], pa.string()),
                              "cnt": pa.array([0], pa.int64())})
         vc = pc.value_counts(toks)
         vals, counts = vc.field("values"), vc.field("counts")
         keep = pc.greater_equal(
             pc.cast(counts, pa.float64()), (phi / 2.0) * n)
-        vals = pc.filter(vals, keep)
+        vals = pc.binary_join_element_wise(
+            pa.array(["t"] * int(pc.sum(keep).as_py() or 0), pa.string()),
+            pc.filter(vals, keep), ":")
+        # NB: "t:" + token — ":" is the JOINER, so the tag is "t" + ":"
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
         counts = pc.filter(pc.cast(counts, pa.int64()), keep)
+        counts = (counts.combine_chunks()
+                  if isinstance(counts, pa.ChunkedArray) else counts)
         return pa.table({
-            "token": pa.concat_arrays(
-                [vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
-                 else vals, pa.array([None], pa.string())]),
-            "cnt": pa.concat_arrays(
-                [counts.combine_chunks() if isinstance(counts, pa.ChunkedArray)
-                 else counts, pa.array([n], pa.int64())]),
+            "token": pa.concat_arrays([vals, pa.array(["n:"], pa.string())]),
+            "cnt": pa.concat_arrays([counts, pa.array([n], pa.int64())]),
         })
 
     part = docs_ds.select_columns([text_col]).map_batches(
@@ -375,10 +380,11 @@ def heavy_hitters(docs_ds, text_col: str = "text", phi: float = 0.005,
     cand_tbl = collect_small(cand)
     if cand_tbl is None:  # pragma: no cover - degenerate phi misuse
         raise ValueError("candidate set exceeds driver cap; raise phi")
-    tok_col = cand_tbl.column("token")
-    null_mask = pc.is_null(tok_col)
-    total = pc.sum(pc.filter(cand_tbl.column("cnt"), null_mask)).as_py() or 0
-    cand_tokens = pc.filter(tok_col, pc.invert(null_mask))
+    tok_col = cand_tbl.column("token").cast(pa.string())
+    marker = pc.equal(tok_col, "n:")
+    total = pc.sum(pc.filter(cand_tbl.column("cnt"), marker)).as_py() or 0
+    cand_tokens = pc.utf8_slice_codeunits(
+        pc.filter(tok_col, pc.invert(marker)), 2)  # strip the "t:" tag
     cand_ref = ray.put(cand_tokens.combine_chunks()
                        if isinstance(cand_tokens, pa.ChunkedArray)
                        else cand_tokens)

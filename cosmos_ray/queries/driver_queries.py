@@ -4094,6 +4094,49 @@ LIMIT 20
 """)
 
 
+def q_kg_kcore(sf_dir: str):
+    """k-core membership of the undirected entity graph
+    (`graph.k_core`, distributed peeling to a certified fixed point;
+    k=20 trims the KB graph's low-degree fringe)."""
+    from cosmos_ray.functions.graph import k_core
+
+    return k_core(_built_kg(sf_dir).adjacency, k=20)
+
+
+def _sql_kg_kcore(k: int = 20, rounds: int = 8) -> str:
+    """Peel-round unroll (the Bellman-Ford-oracle pattern): each round
+    keeps edges whose BOTH endpoints have current degree >= k. The
+    engine iterates to a certified fixed point; the unroll is exact as
+    long as convergence takes <= ``rounds`` rounds (the synthetic KB
+    graph peels in <= 2; multi-round convergence itself is gated by the
+    chain-graph pytest in test_graph_sketch.py)."""
+    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+, e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM adj WHERE src <> dst)
+"""]
+    for i in range(rounds):
+        parts.append(f"""
+, d{i} AS MATERIALIZED (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+    GROUP BY 1)
+, e{i + 1} AS MATERIALIZED (
+    SELECT a, b FROM e{i}
+    WHERE a IN (SELECT node FROM d{i} WHERE deg >= {k})
+      AND b IN (SELECT node FROM d{i} WHERE deg >= {k}))
+""")
+    parts.append(f"""
+SELECT node AS entity, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY 1 HAVING count(*) >= {k}
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_KCORE = _sql_kg_kcore()
+
+
 def q_kg_triangles(sf_dir: str):
     """Global triangle count of the undirected entity graph
     (`graph.triangle_count`, compact-forward wedge generation + edge
@@ -5479,6 +5522,7 @@ QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "kg_degree": q_kg_degree,
     "kg_triangles": q_kg_triangles,
+    "kg_kcore": q_kg_kcore,
     "kg_linkpred": q_kg_linkpred,
     "kg_shortest": q_kg_shortest,
     "kg_pagerank": q_kg_pagerank,
@@ -5638,6 +5682,7 @@ ORACLES = {
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_degree": SQL_KG_DEGREE,
     "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_kcore": SQL_KG_KCORE,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,

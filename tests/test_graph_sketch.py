@@ -459,3 +459,57 @@ class TestTableChecksum:
                        "text": pa.array(["a", "b", "C"])})
         c = table_checksum(rd.from_arrow(t2), ["id", "text"]).take_all()[0]
         assert c["checksum"] != a["checksum"]
+
+
+class TestKCore:
+    def test_cycle_with_tail_multi_round_peel(self):
+        # 4-cycle a-b-c-d + tail d-e-f-g: k=2 core is exactly the cycle,
+        # and the tail peels one node per round (3 rounds to converge)
+        rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1),
+                ("d", "e", 1), ("e", "f", 1), ("f", "g", 1)]
+        from cosmos_ray.functions.graph import k_core
+
+        out = k_core(_edges(rows), k=2).to_pandas()
+        assert sorted(out["entity"]) == ["a", "b", "c", "d"]
+        assert set(out["degree"]) == {2}
+
+    def test_pure_path_empties(self):
+        rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+        from cosmos_ray.functions.graph import k_core
+
+        assert k_core(_edges(rows), k=2).count() == 0
+
+    def test_k1_keeps_all_nonisolated(self):
+        from cosmos_ray.functions.graph import k_core
+
+        out = k_core(_edges(EDGE_ROWS), k=1).to_pandas()
+        assert sorted(out["entity"]) == ["a", "b", "c", "d", "e"]
+
+
+class TestHeavyHitters:
+    def test_exact_vs_full_count(self):
+        # heavy token split so NO single small batch is individually
+        # dominated by it — the pigeonhole union must still catch it
+        texts = (["hot cold"] * 40) + ["hot rare%d x y z" % i for i in range(20)]
+        docs = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
+        from collections import Counter
+
+        from cosmos_ray.functions.sketch import heavy_hitters
+
+        exact = Counter(t for x in texts for t in x.split(" "))
+        n = sum(exact.values())
+        phi = 0.05
+        want = {t: c for t, c in exact.items() if c >= phi * n}
+        out = heavy_hitters(docs, phi=phi).to_pandas()
+        got = dict(zip(out["token"], out["cnt"]))
+        assert got == want
+        assert np.allclose(out["frac"], [got[t] / n for t in out["token"]],
+                           atol=1e-6)
+
+    def test_empty_and_no_hitters(self):
+        from cosmos_ray.functions.sketch import heavy_hitters
+
+        docs = rd.from_arrow(pa.table({"text": pa.array(
+            ["u%d" % i for i in range(100)])}))
+        # every token unique -> nothing reaches phi=0.05
+        assert heavy_hitters(docs, phi=0.05).count() == 0
