@@ -198,3 +198,119 @@ def value_histogram(ds, keys: list[str], value_col: str, bin_width: float):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(keys + ["bin_lo"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def ols_trend(events_ds, key: str = "event_type", x_col: str = "ts",
+              y_col: str = "value", round_to: int = 6):
+    """Per-group simple linear regression (OLS of y on time) via moment
+    partials: each batch emits (n, sx, sy, sxx, sxy, syy) per group —
+    six floats per (group x batch) cross the exchange, never rows — and
+    a tiny groupby-sum finishes slope / intercept / r2 in closed form.
+
+    x is DAYS since 2020-01-01 (epoch_us / 86400e6 - 18262): slope and
+    r2 are shift-invariant but the raw-microsecond moments square to
+    ~1e30 and lose float64 precision against DuckDB's numerically
+    stable regr_* aggregates; day-scale moments stay exact to well past
+    the 6dp parity rounding."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = (t.column(x_col).cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False).astype(np.float64)
+             / 86_400_000_000.0 - 18_262.0)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t.column(key).to_pylist()
+        df = pd.DataFrame({key: g, "n": 1.0, "sx": x, "sy": y,
+                           "sxx": x * x, "sxy": x * y, "syy": y * y})
+        agg = df.groupby(key, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sums = (events_ds.select_columns([key, x_col, y_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            intercept = (sy - slope * sx) / n
+            r2 = np.where((vx > 0) & (vy > 0), (cov * cov) / (vx * vy), np.nan)
+        return pa.table({
+            key: t.column(key),
+            "n": pa.array(n.astype(np.int64)),
+            "slope": pa.array(np.round(slope, round_to)),
+            "intercept": pa.array(np.round(intercept, round_to)),
+            "r2": pa.array(np.round(r2, round_to)),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def group_zscore(ds, key: str, value_col: str, id_col: str,
+                 round_to: int = 6):
+    """Per-group z-score standardization (sample stddev, n-1): one
+    moment-partial exchange computes each group's (n, sum, sumsq); the
+    group-stat table (group-vocabulary-sized) broadcasts back into a
+    vectorized per-row map — the two-pass standardize-features shape,
+    no row ever crosses an exchange twice."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({key: t.column(key).to_pylist(),
+                           "n": 1.0, "s": v, "ss": v * v})
+        return pa.Table.from_pandas(
+            df.groupby(key, sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    from cosmos_ray.queries.relational import collect_small
+
+    stats = (ds.select_columns([key, value_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(key)
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                        Sum("ss", alias_name="ss")))
+    st_tbl = collect_small(stats)
+    if st_tbl is None:  # pragma: no cover - group vocabulary past the cap
+        raise ValueError("group-stat table exceeds broadcast cap; "
+                         "use a distributed join variant")
+    st = st_tbl.to_pandas()
+    n, s, ss = st["n"].to_numpy(), st["s"].to_numpy(), st["ss"].to_numpy()
+    mean = s / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sd = np.sqrt(np.maximum(ss - n * mean * mean, 0.0) / np.where(n > 1, n - 1, 1))
+        sd = np.where(n > 1, sd, np.nan)
+    lookup_ref = ray.put({k: (m, d) for k, m, d in zip(st[key], mean, sd)})
+
+    def apply(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = t.column(key).to_pylist()
+        md = np.array([lk[x] for x in keys], dtype=np.float64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - md[:, 0]) / md[:, 1]
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            value_col: t.column(value_col),
+            "z": pa.array(np.round(z, round_to)),
+        })
+
+    return ds.select_columns([id_col, key, value_col]).map_batches(
+        apply, batch_format="pyarrow")

@@ -527,3 +527,37 @@ def cdc_chunks(docs_ds, window: int = 16, modulus: int = 64):
     hashes feed a groupby for sub-document (chunk-level) dedup."""
     return docs_ds.map_batches(
         lambda t: cdc_chunk_batch(t, window, modulus), batch_format="pyarrow")
+
+
+def readability_batch(t: pa.Table, round_to: int = 6) -> pa.Table:
+    """Flesch reading-ease inputs + score per doc, fully vectorized —
+    the classic text-quality heuristic alongside the Gopher repetition
+    gates. Syllables are approximated as vowel-cluster counts with a
+    floor of 1 per vowel-less word (the standard heuristic); the
+    synthetic corpus has no sentence punctuation so the
+    sentences-per-doc term is fixed at 1 (documented degenerate form:
+    score = 206.835 - 1.015*words - 84.6*syllables/words). Empty
+    tokens (double spaces) are excluded on both engine and oracle
+    sides; docs with zero words are dropped."""
+    import pandas as pd
+
+    s = pd.Series(t.column("text").to_pylist())
+    words = s.str.count(r"[^ ]+").to_numpy(dtype=np.float64)
+    clusters = s.str.count(r"[aeiou]+").to_numpy(dtype=np.float64)
+    # vowel-less words get the 1-syllable floor
+    novowel = s.str.count(r"(?:(?<= )|^)[^ aeiou]+(?=(?: |$))").to_numpy(
+        dtype=np.float64)
+    syl = clusters + novowel
+    keep = words > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = 206.835 - 1.015 * words - 84.6 * (syl / np.maximum(words, 1))
+    return pa.table({
+        "doc_id": t.column("doc_id").filter(pa.array(keep)),
+        "n_words": pa.array(words[keep].astype(np.int64)),
+        "n_syllables": pa.array(syl[keep].astype(np.int64)),
+        "flesch": pa.array(np.round(score[keep], round_to)),
+    })
+
+
+def readability(docs_ds):
+    return docs_ds.map_batches(readability_batch, batch_format="pyarrow")

@@ -5401,6 +5401,98 @@ WHERE c.cnt >= 0.005 * tot.n
 """
 
 
+def q_value_trend(sf_dir: str):
+    """Per-event-type OLS trend of value over time (`stats.ols_trend`,
+    moment-partial exchange; x in days for float64 parity with DuckDB's
+    stable regr_* aggregates)."""
+    from cosmos_ray.functions.stats import ols_trend
+
+    return ols_trend(read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+
+SQL_VALUE_TREND = """
+WITH x AS (SELECT event_type,
+                  epoch_us(ts) / 86400000000.0 - 18262.0 AS d, value
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, d), 6) AS slope,
+       round(regr_intercept(value, d), 6) AS intercept,
+       round(regr_r2(value, d), 6) AS r2
+FROM x GROUP BY event_type
+"""
+
+
+def q_order_zscores(sf_dir: str):
+    """Per-priority z-score standardization of order totals
+    (`stats.group_zscore`: one moment exchange + broadcast stat
+    lookup — the standardize-features pass)."""
+    from cosmos_ray.functions.stats import group_zscore
+
+    return group_zscore(
+        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        key="o_orderpriority", value_col="o_totalprice", id_col="o_orderkey")
+
+
+SQL_ORDER_ZSCORES = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       round((o_totalprice - avg(o_totalprice) OVER w)
+             / stddev_samp(o_totalprice) OVER w, 6) AS z
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority)
+"""
+
+
+def q_cume_dist_chars(sf_dir: str):
+    """Per-language cumulative distribution of doc length (the SQL
+    cume_dist window, replayed distributed: fraction of the group with
+    value <= the row's — vectorized searchsorted per bucketed group)."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def cd(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy()
+        sv = np.sort(v)
+        r = np.searchsorted(sv, v, side="right")  # peers count in
+        out = g[["doc_id", "lang", "n_chars"]].copy()
+        out["cume"] = np.round(r / len(v), 6)
+        return out
+
+    return bucketed_group_apply(docs, ["lang"], cd)
+
+
+SQL_CUME_DIST_CHARS = """
+SELECT doc_id, lang, n_chars,
+       round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars),
+             6) AS cume
+FROM documents
+"""
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per doc (`textops.readability`: vectorized
+    vowel-cluster syllable heuristic; single-sentence degenerate form
+    — see the kernel docstring)."""
+    from cosmos_ray.functions.textops import readability
+
+    return readability(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_READABILITY = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+syl AS (SELECT doc_id, count(*) AS n_words,
+               sum(greatest(1, len(regexp_extract_all(w, '[aeiou]+'))))
+                 AS n_syl
+        FROM tok WHERE w <> '' GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syl AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * n_words - 84.6 * (n_syl::DOUBLE / n_words),
+             6) AS flesch
+FROM syl WHERE n_words > 0
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5555,6 +5647,10 @@ QUERIES = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "hash_embed_long": q_hash_embed_long,
     "heavy_tokens": q_heavy_tokens,
+    "value_trend": q_value_trend,
+    "order_zscores": q_order_zscores,
+    "cume_dist_chars": q_cume_dist_chars,
+    "readability": q_readability,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5573,6 +5669,10 @@ ORACLES = {
     "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
     "hash_embed_long": SQL_HASH_EMBED_LONG,
     "heavy_tokens": SQL_HEAVY_TOKENS,
+    "value_trend": SQL_VALUE_TREND,
+    "order_zscores": SQL_ORDER_ZSCORES,
+    "cume_dist_chars": SQL_CUME_DIST_CHARS,
+    "readability": SQL_READABILITY,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
