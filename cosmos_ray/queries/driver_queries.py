@@ -5493,6 +5493,41 @@ FROM syl WHERE n_words > 0
 """
 
 
+def q_scd2_user_state(sf_dir: str):
+    """SCD type-2 history of each user's event_type: consecutive
+    unchanged runs collapse into version rows with validity intervals
+    (`temporal.scd2_intervals`; open versions carry valid_to_us = -1)."""
+    from cosmos_ray.functions.temporal import scd2_intervals
+
+    return scd2_intervals(read(sf_dir, "events",
+                               ["event_id", "user_id", "event_type", "ts"]))
+
+
+SQL_SCD2_USER_STATE = """
+WITH x AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN prev IS NULL OR prev <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version
+  FROM x),
+iv AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(epoch_us(ts)) AS valid_from_us
+  FROM r GROUP BY user_id, version)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+       valid_from_us,
+       COALESCE(lead(valid_from_us) OVER (
+           PARTITION BY user_id ORDER BY version), -1) AS valid_to_us
+FROM iv
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5651,6 +5686,7 @@ QUERIES = {
     "order_zscores": q_order_zscores,
     "cume_dist_chars": q_cume_dist_chars,
     "readability": q_readability,
+    "scd2_user_state": q_scd2_user_state,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5673,6 +5709,7 @@ ORACLES = {
     "order_zscores": SQL_ORDER_ZSCORES,
     "cume_dist_chars": SQL_CUME_DIST_CHARS,
     "readability": SQL_READABILITY,
+    "scd2_user_state": SQL_SCD2_USER_STATE,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
