@@ -5528,6 +5528,28 @@ FROM iv
 """
 
 
+def q_len_quantiles_counted(sf_dir: str):
+    """Skew-safe exact per-language length quantiles
+    (`relational.group_quantiles_counted`): the hot-group exchange
+    carries (lang, n_chars, count) combiner rows — bounded by distinct
+    lengths, not corpus rows — and the weighted inverted CDF stays
+    quantile_disc-identical."""
+    from cosmos_ray.queries.relational import group_quantiles_counted
+
+    return group_quantiles_counted(
+        read(sf_dir, "documents", ["lang", "n_chars"]),
+        ["lang"], "n_chars", qs=(0.5, 0.9, 0.99))
+
+
+SQL_LEN_QUANTILES_COUNTED = """
+SELECT lang,
+       quantile_disc(n_chars, 0.5) AS q50,
+       quantile_disc(n_chars, 0.9) AS q90,
+       quantile_disc(n_chars, 0.99) AS q99
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5687,6 +5709,7 @@ QUERIES = {
     "cume_dist_chars": q_cume_dist_chars,
     "readability": q_readability,
     "scd2_user_state": q_scd2_user_state,
+    "len_quantiles_counted": q_len_quantiles_counted,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5710,6 +5733,7 @@ ORACLES = {
     "cume_dist_chars": SQL_CUME_DIST_CHARS,
     "readability": SQL_READABILITY,
     "scd2_user_state": SQL_SCD2_USER_STATE,
+    "len_quantiles_counted": SQL_LEN_QUANTILES_COUNTED,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,

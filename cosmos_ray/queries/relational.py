@@ -530,3 +530,45 @@ def weighted_sample(ds, n: int, weight_col: str, id_col: str = "doc_id",
         })
 
     return picked.map_batches(finish, batch_format="pyarrow")
+
+
+def group_quantiles_counted(ds, keys: list[str], value_col: str,
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            num_buckets: int = 64):
+    """Skew-safe EXACT per-group discrete quantiles for bounded-
+    cardinality values: unlike ``group_quantiles`` (which gathers every
+    row of a group into one worker — a bottleneck when the group key is
+    hot), the exchange here carries per-(group, value) COUNTS produced
+    by per-batch combiners, so a hot group's traffic is bounded by its
+    distinct-value count, not its row count. The in-group pick is the
+    weighted inverted CDF over the count table — element-identical to
+    ``quantile_disc`` and to ``group_quantiles``. The third tier of the
+    quantile family: exact-gather / exact-counted / histogram-sketch."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [value_col]).to_pandas()
+        df["__n"] = 1
+        agg = df.groupby(keys + [value_col], sort=False).count().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = (ds.select_columns(keys + [value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(keys + [value_col])
+              .aggregate(Sum("__n", alias_name="__n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="stable")
+        v = g[value_col].to_numpy()
+        c = g["__n"].to_numpy()
+        cum = np.cumsum(c)
+        n = cum[-1]
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for q in qs:
+            rnk = max(int(np.ceil(q * n)), 1)
+            row[f"q{int(q * 100)}"] = [v[np.searchsorted(cum, rnk, side="left")]]
+        return pd.DataFrame(row)
+
+    return bucketed_group_apply(counts, keys, pick, num_buckets=num_buckets)

@@ -298,3 +298,19 @@ class TestMergeUpsert:
         got = (merge_upsert(base, empty, key="id").to_pandas()
                .sort_values("id").reset_index(drop=True))
         assert list(zip(got["id"], got["v"])) == [(1, "a"), (2, "b")]
+
+
+def test_counted_quantiles_agree_with_gather():
+    """group_quantiles_counted (skew-safe count exchange) must pick the
+    identical elements as group_quantiles (row gather) on the same
+    input — including over the hot event_type keys with float values."""
+    from cosmos_ray.queries.relational import (
+        group_quantiles,
+        group_quantiles_counted,
+        read,
+    )
+
+    ev = read(SF, "events", ["event_type", "value"])
+    a = _norm(group_quantiles(ev, ["event_type"], "value").to_pandas())
+    b = _norm(group_quantiles_counted(ev, ["event_type"], "value").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
