@@ -314,3 +314,59 @@ def group_zscore(ds, key: str, value_col: str, id_col: str,
 
     return ds.select_columns([id_col, key, value_col]).map_batches(
         apply, batch_format="pyarrow")
+
+
+def multi_ols_fit(events_ds, y_col: str = "value", ts_col: str = "ts",
+                  round_to: int = 6):
+    """Multivariate linear model fit, closed form: y ~ b0 + b1*day +
+    b2*hour_of_day over the event stream. One combiner pass accumulates
+    the normal-equation moments (X'X upper triangle + X'y + y'y — nine
+    floats per batch cross the exchange); the 3x3 solve is model-sized
+    driver arithmetic via Cramer's rule so the DuckDB oracle can replay
+    it literally from the same SQL-computed sums. Day is shifted
+    (epoch_us/86400e6 - 18262) for float64 headroom, as in
+    ``ols_trend``."""
+    from ray.data.aggregate import Sum
+
+    cols = ["n", "sx1", "sx2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False).astype(np.float64))
+        x1 = us / 86_400_000_000.0 - 18_262.0
+        x2 = np.floor(us / 3_600_000_000.0) % 24.0
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = [float(len(y)), x1.sum(), x2.sum(), (x1 * x1).sum(),
+                (x1 * x2).sum(), (x2 * x2).sum(), y.sum(), (x1 * y).sum(),
+                (x2 * y).sum(), (y * y).sum()]
+        return pa.table({c: pa.array([v]) for c, v in zip(cols, vals)})
+
+    sums = (events_ds.select_columns([ts_col, y_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .sum(cols))
+    n, sx1, sx2, s11, s12, s22, sy, s1y, s2y, syy = (sums[f"sum({c})"]
+                                                     for c in cols)
+    # Cramer's rule on the 3x3 normal equations
+    det = (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+           + sx2 * (sx1 * s12 - s11 * sx2))
+    d0 = (sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)
+          + sx2 * (s1y * s12 - s11 * s2y))
+    d1 = (n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s2y - s1y * sx2))
+    d2 = (n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)
+          + sy * (sx1 * s12 - s11 * sx2))
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    # R^2 from the same moments: 1 - SSE/SST with
+    # SSE = y'y - b.(X'y), SST = y'y - n*mean^2
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "b0": pa.array([round(b0, round_to)]),
+        "b1": pa.array([round(b1, round_to)]),
+        "b2": pa.array([round(b2, round_to)]),
+        "r2": pa.array([round(r2, round_to)]),
+    }))

@@ -5550,6 +5550,47 @@ FROM documents GROUP BY lang
 """
 
 
+def q_multi_ols(sf_dir: str):
+    """Multivariate closed-form linear fit y ~ b0 + b1*day + b2*hour
+    over all events (`stats.multi_ols_fit`): normal-equation moments by
+    combiner partials, Cramer's-rule solve replayed literally in SQL."""
+    from cosmos_ray.functions.stats import multi_ols_fit
+
+    return multi_ols_fit(read(sf_dir, "events", ["ts", "value"]))
+
+
+SQL_MULTI_OLS = """
+WITH f AS (
+  SELECT epoch_us(ts) / 86400000000.0 - 18262.0 AS x1,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS DOUBLE) AS x2,
+         value AS y
+  FROM events),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x1) AS sx1, sum(x2) AS sx2,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+         sum(y*y) AS syy
+  FROM f),
+d AS (
+  SELECT *,
+    n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+      + sx2*(sx1*s12 - s11*sx2) AS det,
+    sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+      + sx2*(s1y*s12 - s11*s2y) AS d0,
+    n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)
+      + sx2*(sx1*s2y - s1y*sx2) AS d1,
+    n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+      + sy*(sx1*s12 - s11*sx2) AS d2
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       round(d0/det, 6) AS b0, round(d1/det, 6) AS b1,
+       round(d2/det, 6) AS b2,
+       round(1.0 - (syy - ((d0/det)*sy + (d1/det)*s1y + (d2/det)*s2y))
+                 / (syy - sy*sy/n), 6) AS r2
+FROM d
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5710,6 +5751,7 @@ QUERIES = {
     "readability": q_readability,
     "scd2_user_state": q_scd2_user_state,
     "len_quantiles_counted": q_len_quantiles_counted,
+    "multi_ols": q_multi_ols,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5734,6 +5776,7 @@ ORACLES = {
     "readability": SQL_READABILITY,
     "scd2_user_state": SQL_SCD2_USER_STATE,
     "len_quantiles_counted": SQL_LEN_QUANTILES_COUNTED,
+    "multi_ols": SQL_MULTI_OLS,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
