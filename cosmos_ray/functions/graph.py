@@ -703,3 +703,133 @@ def k_core(edges_ds, k: int = 3, src: str = "src_entity",
            .groupby("node").aggregate(Count(alias_name="deg")))
     return (deg.filter(lambda r: r["deg"] >= k)
             .rename_columns({"node": "entity", "deg": "degree"}))
+
+
+# ----------------------------------------------------------------- HITS
+def hits(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
+         weight: str = "weight", iters: int = 10,
+         broadcast_cap: int = 2_000_000, ndigits: int = 6):
+    """Kleinberg HITS (1999) hubs & authorities over the weighted
+    directed graph -> (entity, hub, authority), both rounded to
+    ``ndigits``. Per iteration: authority = L2-normalized in-weighted
+    sum of hub scores, then hub = L2-normalized out-weighted sum of the
+    NEW authority scores (the standard alternating half-steps, init
+    hub = 1). Nodes with no in-edges get authority 0, no out-edges hub 0.
+
+    Scale shape mirrors `pagerank`: node vector broadcast per iteration
+    (`ray.put` once, read in every task), per-batch combiner partials
+    over the streaming edge table; past ``broadcast_cap`` nodes the
+    joined fallback runs each half-step as a distributed hash join +
+    groupby (paths agree exactly — test-gated)."""
+    from cosmos_ray.queries.relational import collect_small
+
+    e = _edge_weights(edges_ds, src, dst, weight).materialize()
+    nodes_tbl = collect_small(_distinct_entities(e), cap_rows=broadcast_cap)
+    if nodes_tbl is None:
+        return _hits_joined(e, iters, ndigits)
+    node_ids = np.sort(nodes_tbl.column("entity").to_numpy(zero_copy_only=False))
+    n = len(node_ids)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "entity": nodes_tbl.column("entity"),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64())}))
+    ids_ref = ray.put(node_ids)
+
+    def propagate(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """out[v] = sum over edges w(u->v) * vec[u] (or the transpose)."""
+        v_ref = ray.put(vec)
+
+        def contribs(t: pa.Table, _v=v_ref, _ids=ids_ref) -> pa.Table:
+            ids, vv = ray.get(_ids), ray.get(_v)
+            s = np.searchsorted(ids, t.column(from_col).to_numpy(zero_copy_only=False))
+            c = vv[s] * t.column("w").to_numpy(zero_copy_only=False)
+            d = t.column(to_col).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(d, return_inverse=True)
+            return pa.table({"k": pa.array(uniq.tolist()),
+                             "c": pa.array(np.bincount(inv, weights=c),
+                                           pa.float64())})
+
+        agg = collect_small(
+            e.map_batches(contribs, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("c", alias_name="c")),
+            cap_rows=broadcast_cap)
+        out = np.zeros(n, np.float64)
+        if agg is not None and agg.num_rows:
+            j = np.searchsorted(node_ids, agg.column("k").to_numpy(zero_copy_only=False))
+            out[j] = agg.column("c").to_numpy(zero_copy_only=False)
+        return out
+
+    def l2(v: np.ndarray) -> np.ndarray:
+        nrm = float(np.sqrt((v * v).sum()))
+        return v / nrm if nrm > 0 else v
+
+    h = np.ones(n, np.float64)
+    a = np.zeros(n, np.float64)
+    for _ in range(iters):
+        a = l2(propagate(h, "src", "dst"))
+        h = l2(propagate(a, "dst", "src"))
+    return rd.from_arrow(pa.table({
+        "entity": pa.array(node_ids.tolist()),
+        "hub": pa.array(np.round(h, ndigits), pa.float64()),
+        "authority": pa.array(np.round(a, ndigits), pa.float64()),
+    }))
+
+
+def _hits_joined(e, iters: int, ndigits: int):
+    """Node table exceeds the broadcast cap: each half-step is one
+    distributed hash join of the edge table against the score table
+    plus a groupby-sum; the L2 norm is a one-scalar reduce. Agrees
+    exactly with the broadcast path (test-gated)."""
+    import ray as _ray
+
+    num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    nodes = _distinct_entities(e).materialize()
+
+    def half_step(vec, from_col: str, to_col: str):
+        raw = (e.join(vec, join_type="inner", num_partitions=num_partitions,
+                      on=(from_col,), right_on=("entity",))
+               .map_batches(
+                   lambda t: pa.table({
+                       "entity": t.column(to_col),
+                       "v": pc.multiply(t.column("w"), t.column("v"))}),
+                   batch_format="pyarrow")
+               .groupby("entity").aggregate(Sum("v", alias_name="v"))
+               .materialize())
+        ssq = raw.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [float(np.square(t.column("v").to_numpy(
+                    zero_copy_only=False)).sum())], pa.float64())}),
+            batch_format="pyarrow").sum("s") or 0.0
+        nrm = float(np.sqrt(ssq)) or 1.0
+        return raw.map_batches(
+            lambda t, _n=nrm: pa.table({
+                "entity": t.column("entity"),
+                "v": pc.divide(t.column("v"), _n)}),
+            batch_format="pyarrow").materialize()
+
+    h = nodes.map_batches(
+        lambda t: pa.table({"entity": t.column("entity"),
+                            "v": pa.array(np.ones(len(t)), pa.float64())}),
+        batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = half_step(h, "src", "dst")
+        h = half_step(a, "dst", "src")
+
+    out = nodes.join(h.rename_columns({"v": "hub"}), join_type="left_outer",
+                     num_partitions=num_partitions, on=("entity",),
+                     right_on=("entity",))
+    out = out.join(a.rename_columns({"v": "authority"}), join_type="left_outer",
+                   num_partitions=num_partitions, on=("entity",),
+                   right_on=("entity",))
+    return out.map_batches(
+        lambda t: pa.table({
+            "entity": t.column("entity"),
+            "hub": pa.array(np.round(np.nan_to_num(
+                t.column("hub").to_numpy(zero_copy_only=False), nan=0.0),
+                ndigits), pa.float64()),
+            "authority": pa.array(np.round(np.nan_to_num(
+                t.column("authority").to_numpy(zero_copy_only=False), nan=0.0),
+                ndigits), pa.float64())}),
+        batch_format="pyarrow")

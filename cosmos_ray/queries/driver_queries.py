@@ -4252,6 +4252,51 @@ SELECT entity, round(pr, 6) AS "rank" FROM r{iters}
 SQL_KG_PPR = _sql_kg_ppr()
 
 
+def q_kg_hits(sf_dir: str):
+    """Kleinberg HITS hubs & authorities over the entity adjacency
+    (10 alternating L2-normalized half-steps, `graph.hits`) — the
+    'which entities aggregate facts vs anchor them' complement to
+    PageRank on a directed KG."""
+    from cosmos_ray.functions.graph import hits
+
+    return hits(_built_kg(sf_dir).adjacency, iters=10)
+
+
+def _sql_kg_hits(iters: int = 10) -> str:
+    """HITS replay: the alternating half-steps unrolled as MATERIALIZED
+    CTEs — authority{i} = L2-normalized in-weighted sum of hub{i-1},
+    hub{i} = L2-normalized out-weighted sum of authority{i}; nodes
+    outside a half-step's support COALESCE to 0 at the end."""
+    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+, nodes AS MATERIALIZED (SELECT DISTINCT e FROM
+            (SELECT src AS e FROM adj UNION ALL SELECT dst FROM adj))
+, h0 AS MATERIALIZED (SELECT e AS entity, 1.0 AS v FROM nodes)
+"""]
+    for i in range(iters):
+        parts.append(f"""
+, ar{i} AS MATERIALIZED (SELECT a.dst AS entity, sum(a.w * h.v) AS v
+            FROM adj a JOIN h{i} h ON h.entity = a.src GROUP BY a.dst)
+, a{i + 1} AS MATERIALIZED (SELECT entity,
+            v / (SELECT sqrt(sum(v * v)) FROM ar{i}) AS v FROM ar{i})
+, hr{i} AS MATERIALIZED (SELECT a.src AS entity, sum(a.w * t.v) AS v
+            FROM adj a JOIN a{i + 1} t ON t.entity = a.dst GROUP BY a.src)
+, h{i + 1} AS MATERIALIZED (SELECT entity,
+            v / (SELECT sqrt(sum(v * v)) FROM hr{i}) AS v FROM hr{i})
+""")
+    parts.append(f"""
+SELECT n.e AS entity,
+       round(COALESCE(h.v, 0.0), 6) AS hub,
+       round(COALESCE(a.v, 0.0), 6) AS authority
+FROM nodes n
+LEFT JOIN h{iters} h ON h.entity = n.e
+LEFT JOIN a{iters} a ON a.entity = n.e
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_HITS = _sql_kg_hits()
+
+
 def q_kg_components(sf_dir: str):
     """Connected components over the entity graph (undirected), component
     id = lexicographic-min member (`graph.connected_components`: driver
@@ -5717,6 +5762,7 @@ QUERIES = {
     "kg_shortest": q_kg_shortest,
     "kg_pagerank": q_kg_pagerank,
     "kg_ppr": q_kg_ppr,
+    "kg_hits": q_kg_hits,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
@@ -5891,6 +5937,7 @@ ORACLES = {
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_ppr": SQL_KG_PPR,
+    "kg_hits": SQL_KG_HITS,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,

@@ -513,3 +513,60 @@ class TestHeavyHitters:
             ["u%d" % i for i in range(100)])}))
         # every token unique -> nothing reaches phi=0.05
         assert heavy_hitters(docs, phi=0.05).count() == 0
+
+
+def _numpy_hits(rows, iters):
+    nodes = sorted({x for s, d, _ in rows for x in (s, d)})
+    m = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in rows:
+        W[m[s], m[d]] += w
+
+    def l2(v):
+        nrm = np.sqrt((v * v).sum())
+        return v / nrm if nrm > 0 else v
+
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = l2(W.T @ h)
+        h = l2(W @ a)
+    return nodes, np.round(h, 6), np.round(a, 6)
+
+
+class TestHits:
+    def test_matches_numpy_alternating_power(self):
+        from cosmos_ray.functions.graph import hits
+
+        df = hits(_edges(EDGE_ROWS), iters=10).to_pandas()
+        df = df.sort_values("entity").reset_index(drop=True)
+        nodes, h, a = _numpy_hits(EDGE_ROWS, iters=10)
+        assert df["entity"].tolist() == nodes
+        assert np.allclose(df["hub"], h, atol=2e-6)
+        assert np.allclose(df["authority"], a, atol=2e-6)
+        # L2 norms ~1
+        assert abs(np.square(df["hub"]).sum() - 1.0) < 1e-4
+        assert abs(np.square(df["authority"]).sum() - 1.0) < 1e-4
+
+    def test_joined_fallback_agrees_with_broadcast(self):
+        from cosmos_ray.functions.graph import hits
+
+        fast = hits(_edges(EDGE_ROWS), iters=5).to_pandas()
+        slow = hits(_edges(EDGE_ROWS), iters=5, broadcast_cap=0).to_pandas()
+        f = fast.sort_values("entity").reset_index(drop=True)
+        s = slow.sort_values("entity").reset_index(drop=True)
+        assert f["entity"].tolist() == s["entity"].tolist()
+        assert np.allclose(f["hub"], s["hub"], atol=2e-6)
+        assert np.allclose(f["authority"], s["authority"], atol=2e-6)
+
+    def test_sink_and_source_zero_scores(self):
+        from cosmos_ray.functions.graph import hits
+
+        # 'src0' has no in-edges -> authority 0; 'sink' no out -> hub 0
+        df = hits(_edges([("src0", "sink", 1)]), iters=3).to_pandas()
+        d = df.set_index("entity")
+        assert d.loc["src0", "authority"] == 0.0
+        assert d.loc["sink", "hub"] == 0.0
+        assert d.loc["src0", "hub"] == 1.0
+        assert d.loc["sink", "authority"] == 1.0
