@@ -5636,6 +5636,25 @@ FROM d
 """
 
 
+def q_parts_skyline(sf_dir: str):
+    """Pareto frontier over parts — maximize p_size, minimize
+    p_retailprice (`relational.skyline`: exact per-batch combiner, one
+    whole-block converge pass, no driver pull)."""
+    from cosmos_ray.queries.relational import skyline
+
+    parts = read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return skyline(parts, max_cols=["p_size"], min_cols=["p_retailprice"])
+
+
+SQL_PARTS_SKYLINE = """
+SELECT p_partkey, p_size, p_retailprice FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5798,6 +5817,7 @@ QUERIES = {
     "scd2_user_state": q_scd2_user_state,
     "len_quantiles_counted": q_len_quantiles_counted,
     "multi_ols": q_multi_ols,
+    "parts_skyline": q_parts_skyline,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5823,6 +5843,7 @@ ORACLES = {
     "scd2_user_state": SQL_SCD2_USER_STATE,
     "len_quantiles_counted": SQL_LEN_QUANTILES_COUNTED,
     "multi_ols": SQL_MULTI_OLS,
+    "parts_skyline": SQL_PARTS_SKYLINE,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,

@@ -572,3 +572,45 @@ def group_quantiles_counted(ds, keys: list[str], value_col: str,
         return pd.DataFrame(row)
 
     return bucketed_group_apply(counts, keys, pick, num_buckets=num_buckets)
+
+
+def skyline(ds, max_cols: list[str], min_cols: list[str],
+            batch_size: int = 1024):
+    """Pareto frontier (skyline, Börzsönyi et al. 2001): rows not
+    weakly dominated — with at least one strict inequality — by any
+    other row over ``max_cols`` (bigger better) and ``min_cols``
+    (smaller better). Duplicate points all survive, matching the SQL
+    NOT-EXISTS convention.
+
+    Scale shape: skyline admits an exact combiner — skyline(A ∪ B) ⊆
+    skyline(A) ∪ skyline(B) and every globally dominated point is
+    dominated by some local survivor (strict dominance is transitive) —
+    so each batch drops its dominated rows first (vectorized O(b²·d)
+    numpy bitmask, b = ``batch_size``), then the survivors converge in
+    one `repartition(1)` whole-block pass applying the same rule; no
+    driver pull at any size. Survivor count is data-dependent
+    (anti-correlated dims keep many points): the final single task
+    assumes the frontier fits one worker, the standard skyline
+    partitioning assumption (documented per the custom-operator rule)."""
+    cols = list(max_cols) + list(min_cols)
+
+    def oriented(t: pa.Table) -> np.ndarray:
+        x = np.stack([t.column(c).to_numpy(zero_copy_only=False)
+                      .astype(np.float64) for c in max_cols]
+                     + [-t.column(c).to_numpy(zero_copy_only=False)
+                        .astype(np.float64) for c in min_cols], axis=1)
+        return x
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        x = oriented(t)
+        ge = (x[:, None, :] >= x[None, :, :]).all(-1)   # ge[j,i]: j >= i
+        gt = (x[:, None, :] > x[None, :, :]).any(-1)
+        dominated = (ge & gt).any(axis=0)
+        return t.filter(pa.array(~dominated))
+
+    survivors = ds.map_batches(local, batch_format="pyarrow",
+                               batch_size=batch_size)
+    return survivors.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None)

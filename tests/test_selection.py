@@ -109,3 +109,40 @@ def test_dedup_keep_best_tie_breaks_to_lowest_id():
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     got = {r["doc_id"]: r["keep"] for r in dedup_keep_best(ds).take_all()}
     assert got == {10: True, 11: False}
+
+
+class TestSkyline:
+    def _py_skyline(self, pts):
+        out = []
+        for p in pts:
+            dominated = any(
+                q[0] >= p[0] and q[1] <= p[1] and (q[0] > p[0] or q[1] < p[1])
+                for q in pts)
+            if not dominated:
+                out.append(p)
+        return sorted(out)
+
+    def test_matches_quadratic_reference_across_batches(self):
+        from cosmos_ray.queries.relational import skyline
+
+        rng = np.random.RandomState(7)
+        size = rng.randint(1, 50, 500).astype(np.int64)
+        price = np.round(rng.uniform(900, 2000, 500), 2)
+        ds = rd.from_arrow(pa.table({
+            "id": pa.array(range(500)), "size": pa.array(size),
+            "price": pa.array(price)}))
+        # batch_size 32 forces many local passes before the converge pass
+        got = skyline(ds, max_cols=["size"], min_cols=["price"],
+                      batch_size=32).to_pandas()
+        want = self._py_skyline(list(zip(size.tolist(), price.tolist())))
+        assert sorted(zip(got["size"], got["price"])) == want
+
+    def test_duplicate_frontier_points_all_survive(self):
+        from cosmos_ray.queries.relational import skyline
+
+        ds = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2, 3]),
+            "size": pa.array([10, 10, 5]),
+            "price": pa.array([1.0, 1.0, 2.0])}))
+        got = skyline(ds, max_cols=["size"], min_cols=["price"]).to_pandas()
+        assert sorted(got["id"].tolist()) == [1, 2]
