@@ -370,3 +370,50 @@ def multi_ols_fit(events_ds, y_col: str = "value", ts_col: str = "ts",
         "b2": pa.array([round(b2, round_to)]),
         "r2": pa.array([round(r2, round_to)]),
     }))
+
+
+def group_gini(ds, key: str, value_col: str, round_to: int = 6):
+    """Exact Gini coefficient per group — the inequality measure every
+    corpus-curation dashboard wants over revenue / token / length
+    distributions. Counted (skew-safe) formulation: the exchange
+    carries one row per DISTINCT (group, value) with its count (same
+    tier as `relational.group_quantiles_counted` — hot-group traffic
+    bounded by distinct values, not rows); per group the rank-weighted
+    sum uses the closed form over value runs:
+
+        G = sum_i (2i - n - 1) x_(i)  /  (n * sum x)
+
+    where a run of value v with count c starting after cumulative
+    count a contributes v * c * (2a + c - n) — tie-order invariant, so
+    the SQL row_number replay matches at any tie order.
+    -> (key, n, gini)."""
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col]).to_pandas()
+        df["__c"] = 1
+        g = df.groupby([key, value_col], sort=False).count().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.select_columns([key, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([key, value_col])
+              .aggregate(Sum("__c", alias_name="__c")))
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="stable")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        c = g["__c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        a = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        num = float((v * c * (2.0 * a + c - n)).sum())
+        den = n * float((v * c).sum())
+        out = pd.DataFrame({key: [g[key].iloc[0]],
+                            "n": [int(n)],
+                            "gini": [round(num / den, round_to) if den
+                                     else 0.0]})
+        return out
+
+    return bucketed_group_apply(counts, [key], gini)

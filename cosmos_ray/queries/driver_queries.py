@@ -5655,6 +5655,31 @@ WHERE NOT EXISTS (
 """
 
 
+def q_revenue_gini(sf_dir: str):
+    """Gini inequality coefficient of order totals per priority class
+    (`stats.group_gini`: counted skew-safe exchange, closed-form
+    rank-weighted sum over value runs)."""
+    from cosmos_ray.functions.stats import group_gini
+
+    orders = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return group_gini(orders, key="o_orderpriority",
+                      value_col="o_totalprice")
+
+
+SQL_REVENUE_GINI = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS i,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n,
+         sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s
+  FROM orders)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       round(sum((2.0 * i - n - 1) * x) / (n * s), 6) AS gini
+FROM r GROUP BY o_orderpriority, n, s
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5818,6 +5843,7 @@ QUERIES = {
     "len_quantiles_counted": q_len_quantiles_counted,
     "multi_ols": q_multi_ols,
     "parts_skyline": q_parts_skyline,
+    "revenue_gini": q_revenue_gini,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5844,6 +5870,7 @@ ORACLES = {
     "len_quantiles_counted": SQL_LEN_QUANTILES_COUNTED,
     "multi_ols": SQL_MULTI_OLS,
     "parts_skyline": SQL_PARTS_SKYLINE,
+    "revenue_gini": SQL_REVENUE_GINI,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
