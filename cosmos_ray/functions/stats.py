@@ -417,3 +417,88 @@ def group_gini(ds, key: str, value_col: str, round_to: int = 6):
         return out
 
     return bucketed_group_apply(counts, [key], gini)
+
+
+def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
+                  round_to: int = 6):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two groups — the drift probe a
+    corpus-refresh pipeline runs between crawls. Counted (skew-safe)
+    formulation: the exchange carries one (value, count_a, count_b) row
+    per DISTINCT value; D = max_v |F_a(v) - F_b(v)| over the merged
+    sorted support, computed in one whole-block converge pass.
+    -> one row (n_a, n_b, d_stat)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        df = df[df[group_col].isin([group_a, group_b])]
+        df["ca"] = (df[group_col] == group_a).astype(np.int64)
+        df["cb"] = (df[group_col] == group_b).astype(np.int64)
+        g = df.groupby(value_col, sort=False)[["ca", "cb"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(value_col)
+              .aggregate(Sum("ca", alias_name="ca"),
+                         Sum("cb", alias_name="cb")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        na, nb = ca.sum(), cb.sum()
+        fa = np.cumsum(ca) / (na if na else 1.0)
+        fb = np.cumsum(cb) / (nb if nb else 1.0)
+        d = float(np.abs(fa - fb).max()) if len(v) else 0.0
+        return pa.table({
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "d_stat": pa.array([round(d, round_to)], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
+    """Pearson chi-squared test of independence between two categorical
+    columns (the lang x source association probe). One combiner
+    exchange carries the (a, b) contingency counts — bounded by the
+    category product, not rows; the statistic sums over the FULL
+    marginal grid (absent cells contribute their expected count), in
+    one whole-block pass. -> one row (n, dof, chi2)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([col_a, col_b]).to_pandas()
+        df["__c"] = 1
+        g = df.groupby([col_a, col_b], sort=False).count().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.select_columns([col_a, col_b])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([col_a, col_b])
+              .aggregate(Sum("__c", alias_name="__c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        piv = df.pivot_table(index=col_a, columns=col_b, values="__c",
+                             aggfunc="sum", fill_value=0).to_numpy(
+                                 dtype=np.float64)
+        n = piv.sum()
+        r = piv.sum(axis=1, keepdims=True)
+        c = piv.sum(axis=0, keepdims=True)
+        e = r @ c / (n if n else 1.0)
+        chi2 = float(((piv - e) ** 2 / np.where(e > 0, e, 1.0)).sum())
+        dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+        return pa.table({
+            "n": pa.array([int(n)], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2": pa.array([round(chi2, round_to)], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

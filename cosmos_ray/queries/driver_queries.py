@@ -5680,6 +5680,62 @@ FROM r GROUP BY o_orderpriority, n, s
 """
 
 
+def q_ks_lang_lengths(sf_dir: str):
+    """Two-sample KS statistic between en and de doc-length
+    distributions (`stats.ks_two_sample`: counted exchange, one
+    converge pass over the merged sorted support)."""
+    from cosmos_ray.functions.stats import ks_two_sample
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+    return ks_two_sample(docs, "lang", "n_chars", "en", "de")
+
+
+SQL_KS_LANG_LENGTHS = """
+WITH c AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS cb
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+k AS (
+  SELECT sum(ca) OVER (ORDER BY v) / (SELECT na FROM t) AS fa,
+         sum(cb) OVER (ORDER BY v) / (SELECT nb FROM t) AS fb
+  FROM c)
+SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+       round(max(abs(fa - fb)), 6) AS d_stat
+FROM k
+"""
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-squared independence test of lang x source
+    (`stats.chi2_independence`: contingency-count exchange bounded by
+    the category product; absent cells contribute expected mass)."""
+    from cosmos_ray.functions.stats import chi2_independence
+
+    docs = read(sf_dir, "documents", ["lang", "source"])
+    return chi2_independence(docs, "lang", "source")
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH c AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS o
+           FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS r FROM c GROUP BY a),
+cb AS (SELECT b, sum(o) AS s FROM c GROUP BY b),
+tot AS (SELECT sum(o) AS n FROM c),
+grid AS (
+  SELECT ra.a, cb.b, ra.r * cb.s / (SELECT n FROM tot) AS e,
+         COALESCE(c.o, 0.0) AS o
+  FROM ra CROSS JOIN cb LEFT JOIN c ON c.a = ra.a AND c.b = cb.b)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       CAST(((SELECT count(*) FROM ra) - 1)
+            * ((SELECT count(*) FROM cb) - 1) AS BIGINT) AS dof,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2
+FROM grid
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5844,6 +5900,8 @@ QUERIES = {
     "multi_ols": q_multi_ols,
     "parts_skyline": q_parts_skyline,
     "revenue_gini": q_revenue_gini,
+    "ks_lang_lengths": q_ks_lang_lengths,
+    "chi2_lang_source": q_chi2_lang_source,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5871,6 +5929,8 @@ ORACLES = {
     "multi_ols": SQL_MULTI_OLS,
     "parts_skyline": SQL_PARTS_SKYLINE,
     "revenue_gini": SQL_REVENUE_GINI,
+    "ks_lang_lengths": SQL_KS_LANG_LENGTHS,
+    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
