@@ -359,3 +359,43 @@ def daily_anomalies(events_ds, z_thresh: float = 2.0, round_to: int = 6):
         })
 
     return daily.groupby("event_type").map_groups(flag, batch_format="pandas")
+
+
+def locf_fill(events_ds, mark_type: str = "purchase", round_to: int = 6):
+    """Last-observation-carried-forward imputation per user in event
+    time (SQL ``last_value(x IGNORE NULLS)``): carries each user's most
+    recent ``mark_type`` event value forward onto every later event;
+    events before the user's first mark get the -1.0 sentinel (a
+    null-free output keeps the driver's value-hash compare
+    unambiguous; COALESCE on the oracle side). The classic sparse-
+    signal densification every feature pipeline runs (last purchase
+    amount, last login tier, ...). One coarse user-hash exchange,
+    vectorized index-propagation fill inside the bucket.
+    -> (event_id, user_id, ts_us, last_mark_value)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        is_mark = (g["event_type"].to_numpy() == mark_type)
+        n = len(g)
+        # index of the latest mark at or before each row, -1 if none
+        idx = np.where(is_mark, np.arange(n), -1)
+        idx = np.maximum.accumulate(idx)
+        # reset at user boundaries: a carried index from a previous user
+        # is invalid — compare against the user's first row position
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        first = np.maximum.accumulate(np.where(new_user, np.arange(n), -1))
+        idx = np.where(idx >= first, idx, -1)
+        filled = np.where(idx >= 0, val[np.clip(idx, 0, None)], -1.0)
+        filled = np.round(filled, round_to)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": user,
+            "ts_us": ts_us,
+            "last_mark_value": filled.astype(np.float64),
+        })
+
+    return _bucketed_by_user(events_ds, fn)

@@ -5736,6 +5736,28 @@ FROM grid
 """
 
 
+def q_locf_purchase(sf_dir: str):
+    """LOCF imputation: each user's most recent purchase value carried
+    forward onto every later event (`windows.locf_fill` — the SQL
+    last_value(x IGNORE NULLS) window, one user-hash exchange)."""
+    from cosmos_ray.functions.windows import locf_fill
+
+    return locf_fill(read(sf_dir, "events",
+                          ["user_id", "event_id", "ts", "event_type",
+                           "value"]))
+
+
+SQL_LOCF_PURCHASE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(COALESCE(
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0), 6)
+       AS last_mark_value
+FROM events
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5902,6 +5924,7 @@ QUERIES = {
     "revenue_gini": q_revenue_gini,
     "ks_lang_lengths": q_ks_lang_lengths,
     "chi2_lang_source": q_chi2_lang_source,
+    "locf_purchase": q_locf_purchase,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5931,6 +5954,7 @@ ORACLES = {
     "revenue_gini": SQL_REVENUE_GINI,
     "ks_lang_lengths": SQL_KS_LANG_LENGTHS,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+    "locf_purchase": SQL_LOCF_PURCHASE,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
