@@ -502,3 +502,48 @@ def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
 
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def mannwhitney_u(ds, group_col: str, value_col: str, group_a, group_b,
+                  round_to: int = 6):
+    """Exact Mann-Whitney U statistic (rank-sum with midrank ties)
+    between two groups' value distributions — KS's rank-based sibling,
+    sensitive to location shift. Same counted (skew-safe) exchange as
+    `ks_two_sample`: one (value, count_a, count_b) row per distinct
+    value; U_a = n_a·n_b + n_a(n_a+1)/2 − R_a with R_a the midrank sum
+    of group a, computed in one whole-block pass.
+    -> one row (n_a, n_b, u_stat)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        df = df[df[group_col].isin([group_a, group_b])]
+        df["ca"] = (df[group_col] == group_a).astype(np.int64)
+        df["cb"] = (df[group_col] == group_b).astype(np.int64)
+        g = df.groupby(value_col, sort=False)[["ca", "cb"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(value_col)
+              .aggregate(Sum("ca", alias_name="ca"),
+                         Sum("cb", alias_name="cb")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        c = ca + cb
+        prior = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        avgrank = prior + (c + 1.0) / 2.0
+        na, nb = ca.sum(), cb.sum()
+        r_a = float((ca * avgrank).sum())
+        u = na * nb + na * (na + 1.0) / 2.0 - r_a
+        return pa.table({
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "u_stat": pa.array([round(u, round_to)], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

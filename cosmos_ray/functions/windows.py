@@ -399,3 +399,38 @@ def locf_fill(events_ds, mark_type: str = "purchase", round_to: int = 6):
         })
 
     return _bucketed_by_user(events_ds, fn)
+
+
+def rolling_median(events_ds, window_rows: int = 5, round_to: int = 6):
+    """Frame-bounded rolling MEDIAN (SQL ``median(value) OVER (ROWS
+    BETWEEN N-1 PRECEDING AND CURRENT ROW)``): per user, ordered by
+    (ts, event_id) — the robust counterpart to `rolling_value`'s
+    mean (spike-insensitive smoothing). One user-hash exchange; inside
+    a bucket the frame is a (rows x window) NaN-padded matrix and the
+    median one vectorized ``nanmedian`` (midpoint interpolation on even
+    counts, matching SQL median over DOUBLE).
+    -> (user_id, event_id, ts_us, roll_median)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        n = len(g)
+        val = g["value"].to_numpy(dtype=np.float64)
+        user = g["user_id"].to_numpy()
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        idx = np.arange(n)
+        starts = np.flatnonzero(new_user)
+        first = np.repeat(starts, np.diff(np.append(starts, n)))
+        m = np.full((n, window_rows), np.nan)
+        for j in range(window_rows):
+            src = idx - j
+            ok = src >= first
+            m[ok, j] = val[src[ok]]
+        return pd.DataFrame({
+            "user_id": user,
+            "event_id": g["event_id"].to_numpy(),
+            "ts_us": g["ts"].values.astype("datetime64[us]").astype(np.int64),
+            "roll_median": np.round(np.nanmedian(m, axis=1), round_to),
+        })
+
+    return _bucketed_by_user(events_ds, fn)

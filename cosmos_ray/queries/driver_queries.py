@@ -5758,6 +5758,56 @@ FROM events
 """
 
 
+def q_mannwhitney_lengths(sf_dir: str):
+    """Mann-Whitney U between en and zh doc-length distributions
+    (`stats.mannwhitney_u`: counted exchange, midrank ties, one
+    converge pass)."""
+    from cosmos_ray.functions.stats import mannwhitney_u
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+    return mannwhitney_u(docs, "lang", "n_chars", "en", "zh")
+
+
+SQL_MANNWHITNEY_LENGTHS = """
+WITH c AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+         sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::DOUBLE AS cb
+  FROM documents WHERE lang IN ('en', 'zh') GROUP BY n_chars),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+r AS (SELECT ca,
+         sum(ca + cb) OVER (ORDER BY v) - (ca + cb)
+           + (ca + cb + 1) / 2.0 AS avgrank
+      FROM c)
+SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+       round((SELECT na FROM t) * (SELECT nb FROM t)
+             + (SELECT na FROM t) * ((SELECT na FROM t) + 1) / 2.0
+             - sum(ca * avgrank), 6) AS u_stat
+FROM r
+"""
+
+
+def q_rolling_median(sf_dir: str):
+    """Frame-bounded rolling median (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) of value per user — `windows.rolling_median`,
+    vectorized NaN-padded nanmedian inside one user-hash exchange."""
+    from cosmos_ray.functions.windows import rolling_median
+
+    return rolling_median(read(sf_dir, "events",
+                               ["user_id", "event_id", "ts", "value"]))
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(median(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS roll_median
+FROM events
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5925,6 +5975,8 @@ QUERIES = {
     "ks_lang_lengths": q_ks_lang_lengths,
     "chi2_lang_source": q_chi2_lang_source,
     "locf_purchase": q_locf_purchase,
+    "mannwhitney_lengths": q_mannwhitney_lengths,
+    "rolling_median": q_rolling_median,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -5955,6 +6007,8 @@ ORACLES = {
     "ks_lang_lengths": SQL_KS_LANG_LENGTHS,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
     "locf_purchase": SQL_LOCF_PURCHASE,
+    "mannwhitney_lengths": SQL_MANNWHITNEY_LENGTHS,
+    "rolling_median": SQL_ROLLING_MEDIAN,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,

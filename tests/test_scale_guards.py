@@ -35,11 +35,11 @@ ALLOWED = {
     "functions/bpe.py": 1,            # word-frequency model table
     "functions/embed.py": 2,          # vocab + co-occurrence partials
     "functions/lm.py": 1,             # bigram model table
-    "functions/stats.py": 7,          # worker-local Table.to_pandas inside
+    "functions/stats.py": 8,          # worker-local Table.to_pandas inside
                                       # grouped_corr/value_histogram partials
                                       # + group_zscore's capped stat pull
                                       # (routed through collect_small)
-                                      # + gini/ks/chi2 counted-exchange
+                                      # + gini/ks/mw/chi2 counted-exchange
                                       # partials and chi2's whole-block
                                       # finish (all inside map_batches)
     "state/copartition.py": 4,        # worker-local bucket reads inside
