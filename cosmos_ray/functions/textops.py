@@ -561,3 +561,68 @@ def readability_batch(t: pa.Table, round_to: int = 6) -> pa.Table:
 
 def readability(docs_ds):
     return docs_ds.map_batches(readability_batch, batch_format="pyarrow")
+
+
+def type_token_ratio(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                     round_to: int = 6):
+    """Lexical diversity per document: type-token ratio = distinct
+    tokens / tokens (whitespace tokenization) — the repetitiveness
+    screen next to `quality_scores`. Fully arrow-native per batch:
+    split → list_flatten + list_parent_indices → one
+    ``count_distinct`` hash aggregation per batch; no exchange at all
+    (embarrassingly parallel). -> (doc_id, n_tokens, n_types, ttr)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), " ")
+        n_tok = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        g = pa.TableGroupBy(pa.table({"i": parent, "tok": flat}), "i") \
+              .aggregate([("tok", "count_distinct")])
+        u = np.zeros(t.num_rows, np.int64)
+        u[g.column("i").to_numpy()] = g.column("tok_count_distinct").to_numpy()
+        n = n_tok.to_numpy(zero_copy_only=False)
+        ttr = np.round(u / np.maximum(n, 1), round_to)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": n_tok,
+            "n_types": pa.array(u, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64())})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def zipf_slope(docs_ds, text_col: str = "text", min_count: int = 2,
+               round_to: int = 6):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(count) ~ ln(rank), rank by (count desc, token) — the one-number
+    distribution-health probe (natural corpora sit near -1; synthetic
+    or templated text drifts). Vocabulary counts come from the
+    distributed `embed.corpus_vocab` exchange; the fit runs in one
+    whole-block pass over the model-sized vocab table.
+    -> one row (n_types, slope, intercept)."""
+    from cosmos_ray.functions.embed import corpus_vocab
+
+    vocab = corpus_vocab(docs_ds, min_count=min_count)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = pa.table({"token": t.column("token"),
+                       "c": t.column("count").cast(pa.float64())})
+        order = pc.sort_indices(df, sort_keys=[("c", "descending"),
+                                               ("token", "ascending")])
+        c = pc.take(df.column("c"), order).to_numpy(zero_copy_only=False)
+        n = len(c)
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(c)
+        sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "n_types": pa.array([n], pa.int64()),
+            "slope": pa.array([round(slope, round_to)], pa.float64()),
+            "intercept": pa.array([round(intercept, round_to)],
+                                  pa.float64())})
+
+    return vocab.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -5808,6 +5808,54 @@ FROM events
 """
 
 
+def q_ttr_docs(sf_dir: str):
+    """Type-token ratio per document (`textops.type_token_ratio`:
+    arrow-native count_distinct per batch, no exchange)."""
+    from cosmos_ray.functions.textops import type_token_ratio
+
+    return type_token_ratio(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TTR_DOCS = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+       round(count(DISTINCT tok)::DOUBLE / count(*), 6) AS ttr
+FROM t GROUP BY doc_id
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency OLS fit over the corpus vocabulary
+    (`textops.zipf_slope`: distributed vocab counts, whole-block fit
+    replayed literally in SQL)."""
+    from cosmos_ray.functions.textops import zipf_slope
+
+    return zipf_slope(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_ZIPF_SLOPE = """
+WITH v AS (
+  SELECT token, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token HAVING count(*) >= 2),
+r AS (SELECT ln(row_number() OVER (ORDER BY c DESC, token)) AS x,
+             ln(c) AS y
+      FROM v),
+m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r),
+s AS (SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_types,
+       round(slope, 6) AS slope,
+       round((sy - slope * sx) / n, 6) AS intercept
+FROM s
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -5977,6 +6025,8 @@ QUERIES = {
     "locf_purchase": q_locf_purchase,
     "mannwhitney_lengths": q_mannwhitney_lengths,
     "rolling_median": q_rolling_median,
+    "ttr_docs": q_ttr_docs,
+    "zipf_slope": q_zipf_slope,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -6009,6 +6059,8 @@ ORACLES = {
     "locf_purchase": SQL_LOCF_PURCHASE,
     "mannwhitney_lengths": SQL_MANNWHITNEY_LENGTHS,
     "rolling_median": SQL_ROLLING_MEDIAN,
+    "ttr_docs": SQL_TTR_DOCS,
+    "zipf_slope": SQL_ZIPF_SLOPE,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
