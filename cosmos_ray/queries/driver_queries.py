@@ -4297,6 +4297,36 @@ LEFT JOIN a{iters} a ON a.entity = n.e
 SQL_KG_HITS = _sql_kg_hits()
 
 
+def q_kg_clustering(sf_dir: str):
+    """Local clustering coefficient per entity
+    (`graph.clustering_coefficient`: compact-forward wedges with
+    retained members, per-node triangle explode, size-guarded join
+    against distinct-neighbor degrees)."""
+    from cosmos_ray.functions.graph import clustering_coefficient
+
+    return clustering_coefficient(_built_kg(sf_dir).adjacency)
+
+
+SQL_KG_CLUSTERING = with_goldens(_SQL_ADJ_CTE + """
+, ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM adj WHERE src <> dst)
+, tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+          FROM ce ab JOIN ce bc ON bc.a = ab.b
+          JOIN ce ac ON ac.a = ab.a AND ac.b = bc.b)
+, tn AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri)
+, tc AS (SELECT v, count(*) AS t FROM tn GROUP BY v)
+, dg AS (SELECT v, count(*) AS d FROM
+           (SELECT a AS v FROM ce UNION ALL SELECT b FROM ce) u GROUP BY v)
+SELECT dg.v AS entity, CAST(dg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN dg.d >= 2
+             THEN 2.0 * COALESCE(tc.t, 0) / (dg.d * (dg.d - 1.0))
+             ELSE 0.0 END, 6) AS cc
+FROM dg LEFT JOIN tc ON tc.v = dg.v
+""")
+
+
 def q_kg_components(sf_dir: str):
     """Connected components over the entity graph (undirected), component
     id = lexicographic-min member (`graph.connected_components`: driver
@@ -5983,6 +6013,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_ppr": q_kg_ppr,
     "kg_hits": q_kg_hits,
+    "kg_clustering": q_kg_clustering,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
@@ -6176,6 +6207,7 @@ ORACLES = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_ppr": SQL_KG_PPR,
     "kg_hits": SQL_KG_HITS,
+    "kg_clustering": SQL_KG_CLUSTERING,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,

@@ -275,6 +275,17 @@ def broadcast_join(big_ds, small_table: pa.Table, key: str, add_cols: list[str],
 
     big_key = big_key or key
     small = small_table.combine_chunks()
+    if small.num_columns == 0:
+        # schema-less empty small side (empty aggregate upstream):
+        # inner-join semantics degrade to an empty result, typed from
+        # the big side with null-typed add_cols — not a KeyError
+        def empty(batch: pa.Table) -> pa.Table:
+            batch = batch.slice(0, 0)
+            for c in add_cols:
+                batch = batch.append_column(c, pa.nulls(0))
+            return batch
+
+        return big_ds.map_batches(empty, batch_format="pyarrow")
     ref = ray.put(small)
 
     # plain task fn (no actor-pool spin-up): ray.get on a local ObjectRef
@@ -305,7 +316,23 @@ def left_join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
     import pyarrow.compute as pc
 
     big_key = big_key or key
-    small = collect_small(small_ds.select_columns([key] + add_cols), cap_rows)
+    try:
+        small = collect_small(small_ds.select_columns([key] + add_cols),
+                              cap_rows)
+    except Exception:
+        # select_columns on a schema-less empty dataset: no rows at all
+        small = pa.table({})
+    if small is not None and small.num_columns == 0:
+        # schema-less empty small side: nothing matches — append fill
+        # columns to every big row (left-outer degradation, no KeyError)
+        def nofill(batch: pa.Table) -> pa.Table:
+            for c in add_cols:
+                v = (pa.nulls(batch.num_rows) if fill is None else
+                     pa.array([fill] * batch.num_rows))
+                batch = batch.append_column(c, v)
+            return batch
+
+        return big_ds.map_batches(nofill, batch_format="pyarrow")
     if small is not None:
         small = small.combine_chunks()
         ref = ray.put(small)

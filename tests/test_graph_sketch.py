@@ -570,3 +570,27 @@ class TestHits:
         assert d.loc["sink", "hub"] == 0.0
         assert d.loc["src0", "hub"] == 1.0
         assert d.loc["sink", "authority"] == 1.0
+
+
+class TestClusteringCoefficient:
+    def test_matches_hand_computed(self):
+        from cosmos_ray.functions.graph import clustering_coefficient
+
+        # undirected simple graph: {a,b},{a,c},{b,c},{c,d},{a,d},{a,e}
+        # triangles: {a,b,c}, {a,c,d}
+        df = clustering_coefficient(_edges(EDGE_ROWS)).to_pandas()
+        d = df.set_index("entity").sort_index()
+        assert d["degree"].to_dict() == {"a": 4, "b": 2, "c": 3, "d": 2,
+                                         "e": 1}
+        assert d["triangles"].to_dict() == {"a": 2, "b": 1, "c": 2, "d": 1,
+                                            "e": 0}
+        assert d["cc"].to_dict() == {"a": 0.333333, "b": 1.0, "c": 0.666667,
+                                     "d": 1.0, "e": 0.0}
+
+    def test_triangle_free_graph_all_zero(self):
+        from cosmos_ray.functions.graph import clustering_coefficient
+
+        df = clustering_coefficient(
+            _edges([("x", "y", 1), ("y", "z", 1)])).to_pandas()
+        assert (df["cc"] == 0.0).all()
+        assert (df["triangles"] == 0).all()
