@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def grouped_corr(ds, keys: list[str], x: str, y: str, round_to: int = 6):
@@ -546,4 +547,99 @@ def mannwhitney_u(ds, group_col: str, value_col: str, group_a, group_b,
             "u_stat": pa.array([round(u, round_to)], pa.float64())})
 
     return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def markov_stationary(events_ds, iters: int = 20, round_to: int = 6):
+    """Stationary distribution of the event-type Markov chain: row-
+    normalized per-user transition counts, then ``iters`` power
+    iterations pi <- pi·P from uniform. The transition exchange is one
+    user-hash bucket pass (vectorized lag); the state space is the
+    event-type vocabulary — model-sized by definition — so the chain
+    solve is driver arithmetic the SQL oracle replays with unrolled
+    CTEs. States with no outgoing transitions self-loop.
+    -> (event_type, stationary)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.functions.windows import _bucketed_by_user
+    from cosmos_ray.queries.relational import collect_small
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        user = g["user_id"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = user[1:] == user[:-1]
+        prev = np.roll(et, 1)
+        df = pd.DataFrame({"prev": prev[same], "nxt": et[same]})
+        df["c"] = 1
+        return df.groupby(["prev", "nxt"], sort=False).count().reset_index()
+
+    from ray.data.aggregate import Count
+
+    counts = (_bucketed_by_user(events_ds, trans)
+              .groupby(["prev", "nxt"]).aggregate(Sum("c", alias_name="c")))
+    tbl = collect_small(counts)  # states² rows — vocabulary-bounded
+    st_tbl = collect_small(
+        events_ds.select_columns(["event_type"])
+        .groupby("event_type").aggregate(Count(alias_name="__n")))
+    if tbl is None or st_tbl is None:  # pragma: no cover - misuse
+        raise ValueError("transition table exceeds driver cap")
+    prev = np.asarray(tbl.column("prev").to_pylist())
+    nxt = np.asarray(tbl.column("nxt").to_pylist())
+    c = tbl.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    states = np.unique(np.asarray(st_tbl.column("event_type").to_pylist()))
+    m = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = np.zeros((n, n))
+    P[[m[a] for a in prev], [m[b] for b in nxt]] = c
+    rs = P.sum(axis=1)
+    dangling = rs == 0
+    P[dangling, dangling.nonzero()[0]] = 1.0  # self-loop
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        pi = pi @ P
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(states.tolist()),
+        "stationary": pa.array(np.round(pi, round_to), pa.float64())}))
+
+
+def acf_hourly(events_ds, lags: tuple[int, ...] = (1, 2, 3),
+               ts_col: str = "ts", value_col: str = "value",
+               round_to: int = 6):
+    """Autocorrelation of the hourly total-value series at row lags —
+    the seasonality probe over the event stream. One tumbling-window
+    groupby exchange builds the hourly series (calendar-bounded, i.e.
+    model-sized); the lagged Pearson correlations run in one
+    whole-block pass over the hour-ordered rows.
+    -> (lag, n_pairs, acf)."""
+    from ray.data.aggregate import Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t.column(ts_col).cast(pa.timestamp("us")),
+                                 pa.int64()), 3_600_000_000)
+        return pa.table({"hour": hour, "y": t.column(value_col)})
+
+    hourly = (events_ds.select_columns([ts_col, value_col])
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("hour").aggregate(Sum("y", alias_name="y")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
+        y = pc.take(t.column("y"), order).to_numpy(zero_copy_only=False)
+        out_lag, out_n, out_acf = [], [], []
+        for k in lags:
+            a, b = y[:-k], y[k:]
+            out_lag.append(k)
+            out_n.append(len(a))
+            r = float(np.corrcoef(a, b)[0, 1]) if len(a) > 1 else 0.0
+            out_acf.append(round(r, round_to))
+        return pa.table({
+            "lag": pa.array(out_lag, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+            "acf": pa.array(out_acf, pa.float64())})
+
+    return hourly.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)

@@ -5886,6 +5886,80 @@ FROM s
 """
 
 
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain
+    (`stats.markov_stationary`: user-hash transition exchange,
+    vocabulary-sized chain solve, 20 power iterations)."""
+    from cosmos_ray.functions.stats import markov_stationary
+
+    return markov_stationary(read(sf_dir, "events",
+                                  ["user_id", "event_id", "ts",
+                                   "event_type"]))
+
+
+def _sql_markov_stationary(iters: int = 20) -> str:
+    parts = ["""
+WITH s AS (
+  SELECT event_type AS nxt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+tc AS (SELECT prev, nxt, count(*)::DOUBLE AS c FROM s
+       WHERE prev IS NOT NULL GROUP BY 1, 2),
+states AS (SELECT DISTINCT event_type AS st FROM events),
+p AS MATERIALIZED (
+  SELECT tc.prev, tc.nxt, tc.c / rs.r AS p
+  FROM tc JOIN (SELECT prev, sum(c) AS r FROM tc GROUP BY prev) rs
+       USING (prev)
+  UNION ALL
+  SELECT st, st, 1.0 FROM states WHERE st NOT IN (SELECT prev FROM tc)),
+r0 AS (SELECT st, 1.0 / (SELECT count(*) FROM states) AS v FROM states)
+"""]
+    for i in range(iters):
+        parts.append(f"""
+, r{i + 1} AS MATERIALIZED (
+    SELECT p.nxt AS st, sum(r{i}.v * p.p) AS v
+    FROM r{i} JOIN p ON p.prev = r{i}.st GROUP BY p.nxt)
+""")
+    parts.append(f"""
+SELECT s.st AS event_type, round(COALESCE(r.v, 0.0), 6) AS stationary
+FROM states s LEFT JOIN r{iters} r ON r.st = s.st
+""")
+    return "".join(parts)
+
+
+SQL_MARKOV_STATIONARY = _sql_markov_stationary()
+
+
+def q_acf_hourly(sf_dir: str):
+    """Autocorrelation of the hourly total-value series at lags 1-3
+    (`stats.acf_hourly`: tumbling-window exchange, whole-block lagged
+    Pearson correlations)."""
+    from cosmos_ray.functions.stats import acf_hourly
+
+    return acf_hourly(read(sf_dir, "events", ["ts", "value"]))
+
+
+SQL_ACF_HOURLY = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, sum(value) AS y
+  FROM events GROUP BY 1),
+o AS (SELECT y,
+             lag(y, 1) OVER (ORDER BY hour) AS y1,
+             lag(y, 2) OVER (ORDER BY hour) AS y2,
+             lag(y, 3) OVER (ORDER BY hour) AS y3
+      FROM h)
+SELECT 1 AS lag, CAST(count(y1) AS BIGINT) AS n_pairs,
+       round(corr(y, y1), 6) AS acf FROM o WHERE y1 IS NOT NULL
+UNION ALL
+SELECT 2, CAST(count(y2) AS BIGINT), round(corr(y, y2), 6)
+FROM o WHERE y2 IS NOT NULL
+UNION ALL
+SELECT 3, CAST(count(y3) AS BIGINT), round(corr(y, y3), 6)
+FROM o WHERE y3 IS NOT NULL
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -6058,6 +6132,8 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "ttr_docs": q_ttr_docs,
     "zipf_slope": q_zipf_slope,
+    "markov_stationary": q_markov_stationary,
+    "acf_hourly": q_acf_hourly,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -6092,6 +6168,8 @@ ORACLES = {
     "rolling_median": SQL_ROLLING_MEDIAN,
     "ttr_docs": SQL_TTR_DOCS,
     "zipf_slope": SQL_ZIPF_SLOPE,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
+    "acf_hourly": SQL_ACF_HOURLY,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
