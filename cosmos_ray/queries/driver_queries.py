@@ -5960,6 +5960,109 @@ FROM o WHERE y3 IS NOT NULL
 """
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): all four grouping sets — cells,
+    per-type, per-day and grand total — derived from ONE finest-grain
+    combiner exchange (sentinels 'ALL'/-1), the standard cube-from-
+    finest optimization (coarser levels re-aggregate the cell table,
+    which is bounded by the category product, never the fact rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        86_400_000_000)
+        grp = (pa.table({"event_type": t.column("event_type"), "day": day})
+               .group_by(["event_type", "day"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"event_type": grp.column("event_type"),
+                         "day": grp.column("day"),
+                         "n": grp.column("count_all").cast(pa.int64())})
+
+    cells = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("n", alias_name="n")).materialize())
+    by_type = (cells.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+               .map_batches(lambda t: t.append_column(
+                   "day", pa.array([-1] * t.num_rows, pa.int64())),
+                   batch_format="pyarrow")
+               .select_columns(["event_type", "day", "n"]))
+    by_day = (cells.groupby("day").aggregate(Sum("n", alias_name="n"))
+              .map_batches(lambda t: t.append_column(
+                  "event_type", pa.array(["ALL"] * t.num_rows, pa.string())),
+                  batch_format="pyarrow")
+              .select_columns(["event_type", "day", "n"]))
+    total = int(cells.sum("n") or 0)
+    grand = rd.from_arrow(pa.table({
+        "event_type": pa.array(["ALL"]),
+        "day": pa.array([-1], pa.int64()),
+        "n": pa.array([total], pa.int64())}))
+    return (cells.select_columns(["event_type", "day", "n"])
+            .union(by_type).union(by_day).union(grand))
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, -1) AS day, n
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY CUBE (event_type, day))
+"""
+
+
+def q_benford_prices(sf_dir: str):
+    """Benford first-significant-digit profile of order totals — the
+    fabricated-data / corruption probe. Exact integer path: prices are
+    2-decimal money, so cents = round(v*100) is an exact int64 and the
+    leading digit comes from repeated integer division (no log10 float
+    boundary risk); one 9-row counts exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100.0).astype(np.int64)
+        d = np.abs(cents)
+        for _ in range(18):  # int64 has <= 19 digits
+            d = np.where(d >= 10, d // 10, d)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("digit").aggregate(Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("digit").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = n.sum()
+        return pa.table({
+            "digit": t.column("digit").cast(pa.int64()),
+            "n": t.column("n").cast(pa.int64()),
+            "frac": pa.array(np.round(n / tot, 6), pa.float64()),
+            "benford": pa.array(np.round(np.log10(1.0 + 1.0 / d), 6),
+                                pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_BENFORD_PRICES = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*)::DOUBLE AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / (SELECT tot FROM t), 6) AS frac,
+       round(log10(1 + 1.0 / digit), 6) AS benford
+FROM c
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -6134,6 +6237,8 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "markov_stationary": q_markov_stationary,
     "acf_hourly": q_acf_hourly,
+    "events_cube": q_events_cube,
+    "benford_prices": q_benford_prices,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -6170,6 +6275,8 @@ ORACLES = {
     "zipf_slope": SQL_ZIPF_SLOPE,
     "markov_stationary": SQL_MARKOV_STATIONARY,
     "acf_hourly": SQL_ACF_HOURLY,
+    "events_cube": SQL_EVENTS_CUBE,
+    "benford_prices": SQL_BENFORD_PRICES,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
