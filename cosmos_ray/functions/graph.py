@@ -927,3 +927,68 @@ def clustering_coefficient(edges_ds, src: str = "src_entity",
             "cc": pa.array(np.round(cc, round_to), pa.float64())})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity(edges_ds, src: str = "src_entity",
+                         dst: str = "dst_entity", round_to: int = 6):
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    simple graph: Pearson correlation of (deg(u), deg(v)) over the
+    directed reading of every undirected edge — do high-degree entities
+    attach to each other (r > 0) or to leaves (r < 0)?
+    -> one row (n_edges, assortativity), n_edges = directed count.
+
+    Shape: distinct-canonical edges, one node-sized degree table joined
+    onto both endpoints through the size-guarded broadcast tiers, then
+    six integer-exact moment partials per batch (the `grouped_corr`
+    exchange) — the closed form is bit-identical to the SQL replay
+    before the 6dp round because degree sums are integer-valued."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.queries.relational import left_join_or_broadcast
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src).cast(pa.string())
+        d = t.column(dst).cast(pa.string())
+        lt = pc.less(s, d)
+        a = pc.if_else(lt, s, d)
+        b = pc.if_else(lt, d, s)
+        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
+
+    edges = (edges_ds.select_columns([src, dst])
+             .map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
+             .drop_columns(["__n"]).materialize())
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        return pa.table({
+            "u": pa.chunked_array(list(a.chunks) + list(b.chunks),
+                                  type=a.type),
+            "v": pa.chunked_array(list(b.chunks) + list(a.chunks),
+                                  type=a.type)})
+
+    und = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
+    deg = (und.groupby("u").aggregate(Count(alias_name="d"))
+           .rename_columns({"u": "node"}))
+    e = left_join_or_broadcast(und, deg.rename_columns({"d": "du"}),
+                               key="node", add_cols=["du"], big_key="u")
+    e = left_join_or_broadcast(e, deg.rename_columns({"d": "dv"}),
+                               key="node", add_cols=["dv"], big_key="v")
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("du").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column("dv").to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = [float(len(x)), x.sum(), y.sum(), (x * x).sum(),
+                (y * y).sum(), (x * y).sum()]
+        return pa.table({c: pa.array([v]) for c, v in zip(cols, vals)})
+
+    sums = e.map_batches(moments, batch_format="pyarrow").sum(cols)
+    n, sx, sy, sxx, syy, sxy = (sums[f"sum({c})"] for c in cols)
+    denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([int(n)], pa.int64()),
+        "assortativity": pa.array([round(float(r), round_to)],
+                                  pa.float64())}))

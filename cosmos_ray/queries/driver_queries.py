@@ -4327,6 +4327,33 @@ FROM dg LEFT JOIN tc ON tc.v = dg.v
 """)
 
 
+def q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the entity graph
+    (`graph.degree_assortativity`: node-sized degree broadcast onto
+    both endpoints, integer-exact moment partials)."""
+    from cosmos_ray.functions.graph import degree_assortativity
+
+    return degree_assortativity(_built_kg(sf_dir).adjacency)
+
+
+SQL_KG_ASSORTATIVITY = with_goldens(_SQL_ADJ_CTE + """
+, ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM adj WHERE src <> dst)
+, und AS (SELECT a AS u, b AS v FROM ce UNION ALL SELECT b, a FROM ce)
+, dg AS (SELECT u AS nd, count(*)::DOUBLE AS d FROM und GROUP BY u)
+, e AS (SELECT d1.d AS x, d2.d AS y
+        FROM und JOIN dg d1 ON d1.nd = und.u JOIN dg d2 ON d2.nd = und.v)
+, m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM e)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             6) AS assortativity
+FROM m
+""")
+
+
 def q_kg_components(sf_dir: str):
     """Connected components over the entity graph (undirected), component
     id = lexicographic-min member (`graph.connected_components`: driver
@@ -6191,6 +6218,7 @@ QUERIES = {
     "kg_ppr": q_kg_ppr,
     "kg_hits": q_kg_hits,
     "kg_clustering": q_kg_clustering,
+    "kg_assortativity": q_kg_assortativity,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
@@ -6393,6 +6421,7 @@ ORACLES = {
     "kg_ppr": SQL_KG_PPR,
     "kg_hits": SQL_KG_HITS,
     "kg_clustering": SQL_KG_CLUSTERING,
+    "kg_assortativity": SQL_KG_ASSORTATIVITY,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,
