@@ -992,3 +992,48 @@ def degree_assortativity(edges_ds, src: str = "src_entity",
         "n_edges": pa.array([int(n)], pa.int64()),
         "assortativity": pa.array([round(float(r), round_to)],
                                   pa.float64())}))
+
+
+def reciprocity(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
+                round_to: int = 6):
+    """Reciprocity of the directed simple graph: the fraction of
+    distinct non-loop edges (u, v) whose reverse (v, u) also exists —
+    how symmetric the fact graph is. Distinct-edge exchange, then one
+    string-keyed semi-join of the edge list against its own reversed
+    keys (size-guarded broadcast / bloom / distributed tiers).
+    -> one row (n_edges, n_reciprocal, reciprocity)."""
+    import ray.data as _rd
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import semi_join_ds
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column(src).cast(pa.string())
+        d = t.column(dst).cast(pa.string())
+        keep = pc.not_equal(s, d)
+        return pa.table({"s": s, "d": d}).filter(keep)
+
+    edges = (edges_ds.select_columns([src, dst])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby(["s", "d"]).aggregate(Count(alias_name="__n"))
+             .drop_columns(["__n"]).materialize())
+
+    def fwd_key(t: pa.Table) -> pa.Table:
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("s"), t.column("d"), ":"))
+
+    def rev_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            t.column("d"), t.column("s"), ":")})
+
+    total = edges.count()
+    recip = semi_join_ds(
+        edges.map_batches(fwd_key, batch_format="pyarrow"),
+        edges.map_batches(rev_key, batch_format="pyarrow"),
+        key_col="k", big_key="k").count()
+    return _rd.from_arrow(pa.table({
+        "n_edges": pa.array([total], pa.int64()),
+        "n_reciprocal": pa.array([recip], pa.int64()),
+        "reciprocity": pa.array(
+            [round(recip / total, round_to) if total else 0.0],
+            pa.float64())}))

@@ -643,3 +643,60 @@ def acf_hourly(events_ds, lags: tuple[int, ...] = (1, 2, 3),
 
     return hourly.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def two_proportion_ztest(events_ds, user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         mark_type: str = "purchase",
+                         value_col: str = "value",
+                         threshold: float = 200.0, round_to: int = 6):
+    """Two-proportion z-test of conversion (did the user ever emit a
+    ``mark_type`` event with value > ``threshold``) between the
+    even/odd user-id arms — the A/B
+    readout shape over an assignment that is a pure function of the
+    key. Per-user conversion is one groupby-max exchange (rows bounded
+    by users); the z statistic z = (p1−p0) / sqrt(p̂(1−p̂)(1/n0+1/n1))
+    uses the pooled estimate and is driver arithmetic the SQL oracle
+    replays literally. -> one row (n_0, n_1, conv_0, conv_1, z)."""
+    from ray.data.aggregate import Max, Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column(user_col)
+        conv = pc.cast(pc.and_(
+            pc.equal(t.column(type_col), mark_type),
+            pc.greater(t.column(value_col), threshold)), pa.int64())
+        return pa.table({"user_id": u, "conv": conv})
+
+    per_user = (events_ds.select_columns([user_col, type_col, value_col])
+                .map_batches(tag, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Max("conv", alias_name="conv")))
+
+    def arm(t: pa.Table) -> pa.Table:
+        a = pc.cast(pc.bit_wise_and(t.column("user_id"), 1), pa.int64())
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table({"arm": a, "n": one, "c": t.column("conv")})
+
+    agg = (per_user.map_batches(arm, batch_format="pyarrow")
+           .groupby("arm").aggregate(Sum("n", alias_name="n"),
+                                     Sum("c", alias_name="c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = {int(a): (int(n), int(c)) for a, n, c in
+             zip(t.column("arm").to_pylist(), t.column("n").to_pylist(),
+                 t.column("c").to_pylist())}
+        n0, c0 = d.get(0, (0, 0))
+        n1, c1 = d.get(1, (0, 0))
+        p0, p1 = c0 / max(n0, 1), c1 / max(n1, 1)
+        pool = (c0 + c1) / max(n0 + n1, 1)
+        se = np.sqrt(pool * (1.0 - pool) * (1.0 / max(n0, 1)
+                                            + 1.0 / max(n1, 1)))
+        z = (p1 - p0) / se if se > 0 else 0.0
+        return pa.table({
+            "n_0": pa.array([n0], pa.int64()),
+            "n_1": pa.array([n1], pa.int64()),
+            "conv_0": pa.array([round(p0, round_to)], pa.float64()),
+            "conv_1": pa.array([round(p1, round_to)], pa.float64()),
+            "z": pa.array([round(float(z), round_to)], pa.float64())})
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

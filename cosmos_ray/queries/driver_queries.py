@@ -4354,6 +4354,24 @@ FROM m
 """)
 
 
+def q_kg_reciprocity(sf_dir: str):
+    """Reciprocity of the directed entity graph (`graph.reciprocity`:
+    distinct-edge exchange + self semi-join on reversed keys)."""
+    from cosmos_ray.functions.graph import reciprocity
+
+    return reciprocity(_built_kg(sf_dir).adjacency)
+
+
+SQL_KG_RECIPROCITY = with_goldens(_SQL_ADJ_CTE + """
+, de AS (SELECT DISTINCT src AS s, dst AS d FROM adj WHERE src <> dst)
+, r AS (SELECT count(*) AS nr FROM de a JOIN de b ON b.s = a.d AND b.d = a.s)
+SELECT CAST((SELECT count(*) FROM de) AS BIGINT) AS n_edges,
+       CAST((SELECT nr FROM r) AS BIGINT) AS n_reciprocal,
+       round((SELECT nr FROM r)::DOUBLE / (SELECT count(*) FROM de),
+             6) AS reciprocity
+""")
+
+
 def q_kg_components(sf_dir: str):
     """Connected components over the entity graph (undirected), component
     id = lexicographic-min member (`graph.connected_components`: driver
@@ -6090,6 +6108,40 @@ FROM c
 """
 
 
+def q_ab_conversion_ztest(sf_dir: str):
+    """Two-proportion z-test of high-value purchase conversion
+    (value > 200) between even/odd user-id arms (`stats.two_proportion_ztest`: per-user groupby-max
+    exchange, pooled-variance closed form replayed literally)."""
+    from cosmos_ray.functions.stats import two_proportion_ztest
+
+    return two_proportion_ztest(read(sf_dir, "events",
+                                     ["user_id", "event_type", "value"]))
+
+
+SQL_AB_CONVERSION_ZTEST = """
+WITH pu AS (SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' AND value > 200.0
+                       THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id),
+a AS (SELECT user_id % 2 AS arm, count(*)::DOUBLE AS n,
+             sum(conv)::DOUBLE AS c
+      FROM pu GROUP BY 1),
+w AS (SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 0 THEN c END) AS c0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1,
+        max(CASE WHEN arm = 1 THEN c END) AS c1
+      FROM a)
+SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+       round(c0 / n0, 6) AS conv_0, round(c1 / n1, 6) AS conv_1,
+       round((c1 / n1 - c0 / n0)
+             / sqrt(((c0 + c1) / (n0 + n1))
+                    * (1 - (c0 + c1) / (n0 + n1))
+                    * (1 / n0 + 1 / n1)), 6) AS z
+FROM w
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -6219,6 +6271,7 @@ QUERIES = {
     "kg_hits": q_kg_hits,
     "kg_clustering": q_kg_clustering,
     "kg_assortativity": q_kg_assortativity,
+    "kg_reciprocity": q_kg_reciprocity,
     "kg_components": q_kg_components,
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
@@ -6267,6 +6320,7 @@ QUERIES = {
     "acf_hourly": q_acf_hourly,
     "events_cube": q_events_cube,
     "benford_prices": q_benford_prices,
+    "ab_conversion_ztest": q_ab_conversion_ztest,
     "lineitem_unpivot": q_lineitem_unpivot,
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
@@ -6305,6 +6359,7 @@ ORACLES = {
     "acf_hourly": SQL_ACF_HOURLY,
     "events_cube": SQL_EVENTS_CUBE,
     "benford_prices": SQL_BENFORD_PRICES,
+    "ab_conversion_ztest": SQL_AB_CONVERSION_ZTEST,
     "key_skew": SQL_KEY_SKEW,
     "source_prior": SQL_SOURCE_PRIOR,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
@@ -6422,6 +6477,7 @@ ORACLES = {
     "kg_hits": SQL_KG_HITS,
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_assortativity": SQL_KG_ASSORTATIVITY,
+    "kg_reciprocity": SQL_KG_RECIPROCITY,
     "kg_components": SQL_KG_COMPONENTS,
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,
