@@ -1,0 +1,179 @@
+"""Reference-implementation gates for the statistics operators added in
+round 3 (gini / KS / Mann-Whitney / chi2 / markov / ACF / z-test / LOCF
+/ rolling median): each distributed result must equal a direct
+single-process numpy/pandas computation on randomized-with-ties data —
+independent evidence beyond the single sf0.01 oracle instance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _rng():
+    return np.random.RandomState(42)
+
+
+class TestGini:
+    def test_matches_direct_formula_with_ties(self):
+        from cosmos_ray.functions.stats import group_gini
+
+        rng = _rng()
+        key = rng.choice(["a", "b"], 500)
+        val = rng.randint(0, 50, 500).astype(np.float64)  # heavy ties
+        ds = rd.from_arrow(pa.table({"k": key, "v": val}))
+        got = group_gini(ds, "k", "v").to_pandas().set_index("k")
+        for g in ("a", "b"):
+            x = np.sort(val[key == g])
+            n = len(x)
+            want = ((2 * np.arange(1, n + 1) - n - 1) * x).sum() / (n * x.sum())
+            assert abs(got.loc[g, "gini"] - round(want, 6)) < 2e-6
+            assert 0.0 <= got.loc[g, "gini"] < 1.0
+
+    def test_constant_values_zero(self):
+        from cosmos_ray.functions.stats import group_gini
+
+        ds = rd.from_arrow(pa.table({"k": ["a"] * 10, "v": [7.0] * 10}))
+        assert group_gini(ds, "k", "v").to_pandas()["gini"].iloc[0] == 0.0
+
+
+class TestKSAndMW:
+    def test_identical_distributions_d_zero(self):
+        from cosmos_ray.functions.stats import ks_two_sample
+
+        v = np.arange(100) % 10
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 100 + ["b"] * 100,
+            "v": np.concatenate([v, v])}))
+        out = ks_two_sample(ds, "g", "v", "a", "b").to_pandas()
+        assert out["d_stat"].iloc[0] == 0.0
+        assert out["n_a"].iloc[0] == out["n_b"].iloc[0] == 100
+
+    def test_disjoint_supports_d_one(self):
+        from cosmos_ray.functions.stats import ks_two_sample
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 50 + ["b"] * 50,
+            "v": np.concatenate([np.arange(50), 1000 + np.arange(50)])}))
+        assert ks_two_sample(ds, "g", "v", "a", "b").to_pandas()[
+            "d_stat"].iloc[0] == 1.0
+
+    def test_mannwhitney_matches_direct_rank_sum(self):
+        from cosmos_ray.functions.stats import mannwhitney_u
+
+        rng = _rng()
+        a = rng.randint(0, 30, 120)
+        b = rng.randint(5, 35, 80)
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 120 + ["b"] * 80,
+            "v": np.concatenate([a, b])}))
+        got = mannwhitney_u(ds, "g", "v", "a", "b").to_pandas()
+        allv = np.concatenate([a, b])
+        ranks = pd.Series(allv).rank(method="average").to_numpy()
+        r_a = ranks[:120].sum()
+        want = 120 * 80 + 120 * 121 / 2.0 - r_a
+        assert abs(got["u_stat"].iloc[0] - round(want, 6)) < 2e-6
+
+
+class TestChi2:
+    def test_independent_uniform_small_stat(self):
+        from cosmos_ray.functions.stats import chi2_independence
+
+        # perfectly balanced grid -> chi2 == 0
+        a = np.repeat(["x", "y"], 50)
+        b = np.tile(["p", "q"], 50)
+        ds = rd.from_arrow(pa.table({"a": a, "b": b}))
+        out = chi2_independence(ds, "a", "b").to_pandas()
+        assert out["chi2"].iloc[0] == 0.0
+        assert out["dof"].iloc[0] == 1
+
+    def test_zero_cell_contributes_expected_mass(self):
+        from cosmos_ray.functions.stats import chi2_independence
+
+        # (x,q) never occurs: chi2 must include that cell's expectation
+        ds = rd.from_arrow(pa.table({
+            "a": ["x"] * 10 + ["y"] * 10,
+            "b": ["p"] * 10 + ["q"] * 10}))
+        out = chi2_independence(ds, "a", "b").to_pandas()
+        assert out["chi2"].iloc[0] == 20.0  # full dependence, n=20
+
+
+class TestMarkovStationary:
+    def test_sums_to_one_and_matches_eig(self):
+        from cosmos_ray.functions.stats import markov_stationary
+
+        rng = _rng()
+        n = 400
+        types = rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2])
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array((np.arange(n) % 7).tolist(), pa.int64()),
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(np.arange(n) * 1_000_000,
+                           pa.timestamp("us")),
+            "event_type": types}))
+        got = markov_stationary(ds, iters=50).to_pandas()
+        assert abs(got["stationary"].sum() - 1.0) < 1e-4
+        assert (got["stationary"] >= 0).all()
+        # direct reference: same transition counts, same power iteration
+        df = pd.DataFrame({"u": np.arange(n) % 7, "t": types})
+        df = df.sort_values(["u"], kind="stable")
+        P = np.zeros((3, 3))
+        m = {"a": 0, "b": 1, "c": 2}
+        tt = df["t"].to_numpy()
+        uu = df["u"].to_numpy()
+        for i in range(1, n):
+            if uu[i] == uu[i - 1]:
+                P[m[tt[i - 1]], m[tt[i]]] += 1
+        P = P / P.sum(axis=1, keepdims=True)
+        pi = np.full(3, 1 / 3)
+        for _ in range(50):
+            pi = pi @ P
+        want = dict(zip(["a", "b", "c"], np.round(pi, 6)))
+        got_d = dict(zip(got["event_type"], got["stationary"]))
+        for k in want:
+            assert abs(got_d[k] - want[k]) < 2e-6
+
+
+class TestLocfAndRollingMedian:
+    def _events(self, n=300):
+        rng = _rng()
+        return pa.table({
+            "user_id": pa.array(rng.randint(0, 9, n), pa.int64()),
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(rng.randint(0, 10**9, n).astype("datetime64[us]")),
+            "event_type": rng.choice(["purchase", "view"], n),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        })
+
+    def test_locf_matches_pandas_ffill(self):
+        from cosmos_ray.functions.windows import locf_fill
+
+        t = self._events()
+        got = (locf_fill(rd.from_arrow(t)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="stable")
+        marked = df["value"].where(df["event_type"] == "purchase")
+        want = (marked.groupby(df["user_id"]).ffill().fillna(-1.0)
+                .round(6))
+        df["want"] = want
+        df = df.sort_values("event_id").reset_index(drop=True)
+        assert np.allclose(got["last_mark_value"], df["want"])
+
+    def test_rolling_median_matches_pandas(self):
+        from cosmos_ray.functions.windows import rolling_median
+
+        t = self._events()
+        got = (rolling_median(rd.from_arrow(t)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="stable")
+        want = (df.groupby("user_id")["value"]
+                .rolling(5, min_periods=1).median()
+                .reset_index(level=0, drop=True).round(6))
+        df["want"] = want
+        df = df.sort_values("event_id").reset_index(drop=True)
+        assert np.allclose(got["roll_median"], df["want"])
