@@ -376,8 +376,8 @@ def multi_ols_fit(events_ds, y_col: str = "value", ts_col: str = "ts",
 def group_gini(ds, key: str, value_col: str, round_to: int = 6):
     """Exact Gini coefficient per group — the inequality measure every
     corpus-curation dashboard wants over revenue / token / length
-    distributions. Counted (skew-safe) formulation: the exchange
-    carries one row per DISTINCT (group, value) with its count (same
+    distributions. Counted (skew-safe) formulation: each batch reduces
+    to one row per batch-DISTINCT (group, value) with its count (same
     tier as `relational.group_quantiles_counted` — hot-group traffic
     bounded by distinct values, not rows); per group the rank-weighted
     sum uses the closed form over value runs:
@@ -385,23 +385,22 @@ def group_gini(ds, key: str, value_col: str, round_to: int = 6):
         G = sum_i (2i - n - 1) x_(i)  /  (n * sum x)
 
     where a run of value v with count c starting after cumulative
-    count a contributes v * c * (2a + c - n) — tie-order invariant, so
-    the SQL row_number replay matches at any tie order.
+    count a contributes v * c * (2a + c - n). The run identity is
+    SPLIT-invariant — c1·(2a+c1−n) + c2·(2(a+c1)+c2−n) =
+    (c1+c2)·(2a+(c1+c2)−n) — so batch partials of the same value need
+    no global merge: ONE bucket exchange total, arrow-native combiner.
     -> (key, n, gini)."""
-    from ray.data.aggregate import Sum
-
     from cosmos_ray.queries.relational import bucketed_group_apply
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([key, value_col]).to_pandas()
-        df["__c"] = 1
-        g = df.groupby([key, value_col], sort=False).count().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (t.select([key, value_col]).group_by([key, value_col])
+             .aggregate([([], "count_all")]))
+        return pa.table({key: g.column(key),
+                         value_col: g.column(value_col),
+                         "__c": g.column("count_all").cast(pa.int64())})
 
     counts = (ds.select_columns([key, value_col])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby([key, value_col])
-              .aggregate(Sum("__c", alias_name="__c")))
+              .map_batches(partial, batch_format="pyarrow"))
 
     def gini(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value_col, kind="stable")
@@ -425,37 +424,42 @@ def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
     """Exact two-sample Kolmogorov-Smirnov statistic between the
     ``value_col`` distributions of two groups — the drift probe a
     corpus-refresh pipeline runs between crawls. Counted (skew-safe)
-    formulation: the exchange carries one (value, count_a, count_b) row
-    per DISTINCT value; D = max_v |F_a(v) - F_b(v)| over the merged
-    sorted support, computed in one whole-block converge pass.
+    formulation: each batch reduces arrow-natively to one
+    (value, count_a, count_b) row per batch-DISTINCT value; the finish
+    pass re-merges same-value partials (reduceat over sorted runs — the
+    CDF gap may only be evaluated at COMPLETE run boundaries) and takes
+    D = max_v |F_a(v) - F_b(v)|. One converge pass, no global groupby.
     -> one row (n_a, n_b, d_stat)."""
-    from ray.data.aggregate import Sum
-
-    import ray.data as rd
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([group_col, value_col]).to_pandas()
-        df = df[df[group_col].isin([group_a, group_b])]
-        df["ca"] = (df[group_col] == group_a).astype(np.int64)
-        df["cb"] = (df[group_col] == group_b).astype(np.int64)
-        g = df.groupby(value_col, sort=False)[["ca", "cb"]].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = t.filter(pc.is_in(t.column(group_col),
+                              value_set=pa.array([group_a, group_b])))
+        ca = pc.cast(pc.equal(t.column(group_col), group_a), pa.int64())
+        cb = pc.cast(pc.equal(t.column(group_col), group_b), pa.int64())
+        g = (pa.table({value_col: t.column(value_col), "ca": ca, "cb": cb})
+             .group_by([value_col])
+             .aggregate([("ca", "sum"), ("cb", "sum")]))
+        return pa.table({value_col: g.column(value_col),
+                         "ca": g.column("ca_sum"),
+                         "cb": g.column("cb_sum")})
 
     counts = (ds.select_columns([group_col, value_col])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby(value_col)
-              .aggregate(Sum("ca", alias_name="ca"),
-                         Sum("cb", alias_name="cb")))
+              .map_batches(partial, batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
+        vs = v[order]
         ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(np.float64)
         cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], vs[1:] != vs[:-1]])) if len(vs) else np.array([], np.int64)
+        ca = np.add.reduceat(ca, starts) if len(vs) else ca
+        cb = np.add.reduceat(cb, starts) if len(vs) else cb
         na, nb = ca.sum(), cb.sum()
         fa = np.cumsum(ca) / (na if na else 1.0)
         fb = np.cumsum(cb) / (nb if nb else 1.0)
-        d = float(np.abs(fa - fb).max()) if len(v) else 0.0
+        d = float(np.abs(fa - fb).max()) if len(ca) else 0.0
         return pa.table({
             "n_a": pa.array([int(na)], pa.int64()),
             "n_b": pa.array([int(nb)], pa.int64()),
@@ -467,23 +471,21 @@ def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
 
 def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
     """Pearson chi-squared test of independence between two categorical
-    columns (the lang x source association probe). One combiner
-    exchange carries the (a, b) contingency counts — bounded by the
-    category product, not rows; the statistic sums over the FULL
-    marginal grid (absent cells contribute their expected count), in
-    one whole-block pass. -> one row (n, dof, chi2)."""
-    from ray.data.aggregate import Sum
+    columns (the lang x source association probe). Each batch reduces
+    arrow-natively to its (a, b) contingency counts — bounded by the
+    category product, not rows; the finish pivot SUMS same-cell
+    partials, so no global groupby is needed. The statistic covers the
+    FULL marginal grid (absent cells contribute their expected count).
+    -> one row (n, dof, chi2)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([col_a, col_b]).to_pandas()
-        df["__c"] = 1
-        g = df.groupby([col_a, col_b], sort=False).count().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (t.select([col_a, col_b]).group_by([col_a, col_b])
+             .aggregate([([], "count_all")]))
+        return pa.table({col_a: g.column(col_a), col_b: g.column(col_b),
+                         "__c": g.column("count_all").cast(pa.int64())})
 
     counts = (ds.select_columns([col_a, col_b])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby([col_a, col_b])
-              .aggregate(Sum("__c", alias_name="__c")))
+              .map_batches(partial, batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -509,32 +511,38 @@ def mannwhitney_u(ds, group_col: str, value_col: str, group_a, group_b,
                   round_to: int = 6):
     """Exact Mann-Whitney U statistic (rank-sum with midrank ties)
     between two groups' value distributions — KS's rank-based sibling,
-    sensitive to location shift. Same counted (skew-safe) exchange as
-    `ks_two_sample`: one (value, count_a, count_b) row per distinct
-    value; U_a = n_a·n_b + n_a(n_a+1)/2 − R_a with R_a the midrank sum
-    of group a, computed in one whole-block pass.
+    sensitive to location shift. Same counted (skew-safe) shape as
+    `ks_two_sample`: arrow-native batch partials, finish re-merges
+    same-value runs (midranks need COMPLETE run counts), then
+    U_a = n_a·n_b + n_a(n_a+1)/2 − R_a with R_a the midrank sum of
+    group a. One converge pass, no global groupby.
     -> one row (n_a, n_b, u_stat)."""
-    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([group_col, value_col]).to_pandas()
-        df = df[df[group_col].isin([group_a, group_b])]
-        df["ca"] = (df[group_col] == group_a).astype(np.int64)
-        df["cb"] = (df[group_col] == group_b).astype(np.int64)
-        g = df.groupby(value_col, sort=False)[["ca", "cb"]].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = t.filter(pc.is_in(t.column(group_col),
+                              value_set=pa.array([group_a, group_b])))
+        ca = pc.cast(pc.equal(t.column(group_col), group_a), pa.int64())
+        cb = pc.cast(pc.equal(t.column(group_col), group_b), pa.int64())
+        g = (pa.table({value_col: t.column(value_col), "ca": ca, "cb": cb})
+             .group_by([value_col])
+             .aggregate([("ca", "sum"), ("cb", "sum")]))
+        return pa.table({value_col: g.column(value_col),
+                         "ca": g.column("ca_sum"),
+                         "cb": g.column("cb_sum")})
 
     counts = (ds.select_columns([group_col, value_col])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby(value_col)
-              .aggregate(Sum("ca", alias_name="ca"),
-                         Sum("cb", alias_name="cb")))
+              .map_batches(partial, batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
+        vs = v[order]
         ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(np.float64)
         cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], vs[1:] != vs[:-1]])) if len(vs) else np.array([], np.int64)
+        ca = np.add.reduceat(ca, starts) if len(vs) else ca
+        cb = np.add.reduceat(cb, starts) if len(vs) else cb
         c = ca + cb
         prior = np.concatenate([[0.0], np.cumsum(c)[:-1]])
         avgrank = prior + (c + 1.0) / 2.0
