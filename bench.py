@@ -156,6 +156,8 @@ def _run_bench() -> dict:
         "curate_docs",
         "local_supplier_volume",
         "fuzzy_parts",
+        "revenue_gini",
+        "rolling_median",
     )
     for name in q_names:
         t0 = time.perf_counter()
