@@ -58,6 +58,34 @@ def _edge_weights(edges_ds, src: str, dst: str, weight: str | None):
     )
 
 
+def _distinct_canonical_edges(edges_ds, src: str, dst: str,
+                              cast_string: bool = False):
+    """Distinct canonical edges of the UNDIRECTED simple graph under
+    the edge table: orient each edge to (a=min, b=max), drop self-loops,
+    and collapse duplicates/reverses with one distinct groupby exchange
+    — the single-sourced simple-graph semantics shared by
+    triangle_count / k_core / clustering_coefficient /
+    degree_assortativity. ``cast_string`` normalizes node ids to
+    strings first (callers whose downstream keys are string-joined);
+    default is type-agnostic (any strict total order orients the same
+    edge set). -> Dataset(a, b), not materialized."""
+    from ray.data.aggregate import Count
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column(src), t.column(dst)
+        if cast_string:
+            s, d = s.cast(pa.string()), d.cast(pa.string())
+        lt = pc.less(s, d)
+        a = pc.if_else(lt, s, d)
+        b = pc.if_else(lt, d, s)
+        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
+
+    return (edges_ds.select_columns([src, dst])
+            .map_batches(canon, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
+            .drop_columns(["__n"]))
+
+
 def degree_centrality(edges_ds, src: str = "src_entity",
                       dst: str = "dst_entity", weight: str = "weight"):
     """-> (entity, out_degree, in_degree, out_weight, in_weight) for
@@ -516,17 +544,7 @@ def link_prediction(edges_ds, src: str = "src_entity",
         topk,
     )
 
-    def canon(t: pa.Table) -> pa.Table:
-        s, d = t.column(src), t.column(dst)
-        lt = pc.less(s, d)
-        a = pc.if_else(lt, s, d)
-        b = pc.if_else(lt, d, s)
-        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
-
-    edges = (edges_ds.select_columns([src, dst])
-             .map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
-             .drop_columns(["__n"]))
+    edges = _distinct_canonical_edges(edges_ds, src, dst)
 
     def both(t: pa.Table) -> pa.Table:
         a, b = t.column("a"), t.column("b")
@@ -605,19 +623,7 @@ def triangle_count(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
 
     from cosmos_ray.queries.relational import bucketed_group_apply, semi_join_ds
 
-    def canon(t: pa.Table) -> pa.Table:
-        # type-agnostic orientation (int or string node ids): any strict
-        # total order yields the same triangle set
-        s, d = t.column(src), t.column(dst)
-        lt = pc.less(s, d)
-        a = pc.if_else(lt, s, d)
-        b = pc.if_else(lt, d, s)
-        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
-
-    edges = (edges_ds.select_columns([src, dst])
-             .map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
-             .drop_columns(["__n"]))
+    edges = _distinct_canonical_edges(edges_ds, src, dst)
 
     def edge_key(t: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -668,17 +674,7 @@ def k_core(edges_ds, k: int = 3, src: str = "src_entity",
 
     from cosmos_ray.queries.relational import semi_join_ds
 
-    def canon(t: pa.Table) -> pa.Table:
-        s, d = t.column(src), t.column(dst)
-        lt = pc.less(s, d)
-        a = pc.if_else(lt, s, d)
-        b = pc.if_else(lt, d, s)
-        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
-
-    edges = (edges_ds.select_columns([src, dst])
-             .map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
-             .drop_columns(["__n"]).materialize())
+    edges = _distinct_canonical_edges(edges_ds, src, dst).materialize()
 
     def both_ends(t: pa.Table) -> pa.Table:
         a, b = t.column("a"), t.column("b")
@@ -857,18 +853,8 @@ def clustering_coefficient(edges_ds, src: str = "src_entity",
         semi_join_ds,
     )
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column(src).cast(pa.string())
-        d = t.column(dst).cast(pa.string())
-        lt = pc.less(s, d)
-        a = pc.if_else(lt, s, d)
-        b = pc.if_else(lt, d, s)
-        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
-
-    edges = (edges_ds.select_columns([src, dst])
-             .map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
-             .drop_columns(["__n"]).materialize())
+    edges = _distinct_canonical_edges(edges_ds, src, dst,
+                                      cast_string=True).materialize()
 
     def both_ends(t: pa.Table) -> pa.Table:
         a, b = t.column("a"), t.column("b")
@@ -946,18 +932,8 @@ def degree_assortativity(edges_ds, src: str = "src_entity",
 
     from cosmos_ray.queries.relational import left_join_or_broadcast
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column(src).cast(pa.string())
-        d = t.column(dst).cast(pa.string())
-        lt = pc.less(s, d)
-        a = pc.if_else(lt, s, d)
-        b = pc.if_else(lt, d, s)
-        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
-
-    edges = (edges_ds.select_columns([src, dst])
-             .map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
-             .drop_columns(["__n"]).materialize())
+    edges = _distinct_canonical_edges(edges_ds, src, dst,
+                                      cast_string=True).materialize()
 
     def both_dir(t: pa.Table) -> pa.Table:
         a, b = t.column("a"), t.column("b")

@@ -419,17 +419,13 @@ def group_gini(ds, key: str, value_col: str, round_to: int = 6):
     return bucketed_group_apply(counts, [key], gini)
 
 
-def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
-                  round_to: int = 6):
-    """Exact two-sample Kolmogorov-Smirnov statistic between the
-    ``value_col`` distributions of two groups — the drift probe a
-    corpus-refresh pipeline runs between crawls. Counted (skew-safe)
-    formulation: each batch reduces arrow-natively to one
-    (value, count_a, count_b) row per batch-DISTINCT value; the finish
-    pass re-merges same-value partials (reduceat over sorted runs — the
-    CDF gap may only be evaluated at COMPLETE run boundaries) and takes
-    D = max_v |F_a(v) - F_b(v)|. One converge pass, no global groupby.
-    -> one row (n_a, n_b, d_stat)."""
+def _two_group_value_counts(ds, group_col: str, value_col: str,
+                            group_a, group_b):
+    """Shared counted two-group exchange for the rank/CDF tests
+    (`ks_two_sample`, `mannwhitney_u`): each batch reduces
+    arrow-natively to (value, ca, cb) partial counts — bounded by
+    batch-distinct values, not rows, so skewed value distributions
+    stay cheap to move."""
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t.column(group_col),
@@ -443,19 +439,45 @@ def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
                          "ca": g.column("ca_sum"),
                          "cb": g.column("cb_sum")})
 
-    counts = (ds.select_columns([group_col, value_col])
-              .map_batches(partial, batch_format="pyarrow"))
+    return (ds.select_columns([group_col, value_col])
+            .map_batches(partial, batch_format="pyarrow"))
+
+
+def _merge_value_runs(t: pa.Table, value_col: str):
+    """Sort partial (value, ca, cb) rows and merge same-value runs into
+    COMPLETE per-distinct-value counts (both the CDF gap and midranks
+    are only valid at complete run boundaries).
+    -> (ca, cb) float64 arrays in ascending value order."""
+    v = t.column(value_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    vs = v[order]
+    ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(
+        np.float64)
+    cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(
+        np.float64)
+    if not len(vs):
+        return ca, cb
+    starts = np.flatnonzero(np.concatenate([[True], vs[1:] != vs[:-1]]))
+    return np.add.reduceat(ca, starts), np.add.reduceat(cb, starts)
+
+
+def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
+                  round_to: int = 6):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two groups — the drift probe a
+    corpus-refresh pipeline runs between crawls. Counted (skew-safe)
+    formulation: each batch reduces arrow-natively to one
+    (value, count_a, count_b) row per batch-DISTINCT value; the finish
+    pass re-merges same-value partials (reduceat over sorted runs — the
+    CDF gap may only be evaluated at COMPLETE run boundaries) and takes
+    D = max_v |F_a(v) - F_b(v)|. One converge pass, no global groupby.
+    -> one row (n_a, n_b, d_stat)."""
+
+    counts = _two_group_value_counts(ds, group_col, value_col,
+                                     group_a, group_b)
 
     def finish(t: pa.Table) -> pa.Table:
-        v = t.column(value_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(v, kind="stable")
-        vs = v[order]
-        ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(np.float64)
-        cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(np.float64)
-        starts = np.flatnonzero(np.concatenate(
-            [[True], vs[1:] != vs[:-1]])) if len(vs) else np.array([], np.int64)
-        ca = np.add.reduceat(ca, starts) if len(vs) else ca
-        cb = np.add.reduceat(cb, starts) if len(vs) else cb
+        ca, cb = _merge_value_runs(t, value_col)
         na, nb = ca.sum(), cb.sum()
         fa = np.cumsum(ca) / (na if na else 1.0)
         fb = np.cumsum(cb) / (nb if nb else 1.0)
@@ -488,10 +510,24 @@ def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
               .map_batches(partial, batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        piv = df.pivot_table(index=col_a, columns=col_b, values="__c",
-                             aggfunc="sum", fill_value=0).to_numpy(
-                                 dtype=np.float64)
+        # Pivot without pandas: pivot_table silently drops NaN keys,
+        # but SQL GROUP BY keeps the NULL group — None must stay a
+        # category. The grid is contingency-sized, so dict indexing
+        # over distinct (a, b) cells is model-sized work.
+        a_keys = t.column(col_a).to_pylist()
+        b_keys = t.column(col_b).to_pylist()
+        cnt = t.column("__c").to_numpy(zero_copy_only=False)
+        ai: dict = {}
+        bi: dict = {}
+        for v in a_keys:
+            ai.setdefault(v, len(ai))
+        for v in b_keys:
+            bi.setdefault(v, len(bi))
+        piv = np.zeros((max(len(ai), 1), max(len(bi), 1)), np.float64)
+        if a_keys:
+            np.add.at(piv, ([ai[v] for v in a_keys],
+                            [bi[v] for v in b_keys]),
+                      cnt.astype(np.float64))
         n = piv.sum()
         r = piv.sum(axis=1, keepdims=True)
         c = piv.sum(axis=0, keepdims=True)
@@ -518,31 +554,11 @@ def mannwhitney_u(ds, group_col: str, value_col: str, group_a, group_b,
     group a. One converge pass, no global groupby.
     -> one row (n_a, n_b, u_stat)."""
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t.column(group_col),
-                              value_set=pa.array([group_a, group_b])))
-        ca = pc.cast(pc.equal(t.column(group_col), group_a), pa.int64())
-        cb = pc.cast(pc.equal(t.column(group_col), group_b), pa.int64())
-        g = (pa.table({value_col: t.column(value_col), "ca": ca, "cb": cb})
-             .group_by([value_col])
-             .aggregate([("ca", "sum"), ("cb", "sum")]))
-        return pa.table({value_col: g.column(value_col),
-                         "ca": g.column("ca_sum"),
-                         "cb": g.column("cb_sum")})
-
-    counts = (ds.select_columns([group_col, value_col])
-              .map_batches(partial, batch_format="pyarrow"))
+    counts = _two_group_value_counts(ds, group_col, value_col,
+                                     group_a, group_b)
 
     def finish(t: pa.Table) -> pa.Table:
-        v = t.column(value_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(v, kind="stable")
-        vs = v[order]
-        ca = t.column("ca").to_numpy(zero_copy_only=False)[order].astype(np.float64)
-        cb = t.column("cb").to_numpy(zero_copy_only=False)[order].astype(np.float64)
-        starts = np.flatnonzero(np.concatenate(
-            [[True], vs[1:] != vs[:-1]])) if len(vs) else np.array([], np.int64)
-        ca = np.add.reduceat(ca, starts) if len(vs) else ca
-        cb = np.add.reduceat(cb, starts) if len(vs) else cb
+        ca, cb = _merge_value_runs(t, value_col)
         c = ca + cb
         prior = np.concatenate([[0.0], np.cumsum(c)[:-1]])
         avgrank = prior + (c + 1.0) / 2.0
@@ -642,8 +658,10 @@ def acf_hourly(events_ds, lags: tuple[int, ...] = (1, 2, 3),
             a, b = y[:-k], y[k:]
             out_lag.append(k)
             out_n.append(len(a))
-            r = float(np.corrcoef(a, b)[0, 1]) if len(a) > 1 else 0.0
-            out_acf.append(round(r, round_to))
+            # SQL corr() is NULL for <2 pairs or zero variance — emit
+            # null (not 0.0) so engine and oracle agree on short series
+            r = float(np.corrcoef(a, b)[0, 1]) if len(a) > 1 else float("nan")
+            out_acf.append(None if np.isnan(r) else round(r, round_to))
         return pa.table({
             "lag": pa.array(out_lag, pa.int64()),
             "n_pairs": pa.array(out_n, pa.int64()),

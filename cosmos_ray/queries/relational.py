@@ -316,11 +316,16 @@ def left_join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
     import pyarrow.compute as pc
 
     big_key = big_key or key
-    try:
+    # Detect the schema-less / missing-column empty small side up front
+    # instead of a blanket except around execution: a real task failure
+    # (OOM, upstream bug) must propagate, not silently degrade to
+    # fill-everything (that would turn runtime errors into wrong data).
+    sch = small_ds.schema(fetch_if_missing=True)
+    names = list(sch.names) if sch is not None else []
+    if key in names and all(c in names for c in add_cols):
         small = collect_small(small_ds.select_columns([key] + add_cols),
                               cap_rows)
-    except Exception:
-        # select_columns on a schema-less empty dataset: no rows at all
+    else:
         small = pa.table({})
     if small is not None and small.num_columns == 0:
         # schema-less empty small side: nothing matches — append fill

@@ -35,13 +35,12 @@ ALLOWED = {
     "functions/bpe.py": 1,            # word-frequency model table
     "functions/embed.py": 2,          # vocab + co-occurrence partials
     "functions/lm.py": 1,             # bigram model table
-    "functions/stats.py": 8,          # worker-local Table.to_pandas inside
+    "functions/stats.py": 3,          # worker-local Table.to_pandas inside
                                       # grouped_corr/value_histogram partials
-                                      # + group_zscore's capped stat pull
-                                      # (routed through collect_small)
-                                      # + gini/ks/mw/chi2 counted-exchange
-                                      # partials and chi2's whole-block
-                                      # finish (all inside map_batches)
+                                      # + markov_stationary's model-sized
+                                      # transition-count table (states², tiny)
+                                      # — ratchet equals the audited count,
+                                      # no slack for unaudited new pulls
     "state/copartition.py": 4,        # worker-local bucket reads inside
                                       # join_bucket (+ typed-empty fallback)
     "functions/similarity.py": 3,     # seeded centroid samples (capped n)

@@ -100,6 +100,48 @@ class TestChi2:
         out = chi2_independence(ds, "a", "b").to_pandas()
         assert out["chi2"].iloc[0] == 20.0  # full dependence, n=20
 
+    def test_null_category_kept_like_sql_group_by(self):
+        from cosmos_ray.functions.stats import chi2_independence
+
+        # None is a category under SQL GROUP BY — n must count every
+        # ingested row and dof must include the NULL level
+        ds = rd.from_arrow(pa.table({
+            "a": ["x", "x", None, None, "y", "y"],
+            "b": ["p", "q", "p", "q", "p", "q"]}))
+        out = chi2_independence(ds, "a", "b").to_pandas()
+        assert out["n"].iloc[0] == 6          # null rows not dropped
+        assert out["dof"].iloc[0] == 2        # (3-1)*(2-1): null is a level
+        assert out["chi2"].iloc[0] == 0.0     # balanced grid
+
+
+class TestACF:
+    def test_short_series_null_like_sql_corr(self):
+        from cosmos_ray.functions.stats import acf_hourly
+
+        # 3 distinct hours: lag1 has 2 pairs (real corr), lag2 has 1
+        # pair and lag3 has 0 — SQL corr() is NULL there, so the engine
+        # must emit null, not 0.0
+        ts = pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 01:20", "2024-01-01 02:30"])
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": [1.0, 2.0, 4.0]}))
+        out = (acf_hourly(ds).to_pandas()
+               .set_index("lag").sort_index())
+        assert out.loc[1, "n_pairs"] == 2 and not pd.isna(out.loc[1, "acf"])
+        assert out.loc[2, "n_pairs"] == 1 and pd.isna(out.loc[2, "acf"])
+        assert out.loc[3, "n_pairs"] == 0 and pd.isna(out.loc[3, "acf"])
+
+    def test_constant_series_null_variance(self):
+        from cosmos_ray.functions.stats import acf_hourly
+
+        ts = pd.to_datetime([f"2024-01-01 0{h}:00" for h in range(6)])
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": [5.0] * 6}))
+        out = acf_hourly(ds).to_pandas()
+        assert out["acf"].isna().all()  # zero variance -> SQL corr NULL
+
 
 class TestMarkovStationary:
     def test_sums_to_one_and_matches_eig(self):
