@@ -171,13 +171,15 @@ def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape — the deepest relational chain: revenue from 1996
     ASIA lineitems where the supplier's nation equals the customer's
     nation. Dimension hops (region, nation, supplier) ride the guarded
-    broadcast tier; customer->orders rides join_or_broadcast; the one
-    genuinely large-large edge (orders ⨝ lineitem) is a hash-partitioned
-    native Dataset.join. The same-nation predicate is a post-join
-    vectorized filter, and every input is column-pruned at the read."""
+    broadcast tier; customer->orders rides join_or_broadcast. The
+    orders ⨝ lineitem edge ALSO rides join_or_broadcast: the orders
+    side is pre-filtered to one year × one region (~3% of orders), so
+    at any realistic scale it fits the broadcast cap and lineitem — the
+    truly large side — never moves; past the cap the same call degrades
+    to the hash-partitioned native Dataset.join. The same-nation
+    predicate is a post-join vectorized filter, and every input is
+    column-pruned at the read."""
     import datetime
-
-    from cosmos_ray.queries.relational import _join_partitions
 
     nation = read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
     region = read(sf_dir, "region", ["r_regionkey", "r_name"])
@@ -208,9 +210,10 @@ def q_local_supplier_volume(sf_dir: str):
 
     items = read(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    joined = items.join(ordn.select_columns(["o_orderkey", "c_nationkey", "n_name"]),
-                        join_type="inner", num_partitions=_join_partitions(),
-                        on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = join_or_broadcast(
+        items, ordn.select_columns(["o_orderkey", "c_nationkey", "n_name"]),
+        key="o_orderkey", add_cols=["c_nationkey", "n_name"],
+        big_key="l_orderkey")
 
     supplier = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     withsup = join_or_broadcast(joined, supplier, key="s_suppkey",
