@@ -726,3 +726,151 @@ def two_proportion_ztest(events_ds, user_col: str = "user_id",
 
     return agg.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def welch_ttest(ds, group_col: str, value_col: str, group_a, group_b,
+                round_to: int = 6):
+    """Welch's unequal-variance two-sample t statistic between two
+    groups' integer ``value_col`` distributions — the parametric sibling
+    of `ks_two_sample` / `mannwhitney_u`. Each batch reduces
+    arrow-natively to six int64 moment partials (n, sum, sum-of-squares
+    per group — integer-exact to 2^63, so the finish arithmetic is
+    bit-identical to the SQL replay's sum-based formula); one-row
+    partials, one converge pass, no global groupby.
+    -> one row (n_a, n_b, mean_diff, t_stat, dof) with dof by
+    Welch–Satterthwaite; t/dof are null when either group has < 2
+    rows (SQL's NULL-on-degenerate convention)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column(group_col),
+                              value_set=pa.array([group_a, group_b])))
+        t = t.filter(pc.is_valid(t.column(value_col)))
+        v = pc.cast(t.column(value_col), pa.int64())
+        v2 = pc.multiply(v, v)
+        isa = pc.equal(t.column(group_col), group_a)
+        zero = pa.scalar(0, pa.int64())
+
+        def msum(arr, mask):
+            return pc.sum(pc.if_else(mask, arr, zero), min_count=0)
+
+        isb = pc.invert(isa)
+        ones = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table({
+            "na": pa.array([msum(ones, isa).as_py() or 0], pa.int64()),
+            "sa": pa.array([msum(v, isa).as_py() or 0], pa.int64()),
+            "ssa": pa.array([msum(v2, isa).as_py() or 0], pa.int64()),
+            "nb": pa.array([msum(ones, isb).as_py() or 0], pa.int64()),
+            "sb": pa.array([msum(v, isb).as_py() or 0], pa.int64()),
+            "ssb": pa.array([msum(v2, isb).as_py() or 0], pa.int64())})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = float(pc.sum(t.column("na")).as_py() or 0)
+        sa = float(pc.sum(t.column("sa")).as_py() or 0)
+        ssa = float(pc.sum(t.column("ssa")).as_py() or 0)
+        nb = float(pc.sum(t.column("nb")).as_py() or 0)
+        sb = float(pc.sum(t.column("sb")).as_py() or 0)
+        ssb = float(pc.sum(t.column("ssb")).as_py() or 0)
+        if na >= 2 and nb >= 2:
+            # mirror the SQL replay's expression tree exactly
+            md = sa / na - sb / nb
+            va = (ssa - sa * sa / na) / (na - 1.0)
+            vb = (ssb - sb * sb / nb) / (nb - 1.0)
+            sea = va / na
+            seb = vb / nb
+            tstat = md / np.sqrt(sea + seb)
+            dof = ((sea + seb) ** 2
+                   / (sea ** 2 / (na - 1.0) + seb ** 2 / (nb - 1.0)))
+            tv, dv = round(tstat, round_to), round(dof, round_to)
+            mdv = round(md, round_to)
+        else:
+            mdv = (round(sa / na - sb / nb, round_to)
+                   if na >= 1 and nb >= 1 else None)
+            tv = dv = None
+        return pa.table({
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "mean_diff": pa.array([mdv], pa.float64()),
+            "t_stat": pa.array([tv], pa.float64()),
+            "dof": pa.array([dv], pa.float64())})
+
+    return parts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def spearman_corr(ds, x_col: str, y_col: str, round_to: int = 6):
+    """Spearman rank correlation between two ORDINAL/DISCRETE columns:
+    Pearson over global midranks. Partitioning contract: the counted
+    exchange is bounded by DISTINCT values per column (the quantity /
+    discount / rating shape) — a continuous column would make the rank
+    table row-sized; bucket or quantize it first.
+
+    Shape: one counted groupby per column (distinct-value-sized rank
+    tables), midrank closed form rank = cum_lt + (cnt+1)/2 computed in
+    one value-ordered pass, maps joined back onto rows through the
+    size-guarded broadcast tier (`join_or_broadcast` — distributed
+    hash-join fallback past the cap), then six float moment partials.
+    Midranks are half-integers, so float64 sums stay exact.
+    -> one row (n, rho)."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    def rank_table(col: str, out: str):
+        counts = (ds.select_columns([col])
+                  .groupby(col).aggregate(Count(alias_name="__c")))
+
+        def midrank(t: pa.Table) -> pa.Table:
+            order = pc.sort_indices(t, sort_keys=[(col, "ascending")])
+            v = pc.take(t.column(col), order)
+            c = pc.take(t.column("__c"), order).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            cum_lt = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+            return pa.table({col: v,
+                             out: pa.array(cum_lt + (c + 1.0) / 2.0,
+                                           pa.float64())})
+
+        return counts.repartition(1).map_batches(
+            midrank, batch_format="pyarrow", batch_size=None)
+
+    ranked = join_or_broadcast(
+        ds.select_columns([x_col, y_col]), rank_table(x_col, "__rx"),
+        key=x_col, add_cols=["__rx"])
+    ranked = join_or_broadcast(ranked, rank_table(y_col, "__ry"),
+                               key=y_col, add_cols=["__ry"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rx = t.column("__rx").to_numpy(zero_copy_only=False)
+        ry = t.column("__ry").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([float(len(rx))], pa.float64()),
+            "sx": pa.array([rx.sum()], pa.float64()),
+            "sy": pa.array([ry.sum()], pa.float64()),
+            "sxx": pa.array([(rx * rx).sum()], pa.float64()),
+            "syy": pa.array([(ry * ry).sum()], pa.float64()),
+            "sxy": pa.array([(rx * ry).sum()], pa.float64())})
+
+    parts = ranked.map_batches(partial, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = float(pc.sum(t.column("n")).as_py() or 0)
+        sx = float(pc.sum(t.column("sx")).as_py() or 0)
+        sy = float(pc.sum(t.column("sy")).as_py() or 0)
+        sxx = float(pc.sum(t.column("sxx")).as_py() or 0)
+        syy = float(pc.sum(t.column("syy")).as_py() or 0)
+        sxy = float(pc.sum(t.column("sxy")).as_py() or 0)
+        rho = None
+        if n >= 2:
+            cov = sxy / n - (sx / n) * (sy / n)
+            vx = sxx / n - (sx / n) ** 2
+            vy = syy / n - (sy / n) ** 2
+            rho = (round(cov / np.sqrt(vx * vy), round_to)
+                   if vx > 0 and vy > 0 else None)
+        return pa.table({
+            "n": pa.array([int(n)], pa.int64()),
+            "rho": pa.array([rho], pa.float64())})
+
+    return parts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

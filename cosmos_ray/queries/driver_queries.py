@@ -5866,6 +5866,64 @@ FROM r
 """
 
 
+def q_welch_lang_lengths(sf_dir: str):
+    """Welch's unequal-variance t between en and de doc lengths
+    (`stats.welch_ttest`: six int64 moment partials per batch —
+    integer-exact, so the finish arithmetic replays the SQL's sum-based
+    expression tree bit-for-bit)."""
+    from cosmos_ray.functions.stats import welch_ttest
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+    return welch_ttest(docs, "lang", "n_chars", "en", "de")
+
+
+SQL_WELCH_LANG_LENGTHS = """
+WITH s AS (SELECT
+  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS na,
+  sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)::DOUBLE AS sa,
+  sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END)::DOUBLE
+    AS ssa,
+  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+  sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END)::DOUBLE AS sb,
+  sum(CASE WHEN lang = 'de' THEN n_chars * n_chars ELSE 0 END)::DOUBLE
+    AS ssb
+  FROM documents WHERE lang IN ('en', 'de')),
+v AS (SELECT na, nb, sa / na - sb / nb AS md,
+             ((ssa - sa * sa / na) / (na - 1)) / na AS sea,
+             ((ssb - sb * sb / nb) / (nb - 1)) / nb AS seb
+      FROM s)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(md, 6) AS mean_diff,
+       round(md / sqrt(sea + seb), 6) AS t_stat,
+       round((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS dof
+FROM v
+"""
+
+
+def q_spearman_qty_discount(sf_dir: str):
+    """Spearman rank correlation between lineitem quantity and discount
+    (`stats.spearman_corr`: per-column counted midrank exchange —
+    bounded by distinct ordinal values — guarded-broadcast rank-map
+    joins, Pearson moment partials over half-integer midranks)."""
+    from cosmos_ray.functions.stats import spearman_corr
+
+    items = read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+    return spearman_corr(items, "l_quantity", "l_discount")
+
+
+SQL_SPEARMAN_QTY_DISCOUNT = """
+WITH r AS (
+  SELECT rank() OVER (ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY l_discount)
+           + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS ry
+  FROM lineitem)
+SELECT CAST(count(*) AS BIGINT) AS n, round(corr(rx, ry), 6) AS rho
+FROM r
+"""
+
+
 def q_rolling_median(sf_dir: str):
     """Frame-bounded rolling median (ROWS BETWEEN 4 PRECEDING AND
     CURRENT ROW) of value per user — `windows.rolling_median`,
@@ -6316,6 +6374,8 @@ QUERIES = {
     "chi2_lang_source": q_chi2_lang_source,
     "locf_purchase": q_locf_purchase,
     "mannwhitney_lengths": q_mannwhitney_lengths,
+    "welch_lang_lengths": q_welch_lang_lengths,
+    "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
     "ttr_docs": q_ttr_docs,
     "zipf_slope": q_zipf_slope,
@@ -6355,6 +6415,8 @@ ORACLES = {
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
     "locf_purchase": SQL_LOCF_PURCHASE,
     "mannwhitney_lengths": SQL_MANNWHITNEY_LENGTHS,
+    "welch_lang_lengths": SQL_WELCH_LANG_LENGTHS,
+    "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "ttr_docs": SQL_TTR_DOCS,
     "zipf_slope": SQL_ZIPF_SLOPE,

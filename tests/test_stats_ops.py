@@ -114,6 +114,75 @@ class TestChi2:
         assert out["chi2"].iloc[0] == 0.0     # balanced grid
 
 
+class TestWelch:
+    def test_matches_direct_formula(self):
+        from cosmos_ray.functions.stats import welch_ttest
+
+        rng = _rng()
+        a = rng.randint(50, 200, 300)
+        b = rng.randint(80, 260, 200)
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 300 + ["b"] * 200,
+            "v": np.concatenate([a, b])}))
+        out = welch_ttest(ds, "g", "v", "a", "b").to_pandas()
+        ma, mb = a.mean(), b.mean()
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        sea, seb = va / len(a), vb / len(b)
+        t = (ma - mb) / np.sqrt(sea + seb)
+        dof = (sea + seb) ** 2 / (sea ** 2 / (len(a) - 1)
+                                  + seb ** 2 / (len(b) - 1))
+        assert out["n_a"].iloc[0] == 300 and out["n_b"].iloc[0] == 200
+        assert abs(out["t_stat"].iloc[0] - t) < 1e-5
+        assert abs(out["dof"].iloc[0] - dof) < 1e-3
+
+    def test_degenerate_group_null(self):
+        from cosmos_ray.functions.stats import welch_ttest
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["a", "a", "b"], "v": [1, 2, 3]}))
+        out = welch_ttest(ds, "g", "v", "a", "b").to_pandas()
+        assert pd.isna(out["t_stat"].iloc[0])  # nb == 1 -> NULL like SQL
+
+
+class TestSpearman:
+    def test_matches_scipy_free_reference(self):
+        from cosmos_ray.functions.stats import spearman_corr
+
+        rng = _rng()
+        x = rng.randint(0, 20, 600)           # heavy ties, ordinal shape
+        y = (x + rng.randint(0, 10, 600))     # positively associated
+        ds = rd.from_arrow(pa.table({"x": x, "y": y}))
+        out = spearman_corr(ds, "x", "y").to_pandas()
+
+        def midranks(v):
+            order = np.argsort(v, kind="stable")
+            r = np.empty(len(v))
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j < len(sv) and sv[j] == sv[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            return r
+
+        rx, ry = midranks(x), midranks(y)
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert out["n"].iloc[0] == 600
+        assert abs(out["rho"].iloc[0] - want) < 1e-6
+        assert out["rho"].iloc[0] > 0.5
+
+    def test_monotone_transform_invariance(self):
+        from cosmos_ray.functions.stats import spearman_corr
+
+        rng = _rng()
+        x = rng.randint(1, 30, 400)
+        ds1 = rd.from_arrow(pa.table({"x": x, "y": x * x}))
+        out = spearman_corr(ds1, "x", "y").to_pandas()
+        assert out["rho"].iloc[0] == 1.0  # rho is rank-invariant
+
+
 class TestACF:
     def test_short_series_null_like_sql_corr(self):
         from cosmos_ray.functions.stats import acf_hourly
