@@ -874,3 +874,77 @@ def spearman_corr(ds, x_col: str, y_col: str, round_to: int = 6):
 
     return parts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def mann_kendall_hourly(events_ds, ts_col: str = "ts",
+                        value_col: str = "value", round_to: int = 6):
+    """Mann-Kendall monotonic-trend test over the hourly total-value
+    series — the nonparametric "is volume drifting" probe (ACF's
+    trend-side sibling). The hourly series is built in INTEGER CENTS on
+    one tumbling-window groupby exchange (2-decimal values, so engine
+    and SQL agree on tie equality bit-for-bit); the calendar-bounded
+    finish computes S = sum_{i<j} sign(y_j - y_i) with a Fenwick count
+    over rank-compressed values (O(H log H), no H^2 blowup on decade
+    spans) and the tie-corrected normal z.
+    -> one row (n, s_stat, z)."""
+    from ray.data.aggregate import Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t.column(ts_col).cast(pa.timestamp("us")),
+                                 pa.int64()), 3_600_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"hour": hour, "yc": cents})
+
+    hourly = (events_ds.select_columns([ts_col, value_col])
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("hour").aggregate(Sum("yc", alias_name="yc")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
+        y = pc.take(t.column("yc"), order).to_numpy(zero_copy_only=False)
+        n = len(y)
+        # concordant-minus-discordant via a Fenwick tree over value
+        # ranks: for each j (time order), add (#i<j: y_i < y_j) and
+        # subtract (#i<j: y_i > y_j)
+        ranks = {v: i + 1 for i, v in enumerate(np.unique(y))}
+        m = len(ranks)
+        tree = np.zeros(m + 1, np.int64)
+
+        def add(i):
+            while i <= m:
+                tree[i] += 1
+                i += i & (-i)
+
+        def cum(i):
+            s = 0
+            while i > 0:
+                s += tree[i]
+                i -= i & (-i)
+            return s
+
+        s_stat = 0
+        for j in range(n):
+            r = ranks[y[j]]
+            less = cum(r - 1)
+            s_stat += less - (j - cum(r))  # greater = seen - (<= r)
+            add(r)
+        _, counts = np.unique(y, return_counts=True)
+        ties = counts[counts > 1].astype(np.float64)
+        nf = float(n)
+        var = (nf * (nf - 1.0) * (2.0 * nf + 5.0)
+               - float((ties * (ties - 1.0) * (2.0 * ties + 5.0)).sum())
+               ) / 18.0
+        if n >= 2 and var > 0 and s_stat != 0:
+            adj = s_stat - 1 if s_stat > 0 else s_stat + 1
+            z = round(adj / np.sqrt(var), round_to)
+        else:
+            z = 0.0 if n >= 2 else None
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s_stat": pa.array([int(s_stat)], pa.int64()),
+            "z": pa.array([z], pa.float64())})
+
+    return hourly.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -434,3 +434,60 @@ def rolling_median(events_ds, window_rows: int = 5, round_to: int = 6):
         })
 
     return _bucketed_by_user(events_ds, fn)
+
+
+def trailing_time_sum(events_ds, window_s: int = 3600, round_to: int = 6):
+    """Time-RANGE windowed aggregate (the SQL ``RANGE BETWEEN INTERVAL
+    W PRECEDING AND CURRENT ROW`` frame — the row-count window's
+    time-based sibling): per user, ordered by ts, the sum and count of
+    ``value`` over [ts - W, ts], INCLUDING current-row ts peers (SQL
+    RANGE frames end at the last peer of the current row).
+
+    -> (user_id, event_id, ts_us, win_sum, win_n)
+
+    Scale shape: one coarse user-hash exchange; inside a bucket the
+    frame edges are TWO global searchsorted calls over a per-user
+    monotone composite key (user_ord * span + ts — other users' keys
+    sit >= span apart, so the binary search cannot cross a user
+    boundary), and the frame sums are prefix-sum differences over
+    integer cents (values are 2-decimal, so cents arithmetic is exact —
+    no prefix-difference float drift vs the oracle's ascending frame
+    scan). No per-row Python on the common path; a per-user fallback
+    guards the pathological span*users int64 overflow."""
+    W = int(window_s) * 1_000_000
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        n = len(g)
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy()
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        uord = np.cumsum(new_user) - 1
+        if n == 0:
+            return pd.DataFrame({"user_id": user, "event_id": user,
+                                 "ts_us": ts, "win_sum": ts.astype(float),
+                                 "win_n": ts})
+        span = int(ts.max()) - int(ts.min()) + W + 2
+        if (int(uord[-1]) + 1) * span < 2 ** 62:
+            key = uord * span + (ts - ts.min())
+            lo = np.searchsorted(key, key - W, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        else:
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            starts = np.flatnonzero(new_user)
+            for s, e in zip(starts, np.append(starts[1:], n)):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - W, "left")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "right")
+        cents = np.round(g["value"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        pref = np.concatenate([[0], np.cumsum(cents)])
+        return pd.DataFrame({
+            "user_id": user,
+            "event_id": g["event_id"].to_numpy(),
+            "ts_us": ts,
+            "win_sum": np.round((pref[hi] - pref[lo]) / 100.0, round_to),
+            "win_n": (hi - lo).astype(np.int64)})
+
+    return _bucketed_by_user(events_ds, fn)

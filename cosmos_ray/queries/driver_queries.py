@@ -5924,6 +5924,63 @@ FROM r
 """
 
 
+def q_trailing_hour_value(sf_dir: str):
+    """Time-RANGE window (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW): per-user trailing-hour sum/count of value
+    (`windows.trailing_time_sum`: user-hash exchange, composite-key
+    searchsorted frame edges, exact integer-cents prefix sums)."""
+    from cosmos_ray.functions.windows import trailing_time_sum
+
+    return trailing_time_sum(read(sf_dir, "events",
+                                  ["user_id", "event_id", "ts", "value"]))
+
+
+SQL_TRAILING_HOUR_VALUE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0, 6)
+         AS win_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_mann_kendall_hourly(sf_dir: str):
+    """Mann-Kendall monotonic-trend test on the hourly total-value
+    series (`stats.mann_kendall_hourly`: integer-cents tumbling-window
+    exchange, Fenwick O(H log H) concordance count, tie-corrected z)."""
+    from cosmos_ray.functions.stats import mann_kendall_hourly
+
+    return mann_kendall_hourly(read(sf_dir, "events", ["ts", "value"]))
+
+
+SQL_MANN_KENDALL_HOURLY = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS yc
+  FROM events GROUP BY 1),
+p AS (SELECT COALESCE(sum(sign(b.yc - a.yc)), 0) AS s
+      FROM h a JOIN h b ON b.hour > a.hour),
+c AS (SELECT count(*)::DOUBLE AS n FROM h),
+t AS (SELECT COALESCE(sum(ties * (ties - 1) * (2 * ties + 5)), 0)::DOUBLE
+        AS tt
+      FROM (SELECT count(*)::DOUBLE AS ties FROM h
+            GROUP BY yc HAVING count(*) > 1)),
+v AS (SELECT (SELECT n FROM c) AS n, (SELECT s FROM p) AS s,
+             ((SELECT n FROM c) * ((SELECT n FROM c) - 1)
+              * (2 * (SELECT n FROM c) + 5) - (SELECT tt FROM t)) / 18.0
+               AS var)
+SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s_stat,
+       round(CASE WHEN n >= 2 AND var > 0 AND s > 0
+                    THEN (s - 1) / sqrt(var)
+                  WHEN n >= 2 AND var > 0 AND s < 0
+                    THEN (s + 1) / sqrt(var)
+                  ELSE 0.0 END, 6) AS z
+FROM v
+"""
+
+
 def q_rolling_median(sf_dir: str):
     """Frame-bounded rolling median (ROWS BETWEEN 4 PRECEDING AND
     CURRENT ROW) of value per user — `windows.rolling_median`,
@@ -6375,6 +6432,8 @@ QUERIES = {
     "locf_purchase": q_locf_purchase,
     "mannwhitney_lengths": q_mannwhitney_lengths,
     "welch_lang_lengths": q_welch_lang_lengths,
+    "trailing_hour_value": q_trailing_hour_value,
+    "mann_kendall_hourly": q_mann_kendall_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
     "ttr_docs": q_ttr_docs,
@@ -6416,6 +6475,8 @@ ORACLES = {
     "locf_purchase": SQL_LOCF_PURCHASE,
     "mannwhitney_lengths": SQL_MANNWHITNEY_LENGTHS,
     "welch_lang_lengths": SQL_WELCH_LANG_LENGTHS,
+    "trailing_hour_value": SQL_TRAILING_HOUR_VALUE,
+    "mann_kendall_hourly": SQL_MANN_KENDALL_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "ttr_docs": SQL_TTR_DOCS,

@@ -183,6 +183,64 @@ class TestSpearman:
         assert out["rho"].iloc[0] == 1.0  # rho is rank-invariant
 
 
+class TestMannKendall:
+    def test_matches_direct_pairwise(self):
+        from cosmos_ray.functions.stats import mann_kendall_hourly
+
+        rng = _rng()
+        hours = np.arange(120)
+        # drifting series with ties (integer cents)
+        cents = (hours * 3 + rng.randint(-40, 40, 120)) // 10 * 10
+        ts = pd.Timestamp("2024-01-01").value // 1000 + hours * 3_600_000_000
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": cents / 100.0}))
+        out = mann_kendall_hourly(ds).to_pandas()
+        y = cents.astype(np.int64)
+        s = int(np.sign(y[None, :] - y[:, None])[
+            np.triu_indices(len(y), 1)].sum())
+        assert out["n"].iloc[0] == 120
+        assert out["s_stat"].iloc[0] == s
+        assert out["z"].iloc[0] > 2.0  # clear upward drift
+
+    def test_strictly_decreasing(self):
+        from cosmos_ray.functions.stats import mann_kendall_hourly
+
+        hours = np.arange(50)
+        ts = pd.Timestamp("2024-01-01").value // 1000 + hours * 3_600_000_000
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": (5000 - hours * 7) / 100.0}))
+        out = mann_kendall_hourly(ds).to_pandas()
+        assert out["s_stat"].iloc[0] == -(50 * 49) // 2  # all discordant
+
+
+class TestTrailingTimeSum:
+    def test_matches_direct_window_scan(self):
+        from cosmos_ray.functions.windows import trailing_time_sum
+
+        rng = _rng()
+        n = 400
+        user = rng.randint(0, 7, n)
+        # bursty timestamps incl. exact ties (RANGE peer semantics)
+        ts = np.sort(rng.randint(0, 4 * 3_600, n)) * 1_000_000
+        ts[rng.choice(n, 30, replace=False)] = ts[0]  # forced ties
+        cents = rng.randint(0, 50_000, n)
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array(user, pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": pa.array(cents / 100.0)}))
+        out = (trailing_time_sum(ds, window_s=3600).to_pandas()
+               .set_index("event_id").sort_index())
+        W = 3_600_000_000
+        for i in range(n):
+            mask = ((user == user[i]) & (ts >= ts[i] - W) & (ts <= ts[i]))
+            want = cents[mask].sum() / 100.0
+            assert abs(out.loc[i, "win_sum"] - want) < 1e-9, i
+            assert out.loc[i, "win_n"] == int(mask.sum()), i
+
+
 class TestACF:
     def test_short_series_null_like_sql_corr(self):
         from cosmos_ray.functions.stats import acf_hourly
