@@ -491,14 +491,12 @@ def ks_two_sample(ds, group_col: str, value_col: str, group_a, group_b,
         finish, batch_format="pyarrow", batch_size=None)
 
 
-def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
-    """Pearson chi-squared test of independence between two categorical
-    columns (the lang x source association probe). Each batch reduces
-    arrow-natively to its (a, b) contingency counts — bounded by the
-    category product, not rows; the finish pivot SUMS same-cell
-    partials, so no global groupby is needed. The statistic covers the
-    FULL marginal grid (absent cells contribute their expected count).
-    -> one row (n, dof, chi2)."""
+def _contingency_counts(ds, col_a: str, col_b: str):
+    """Shared categorical-pair exchange for `chi2_independence` /
+    `mutual_information`: each batch reduces arrow-natively to its
+    (a, b) contingency counts — bounded by the category product, not
+    rows; downstream finishes SUM same-cell partials, so no global
+    groupby is needed."""
 
     def partial(t: pa.Table) -> pa.Table:
         g = (t.select([col_a, col_b]).group_by([col_a, col_b])
@@ -506,28 +504,42 @@ def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
         return pa.table({col_a: g.column(col_a), col_b: g.column(col_b),
                          "__c": g.column("count_all").cast(pa.int64())})
 
-    counts = (ds.select_columns([col_a, col_b])
-              .map_batches(partial, batch_format="pyarrow"))
+    return (ds.select_columns([col_a, col_b])
+            .map_batches(partial, batch_format="pyarrow"))
+
+
+def _pivot_cells(t: pa.Table, col_a: str, col_b: str) -> np.ndarray:
+    """Sum partial contingency rows into a dense (a, b) count grid.
+    Dict indexing keeps None a category (SQL GROUP BY NULL-group
+    semantics); the grid is contingency-sized, so this is model-sized
+    work."""
+    a_keys = t.column(col_a).to_pylist()
+    b_keys = t.column(col_b).to_pylist()
+    cnt = t.column("__c").to_numpy(zero_copy_only=False)
+    ai: dict = {}
+    bi: dict = {}
+    for v in a_keys:
+        ai.setdefault(v, len(ai))
+    for v in b_keys:
+        bi.setdefault(v, len(bi))
+    piv = np.zeros((max(len(ai), 1), max(len(bi), 1)), np.float64)
+    if a_keys:
+        np.add.at(piv, ([ai[v] for v in a_keys],
+                        [bi[v] for v in b_keys]),
+                  cnt.astype(np.float64))
+    return piv
+
+
+def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
+    """Pearson chi-squared test of independence between two categorical
+    columns (the lang x source association probe). Contingency-count
+    exchange via `_contingency_counts`; the statistic covers the FULL
+    marginal grid (absent cells contribute their expected count).
+    -> one row (n, dof, chi2)."""
+    counts = _contingency_counts(ds, col_a, col_b)
 
     def finish(t: pa.Table) -> pa.Table:
-        # Pivot without pandas: pivot_table silently drops NaN keys,
-        # but SQL GROUP BY keeps the NULL group — None must stay a
-        # category. The grid is contingency-sized, so dict indexing
-        # over distinct (a, b) cells is model-sized work.
-        a_keys = t.column(col_a).to_pylist()
-        b_keys = t.column(col_b).to_pylist()
-        cnt = t.column("__c").to_numpy(zero_copy_only=False)
-        ai: dict = {}
-        bi: dict = {}
-        for v in a_keys:
-            ai.setdefault(v, len(ai))
-        for v in b_keys:
-            bi.setdefault(v, len(bi))
-        piv = np.zeros((max(len(ai), 1), max(len(bi), 1)), np.float64)
-        if a_keys:
-            np.add.at(piv, ([ai[v] for v in a_keys],
-                            [bi[v] for v in b_keys]),
-                      cnt.astype(np.float64))
+        piv = _pivot_cells(t, col_a, col_b)
         n = piv.sum()
         r = piv.sum(axis=1, keepdims=True)
         c = piv.sum(axis=0, keepdims=True)
@@ -538,6 +550,42 @@ def chi2_independence(ds, col_a: str, col_b: str, round_to: int = 6):
             "n": pa.array([int(n)], pa.int64()),
             "dof": pa.array([dof], pa.int64()),
             "chi2": pa.array([round(chi2, round_to)], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def mutual_information(ds, col_a: str, col_b: str, round_to: int = 6):
+    """Mutual information I(A; B) in nats between two categorical
+    columns, plus the normalized variant I / sqrt(H(A) H(B)) — the
+    feature-association probe a curation pipeline runs before using one
+    column to stratify another. Same contingency exchange as
+    `chi2_independence` (`_contingency_counts` — bounded by the
+    category product); MI sums p_ab * ln(p_ab / (p_a p_b)) over
+    OCCUPIED cells only (empty cells contribute 0 by continuity).
+    -> one row (n, mi, nmi)."""
+    counts = _contingency_counts(ds, col_a, col_b)
+
+    def finish(t: pa.Table) -> pa.Table:
+        piv = _pivot_cells(t, col_a, col_b)
+        n = piv.sum()
+        if n <= 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "mi": pa.array([None], pa.float64()),
+                             "nmi": pa.array([None], pa.float64())})
+        p = piv / n
+        pa_m = p.sum(axis=1, keepdims=True)
+        pb_m = p.sum(axis=0, keepdims=True)
+        occ = p > 0
+        mi = float((p[occ] * np.log(p[occ] / (pa_m @ pb_m)[occ])).sum())
+        ha = float(-(pa_m[pa_m > 0] * np.log(pa_m[pa_m > 0])).sum())
+        hb = float(-(pb_m[pb_m > 0] * np.log(pb_m[pb_m > 0])).sum())
+        nmi = mi / np.sqrt(ha * hb) if ha > 0 and hb > 0 else None
+        return pa.table({
+            "n": pa.array([int(n)], pa.int64()),
+            "mi": pa.array([round(mi, round_to)], pa.float64()),
+            "nmi": pa.array([None if nmi is None else round(nmi, round_to)],
+                            pa.float64())})
 
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)

@@ -5814,6 +5814,34 @@ FROM grid
 """
 
 
+def q_mi_lang_source(sf_dir: str):
+    """Mutual information (and normalized MI) between lang and source
+    (`stats.mutual_information`: the chi2 contingency exchange, MI over
+    occupied cells, entropies from the marginals)."""
+    from cosmos_ray.functions.stats import mutual_information
+
+    docs = read(sf_dir, "documents", ["lang", "source"])
+    return mutual_information(docs, "lang", "source")
+
+
+SQL_MI_LANG_SOURCE = """
+WITH c AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS o
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT sum(o) AS n FROM c),
+ma AS (SELECT a, sum(o) / (SELECT n FROM tot) AS p FROM c GROUP BY a),
+mb AS (SELECT b, sum(o) / (SELECT n FROM tot) AS p FROM c GROUP BY b),
+mi AS (SELECT sum((c.o / (SELECT n FROM tot))
+                  * ln((c.o / (SELECT n FROM tot)) / (ma.p * mb.p))) AS v
+       FROM c JOIN ma ON c.a = ma.a JOIN mb ON c.b = mb.b),
+ha AS (SELECT -sum(p * ln(p)) AS h FROM ma),
+hb AS (SELECT -sum(p * ln(p)) AS h FROM mb)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       round((SELECT v FROM mi), 6) AS mi,
+       round((SELECT v FROM mi)
+             / sqrt((SELECT h FROM ha) * (SELECT h FROM hb)), 6) AS nmi
+"""
+
+
 def q_locf_purchase(sf_dir: str):
     """LOCF imputation: each user's most recent purchase value carried
     forward onto every later event (`windows.locf_fill` — the SQL
@@ -6429,6 +6457,7 @@ QUERIES = {
     "revenue_gini": q_revenue_gini,
     "ks_lang_lengths": q_ks_lang_lengths,
     "chi2_lang_source": q_chi2_lang_source,
+    "mi_lang_source": q_mi_lang_source,
     "locf_purchase": q_locf_purchase,
     "mannwhitney_lengths": q_mannwhitney_lengths,
     "welch_lang_lengths": q_welch_lang_lengths,
@@ -6472,6 +6501,7 @@ ORACLES = {
     "revenue_gini": SQL_REVENUE_GINI,
     "ks_lang_lengths": SQL_KS_LANG_LENGTHS,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+    "mi_lang_source": SQL_MI_LANG_SOURCE,
     "locf_purchase": SQL_LOCF_PURCHASE,
     "mannwhitney_lengths": SQL_MANNWHITNEY_LENGTHS,
     "welch_lang_lengths": SQL_WELCH_LANG_LENGTHS,

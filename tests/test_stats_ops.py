@@ -183,6 +183,29 @@ class TestSpearman:
         assert out["rho"].iloc[0] == 1.0  # rho is rank-invariant
 
 
+class TestMutualInformation:
+    def test_independent_columns_near_zero(self):
+        from cosmos_ray.functions.stats import mutual_information
+
+        a = np.repeat(["x", "y"], 100)
+        b = np.tile(["p", "q"], 100)          # perfectly balanced grid
+        ds = rd.from_arrow(pa.table({"a": a, "b": b}))
+        out = mutual_information(ds, "a", "b").to_pandas()
+        assert out["mi"].iloc[0] == 0.0 and out["nmi"].iloc[0] == 0.0
+
+    def test_identical_columns_full_information(self):
+        from cosmos_ray.functions.stats import mutual_information
+
+        rng = _rng()
+        a = rng.choice(["x", "y", "z"], 300)
+        ds = rd.from_arrow(pa.table({"a": a, "b": a}))
+        out = mutual_information(ds, "a", "b").to_pandas()
+        # I(A;A) = H(A), so NMI == 1
+        assert abs(out["nmi"].iloc[0] - 1.0) < 1e-9
+        p = np.unique(a, return_counts=True)[1] / 300
+        assert abs(out["mi"].iloc[0] - (-(p * np.log(p)).sum())) < 1e-6
+
+
 class TestMannKendall:
     def test_matches_direct_pairwise(self):
         from cosmos_ray.functions.stats import mann_kendall_hourly
