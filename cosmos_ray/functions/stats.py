@@ -678,6 +678,29 @@ def markov_stationary(events_ds, iters: int = 20, round_to: int = 6):
         "stationary": pa.array(np.round(pi, round_to), pa.float64())}))
 
 
+def _hourly_series(events_ds, ts_col: str, value_col: str, out: str,
+                   cents: bool = False):
+    """Shared tumbling-window exchange for the hourly-series probes
+    (`acf_hourly` / `mann_kendall_hourly` / `cusum_hourly`): one groupby
+    over hour buckets — calendar-bounded, i.e. model-sized output. With
+    ``cents`` the series is summed in INTEGER cents (2-decimal values),
+    so downstream tie/ordering comparisons are exact vs SQL."""
+    from ray.data.aggregate import Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t.column(ts_col).cast(pa.timestamp("us")),
+                                 pa.int64()), 3_600_000_000)
+        y = t.column(value_col)
+        if cents:
+            y = pc.cast(pc.round(pc.multiply(
+                pc.cast(y, pa.float64()), pa.scalar(100.0))), pa.int64())
+        return pa.table({"hour": hour, out: y})
+
+    return (events_ds.select_columns([ts_col, value_col])
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("hour").aggregate(Sum(out, alias_name=out)))
+
+
 def acf_hourly(events_ds, lags: tuple[int, ...] = (1, 2, 3),
                ts_col: str = "ts", value_col: str = "value",
                round_to: int = 6):
@@ -687,16 +710,7 @@ def acf_hourly(events_ds, lags: tuple[int, ...] = (1, 2, 3),
     model-sized); the lagged Pearson correlations run in one
     whole-block pass over the hour-ordered rows.
     -> (lag, n_pairs, acf)."""
-    from ray.data.aggregate import Sum
-
-    def bucket(t: pa.Table) -> pa.Table:
-        hour = pc.divide(pc.cast(t.column(ts_col).cast(pa.timestamp("us")),
-                                 pa.int64()), 3_600_000_000)
-        return pa.table({"hour": hour, "y": t.column(value_col)})
-
-    hourly = (events_ds.select_columns([ts_col, value_col])
-              .map_batches(bucket, batch_format="pyarrow")
-              .groupby("hour").aggregate(Sum("y", alias_name="y")))
+    hourly = _hourly_series(events_ds, ts_col, value_col, "y")
 
     def finish(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
@@ -935,19 +949,8 @@ def mann_kendall_hourly(events_ds, ts_col: str = "ts",
     over rank-compressed values (O(H log H), no H^2 blowup on decade
     spans) and the tie-corrected normal z.
     -> one row (n, s_stat, z)."""
-    from ray.data.aggregate import Sum
-
-    def bucket(t: pa.Table) -> pa.Table:
-        hour = pc.divide(pc.cast(t.column(ts_col).cast(pa.timestamp("us")),
-                                 pa.int64()), 3_600_000_000)
-        cents = pc.cast(pc.round(pc.multiply(
-            pc.cast(t.column(value_col), pa.float64()),
-            pa.scalar(100.0))), pa.int64())
-        return pa.table({"hour": hour, "yc": cents})
-
-    hourly = (events_ds.select_columns([ts_col, value_col])
-              .map_batches(bucket, batch_format="pyarrow")
-              .groupby("hour").aggregate(Sum("yc", alias_name="yc")))
+    hourly = _hourly_series(events_ds, ts_col, value_col, "yc",
+                            cents=True)
 
     def finish(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
@@ -993,6 +996,47 @@ def mann_kendall_hourly(events_ds, ts_col: str = "ts",
             "n": pa.array([n], pa.int64()),
             "s_stat": pa.array([int(s_stat)], pa.int64()),
             "z": pa.array([z], pa.float64())})
+
+    return hourly.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def cusum_hourly(events_ds, ts_col: str = "ts", value_col: str = "value",
+                 round_to: int = 6):
+    """One-sided CUSUM changepoint scan over the hourly total-value
+    series — "when did volume shift upward": drift_i = cum_i - min_{j<=i}
+    cum_j with cum the running sum of (y_j - mean), maximized over i
+    (the window-function closed form of the recursive CUSUM). The series
+    is built in integer cents on one tumbling-window exchange, and the
+    drift comparison runs in scaled integers (n*cum is integral), so
+    the peak location is exact — no float tie ambiguity vs the SQL
+    replay. Bound: n_hours * total_cents must fit int64 (decades of
+    hours x petacent volumes before overflow).
+    -> one row (n, max_cusum, peak_hour)."""
+    hourly = _hourly_series(events_ds, ts_col, value_col, "yc",
+                            cents=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
+        hours = pc.take(t.column("hour"), order).to_numpy(
+            zero_copy_only=False)
+        y = pc.take(t.column("yc"), order).to_numpy(zero_copy_only=False)
+        n = len(y)
+        if n == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "max_cusum": pa.array([None], pa.float64()),
+                             "peak_hour": pa.array([None], pa.int64())})
+        total = int(y.sum())
+        # scaled integer cumsum: n*cum_i = n*sum_{j<=i} y_j - (i+1)*total
+        scum = n * np.cumsum(y) - (np.arange(1, n + 1)) * total
+        sdrift = scum - np.minimum.accumulate(scum)
+        k = int(np.argmax(sdrift))  # first max = earliest peak hour
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "max_cusum": pa.array(
+                [round(float(sdrift[k]) / (100.0 * n), round_to)],
+                pa.float64()),
+            "peak_hour": pa.array([int(hours[k])], pa.int64())})
 
     return hourly.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)

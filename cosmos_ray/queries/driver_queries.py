@@ -6009,6 +6009,37 @@ FROM v
 """
 
 
+def q_cusum_hourly(sf_dir: str):
+    """One-sided CUSUM changepoint scan over the hourly value series
+    (`stats.cusum_hourly`: integer-cents tumbling exchange; drift =
+    running cumsum minus its running min, maximized — the window
+    closed form of the recursive CUSUM — in exact scaled integers)."""
+    from cosmos_ray.functions.stats import cusum_hourly
+
+    return cusum_hourly(read(sf_dir, "events", ["ts", "value"]))
+
+
+SQL_CUSUM_HOURLY = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS yc
+  FROM events GROUP BY 1),
+s AS (SELECT hour,
+             sum(yc) OVER (ORDER BY hour) AS cy,
+             row_number() OVER (ORDER BY hour) AS i,
+             (SELECT sum(yc) FROM h) AS tot,
+             (SELECT count(*) FROM h) AS n
+      FROM h),
+d AS (SELECT hour, n * cy - i * tot AS scum, n FROM s),
+e AS (SELECT hour, scum - min(scum) OVER (ORDER BY hour) AS sdrift, n
+      FROM d)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sdrift / (100.0 * n), 6) AS max_cusum,
+       CAST(hour AS BIGINT) AS peak_hour
+FROM e ORDER BY sdrift DESC, hour ASC LIMIT 1
+"""
+
+
 def q_rolling_median(sf_dir: str):
     """Frame-bounded rolling median (ROWS BETWEEN 4 PRECEDING AND
     CURRENT ROW) of value per user — `windows.rolling_median`,
@@ -6463,6 +6494,7 @@ QUERIES = {
     "welch_lang_lengths": q_welch_lang_lengths,
     "trailing_hour_value": q_trailing_hour_value,
     "mann_kendall_hourly": q_mann_kendall_hourly,
+    "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
     "ttr_docs": q_ttr_docs,
@@ -6507,6 +6539,7 @@ ORACLES = {
     "welch_lang_lengths": SQL_WELCH_LANG_LENGTHS,
     "trailing_hour_value": SQL_TRAILING_HOUR_VALUE,
     "mann_kendall_hourly": SQL_MANN_KENDALL_HOURLY,
+    "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "ttr_docs": SQL_TTR_DOCS,

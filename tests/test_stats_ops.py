@@ -238,6 +238,38 @@ class TestMannKendall:
         assert out["s_stat"].iloc[0] == -(50 * 49) // 2  # all discordant
 
 
+class TestCusum:
+    def test_planted_level_shift_peaks_at_boundary(self):
+        from cosmos_ray.functions.stats import cusum_hourly
+
+        # 60 hours at 10.00 then 60 hours at 30.00: the upward-drift
+        # CUSUM peaks at the LAST hour (drift keeps accumulating after
+        # the shift); max drift = 60 * (30 - 20) = 600 value units
+        hours = np.arange(120)
+        vals = np.where(hours < 60, 10.0, 30.0)
+        ts = pd.Timestamp("2024-01-01").value // 1000 + hours * 3_600_000_000
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": vals}))
+        out = cusum_hourly(ds).to_pandas()
+        assert out["n"].iloc[0] == 120
+        assert abs(out["max_cusum"].iloc[0] - 600.0) < 1e-6
+        assert out["peak_hour"].iloc[0] == int(ts[-1] // 3_600_000_000)
+
+    def test_constant_series_zero_drift(self):
+        from cosmos_ray.functions.stats import cusum_hourly
+
+        hours = np.arange(24)
+        ts = pd.Timestamp("2024-01-01").value // 1000 + hours * 3_600_000_000
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": np.full(24, 7.0)}))
+        out = cusum_hourly(ds).to_pandas()
+        assert out["max_cusum"].iloc[0] == 0.0
+        # zero drift everywhere -> earliest hour wins the tie
+        assert out["peak_hour"].iloc[0] == int(ts[0] // 3_600_000_000)
+
+
 class TestTrailingTimeSum:
     def test_matches_direct_window_scan(self):
         from cosmos_ray.functions.windows import trailing_time_sum
