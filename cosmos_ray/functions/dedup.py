@@ -294,8 +294,14 @@ def _verify_pairs_by_join(cand, value_ds, value_col: str, mode: str, k: int = 3,
     """Distributed fallback verification: two hash joins of the candidate
     pairs against the (doc_id, value) table — no driver materialization
     anywhere. Used when the candidate set exceeds the broadcast cap."""
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
     if num_partitions is None:
         num_partitions = _join_partitions(chained=2)
+    # cand is a groupby output: scrub its zero-column empty blocks or a
+    # join partition that lands only those fails key resolution
+    cand = drop_empty_blocks(cand)
+
     def rn(suffix):
         def f(t: pa.Table) -> pa.Table:
             return t.rename_columns([f"__id_{suffix}", f"__v_{suffix}"])
@@ -305,6 +311,9 @@ def _verify_pairs_by_join(cand, value_ds, value_col: str, mode: str, k: int = 3,
     vb = value_ds.select_columns(["doc_id", value_col]).map_batches(rn("b"), batch_format="pyarrow")
     j = cand.join(va, join_type="inner", num_partitions=num_partitions,
                   on=("doc_a",), right_on=("__id_a",))
+    # join outputs with empty partitions carry the same zero-column
+    # empty blocks as groupby outputs — scrub between chained joins
+    j = drop_empty_blocks(j)
     j = j.join(vb, join_type="inner", num_partitions=num_partitions,
                on=("doc_b",), right_on=("__id_b",))
 
@@ -394,11 +403,12 @@ def _min_label_fixpoint(verified, max_rounds: int = 64, num_partitions: int | No
             }
         )
 
-    labels = (
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
+    labels = drop_empty_blocks(
         edges.map_batches(init_lbl, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
     )
     prev_sum = labels.sum("lbl")
     for _ in range(max_rounds):
@@ -411,11 +421,10 @@ def _min_label_fixpoint(verified, max_rounds: int = 64, num_partitions: int | No
         ).map_batches(
             lambda t: t.select(["doc_id", "lbl"]), batch_format="pyarrow"
         )
-        labels = (
+        labels = drop_empty_blocks(
             prop.union(labels.select_columns(["doc_id", "lbl"]))
             .groupby("doc_id")
             .aggregate(Min("lbl", alias_name="lbl"))
-            .materialize()
         )
         s = labels.sum("lbl")
         if s == prev_sum:

@@ -216,9 +216,15 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
     rides inside the map closures."""
     import ray as _ray
 
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
     num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
 
-    nodes = _distinct_entities(e).materialize()
+    # e / outw / contrib are groupby outputs feeding joins: scrub their
+    # zero-column empty blocks (Ray hash-aggregate artifact) or a join
+    # partition receiving only those fails key resolution
+    e = drop_empty_blocks(e)
+    nodes = drop_empty_blocks(_distinct_entities(e))
     n = nodes.count()
     seed_set = None
     if seeds is not None:
@@ -243,7 +249,8 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
                               for x in ent), np.float64, count=len(ent))
         return t.append_column("tv", pa.array(tv, pa.float64()))
 
-    outw = e.groupby("src").aggregate(Sum("w", alias_name="outw"))
+    outw = drop_empty_blocks(
+        e.groupby("src").aggregate(Sum("w", alias_name="outw")))
     nodes = nodes.map_batches(teleport, batch_format="pyarrow").materialize()
     ranks = nodes.map_batches(
         lambda t: pa.table({"entity": t.column("entity"),
@@ -266,7 +273,11 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
                 "dang": pa.array(np.where(ow > 0, 0.0, r), pa.float64()),
             })
 
-        shares = rw.map_batches(share, batch_format="pyarrow").materialize()
+        # rw is a join output: its empty partitions' zero-column blocks
+        # survive map_batches (empty blocks skip UDFs) — scrub before
+        # shares feeds the contrib join (also materializes)
+        shares = drop_empty_blocks(rw.map_batches(share,
+                                                  batch_format="pyarrow"))
         dangling = shares.sum("dang")
         contrib = (
             e.join(shares.select_columns(["entity", "share"]), join_type="inner",
@@ -280,6 +291,7 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
             )
             .groupby("entity").aggregate(Sum("c", alias_name="c"))
         )
+        contrib = drop_empty_blocks(contrib)
         ranks = nodes.join(contrib, join_type="left_outer",
                            num_partitions=num_partitions, on=("entity",),
                            right_on=("entity",)).map_batches(
@@ -295,7 +307,10 @@ def _pagerank_joined(e, damping: float, iters: int, ndigits: int,
                     pa.float64()),
             }),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        # next iteration joins ranks again: scrub the join's
+        # empty-partition zero-column blocks (also materializes)
+        ranks = drop_empty_blocks(ranks)
 
     return ranks.map_batches(
         lambda t: pa.table({
@@ -322,8 +337,10 @@ def weighted_distances(edges_ds, seeds, hops: int = 4,
     in float64, so the min is order-independent and SQL-replayable."""
     import ray as _ray
 
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
     num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    e = _edge_weights(edges_ds, src, dst, weight)
+    e = drop_empty_blocks(_edge_weights(edges_ds, src, dst, weight))
     if not directed:
         def both(t: pa.Table) -> pa.Table:
             s, d, w = t.column("src"), t.column("dst"), t.column("w")
@@ -353,8 +370,9 @@ def weighted_distances(edges_ds, seeds, hops: int = 4,
                         "entity": t.column("dst"),
                         "d": pc.add(t.column("d"), t.column("w")),
                     }), batch_format="pyarrow"))
-        dist = (dist.union(cand).groupby("entity")
-                .aggregate(Min("d", alias_name="d")).materialize())
+        dist = drop_empty_blocks(
+            dist.union(cand).groupby("entity")
+            .aggregate(Min("d", alias_name="d")))
     return dist
 
 
@@ -779,8 +797,11 @@ def _hits_joined(e, iters: int, ndigits: int):
     exactly with the broadcast path (test-gated)."""
     import ray as _ray
 
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
     num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    nodes = _distinct_entities(e).materialize()
+    e = drop_empty_blocks(e)
+    nodes = drop_empty_blocks(_distinct_entities(e))
 
     def half_step(vec, from_col: str, to_col: str):
         raw = (e.join(vec, join_type="inner", num_partitions=num_partitions,
@@ -790,8 +811,8 @@ def _hits_joined(e, iters: int, ndigits: int):
                        "entity": t.column(to_col),
                        "v": pc.multiply(t.column("w"), t.column("v"))}),
                    batch_format="pyarrow")
-               .groupby("entity").aggregate(Sum("v", alias_name="v"))
-               .materialize())
+               .groupby("entity").aggregate(Sum("v", alias_name="v")))
+        raw = drop_empty_blocks(raw)
         ssq = raw.map_batches(
             lambda t: pa.table({"s": pa.array(
                 [float(np.square(t.column("v").to_numpy(
@@ -816,6 +837,9 @@ def _hits_joined(e, iters: int, ndigits: int):
     out = nodes.join(h.rename_columns({"v": "hub"}), join_type="left_outer",
                      num_partitions=num_partitions, on=("entity",),
                      right_on=("entity",))
+    # scrub between chained joins (empty join partitions emit
+    # zero-column blocks, same artifact as groupby outputs)
+    out = drop_empty_blocks(out)
     out = out.join(a.rename_columns({"v": "authority"}), join_type="left_outer",
                    num_partitions=num_partitions, on=("entity",),
                    right_on=("entity",))

@@ -69,6 +69,33 @@ def collect_small(ds, cap_rows: int = 2_000_000) -> pa.Table | None:
     return pa.concat_tables(batches)
 
 
+def drop_empty_blocks(ds):
+    """Work around a Ray 2.49 hash-aggregator artifact: a
+    ``groupby().aggregate()`` emits ZERO-COLUMN empty blocks for empty
+    output partitions, and a downstream ``Dataset.join`` partition that
+    receives only such blocks fails inside Acero with "No match or
+    multiple matches for key field reference ... on left side of the
+    join" (map_batches cannot repair them — empty blocks skip UDFs).
+    Rebuild the dataset from its non-empty block refs: refs stay in the
+    object store (zero-copy — only block METADATA touches the driver),
+    so this is safe on any aggregate output regardless of size. Apply
+    to groupby-derived datasets that feed a join; join outputs
+    themselves emit well-schemed empties and don't need it."""
+    m = ds.materialize()
+    refs = []
+    empties = 0
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows in (None, 0):
+                empties += 1
+            else:
+                refs.append(ref)
+    if not refs or not empties:
+        # fully empty (callers handle empty joins) or already clean
+        return m
+    return rd.from_arrow_refs(refs)
+
+
 def _join_partitions(chained: int = 1, cap: int = 16) -> int:
     """Size hash-join partition counts to the cluster — each concurrent
     join spawns num_partitions CPU-holding aggregator actors, and
@@ -87,7 +114,8 @@ def join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
     if small is not None:
         return broadcast_join(big_ds, small, key=key, add_cols=add_cols, big_key=big_key)
     j = big_ds.join(
-        small_ds.select_columns([key] + add_cols),
+        # scrub groupby-emitted zero-column empties off the small side
+        drop_empty_blocks(small_ds.select_columns([key] + add_cols)),
         join_type="inner",
         num_partitions=_join_partitions(),
         on=(big_key,),
@@ -196,7 +224,8 @@ def semi_join_ds(big_ds, keys_ds, key_col: str, big_key: str, keep: bool = True,
             misses = bloom_filter_ds(big_ds, bloom, big_key, False, bloom_bits)
             return misses.union(semi_join_ds(hits, keys_ds, key_col, big_key,
                                              keep=False, cap_rows=0))
-    distinct = keys_ds.groupby(key_col).aggregate(Count(alias_name="__m"))
+    distinct = drop_empty_blocks(
+        keys_ds.groupby(key_col).aggregate(Count(alias_name="__m")))
     j = big_ds.join(
         distinct,
         join_type="inner" if keep else "left_outer",
@@ -355,7 +384,7 @@ def left_join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
         return big_ds.map_batches(lookup, batch_format="pyarrow",
                                   batch_size=65536)
     j = big_ds.join(
-        small_ds.select_columns([key] + add_cols),
+        drop_empty_blocks(small_ds.select_columns([key] + add_cols)),
         join_type="left_outer",
         num_partitions=_join_partitions(),
         on=(big_key,),

@@ -223,11 +223,12 @@ def detect_boilerplate(segments_ds, min_frac: float = 0.6, min_pages: int = 5,
         return counts.map_batches(finish, batch_format="pyarrow")
 
     # distributed fallback: per-site totals join the counts by site
-    from cosmos_ray.queries.relational import _join_partitions
+    # (both are groupby outputs — scrub their zero-column empty blocks)
+    from cosmos_ray.queries.relational import _join_partitions, drop_empty_blocks
 
-    j = counts.join(
-        site_pages, join_type="inner", num_partitions=_join_partitions(),
-        on=("site",),
+    j = drop_empty_blocks(counts).join(
+        drop_empty_blocks(site_pages), join_type="inner",
+        num_partitions=_join_partitions(), on=("site",),
     )
     return j.map_batches(finish_tbl, batch_format="pyarrow")
 

@@ -122,6 +122,55 @@ def test_guarded_driver_pull_fallbacks_agree():
     assert fast.equals(dist), "join_or_broadcast diverged"
 
 
+def test_join_after_groupby_with_empty_partitions():
+    """Regression: Ray's hash aggregator emits ZERO-COLUMN empty blocks
+    for empty output partitions; a downstream Dataset.join partition
+    receiving only those failed key resolution ('No match or multiple
+    matches for key field reference'). drop_empty_blocks scrubs them —
+    this chains join -> groupby -> join with num_partitions far above
+    the key count so empty partitions are guaranteed."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.functions.dedup import _verify_pairs_by_join
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
+    nb = rd.from_arrow(pa.table({
+        "bid": [0, 1, 2], "bh": ["a", "b", "c"], "new_id": [10, 11, 12]}))
+    ob = rd.from_arrow(pa.table({
+        "bid": [0, 1, 2], "bh": ["a", "b", "c"], "old_id": [20, 21, 22]}))
+    cand = (nb.join(ob, join_type="inner", num_partitions=16,
+                    on=("bid", "bh"))
+            .groupby(["new_id", "old_id"])
+            .aggregate(Count(alias_name="__b")).drop_columns(["__b"]))
+
+    # the scrubbed dataset joins cleanly at any partition count
+    pairs = drop_empty_blocks(cand).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    vals = rd.from_arrow(pa.table({
+        "__id_a": [10, 11, 12, 20, 21, 22], "__v_a": list("uvwxyz")}))
+    j = pairs.join(vals, join_type="inner", num_partitions=8,
+                   on=("doc_a",), right_on=("__id_a",))
+    assert j.count() == 3
+
+    # the guarded verify path scrubs internally (crawl_dedup_index at
+    # high cpu counts hit this in the wild)
+    values = rd.from_arrow(pa.table({
+        "doc_id": [10, 11, 12, 20, 21, 22],
+        "text": ["x y z"] * 6}))
+    cand2 = (nb.join(ob, join_type="inner", num_partitions=16,
+                     on=("bid", "bh"))
+             .groupby(["new_id", "old_id"])
+             .aggregate(Count(alias_name="__b")).drop_columns(["__b"])
+             .map_batches(lambda t: t.rename_columns(["doc_a", "doc_b"]),
+                          batch_format="pyarrow"))
+    scored = _verify_pairs_by_join(cand2, values, "text", "exact",
+                                   num_partitions=8)
+    assert scored.count() == 3
+
+
 def test_broadcast_join_empty_small_side():
     """collect_small on an empty dataset keeps the schema, so the
     broadcast join degrades to an empty inner-join result instead of a
