@@ -6,12 +6,15 @@ engine treats such payloads as ``binary`` columns with typed metadata and
 runs decode / feature-extract / resize / frame-sample as actor-pool
 ``map_batches`` stages.
 
-The image/audio codecs are NOT in this container, so the decode kernels
-are deliberately stubbed: ``DecodeImage`` raises ``NotImplementedError``
-unless constructed with ``fake=True``, in which case a deterministic
-fake decoder (seeded by content hash) exercises the REAL Ray-side
-plumbing — schema, small batch sizes for wide binary rows, actor
-signature, output layout — which is what the tests cover.
+Decode is REAL for uncompressed formats: ``DecodeImage`` natively
+decodes 24-bit BMP and binary PPM/PGM payloads through the pure-numpy
+codecs in `functions/imagecodec.py` (byte-exact, vectorized — no PIL).
+COMPRESSED codecs (JPEG/PNG) are not in this container, so those
+payloads raise ``NotImplementedError`` — unless constructed with
+``fake=True``, in which case a deterministic fake decoder (seeded by
+content hash) stands in so the Ray-side plumbing — schema, small batch
+sizes for wide binary rows, actor signature, output layout — stays
+exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -55,10 +58,11 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 class DecodeImage:
     """Actor-pool image decode + feature pooling.
 
-    Real deployments pass ``fake=False`` and plug a codec; this container
-    has none, so the default raises — the schema/batching contract stays
-    testable with ``fake=True``. Use small ``batch_size`` (wide binary
-    rows) and ``num_cpus>=1`` per actor.
+    Uncompressed payloads (BMP 24-bit, binary PPM/PGM) decode FOR REAL
+    via the pure-numpy codecs in `functions/imagecodec.py`; compressed
+    formats (JPEG/PNG — no codec in this container) raise unless
+    ``fake=True`` substitutes the deterministic stand-in. Use small
+    ``batch_size`` (wide binary rows) and ``num_cpus>=1`` per actor.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 8) -> None:
@@ -66,12 +70,14 @@ class DecodeImage:
         self.feature_dim = feature_dim
 
     def decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "no image codec in this environment; construct with fake=True "
-                "for deterministic plumbing tests"
-            )
-        return _fake_decode(payload)
+        from cosmos_ray.functions.imagecodec import decode_image
+
+        try:
+            return decode_image(payload)
+        except NotImplementedError:
+            if self.fake:
+                return _fake_decode(payload)
+            raise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()

@@ -112,3 +112,82 @@ def test_chunk_audio_fanout_and_overlap():
     assert len(rows[0]["chunk"]) == 4096
     # 50% overlap: second half of chunk 0 == first half of chunk 1
     assert rows[0]["chunk"][2048:] == rows[1]["chunk"][:2048]
+
+
+class TestRealCodecs:
+    """The pure-numpy BMP/PPM codecs: real decode, byte-exact roundtrip."""
+
+    def test_bmp_roundtrip_exact_with_padding(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        rng = np.random.RandomState(7)
+        for w, h in [(33, 17), (32, 32), (1, 1), (5, 64)]:  # odd strides
+            img = rng.randint(0, 256, (h, w, 3), np.uint8)
+            assert np.array_equal(ic.decode_bmp(ic.encode_bmp(img)), img)
+
+    def test_bmp_top_down_rows(self):
+        import struct
+
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+        payload = bytearray(ic.encode_bmp(img))
+        # flip height negative (top-down) and re-order pixel rows
+        w, h = 4, 3
+        struct.pack_into("<i", payload, 14 + 8, -h)
+        stride = (w * 3 + 3) & ~3
+        off = len(payload) - h * stride
+        rows = np.frombuffer(bytes(payload[off:]), np.uint8).reshape(h, stride)
+        payload[off:] = rows[::-1].tobytes()
+        assert np.array_equal(ic.decode_bmp(bytes(payload)), img)
+
+    def test_ppm_and_pgm_roundtrip(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (9, 13, 3), np.uint8)
+        assert np.array_equal(ic.decode_ppm(ic.encode_ppm(img)), img)
+        # P5 grayscale with a comment line expands to 3 channels
+        gray = rng.randint(0, 256, (4, 6), np.uint8)
+        p5 = b"P5\n# a comment\n6 4\n255\n" + gray.tobytes()
+        out = ic.decode_ppm(p5)
+        assert out.shape == (4, 6, 3)
+        assert np.array_equal(out[:, :, 0], gray)
+        assert np.array_equal(out[:, :, 1], gray)
+
+    def test_decode_images_real_bmp_pipeline(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        rng = np.random.RandomState(3)
+        imgs = {f"b{i}": rng.randint(0, 256, (8 + i, 12 + i, 3), np.uint8)
+                for i in range(6)}
+        rows = [{"media_id": k, "kind": "image",
+                 "payload": ic.encode_bmp(v), "mime": "image/bmp",
+                 "meta": "{}"} for k, v in imgs.items()]
+        ds = rd.from_arrow(pa.Table.from_pylist(
+            rows, schema=multimodal.MEDIA_SCHEMA))
+        # fake=False: these are REAL decodes, no stand-in involved
+        out = {r["media_id"]: r
+               for r in multimodal.decode_images(ds, fake=False).take_all()}
+        for k, img in imgs.items():
+            r = out[k]
+            assert (r["height"], r["width"], r["channels"]) == img.shape
+            want = np.resize(
+                img.astype(np.float32).mean(axis=(0, 1)) / 255.0, 8)
+            assert np.allclose(r["feature"], want, atol=1e-6)
+
+    def test_compressed_magic_still_raises(self):
+        import pytest as _pytest
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        with _pytest.raises(NotImplementedError):
+            ic.decode_image(b"\x89PNG\r\n\x1a\n....")
