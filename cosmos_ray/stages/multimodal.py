@@ -240,6 +240,65 @@ class ChunkAudio:
         )
 
 
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("channels", pa.int32()),
+        ("duration_s", pa.float64()),
+        ("rms", pa.float64()),
+        ("peak", pa.float64()),
+    ]
+)
+
+
+class DecodeAudio:
+    """Actor-pool audio decode + summary features: REAL for PCM WAV
+    (pure-numpy `functions/audiocodec.py` — 8/16/32-bit int and float32,
+    RIFF chunk walk); compressed formats (MP3/Opus — no codec in this
+    container) raise behind the declared stub. Small batch_size: wide
+    binary rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cosmos_ray.functions.audiocodec import decode_wav
+
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_sr, o_n, o_ch, o_dur, o_rms, o_peak = [], [], [], [], [], []
+        for p in payloads:
+            x, sr = decode_wav(p)
+            o_sr.append(sr)
+            o_n.append(x.shape[0])
+            o_ch.append(x.shape[1])
+            o_dur.append(x.shape[0] / sr if sr else 0.0)
+            o_rms.append(float(np.sqrt(np.mean(np.square(x)))) if x.size
+                         else 0.0)
+            o_peak.append(float(np.abs(x).max()) if x.size else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "sample_rate": pa.array(o_sr, pa.int32()),
+                "n_samples": pa.array(o_n, pa.int64()),
+                "channels": pa.array(o_ch, pa.int32()),
+                "duration_s": pa.array(o_dur, pa.float64()),
+                "rms": pa.array(o_rms, pa.float64()),
+                "peak": pa.array(o_peak, pa.float64()),
+            },
+            schema=AUDIO_FEATURES_SCHEMA,
+        )
+
+
+def decode_audio(media_ds, concurrency: int | tuple = (1, 4),
+                 batch_size: int = 16):
+    return media_ds.map_batches(
+        DecodeAudio,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def preprocess_images(media_ds, fake: bool = False, target: int = 64,
                       concurrency: int | tuple = (1, 4), batch_size: int = 32):
     return media_ds.map_batches(

@@ -191,3 +191,61 @@ class TestRealCodecs:
 
         with _pytest.raises(NotImplementedError):
             ic.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit_stereo(self):
+        import numpy as np
+
+        from cosmos_ray.functions import audiocodec as ac
+
+        rng = np.random.RandomState(5)
+        x = (rng.rand(800, 2) * 2 - 1) * 0.9
+        y, sr = ac.decode_wav(ac.encode_wav(x, sample_rate=8000, bits=16))
+        assert sr == 8000 and y.shape == (800, 2)
+        # 16-bit quantization + the 32767-encode/32768-decode scale
+        # asymmetry bound: |err| <= 0.5/32767 + |x|/32767 ~ 1.5 LSB
+        assert np.abs(y - x).max() < 1.5 / 32768
+
+    def test_roundtrip_float32_exact(self):
+        import numpy as np
+
+        from cosmos_ray.functions import audiocodec as ac
+
+        rng = np.random.RandomState(6)
+        x = (rng.rand(300) * 2 - 1).astype(np.float32)
+        y, sr = ac.decode_wav(ac.encode_wav(x, sample_rate=44100, bits=32))
+        assert sr == 44100
+        assert np.array_equal(y[:, 0], x)  # float WAV is exact
+
+    def test_decode_audio_pipeline_real(self):
+        import numpy as np
+
+        from cosmos_ray.functions import audiocodec as ac
+
+        rng = np.random.RandomState(9)
+        rows = []
+        want = {}
+        for i in range(4):
+            x = (rng.rand(1000 + 100 * i) * 2 - 1) * 0.5
+            want[f"a{i}"] = x
+            rows.append({"media_id": f"a{i}", "kind": "audio",
+                         "payload": ac.encode_wav(x, sample_rate=16000),
+                         "mime": "audio/wav", "meta": "{}"})
+        ds = rd.from_arrow(pa.Table.from_pylist(
+            rows, schema=multimodal.MEDIA_SCHEMA))
+        out = {r["media_id"]: r
+               for r in multimodal.decode_audio(ds).take_all()}
+        for k, x in want.items():
+            r = out[k]
+            assert r["n_samples"] == len(x) and r["channels"] == 1
+            assert abs(r["duration_s"] - len(x) / 16000) < 1e-12
+            assert abs(r["rms"] - float(np.sqrt(np.mean(x ** 2)))) < 1e-3
+
+    def test_compressed_audio_raises(self):
+        import pytest as _pytest
+
+        from cosmos_ray.functions import audiocodec as ac
+
+        with _pytest.raises(NotImplementedError):
+            ac.decode_wav(b"ID3\x04...mp3 bytes...")
