@@ -390,6 +390,67 @@ GROUP BY 1
 """
 
 
+def q_media_image_features(sf_dir: str):
+    """End-to-end multimodal decode, oracle-checked: a media table is
+    synthesized from documents (one REAL 24-bit BMP per doc — dims and
+    constant pixel value are doc_id arithmetic), decoded by the
+    pure-numpy codec through the `DecodeImage` actor pool (fake=False),
+    and the recovered geometry + mean pixel must equal the planted
+    arithmetic. Proves the binary-column plumbing AND the codec, not a
+    stand-in. Scale shape: encode/decode are per-batch actor work; no
+    exchange at all."""
+    import numpy as np
+
+    from cosmos_ray.functions.imagecodec import encode_bmp
+    from cosmos_ray.stages import multimodal
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w = 16 + d % 32
+            h = 16 + (d // 7) % 32
+            v = d % 256
+            payloads.append(encode_bmp(np.full((h, w, 3), v, np.uint8)))
+        return pa.table({
+            "media_id": pa.array([f"m{d}" for d in ids], pa.string()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(ids), pa.string()),
+            "meta": pa.array(["{}"] * len(ids), pa.string()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=256)
+    feats = multimodal.decode_images(media, fake=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        f0 = pa.array(
+            [int(round(f[0] * 255.0)) for f in t.column("feature").to_pylist()],
+            pa.int64())
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "width": t.column("width").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "channels": t.column("channels").cast(pa.int64()),
+            "mean_pixel": f0,
+        })
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MEDIA_IMAGE_FEATURES = """
+SELECT 'm' || doc_id AS media_id,
+       CAST(16 + doc_id % 32 AS BIGINT) AS width,
+       CAST(16 + (doc_id // 7) % 32 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+FROM documents
+"""
+
+
 def q_profile_docs(sf_dir: str):
     """Generic column profiler (the data-quality dashboard table): for
     each profiled column — n_null, n_distinct, min, max — in long
@@ -6331,6 +6392,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "copurchase_pairs": q_copurchase_pairs,
     "profile_docs": q_profile_docs,
+    "media_image_features": q_media_image_features,
     "twap_value": q_twap_value,
     "weekly_growth": q_weekly_growth,
     "value_percentiles_cont": q_value_percentiles_cont,
@@ -6554,6 +6616,7 @@ ORACLES = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "profile_docs": SQL_PROFILE_DOCS,
+    "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "twap_value": SQL_TWAP_VALUE,
     "weekly_growth": SQL_WEEKLY_GROWTH,
     "value_percentiles_cont": SQL_VALUE_PERCENTILES_CONT,
