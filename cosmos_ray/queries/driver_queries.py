@@ -451,6 +451,63 @@ FROM documents
 """
 
 
+def q_media_audio_features(sf_dir: str):
+    """End-to-end audio decode, oracle-checked (the WAV sibling of
+    media_image_features): one real 16-bit PCM WAV per document —
+    sample count, rate and constant amplitude are doc_id arithmetic —
+    decoded through the `DecodeAudio` actor pool; the recovered rms,
+    re-quantized to the 16-bit grid (exact: constant dyadic samples),
+    must equal the planted quantized amplitude."""
+    import numpy as np
+
+    from cosmos_ray.functions.audiocodec import encode_wav
+    from cosmos_ray.stages import multimodal
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            n = 200 + d % 300
+            sr = 8000 + (d % 4) * 4000
+            a = (d % 128) / 128.0
+            payloads.append(encode_wav(np.full(n, a), sample_rate=sr))
+        return pa.table({
+            "media_id": pa.array([f"a{d}" for d in ids], pa.string()),
+            "kind": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+            "meta": pa.array(["{}"] * len(ids), pa.string()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=256)
+    feats = multimodal.decode_audio(media)
+
+    def finish(t: pa.Table) -> pa.Table:
+        rms = t.column("rms").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "sample_rate": t.column("sample_rate").cast(pa.int64()),
+            "n_samples": t.column("n_samples"),
+            "channels": t.column("channels").cast(pa.int64()),
+            "amp_q": pa.array(np.round(rms * 32768.0).astype(np.int64)),
+        })
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MEDIA_AUDIO_FEATURES = """
+SELECT 'a' || doc_id AS media_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST(200 + doc_id % 300 AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(round((doc_id % 128) * 32767.0 / 128.0) AS BIGINT) AS amp_q
+FROM documents
+"""
+
+
 def q_profile_docs(sf_dir: str):
     """Generic column profiler (the data-quality dashboard table): for
     each profiled column — n_null, n_distinct, min, max — in long
@@ -6393,6 +6450,7 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "profile_docs": q_profile_docs,
     "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
     "twap_value": q_twap_value,
     "weekly_growth": q_weekly_growth,
     "value_percentiles_cont": q_value_percentiles_cont,
@@ -6617,6 +6675,7 @@ ORACLES = {
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "profile_docs": SQL_PROFILE_DOCS,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
+    "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "twap_value": SQL_TWAP_VALUE,
     "weekly_growth": SQL_WEEKLY_GROWTH,
     "value_percentiles_cont": SQL_VALUE_PERCENTILES_CONT,
