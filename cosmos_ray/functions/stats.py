@@ -688,8 +688,14 @@ def _hourly_series(events_ds, ts_col: str, value_col: str, out: str,
     from ray.data.aggregate import Sum
 
     def bucket(t: pa.Table) -> pa.Table:
-        hour = pc.divide(pc.cast(t.column(ts_col).cast(pa.timestamp("us")),
-                                 pa.int64()), 3_600_000_000)
+        us = pc.cast(t.column(ts_col).cast(pa.timestamp("us")), pa.int64())
+        # FLOOR division (SQL //), not Arrow's truncation toward zero —
+        # they differ for pre-epoch timestamps (negative microseconds)
+        d = pa.scalar(3_600_000_000, pa.int64())
+        q = pc.divide(us, d)
+        rem = pc.subtract(us, pc.multiply(q, d))
+        hour = pc.subtract(q, pc.cast(pc.less(rem, pa.scalar(0, pa.int64())),
+                                      pa.int64()))
         y = t.column(value_col)
         if cents:
             y = pc.cast(pc.round(pc.multiply(
@@ -991,7 +997,9 @@ def mann_kendall_hourly(events_ds, ts_col: str = "ts",
             adj = s_stat - 1 if s_stat > 0 else s_stat + 1
             z = round(adj / np.sqrt(var), round_to)
         else:
-            z = 0.0 if n >= 2 else None
+            # mirror the SQL CASE's ELSE branch exactly: any degenerate
+            # series (n == 1, all-tied, S == 0) reports z = 0.0
+            z = 0.0
         return pa.table({
             "n": pa.array([n], pa.int64()),
             "s_stat": pa.array([int(s_stat)], pa.int64()),

@@ -465,9 +465,14 @@ def trailing_time_sum(events_ds, window_s: int = 3600, round_to: int = 6):
         new_user[1:] = user[1:] != user[:-1]
         uord = np.cumsum(new_user) - 1
         if n == 0:
-            return pd.DataFrame({"user_id": user, "event_id": user,
-                                 "ts_us": ts, "win_sum": ts.astype(float),
-                                 "win_n": ts})
+            # defensive only (map_groups never calls fn on an empty
+            # group): typed-empty frame matching the real output schema
+            return pd.DataFrame({
+                "user_id": user,
+                "event_id": g["event_id"].to_numpy(),
+                "ts_us": ts,
+                "win_sum": np.array([], np.float64),
+                "win_n": np.array([], np.int64)})
         span = int(ts.max()) - int(ts.min()) + W + 2
         if (int(uord[-1]) + 1) * span < 2 ** 62:
             key = uord * span + (ts - ts.min())

@@ -6033,7 +6033,8 @@ WITH s AS (SELECT
   sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END)::DOUBLE AS sb,
   sum(CASE WHEN lang = 'de' THEN n_chars * n_chars ELSE 0 END)::DOUBLE
     AS ssb
-  FROM documents WHERE lang IN ('en', 'de')),
+  FROM documents
+  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
 v AS (SELECT na, nb, sa / na - sb / nb AS md,
              ((ssa - sa * sa / na) / (na - 1)) / na AS sea,
              ((ssb - sb * sb / nb) / (nb - 1)) / nb AS seb

@@ -86,7 +86,9 @@ def drop_empty_blocks(ds):
     empties = 0
     for bundle in m.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
-            if meta.num_rows in (None, 0):
+            # drop ONLY blocks known empty; an unknown count (None) must
+            # be kept — discarding it would silently lose real rows
+            if meta.num_rows == 0:
                 empties += 1
             else:
                 refs.append(ref)
@@ -108,7 +110,12 @@ def join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
                       big_key: str | None = None, cap_rows: int = 2_000_000):
     """Append ``add_cols`` from ``small_ds`` by key: broadcast hash-lookup
     when the small side fits ``cap_rows`` (dimension tables — the big side
-    never moves), else a distributed ``Dataset.join``."""
+    never moves), else a distributed ``Dataset.join``.
+
+    The fallback scrubs the small side's zero-column empty blocks
+    (`drop_empty_blocks`), which materializes it into the object store —
+    a transient extra copy of a side the hash join would buffer in its
+    build stage anyway; spill handles the over-cap sizes."""
     big_key = big_key or key
     small = collect_small(small_ds.select_columns([key] + add_cols), cap_rows)
     if small is not None:
@@ -349,7 +356,12 @@ def left_join_or_broadcast(big_ds, small_ds, key: str, add_cols: list[str],
     # instead of a blanket except around execution: a real task failure
     # (OOM, upstream bug) must propagate, not silently degrade to
     # fill-everything (that would turn runtime errors into wrong data).
-    sch = small_ds.schema(fetch_if_missing=True)
+    # Schema probe is free when already known; a lazy unknown-schema
+    # plan is materialized ONCE and reused so the plan never runs twice.
+    sch = small_ds.schema(fetch_if_missing=False)
+    if sch is None:
+        small_ds = small_ds.materialize()
+        sch = small_ds.schema()
     names = list(sch.names) if sch is not None else []
     if key in names and all(c in names for c in add_cols):
         small = collect_small(small_ds.select_columns([key] + add_cols),

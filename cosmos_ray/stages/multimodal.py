@@ -74,7 +74,11 @@ class DecodeImage:
 
         try:
             return decode_image(payload)
-        except NotImplementedError:
+        except Exception:
+            # fake=True keeps its original contract: ANY undecodable
+            # payload (unknown magic OR malformed BMP/PPM bytes) falls
+            # back to the deterministic stand-in; fake=False surfaces
+            # the real parse error / NotImplementedError unchanged
             if self.fake:
                 return _fake_decode(payload)
             raise

@@ -226,6 +226,32 @@ class TestMannKendall:
         assert out["s_stat"].iloc[0] == s
         assert out["z"].iloc[0] > 2.0  # clear upward drift
 
+    def test_single_hour_degenerate_matches_sql_else(self):
+        from cosmos_ray.functions.stats import mann_kendall_hourly
+
+        ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:40"])
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": [1.0, 2.0]}))
+        out = mann_kendall_hourly(ds).to_pandas()
+        # one hour bucket: SQL CASE's ELSE yields 0.0, never NULL
+        assert out["n"].iloc[0] == 1
+        assert out["s_stat"].iloc[0] == 0
+        assert out["z"].iloc[0] == 0.0
+
+    def test_pre_epoch_floor_bucketing(self):
+        from cosmos_ray.functions.stats import _hourly_series
+
+        # 1969-12-31 23:30 is hour -1 under FLOOR division (SQL //),
+        # hour 0 under truncation — the engine must floor
+        ts = pd.to_datetime(["1969-12-31 23:30", "1970-01-01 00:30"])
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": [1.0, 2.0]}))
+        hours = sorted(r["hour"] for r in
+                       _hourly_series(ds, "ts", "value", "y").take_all())
+        assert hours == [-1, 0]
+
     def test_strictly_decreasing(self):
         from cosmos_ray.functions.stats import mann_kendall_hourly
 
