@@ -508,6 +508,67 @@ FROM documents
 """
 
 
+def q_media_video_features(sf_dir: str):
+    """End-to-end video decode, oracle-checked (the Y4M sibling of
+    media_image_features): one real YUV4MPEG2 C420 clip per document —
+    frame count, even dims, fps and constant luma all doc_id
+    arithmetic — decoded through the `DecodeVideo` actor pool; the
+    recovered geometry and mean luma must equal the planted values."""
+    import numpy as np
+
+    from cosmos_ray.functions.videocodec import encode_y4m
+    from cosmos_ray.stages import multimodal
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            w = 16 + (d % 16) * 2
+            h = 16 + ((d // 3) % 16) * 2
+            n = 2 + d % 5
+            v = d % 256
+            payloads.append(encode_y4m(
+                np.full((n, h, w), v, np.uint8),
+                fps=(24 + d % 2, 1)))
+        return pa.table({
+            "media_id": pa.array([f"v{d}" for d in ids], pa.string()),
+            "kind": pa.array(["video"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-y4m"] * len(ids), pa.string()),
+            "meta": pa.array(["{}"] * len(ids), pa.string()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=128)
+    feats = multimodal.decode_video(media)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ml = t.column("mean_luma").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "width": t.column("width").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "n_frames": t.column("n_frames"),
+            "fps_num": t.column("fps_num").cast(pa.int64()),
+            "mean_luma": pa.array(np.round(ml).astype(np.int64)),
+        })
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MEDIA_VIDEO_FEATURES = """
+SELECT 'v' || doc_id AS media_id,
+       CAST(16 + (doc_id % 16) * 2 AS BIGINT) AS width,
+       CAST(16 + ((doc_id // 3) % 16) * 2 AS BIGINT) AS height,
+       CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST(24 + doc_id % 2 AS BIGINT) AS fps_num,
+       CAST(doc_id % 256 AS BIGINT) AS mean_luma
+FROM documents
+"""
+
+
 def q_profile_docs(sf_dir: str):
     """Generic column profiler (the data-quality dashboard table): for
     each profiled column — n_null, n_distinct, min, max — in long
@@ -6452,6 +6513,7 @@ QUERIES = {
     "profile_docs": q_profile_docs,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
+    "media_video_features": q_media_video_features,
     "twap_value": q_twap_value,
     "weekly_growth": q_weekly_growth,
     "value_percentiles_cont": q_value_percentiles_cont,
@@ -6677,6 +6739,7 @@ ORACLES = {
     "profile_docs": SQL_PROFILE_DOCS,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
+    "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "twap_value": SQL_TWAP_VALUE,
     "weekly_growth": SQL_WEEKLY_GROWTH,
     "value_percentiles_cont": SQL_VALUE_PERCENTILES_CONT,

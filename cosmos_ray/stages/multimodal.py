@@ -293,6 +293,63 @@ class DecodeAudio:
         )
 
 
+VIDEO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int64()),
+        ("fps_num", pa.int32()),
+        ("fps_den", pa.int32()),
+        ("mean_luma", pa.float64()),
+    ]
+)
+
+
+class DecodeVideo:
+    """Actor-pool video decode + summary features: REAL for Y4M
+    (YUV4MPEG2 C420, pure-numpy `functions/videocodec.py`); compressed
+    codecs (H.264/VP9 — no ffmpeg in this container) raise behind the
+    declared stub. Small batch_size: video rows are the widest."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cosmos_ray.functions.videocodec import decode_y4m
+
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_w, o_h, o_n, o_fn, o_fd, o_ml = [], [], [], [], [], []
+        for p in payloads:
+            frames, (fn, fd) = decode_y4m(p)
+            o_n.append(frames.shape[0])
+            o_h.append(frames.shape[1])
+            o_w.append(frames.shape[2])
+            o_fn.append(fn)
+            o_fd.append(fd)
+            o_ml.append(float(frames.mean()) if frames.size else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "width": pa.array(o_w, pa.int32()),
+                "height": pa.array(o_h, pa.int32()),
+                "n_frames": pa.array(o_n, pa.int64()),
+                "fps_num": pa.array(o_fn, pa.int32()),
+                "fps_den": pa.array(o_fd, pa.int32()),
+                "mean_luma": pa.array(o_ml, pa.float64()),
+            },
+            schema=VIDEO_FEATURES_SCHEMA,
+        )
+
+
+def decode_video(media_ds, concurrency: int | tuple = (1, 4),
+                 batch_size: int = 8):
+    return media_ds.map_batches(
+        DecodeVideo,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_audio(media_ds, concurrency: int | tuple = (1, 4),
                  batch_size: int = 16):
     return media_ds.map_batches(

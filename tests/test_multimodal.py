@@ -249,3 +249,55 @@ class TestWavCodec:
 
         with _pytest.raises(NotImplementedError):
             ac.decode_wav(b"ID3\x04...mp3 bytes...")
+
+
+class TestY4MCodec:
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        from cosmos_ray.functions import videocodec as vc
+
+        rng = np.random.RandomState(13)
+        frames = rng.randint(0, 256, (5, 18, 24), np.uint8)
+        out, fps = vc.decode_y4m(vc.encode_y4m(frames, fps=(30, 1)))
+        assert fps == (30, 1)
+        assert np.array_equal(out, frames)  # luma is byte-exact
+
+    def test_zero_frames(self):
+        import numpy as np
+
+        from cosmos_ray.functions import videocodec as vc
+
+        out, _ = vc.decode_y4m(vc.encode_y4m(
+            np.empty((0, 16, 16), np.uint8)))
+        assert out.shape == (0, 16, 16)
+
+    def test_decode_video_pipeline_real(self):
+        import numpy as np
+
+        from cosmos_ray.functions import videocodec as vc
+
+        rng = np.random.RandomState(15)
+        rows, want = [], {}
+        for i in range(3):
+            frames = rng.randint(0, 256, (2 + i, 16, 20), np.uint8)
+            want[f"v{i}"] = frames
+            rows.append({"media_id": f"v{i}", "kind": "video",
+                         "payload": vc.encode_y4m(frames),
+                         "mime": "video/x-y4m", "meta": "{}"})
+        ds = rd.from_arrow(pa.Table.from_pylist(
+            rows, schema=multimodal.MEDIA_SCHEMA))
+        out = {r["media_id"]: r
+               for r in multimodal.decode_video(ds).take_all()}
+        for k, frames in want.items():
+            r = out[k]
+            assert (r["n_frames"], r["height"], r["width"]) == frames.shape
+            assert abs(r["mean_luma"] - frames.mean()) < 1e-9
+
+    def test_compressed_video_raises(self):
+        import pytest as _pytest
+
+        from cosmos_ray.functions import videocodec as vc
+
+        with _pytest.raises(NotImplementedError):
+            vc.decode_y4m(b"\x00\x00\x00\x18ftypmp42 fake mp4")
