@@ -1048,3 +1048,52 @@ def cusum_hourly(events_ds, ts_col: str = "ts", value_col: str = "value",
 
     return hourly.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def distribution_drift(ds, group_col: str, value_col: str, group_a, group_b,
+                       bin_width: int = 500, round_to: int = 6):
+    """Population-stability index and Jensen-Shannon divergence between
+    two groups' ``value_col`` distributions over fixed-width bins — the
+    crawl-over-crawl drift report a refresh pipeline gates on (PSI > 0.2
+    = retrain-worthy shift, by the usual credit-scoring rule of thumb).
+
+    Same counted exchange as `ks_two_sample` but on floor(value /
+    bin_width) buckets (bounded by the bin range, not rows). Term
+    conventions are exactly SQL-replayable: PSI sums only bins occupied
+    on BOTH sides; JSD uses the 0*ln(0) = 0 convention, so it is
+    epsilon-free and defined everywhere. -> one row (n_a, n_b, psi,
+    jsd)."""
+
+    def binned(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.int64())
+        b = pc.divide(v, pa.scalar(int(bin_width), pa.int64()))
+        return pa.table({group_col: t.column(group_col), "__bin": b})
+
+    counts = _two_group_value_counts(
+        ds.select_columns([group_col, value_col])
+        .map_batches(binned, batch_format="pyarrow"),
+        group_col, "__bin", group_a, group_b)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ca, cb = _merge_value_runs(t, "__bin")
+        na, nb = ca.sum(), cb.sum()
+        p = ca / (na if na else 1.0)
+        q = cb / (nb if nb else 1.0)
+        both = (p > 0) & (q > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            psi = float(((p - q) * np.log(p / np.where(q > 0, q, 1.0))
+                         )[both].sum())
+            m = (p + q) / 2.0
+            ja = np.where(p > 0, 0.5 * p * np.log(
+                np.where(p > 0, p, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+            jb = np.where(q > 0, 0.5 * q * np.log(
+                np.where(q > 0, q, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+            jsd = float(ja.sum() + jb.sum())
+        return pa.table({
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "psi": pa.array([round(psi, round_to)], pa.float64()),
+            "jsd": pa.array([round(jsd, round_to)], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

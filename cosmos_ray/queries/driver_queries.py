@@ -6021,6 +6021,41 @@ SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
 """
 
 
+def q_drift_lang_lengths(sf_dir: str):
+    """PSI + Jensen-Shannon drift between en and de doc-length
+    distributions over 500-char bins (`stats.distribution_drift`:
+    counted bin exchange, both-occupied PSI / 0ln0-free JSD)."""
+    from cosmos_ray.functions.stats import distribution_drift
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+    return distribution_drift(docs, "lang", "n_chars", "en", "de",
+                              bin_width=500)
+
+
+SQL_DRIFT_LANG_LENGTHS = """
+WITH c AS (
+  SELECT n_chars // 500 AS b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS cb
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+p AS (SELECT ca / (SELECT na FROM t) AS pa_,
+             cb / (SELECT nb FROM t) AS pb_ FROM c)
+SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+       round(sum(CASE WHEN pa_ > 0 AND pb_ > 0
+                      THEN (pa_ - pb_) * ln(pa_ / pb_) ELSE 0 END), 6)
+         AS psi,
+       round(sum(CASE WHEN pa_ > 0
+                      THEN 0.5 * pa_ * ln(pa_ / ((pa_ + pb_) / 2))
+                      ELSE 0 END)
+             + sum(CASE WHEN pb_ > 0
+                        THEN 0.5 * pb_ * ln(pb_ / ((pa_ + pb_) / 2))
+                        ELSE 0 END), 6) AS jsd
+FROM p
+"""
+
+
 def q_locf_purchase(sf_dir: str):
     """LOCF imputation: each user's most recent purchase value carried
     forward onto every later event (`windows.locf_fill` — the SQL
@@ -6675,6 +6710,7 @@ QUERIES = {
     "locf_purchase": q_locf_purchase,
     "mannwhitney_lengths": q_mannwhitney_lengths,
     "welch_lang_lengths": q_welch_lang_lengths,
+    "drift_lang_lengths": q_drift_lang_lengths,
     "trailing_hour_value": q_trailing_hour_value,
     "mann_kendall_hourly": q_mann_kendall_hourly,
     "cusum_hourly": q_cusum_hourly,
@@ -6720,6 +6756,7 @@ ORACLES = {
     "locf_purchase": SQL_LOCF_PURCHASE,
     "mannwhitney_lengths": SQL_MANNWHITNEY_LENGTHS,
     "welch_lang_lengths": SQL_WELCH_LANG_LENGTHS,
+    "drift_lang_lengths": SQL_DRIFT_LANG_LENGTHS,
     "trailing_hour_value": SQL_TRAILING_HOUR_VALUE,
     "mann_kendall_hourly": SQL_MANN_KENDALL_HOURLY,
     "cusum_hourly": SQL_CUSUM_HOURLY,

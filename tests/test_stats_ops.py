@@ -206,6 +206,55 @@ class TestMutualInformation:
         assert abs(out["mi"].iloc[0] - (-(p * np.log(p)).sum())) < 1e-6
 
 
+class TestDistributionDrift:
+    def test_identical_distributions_zero(self):
+        from cosmos_ray.functions.stats import distribution_drift
+
+        rng = _rng()
+        v = rng.randint(100, 5000, 400)
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 400 + ["b"] * 400,
+            "v": np.concatenate([v, v])}))
+        out = distribution_drift(ds, "g", "v", "a", "b").to_pandas()
+        assert out["psi"].iloc[0] == 0.0 and out["jsd"].iloc[0] == 0.0
+
+    def test_disjoint_supports_jsd_ln2(self):
+        from cosmos_ray.functions.stats import distribution_drift
+
+        # fully disjoint bins: JSD hits its maximum ln 2; PSI's
+        # both-occupied convention contributes nothing
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 100 + ["b"] * 100,
+            "v": np.concatenate([np.full(100, 100),
+                                 np.full(100, 90_000)])}))
+        out = distribution_drift(ds, "g", "v", "a", "b").to_pandas()
+        assert abs(out["jsd"].iloc[0] - np.log(2)) < 1e-6
+        assert out["psi"].iloc[0] == 0.0
+
+    def test_matches_direct_formula(self):
+        from cosmos_ray.functions.stats import distribution_drift
+
+        rng = _rng()
+        a = rng.randint(0, 3000, 500)
+        b = rng.randint(500, 4000, 300)
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 500 + ["b"] * 300,
+            "v": np.concatenate([a, b])}))
+        out = distribution_drift(ds, "g", "v", "a", "b",
+                                 bin_width=500).to_pandas()
+        bins = np.arange(0, 9)
+        p = np.bincount(a // 500, minlength=9)[:9] / 500
+        q = np.bincount(b // 500, minlength=9)[:9] / 300
+        both = (p > 0) & (q > 0)
+        psi = ((p - q)[both] * np.log(p[both] / q[both])).sum()
+        m = (p + q) / 2
+        jsd = (0.5 * p[p > 0] * np.log(p[p > 0] / m[p > 0])).sum() + \
+              (0.5 * q[q > 0] * np.log(q[q > 0] / m[q > 0])).sum()
+        assert abs(out["psi"].iloc[0] - psi) < 1e-6
+        assert abs(out["jsd"].iloc[0] - jsd) < 1e-6
+        _ = bins
+
+
 class TestMannKendall:
     def test_matches_direct_pairwise(self):
         from cosmos_ray.functions.stats import mann_kendall_hourly
