@@ -340,6 +340,51 @@ class DecodeVideo:
         )
 
 
+class SampleFramesY4M:
+    """REAL frame sampler: decode Y4M, emit every ``every_n``-th luma
+    frame as its own row with the frame re-encoded as a P5 PGM payload
+    (a real, decodable image — the fan-out a keyframe extractor feeds
+    into the image pipeline). Compressed video still raises behind the
+    codec stub."""
+
+    def __init__(self, every_n: int = 10) -> None:
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cosmos_ray.functions.videocodec import decode_y4m
+
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_idx, o_frame = [], [], []
+        for mid, p in zip(ids, payloads):
+            frames, _ = decode_y4m(p)
+            for i in range(0, frames.shape[0], self.every_n):
+                o_id.append(mid)
+                o_idx.append(i)
+                h, w = frames[i].shape
+                o_frame.append(b"P5\n%d %d\n255\n" % (w, h)
+                               + frames[i].tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.string()),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "frame": pa.array(o_frame, pa.binary()),
+            }
+        )
+
+
+def sample_frames_real(media_ds, every_n: int = 10,
+                       concurrency: int | tuple = (1, 4),
+                       batch_size: int = 8):
+    return media_ds.map_batches(
+        SampleFramesY4M,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_video(media_ds, concurrency: int | tuple = (1, 4),
                  batch_size: int = 8):
     return media_ds.map_batches(

@@ -301,3 +301,25 @@ class TestY4MCodec:
 
         with _pytest.raises(NotImplementedError):
             vc.decode_y4m(b"\x00\x00\x00\x18ftypmp42 fake mp4")
+
+
+def test_sample_frames_real_roundtrip():
+    """Sampled Y4M frames come back as decodable PGM payloads that
+    byte-match the source frames."""
+    import numpy as np
+
+    from cosmos_ray.functions import imagecodec as ic
+    from cosmos_ray.functions import videocodec as vc
+    from cosmos_ray.stages.multimodal import sample_frames_real
+
+    rng = np.random.RandomState(21)
+    frames = rng.randint(0, 256, (7, 12, 16), np.uint8)
+    media = pa.Table.from_pylist(
+        [{"media_id": "clip", "kind": "video",
+          "payload": vc.encode_y4m(frames), "mime": "video/x-y4m",
+          "meta": "{}"}], schema=multimodal.MEDIA_SCHEMA)
+    rows = sample_frames_real(rd.from_arrow(media), every_n=3).take_all()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        luma = ic.decode_ppm(r["frame"])[:, :, 0]  # P5 -> gray channel
+        assert np.array_equal(luma, frames[r["frame_idx"]])
