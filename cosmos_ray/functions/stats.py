@@ -1097,3 +1097,138 @@ def distribution_drift(ds, group_col: str, value_col: str, group_a, group_b,
 
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def kendall_tau(ds, x_col: str, y_col: str, round_to: int = 6):
+    """Kendall's tau-b rank correlation between two ordinal columns —
+    the pairwise-concordance sibling of `spearman_corr`, with the
+    standard tie correction. Counted formulation: one contingency-cell
+    exchange via `_contingency_counts` (bounded by the distinct-pair
+    grid, not rows — the same boundedness assumption `chi2_independence`
+    documents); null pairs are dropped (SQL WHERE x IS NOT NULL AND y
+    IS NOT NULL). The finish computes
+
+        S = sum_{cells i<j} c_i c_j sign(x_j - x_i) sign(y_j - y_i)
+
+    with outer products over the model-sized cell grid — every term and
+    partial sum is an integer below 2^53, so the float64 accumulation
+    is exact — and the tie-pair counts n1/n2 from the cell marginals.
+    tau_b = S / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2; 0.0 on a
+    degenerate all-tied column, mirroring the SQL CASE's ELSE.
+    -> one row (n, s_stat, tau_b)."""
+    counts = _contingency_counts(ds, x_col, y_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (t.group_by([x_col, y_col]).aggregate([("__c", "sum")])
+             .drop_null())
+        x = g.column(x_col).to_numpy(zero_copy_only=False)
+        y = g.column(y_col).to_numpy(zero_copy_only=False)
+        c = g.column("__c_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = int(c.sum())
+        # each unordered pair appears twice in the full outer grid with
+        # the same sign product; the diagonal contributes zero
+        sx = np.sign(np.subtract.outer(x, x))
+        sy = np.sign(np.subtract.outer(y, y))
+        s_stat = int(round((sx * sy * np.outer(c, c)).sum())) // 2
+        n0 = n * (n - 1) // 2
+
+        def tie_pairs(keys):
+            _, inv = np.unique(keys, return_inverse=True)
+            tk = np.bincount(inv, weights=c) if len(keys) else np.array([])
+            return int(sum(int(v) * (int(v) - 1) // 2 for v in tk))
+
+        n1, n2 = tie_pairs(x), tie_pairs(y)
+        d1, d2 = n0 - n1, n0 - n2
+        if d1 > 0 and d2 > 0:
+            tau = round(float(s_stat) / np.sqrt(float(d1) * float(d2)),
+                        round_to)
+        else:
+            tau = 0.0
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s_stat], pa.int64()),
+            "tau_b": pa.array([tau], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def theil_sen_hourly(events_ds, ts_col: str = "ts",
+                     value_col: str = "value", round_to: int = 6):
+    """Theil-Sen robust trend slope of the hourly total-value series:
+    the median of all pairwise slopes (y_j - y_i) / (h_j - h_i), i < j —
+    the breakdown-resistant sibling of `ols_trend` and the magnitude
+    companion to `mann_kendall_hourly`'s direction test. The series is
+    built in INTEGER CENTS on the shared tumbling-window exchange, so
+    every slope is a ratio of exact integers and the engine/SQL float64
+    divisions agree bit-for-bit. The finish materializes the pair
+    slopes (H(H-1)/2 of them — calendar-bounded: a full year of hours
+    is ~38M pairs; decade-plus spans need upstream coarsening, the same
+    quadratic bound the SQL replay pays). Slope is reported in value
+    units per hour (cents / 100). -> one row (n_hours, n_pairs, slope);
+    slope is null for a < 2-hour series (SQL median-over-empty)."""
+    hourly = _hourly_series(events_ds, ts_col, value_col, "yc",
+                            cents=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
+        h = pc.take(t.column("hour"), order).to_numpy(zero_copy_only=False)
+        y = pc.take(t.column("yc"), order).to_numpy(zero_copy_only=False)
+        n = len(y)
+        if n < 2:
+            return pa.table({
+                "n_hours": pa.array([n], pa.int64()),
+                "n_pairs": pa.array([0], pa.int64()),
+                "slope": pa.array([None], pa.float64())})
+        i, j = np.triu_indices(n, 1)
+        slopes = (y[j] - y[i]) / (h[j] - h[i])
+        med = float(np.median(slopes))
+        return pa.table({
+            "n_hours": pa.array([n], pa.int64()),
+            "n_pairs": pa.array([len(slopes)], pa.int64()),
+            "slope": pa.array([round(med / 100.0, round_to)],
+                              pa.float64())})
+
+    return hourly.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def hellinger_tvd(ds, group_col: str, value_col: str, group_a, group_b,
+                  bin_width: int = 500, round_to: int = 6):
+    """Hellinger distance and total-variation distance between two
+    groups' ``value_col`` distributions over fixed-width bins — the
+    bounded-metric companions to `distribution_drift`'s PSI/JSD (both
+    live in [0, 1], so thresholds transfer across corpora). Same
+    counted floor(value / bin_width) exchange; the finish computes the
+    Bhattacharyya coefficient BC = sum_k sqrt(p_k q_k), H = sqrt(max(0,
+    1 - BC)) (clamped — SQL greatest(0, .) — against float sum error),
+    and TVD = 0.5 * sum_k |p_k - q_k|. -> one row (n_a, n_b,
+    hellinger, tvd)."""
+
+    def binned(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.int64())
+        b = pc.divide(v, pa.scalar(int(bin_width), pa.int64()))
+        return pa.table({group_col: t.column(group_col), "__bin": b})
+
+    counts = _two_group_value_counts(
+        ds.select_columns([group_col, value_col])
+        .map_batches(binned, batch_format="pyarrow"),
+        group_col, "__bin", group_a, group_b)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ca, cb = _merge_value_runs(t, "__bin")
+        na, nb = ca.sum(), cb.sum()
+        p = ca / (na if na else 1.0)
+        q = cb / (nb if nb else 1.0)
+        bc = float(np.sqrt(p * q).sum())
+        hell = float(np.sqrt(max(0.0, 1.0 - bc)))
+        tvd = float(0.5 * np.abs(p - q).sum())
+        return pa.table({
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "hellinger": pa.array([round(hell, round_to)], pa.float64()),
+            "tvd": pa.array([round(tvd, round_to)], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -6323,6 +6323,105 @@ FROM s
 """
 
 
+def q_kendall_qty_discount(sf_dir: str):
+    """Kendall's tau-b between lineitem quantity and discount
+    (`stats.kendall_tau`: contingency-cell exchange bounded by the
+    50 x 11 distinct-pair grid, integer-exact concordance outer
+    products, tie-corrected denominator). Discount is pre-scaled to
+    integer cents so engine and SQL agree on tie equality."""
+    from cosmos_ray.functions.stats import kendall_tau
+
+    items = read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_discount"), pa.float64()),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_quantity": t.column("l_quantity"),
+                         "disc_c": d})
+
+    return kendall_tau(items.map_batches(cents, batch_format="pyarrow"),
+                       "l_quantity", "disc_c")
+
+
+SQL_KENDALL_QTY_DISCOUNT = """
+WITH c AS (
+  SELECT l_quantity AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+nn AS (SELECT sum(cnt) AS n FROM c),
+s AS (SELECT COALESCE(sum(a.cnt * b.cnt
+                          * sign(b.x - a.x) * sign(b.y - a.y)), 0) // 2
+         AS s
+      FROM c a CROSS JOIN c b),
+tx AS (SELECT COALESCE(sum(t * (t - 1) // 2), 0) AS n1
+       FROM (SELECT sum(cnt) AS t FROM c GROUP BY x) gx),
+ty AS (SELECT COALESCE(sum(t * (t - 1) // 2), 0) AS n2
+       FROM (SELECT sum(cnt) AS t FROM c GROUP BY y) gy),
+v AS (SELECT (SELECT n FROM nn) AS n, (SELECT s FROM s) AS s,
+             (SELECT n FROM nn) * ((SELECT n FROM nn) - 1) // 2 AS n0,
+             (SELECT n1 FROM tx) AS n1, (SELECT n2 FROM ty) AS n2)
+SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s_stat,
+       round(CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0
+                  THEN s / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE)
+                  ELSE 0.0 END, 6) AS tau_b
+FROM v
+"""
+
+
+def q_theil_sen_hourly(sf_dir: str):
+    """Theil-Sen robust slope of the hourly total-value series
+    (`stats.theil_sen_hourly`: integer-cents tumbling exchange, median
+    of all pairwise slopes — exact integer ratios both sides)."""
+    from cosmos_ray.functions.stats import theil_sen_hourly
+
+    return theil_sen_hourly(read(sf_dir, "events", ["ts", "value"]))
+
+
+SQL_THEIL_SEN_HOURLY = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) AS yc
+  FROM events GROUP BY 1),
+p AS (SELECT (b.yc - a.yc)::DOUBLE / (b.hour - a.hour) AS sl
+      FROM h a JOIN h b ON b.hour > a.hour)
+SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hours,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(sl) / 100.0, 6) AS slope
+FROM p
+"""
+
+
+def q_hellinger_lang_lengths(sf_dir: str):
+    """Hellinger + total-variation distance between en and zh doc-length
+    distributions over 500-char bins (`stats.hellinger_tvd`: the
+    bounded-metric drift companions to PSI/JSD, same counted binned
+    exchange)."""
+    from cosmos_ray.functions.stats import hellinger_tvd
+
+    docs = read(sf_dir, "documents", ["lang", "n_chars"])
+    return hellinger_tvd(docs, "lang", "n_chars", "en", "zh")
+
+
+SQL_HELLINGER_LANG_LENGTHS = """
+WITH c AS (
+  SELECT n_chars // 500 AS b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+         sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::DOUBLE AS cb
+  FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+p AS (SELECT ca / (SELECT na FROM t) AS pa_,
+             cb / (SELECT nb FROM t) AS pb_ FROM c)
+SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+       round(sqrt(greatest(0.0, 1.0 - sum(sqrt(pa_ * pb_)))), 6)
+         AS hellinger,
+       round(0.5 * sum(abs(pa_ - pb_)), 6) AS tvd
+FROM p
+"""
+
+
 def q_markov_stationary(sf_dir: str):
     """Stationary distribution of the event-type Markov chain
     (`stats.markov_stationary`: user-hash transition exchange,
@@ -6713,6 +6812,9 @@ QUERIES = {
     "drift_lang_lengths": q_drift_lang_lengths,
     "trailing_hour_value": q_trailing_hour_value,
     "mann_kendall_hourly": q_mann_kendall_hourly,
+    "kendall_qty_discount": q_kendall_qty_discount,
+    "theil_sen_hourly": q_theil_sen_hourly,
+    "hellinger_lang_lengths": q_hellinger_lang_lengths,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -6759,6 +6861,9 @@ ORACLES = {
     "drift_lang_lengths": SQL_DRIFT_LANG_LENGTHS,
     "trailing_hour_value": SQL_TRAILING_HOUR_VALUE,
     "mann_kendall_hourly": SQL_MANN_KENDALL_HOURLY,
+    "kendall_qty_discount": SQL_KENDALL_QTY_DISCOUNT,
+    "theil_sen_hourly": SQL_THEIL_SEN_HOURLY,
+    "hellinger_lang_lengths": SQL_HELLINGER_LANG_LENGTHS,
     "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,

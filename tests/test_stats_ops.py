@@ -476,3 +476,137 @@ class TestLocfAndRollingMedian:
         df["want"] = want
         df = df.sort_values("event_id").reset_index(drop=True)
         assert np.allclose(got["roll_median"], df["want"])
+
+
+class TestKendallTau:
+    def test_matches_direct_pairwise_with_ties(self):
+        from cosmos_ray.functions.stats import kendall_tau
+
+        rng = _rng()
+        x = rng.randint(0, 8, 300)
+        y = (x * 2 + rng.randint(-5, 6, 300)) // 3  # correlated, tied
+        ds = rd.from_arrow(pa.table({"x": x, "y": y}))
+        out = kendall_tau(ds, "x", "y").to_pandas()
+        sx = np.sign(x[None, :] - x[:, None])
+        sy = np.sign(y[None, :] - y[:, None])
+        iu = np.triu_indices(len(x), 1)
+        s = int((sx * sy)[iu].sum())
+        n0 = len(x) * (len(x) - 1) // 2
+        n1 = sum(int(t) * (int(t) - 1) // 2 for t in np.bincount(x))
+        n2 = sum(int(t) * (int(t) - 1) // 2
+                 for t in pd.Series(y).value_counts())
+        want = s / np.sqrt((n0 - n1) * (n0 - n2))
+        assert out["n"].iloc[0] == 300
+        assert out["s_stat"].iloc[0] == s
+        assert abs(out["tau_b"].iloc[0] - round(want, 6)) < 2e-6
+
+    def test_perfect_monotone_is_one(self):
+        from cosmos_ray.functions.stats import kendall_tau
+
+        ds = rd.from_arrow(pa.table({"x": np.arange(40),
+                                     "y": np.arange(40) * 3 + 1}))
+        assert kendall_tau(ds, "x", "y").to_pandas()["tau_b"].iloc[0] == 1.0
+
+    def test_all_tied_column_zero_like_sql_else(self):
+        from cosmos_ray.functions.stats import kendall_tau
+
+        ds = rd.from_arrow(pa.table({"x": [1] * 20,
+                                     "y": list(range(20))}))
+        out = kendall_tau(ds, "x", "y").to_pandas()
+        assert out["tau_b"].iloc[0] == 0.0
+
+    def test_nulls_dropped_like_sql_where(self):
+        from cosmos_ray.functions.stats import kendall_tau
+
+        ds = rd.from_arrow(pa.table({
+            "x": pa.array([1, 2, None, 4], pa.int64()),
+            "y": pa.array([1, None, 3, 4], pa.int64())}))
+        out = kendall_tau(ds, "x", "y").to_pandas()
+        assert out["n"].iloc[0] == 2  # only (1,1) and (4,4) survive
+        assert out["tau_b"].iloc[0] == 1.0
+
+
+class TestTheilSen:
+    def test_matches_direct_median_of_slopes(self):
+        from cosmos_ray.functions.stats import theil_sen_hourly
+
+        rng = _rng()
+        hours = np.arange(80)
+        cents = hours * 37 + rng.randint(-200, 200, 80)
+        ts = pd.Timestamp("2024-01-01").value // 1000 + hours * 3_600_000_000
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": cents / 100.0}))
+        out = theil_sen_hourly(ds).to_pandas()
+        i, j = np.triu_indices(80, 1)
+        want = np.median((cents[j] - cents[i]) / (hours[j] - hours[i])) / 100
+        assert out["n_hours"].iloc[0] == 80
+        assert out["n_pairs"].iloc[0] == 80 * 79 // 2
+        assert abs(out["slope"].iloc[0] - round(want, 6)) < 2e-6
+
+    def test_outlier_resistant_vs_ols(self):
+        from cosmos_ray.functions.stats import theil_sen_hourly
+
+        hours = np.arange(50)
+        cents = hours * 100  # slope exactly 1.00/hour
+        cents[-1] += 1_000_000  # one wild outlier
+        ts = pd.Timestamp("2024-01-01").value // 1000 + hours * 3_600_000_000
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": cents / 100.0}))
+        out = theil_sen_hourly(ds).to_pandas()
+        assert abs(out["slope"].iloc[0] - 1.0) < 0.05  # barely moved
+
+    def test_single_hour_null_slope(self):
+        from cosmos_ray.functions.stats import theil_sen_hourly
+
+        ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:40"])
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": [1.0, 2.0]}))
+        out = theil_sen_hourly(ds).to_pandas()
+        assert out["n_hours"].iloc[0] == 1
+        assert out["n_pairs"].iloc[0] == 0
+        assert pd.isna(out["slope"].iloc[0])
+
+
+class TestHellingerTVD:
+    def test_identical_distributions_zero(self):
+        from cosmos_ray.functions.stats import hellinger_tvd
+
+        v = (np.arange(200) % 7) * 500
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 200 + ["b"] * 200,
+            "v": np.concatenate([v, v])}))
+        out = hellinger_tvd(ds, "g", "v", "a", "b").to_pandas()
+        assert out["hellinger"].iloc[0] == 0.0
+        assert out["tvd"].iloc[0] == 0.0
+
+    def test_disjoint_supports_both_one(self):
+        from cosmos_ray.functions.stats import hellinger_tvd
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 60 + ["b"] * 60,
+            "v": np.concatenate([np.zeros(60), np.full(60, 50_000)])}))
+        out = hellinger_tvd(ds, "g", "v", "a", "b").to_pandas()
+        assert out["hellinger"].iloc[0] == 1.0
+        assert out["tvd"].iloc[0] == 1.0
+
+    def test_matches_direct_formula(self):
+        from cosmos_ray.functions.stats import hellinger_tvd
+
+        rng = _rng()
+        va = rng.randint(0, 10, 400) * 500
+        vb = rng.randint(3, 13, 300) * 500
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 400 + ["b"] * 300,
+            "v": np.concatenate([va, vb])}))
+        out = hellinger_tvd(ds, "g", "v", "a", "b").to_pandas()
+        bins = np.arange(14)
+        p = np.bincount(va // 500, minlength=14) / 400
+        q = np.bincount(vb // 500, minlength=14) / 300
+        want_h = np.sqrt(max(0.0, 1.0 - np.sqrt(p * q).sum()))
+        want_t = 0.5 * np.abs(p - q).sum()
+        assert abs(out["hellinger"].iloc[0] - round(want_h, 6)) < 2e-6
+        assert abs(out["tvd"].iloc[0] - round(want_t, 6)) < 2e-6
+        assert out["n_a"].iloc[0] == 400 and out["n_b"].iloc[0] == 300
