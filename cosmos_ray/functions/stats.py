@@ -1232,3 +1232,451 @@ def hellinger_tvd(ds, group_col: str, value_col: str, group_a, group_b,
 
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def anova_oneway(ds, group_col: str, value_col: str, round_to: int = 6):
+    """One-way ANOVA F statistic across ALL groups of ``group_col`` —
+    the k-group generalization of `welch_ttest` (pooled-variance,
+    classic Fisher form). Values are cast to int64, so the per-group
+    moment partials (n, sum, sum-of-squares) are integer-exact through
+    both groupby levels; only the final between/within mean-square
+    ratio is float, mirrored expression-for-expression by the SQL
+    replay. Shuffle shape: arrow-native batch combiner, then one
+    model-sized groupby over the group vocabulary. NULL groups are kept
+    as a category (SQL GROUP BY) but NULL values are dropped (SQL
+    aggregate semantics). F is null when k < 2, N <= k, or the
+    within-group variance is zero. -> one row (k, n, f_stat)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.int64())
+        keep = pc.is_valid(v)
+        v = v.filter(keep)
+        grp = t.column(group_col).filter(keep)
+        one = pa.array(np.ones(len(v), np.int64))
+        g = (pa.table({group_col: grp, "__s": v,
+                       "__q": pc.multiply(v, v), "__n": one})
+             .group_by([group_col])
+             .aggregate([("__s", "sum"), ("__q", "sum"), ("__n", "sum")]))
+        return pa.table({group_col: g.column(group_col),
+                         "__s": g.column("__s_sum"),
+                         "__q": g.column("__q_sum"),
+                         "__n": g.column("__n_sum")})
+
+    moments = (ds.select_columns([group_col, value_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby(group_col)
+               .aggregate(Sum("__s", alias_name="__s"),
+                          Sum("__q", alias_name="__q"),
+                          Sum("__n", alias_name="__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("__s").to_numpy(zero_copy_only=False).astype(np.float64)
+        q = t.column("__q").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        k, big_n = len(n), float(n.sum())
+        tot_s, tot_q = float(s.sum()), float(q.sum())
+        w = float((s * s / n).sum())  # sum of per-group s^2/n
+        f = None
+        if k > 1 and big_n > k:
+            between = (w - tot_s * tot_s / big_n) / (k - 1.0)
+            within = (tot_q - w) / (big_n - k)
+            if within > 0:
+                f = round(between / within, round_to)
+        return pa.table({
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([int(big_n)], pa.int64()),
+            "f_stat": pa.array([f], pa.float64())})
+
+    return moments.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def kruskal_wallis(ds, group_col: str, value_col: str, round_to: int = 6):
+    """Kruskal-Wallis H (rank one-way ANOVA) across ALL groups — the
+    k-group generalization of `mannwhitney_u`, with the standard tie
+    correction. Counted formulation: one (group, value) cell exchange
+    via `_contingency_counts` (bounded by groups x distinct values, not
+    rows); the finish derives global midranks from COMPLETE per-value
+    run totals, takes per-group rank sums (exact: half-integer ranks x
+    integer counts below 2^53), and computes
+
+        H = 12 / (N(N+1)) * sum_g R_g^2 / n_g - 3(N+1)
+        H' = H / (1 - sum_v (t_v^3 - t_v) / (N^3 - N))
+
+    expression-for-expression as the SQL replay. Null values are
+    dropped on both sides; H is null when k < 2 or every value is tied
+    (zero tie-correction denominator). -> one row (k, n, h_stat)."""
+    counts = _contingency_counts(
+        ds.select_columns([group_col, value_col]).map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(value_col))),
+            batch_format="pyarrow"),
+        group_col, value_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, value_col]).aggregate([("__c", "sum")])
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        c = g.column("__c_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        grp = g.column(group_col).to_pylist()
+        order = np.argsort(v, kind="stable")
+        vs, cs = v[order], c[order]
+        boundary = (np.concatenate([[True], vs[1:] != vs[:-1]])
+                    if len(vs) else np.array([], bool))
+        starts = np.flatnonzero(boundary)
+        run_tot = np.add.reduceat(cs, starts) if len(vs) else cs
+        prior = np.concatenate([[0.0], np.cumsum(run_tot)[:-1]])
+        avgrank = prior + (run_tot + 1.0) / 2.0
+        run_of = np.cumsum(boundary) - 1  # run index per sorted cell
+        cell_rank = avgrank[run_of]
+        grp_sorted = np.array(grp, dtype=object)[order]
+        gi: dict = {}
+        for x in grp_sorted:
+            gi.setdefault(x, len(gi))
+        idx = (np.array([gi[x] for x in grp_sorted], np.int64)
+               if grp else np.array([], np.int64))
+        rsum = np.zeros(max(len(gi), 1))
+        ng = np.zeros(max(len(gi), 1))
+        np.add.at(rsum, idx, cs * cell_rank)
+        np.add.at(ng, idx, cs)
+        big_n = float(ng.sum())
+        k = len(gi)
+        h = None
+        denom = big_n ** 3 - big_n
+        if k > 1 and denom > 0:
+            raw = (12.0 / (big_n * (big_n + 1.0))
+                   * float((rsum * rsum / ng).sum())
+                   - 3.0 * (big_n + 1.0))
+            corr = 1.0 - float(((run_tot ** 3) - run_tot).sum()) / denom
+            if corr > 0:
+                h = round(raw / corr, round_to)
+        return pa.table({
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([int(big_n)], pa.int64()),
+            "h_stat": pa.array([h], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def roc_auc(ds, label_col: str, score_col: str, round_to: int = 6):
+    """ROC AUC of a numeric score against a boolean label — the
+    model-eval metric in its exact rank (Mann-Whitney) form:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midrank
+    ties, i.e. P(score_pos > score_neg) + 0.5 P(tie). Rides the same
+    counted two-group exchange as `mannwhitney_u` (bounded by distinct
+    scores, not rows; rank sums are exact half-integers below 2^53).
+    Null when either class is empty. -> one row (n_pos, n_neg, auc)."""
+
+    def to_groups(t: pa.Table) -> pa.Table:
+        lab = pc.cast(t.column(label_col), pa.bool_())
+        return pa.table({"__lab": pc.cast(lab, pa.int64()),
+                         score_col: t.column(score_col)})
+
+    counts = _two_group_value_counts(
+        ds.select_columns([label_col, score_col])
+        .map_batches(to_groups, batch_format="pyarrow"),
+        "__lab", score_col, 1, 0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cp, cn = _merge_value_runs(t, score_col)
+        c = cp + cn
+        prior = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        avgrank = prior + (c + 1.0) / 2.0
+        n1, n0 = cp.sum(), cn.sum()
+        auc = None
+        if n1 > 0 and n0 > 0:
+            r_pos = float((cp * avgrank).sum())
+            auc = round((r_pos - n1 * (n1 + 1.0) / 2.0) / (n1 * n0),
+                        round_to)
+        return pa.table({
+            "n_pos": pa.array([int(n1)], pa.int64()),
+            "n_neg": pa.array([int(n0)], pa.int64()),
+            "auc": pa.array([auc], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def kaplan_meier(events_ds, ts_col: str = "ts", user_col: str = "user_id",
+                 censor_horizon_s: int = 86_400, round_to: int = 6):
+    """Kaplan-Meier survival curve over per-user lifetimes (first to
+    last event, in whole hours). A user whose last event falls within
+    ``censor_horizon_s`` of the corpus' max timestamp is right-CENSORED
+    (still active when observation ended); everyone else's lifetime is
+    an observed "death". Survival steps only at observed times:
+
+        S(t_i) = prod_{t_j <= t_i} (1 - d_j / n_j),
+        n_j = #users with lifetime >= t_j  (censored-at-t_j at risk)
+
+    Shuffle shape: one tiny distributed max(ts) pass, one per-user
+    min/max groupby, then a counted (duration, observed) cell exchange
+    — the finish is bounded by distinct durations, not users, and the
+    cumulative product multiplies in ascending-t order exactly like the
+    SQL replay's windowed product(). -> (t_hours, n_risk, n_events,
+    survival), one row per observed duration."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col).cast(pa.timestamp("us")), pa.int64())
+        return pa.table({user_col: t.column(user_col), "__us": us})
+
+    us_ds = events_ds.select_columns([user_col, ts_col]).map_batches(
+        to_us, batch_format="pyarrow")
+    # distributed scalar aggregate: the censoring boundary
+    max_us = int(us_ds.max("__us"))
+    cutoff = max_us - int(censor_horizon_s) * 1_000_000
+
+    spans = us_ds.groupby(user_col).aggregate(
+        Min("__us", alias_name="__f"), Max("__us", alias_name="__l"))
+
+    def cells(t: pa.Table) -> pa.Table:
+        f = t.column("__f").to_numpy(zero_copy_only=False)
+        l = t.column("__l").to_numpy(zero_copy_only=False)
+        dur = (l - f) // 3_600_000_000
+        obs = (l <= cutoff).astype(np.int64)
+        g = (pa.table({"t_hours": pa.array(dur, pa.int64()),
+                       "__d": pa.array(obs, pa.int64()),
+                       "__c": pa.array(np.ones(len(dur), np.int64))})
+             .group_by(["t_hours"])
+             .aggregate([("__d", "sum"), ("__c", "sum")]))
+        return pa.table({"t_hours": g.column("t_hours"),
+                         "__d": g.column("__d_sum"),
+                         "__c": g.column("__c_sum")})
+
+    counted = (spans.map_batches(cells, batch_format="pyarrow")
+               .groupby("t_hours")
+               .aggregate(Sum("__d", alias_name="__d"),
+                          Sum("__c", alias_name="__c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("t_hours", "ascending")])
+        th = pc.take(t.column("t_hours"), order).to_numpy(
+            zero_copy_only=False)
+        d = pc.take(t.column("__d"), order).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c = pc.take(t.column("__c"), order).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_risk = np.cumsum(c[::-1])[::-1]  # lifetimes >= t
+        keep = d > 0
+        surv = np.cumprod(1.0 - d[keep] / n_risk[keep])
+        return pa.table({
+            "t_hours": pa.array(th[keep], pa.int64()),
+            "n_risk": pa.array(n_risk[keep].astype(np.int64), pa.int64()),
+            "n_events": pa.array(d[keep].astype(np.int64), pa.int64()),
+            "survival": pa.array(np.round(surv, round_to), pa.float64())})
+
+    return counted.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def logrank_test(events_ds, ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type", split_type: str = "purchase",
+                 censor_horizon_s: int = 86_400, round_to: int = 6):
+    """Two-group log-rank test over the `kaplan_meier` lifetimes —
+    group 1 = users whose FIRST event (earliest ts; event_id-free, so
+    ties broken by min event-type string at the same instant) is
+    ``split_type``. At each pooled observed death time t_i with d_i
+    deaths and n_i at risk (n_1i in group 1):
+
+        O1 - E1 = sum_i d_1i - d_i * n_1i / n_i
+        V = sum_i d_i * (n_1i/n_i) * (1 - n_1i/n_i) * (n_i - d_i)
+                  / (n_i - 1)
+        chi2 = (O1 - E1)^2 / V
+
+    Shuffle shape: one distributed max, one per-user groupby carrying
+    (min ts, max ts, first-event flag), then a counted
+    (duration, group) cell exchange; the finish walks the model-sized
+    distinct-duration table with exact integer at-risk/death counts, so
+    engine and SQL agree bit-for-bit before rounding. chi2 is null when
+    V == 0 (one group empty or no deaths off the boundary).
+    -> one row (n_1, n_0, o_minus_e, chi2)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col).cast(pa.timestamp("us")), pa.int64())
+        return pa.table({user_col: t.column(user_col), "__us": us,
+                         "__ty": t.column(type_col)})
+
+    us_ds = events_ds.select_columns([user_col, ts_col, type_col]) \
+        .map_batches(to_us, batch_format="pyarrow")
+    max_us = int(us_ds.max("__us"))
+    cutoff = max_us - int(censor_horizon_s) * 1_000_000
+
+    def first_flag(t: pa.Table) -> pa.Table:
+        # batch-local partial: keep per-user (min us, max us) plus the
+        # lexicographically-least (us, ty) pair for first-event typing
+        df = t.to_pandas()
+        df = df.sort_values(["__us", "__ty"], kind="stable")
+        g = df.groupby(user_col, sort=False)
+        out = pd.DataFrame({
+            "__f": g["__us"].min(), "__l": g["__us"].max(),
+            "__ty0": g["__ty"].first()})
+        # zero-pad the epoch so string min == numeric min across digit
+        # widths (SQL side lpads identically)
+        out["__k"] = (out["__f"].astype("string").str.zfill(20) + "\x1f"
+                      + out["__ty0"].astype("string"))
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    spans = (us_ds.map_batches(first_flag, batch_format="pyarrow")
+             .groupby(user_col)
+             .aggregate(Min("__f", alias_name="__f"),
+                        Max("__l", alias_name="__l"),
+                        Min("__k", alias_name="__k")))
+
+    def cells(t: pa.Table) -> pa.Table:
+        f = t.column("__f").to_numpy(zero_copy_only=False)
+        l = t.column("__l").to_numpy(zero_copy_only=False)
+        ty0 = np.array([k.split("\x1f", 1)[1]
+                        for k in t.column("__k").to_pylist()], object)
+        dur = (l - f) // 3_600_000_000
+        obs = (l <= cutoff).astype(np.int64)
+        g1 = (ty0 == split_type).astype(np.int64)
+        tb = (pa.table({"t": pa.array(dur, pa.int64()),
+                        "g1": pa.array(g1, pa.int64()),
+                        "__d": pa.array(obs, pa.int64()),
+                        "__c": pa.array(np.ones(len(dur), np.int64))})
+              .group_by(["t", "g1"])
+              .aggregate([("__d", "sum"), ("__c", "sum")]))
+        return pa.table({"t": tb.column("t"), "g1": tb.column("g1"),
+                         "__d": tb.column("__d_sum"),
+                         "__c": tb.column("__c_sum")})
+
+    counted = (spans.map_batches(cells, batch_format="pyarrow")
+               .groupby(["t", "g1"])
+               .aggregate(Sum("__d", alias_name="__d"),
+                          Sum("__c", alias_name="__c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("t", kind="stable")
+        piv_d = df.pivot_table(index="t", columns="g1", values="__d",
+                               aggfunc="sum", fill_value=0)
+        piv_c = df.pivot_table(index="t", columns="g1", values="__c",
+                               aggfunc="sum", fill_value=0)
+        for col in (0, 1):
+            if col not in piv_d.columns:
+                piv_d[col] = 0
+                piv_c[col] = 0
+        d1 = piv_d[1].to_numpy(np.float64)
+        d0 = piv_d[0].to_numpy(np.float64)
+        c1 = piv_c[1].to_numpy(np.float64)
+        c0 = piv_c[0].to_numpy(np.float64)
+        n1 = np.cumsum(c1[::-1])[::-1]  # group-1 at risk at each t
+        n0 = np.cumsum(c0[::-1])[::-1]
+        n_tot, d_tot = n1 + n0, d1 + d0
+        keep = d_tot > 0
+        o_e = v = 0.0
+        for di, n1i, ni, d1i in zip(d_tot[keep], n1[keep], n_tot[keep],
+                                    d1[keep]):
+            o_e += d1i - di * n1i / ni
+            if ni > 1:
+                v += di * (n1i / ni) * (1.0 - n1i / ni) \
+                    * (ni - di) / (ni - 1.0)
+        chi2 = round(o_e * o_e / v, round_to) if v > 0 else None
+        return pa.table({
+            "n_1": pa.array([int(c1.sum())], pa.int64()),
+            "n_0": pa.array([int(c0.sum())], pa.int64()),
+            "o_minus_e": pa.array([round(o_e, round_to)], pa.float64()),
+            "chi2": pa.array([chi2], pa.float64())})
+
+    return counted.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def average_precision(ds, label_col: str, score_col: str,
+                      round_to: int = 6):
+    """Average precision (area under the precision-recall curve, the
+    step-wise threshold form) of a numeric score against a boolean
+    label — `roc_auc`'s companion for class-imbalanced eval. Ties are
+    handled threshold-wise (every equal score enters together):
+
+        AP = sum_i (R_i - R_{i-1}) * P_i
+
+    over distinct scores DESCENDING, with P_i = TP_i / (TP_i + FP_i)
+    and R_i = TP_i / n_pos at threshold i. Same counted two-group
+    exchange as `roc_auc` (bounded by distinct scores); cumulative
+    TP/FP counts are exact integers on both sides, and the sum order
+    (descending score) matches the SQL window replay exactly. Null when
+    there are no positives. -> one row (n_pos, n_neg, ap)."""
+
+    def to_groups(t: pa.Table) -> pa.Table:
+        lab = pc.cast(t.column(label_col), pa.bool_())
+        return pa.table({"__lab": pc.cast(lab, pa.int64()),
+                         score_col: t.column(score_col)})
+
+    counts = _two_group_value_counts(
+        ds.select_columns([label_col, score_col])
+        .map_batches(to_groups, batch_format="pyarrow"),
+        "__lab", score_col, 1, 0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cp, cn = _merge_value_runs(t, score_col)
+        cp, cn = cp[::-1], cn[::-1]  # descending score
+        n1, n0 = cp.sum(), cn.sum()
+        ap = None
+        if n1 > 0:
+            tp, fp = np.cumsum(cp), np.cumsum(cn)
+            prec = tp / (tp + fp)
+            # recall increment at threshold i is cp_i / n_pos DIRECTLY
+            # (not a diff of rounded cumulative recalls) so each term is
+            # the same single float division the SQL replay computes
+            ap = round(float(((cp / n1) * prec).sum()), round_to)
+        return pa.table({
+            "n_pos": pa.array([int(n1)], pa.int64()),
+            "n_neg": pa.array([int(n0)], pa.int64()),
+            "ap": pa.array([ap], pa.float64())})
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def calibration_bins(ds, label_col: str, score_col: str, bin_width: int,
+                     round_to: int = 6):
+    """Reliability / calibration table: fixed-width score bins with the
+    empirical positive rate and mean score per bin — the calibration
+    companion to `roc_auc` / `average_precision`. One (bin, n, n_pos,
+    score_sum) combiner exchange (integer-exact partials; means are
+    single exact-integer divisions, so engine and SQL agree
+    bit-for-bit before rounding). Scores are cast to int64 and binned
+    by FLOOR division, matching SQL ``//``.
+    -> (bin, n, pos_rate, mean_score)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(score_col), pa.int64())
+        d = pa.scalar(int(bin_width), pa.int64())
+        q = pc.divide(v, d)
+        rem = pc.subtract(v, pc.multiply(q, d))
+        b = pc.subtract(q, pc.cast(pc.less(rem, pa.scalar(0, pa.int64())),
+                                   pa.int64()))
+        lab = pc.cast(pc.cast(t.column(label_col), pa.bool_()), pa.int64())
+        g = (pa.table({"bin": b, "__p": lab, "__s": v,
+                       "__n": pa.array(np.ones(len(v), np.int64))})
+             .group_by(["bin"])
+             .aggregate([("__p", "sum"), ("__s", "sum"), ("__n", "sum")]))
+        return pa.table({"bin": g.column("bin"),
+                         "__p": g.column("__p_sum"),
+                         "__s": g.column("__s_sum"),
+                         "__n": g.column("__n_sum")})
+
+    counted = (ds.select_columns([label_col, score_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("bin")
+               .aggregate(Sum("__p", alias_name="__p"),
+                          Sum("__s", alias_name="__s"),
+                          Sum("__n", alias_name="__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        p = t.column("__p").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("__s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "bin": pa.array(b, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "pos_rate": pa.array(np.round(p / n, round_to), pa.float64()),
+            "mean_score": pa.array(np.round(s / n, round_to),
+                                   pa.float64())})
+
+    return counted.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

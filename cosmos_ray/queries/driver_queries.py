@@ -6633,6 +6633,280 @@ FROM w
 """
 
 
+def q_anova_chars_by_source(sf_dir: str):
+    """One-way ANOVA F of document length across ALL 20 sources
+    (`stats.anova_oneway`: integer-exact moment partials through two
+    groupby levels, float only in the final mean-square ratio —
+    mirrored expression-for-expression by the SQL replay)."""
+    from cosmos_ray.functions.stats import anova_oneway
+
+    docs = read(sf_dir, "documents", ["source", "n_chars"])
+    return anova_oneway(docs, "source", "n_chars")
+
+
+SQL_ANOVA_CHARS_BY_SOURCE = """
+WITH m AS (
+  SELECT source, sum(n_chars) AS s, sum(n_chars * n_chars) AS q,
+         count(*) AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+t AS (SELECT count(*) AS k, sum(n)::DOUBLE AS n,
+             sum(s)::DOUBLE AS st, sum(q)::DOUBLE AS qt,
+             sum((s::DOUBLE) * (s::DOUBLE) / n) AS w
+      FROM m)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN k > 1 AND n > k AND (qt - w) / (n - k) > 0
+                  THEN ((w - st * st / n) / (k - 1))
+                       / ((qt - w) / (n - k))
+                  ELSE NULL END, 6) AS f_stat
+FROM t
+"""
+
+
+def q_kruskal_chars_by_source(sf_dir: str):
+    """Kruskal-Wallis H of document length across ALL sources
+    (`stats.kruskal_wallis`: counted (source, n_chars) cell exchange,
+    global midranks from complete run totals, tie-corrected H —
+    rank sums are exact half-integers on both sides)."""
+    from cosmos_ray.functions.stats import kruskal_wallis
+
+    docs = read(sf_dir, "documents", ["source", "n_chars"])
+    return kruskal_wallis(docs, "source", "n_chars")
+
+
+SQL_KRUSKAL_CHARS_BY_SOURCE = """
+WITH c AS (
+  SELECT source AS g, n_chars AS v, count(*)::DOUBLE AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT v, sum(cnt) AS ct FROM c GROUP BY v),
+r AS (SELECT v, ct, sum(ct) OVER (ORDER BY v) - ct AS prior FROM tot),
+ar AS (SELECT v, ct, prior + (ct + 1.0) / 2.0 AS avgrank FROM r),
+gs AS (SELECT g, sum(cnt * avgrank) AS rsum, sum(cnt) AS ng
+       FROM c JOIN ar USING (v) GROUP BY g),
+agg AS (SELECT count(*) AS k, sum(ng) AS n, sum(rsum * rsum / ng) AS w
+        FROM gs),
+tie AS (SELECT sum(ct * ct * ct - ct) AS tt FROM ar)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN k > 1 AND (n * n * n - n) > 0
+                       AND (1.0 - tt / (n * n * n - n)) > 0
+                  THEN (12.0 / (n * (n + 1.0)) * w - 3.0 * (n + 1.0))
+                       / (1.0 - tt / (n * n * n - n))
+                  ELSE NULL END, 6) AS h_stat
+FROM agg, tie
+"""
+
+
+def q_auc_price_urgent(sf_dir: str):
+    """ROC AUC of order total price as a predictor of 1-URGENT priority
+    (`stats.roc_auc`: exact rank / Mann-Whitney form over the counted
+    two-group exchange; price pre-scaled to integer cents so tie
+    equality matches SQL; rank sums are exact half-integers, so both
+    sides agree bit-for-bit before rounding)."""
+    from cosmos_ray.functions.stats import roc_auc
+
+    orders = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "is_urgent": pc.equal(t.column("o_orderpriority"),
+                                  "1-URGENT"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t.column("o_totalprice"), pa.float64()),
+                pa.scalar(100.0))), pa.int64())})
+
+    return roc_auc(orders.map_batches(prep, batch_format="pyarrow"),
+                   "is_urgent", "cents")
+
+
+SQL_AUC_PRICE_URGENT = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END)::DOUBLE AS cp,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 0 ELSE 1 END)::DOUBLE AS cn
+  FROM orders GROUP BY 1),
+r AS (SELECT cp, cn, cp + cn AS ct,
+             sum(cp + cn) OVER (ORDER BY v) - (cp + cn) AS prior
+      FROM c),
+a AS (SELECT sum(cp) AS n1, sum(cn) AS n0,
+             sum(cp * (prior + (ct + 1.0) / 2.0)) AS rpos
+      FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       round(CASE WHEN n1 > 0 AND n0 > 0
+                  THEN (rpos - n1 * (n1 + 1.0) / 2.0) / (n1 * n0)
+                  ELSE NULL END, 6) AS auc
+FROM a
+"""
+
+
+def q_km_user_survival(sf_dir: str):
+    """Kaplan-Meier survival curve of per-user lifetimes (first to last
+    event, whole hours; right-censored within 24 h of the corpus max
+    timestamp) (`stats.kaplan_meier`: distributed max + per-user
+    span groupby + counted duration cells; the ascending-t cumulative
+    product multiplies in the same order as the SQL windowed
+    product(), so survival agrees bit-for-bit before rounding)."""
+    from cosmos_ray.functions.stats import kaplan_meier
+
+    return kaplan_meier(read(sf_dir, "events", ["user_id", "ts"]))
+
+
+SQL_KM_USER_SURVIVAL = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+      FROM events GROUP BY 1),
+d AS (SELECT (l - f) // 3600000000 AS t,
+             CASE WHEN l <= (SELECT m FROM mx) - 86400000000
+                  THEN 1 ELSE 0 END AS obs
+      FROM u),
+cells AS (SELECT t, sum(obs) AS di, count(*) AS ci FROM d GROUP BY t),
+km AS (SELECT t, di, sum(ci) OVER (ORDER BY t DESC) AS ni FROM cells),
+s AS (SELECT t, ni, di,
+             product(1.0 - di::DOUBLE / ni) OVER (ORDER BY t) AS surv
+      FROM km WHERE di > 0)
+SELECT t AS t_hours, CAST(ni AS BIGINT) AS n_risk,
+       CAST(di AS BIGINT) AS n_events, round(surv, 6) AS survival
+FROM s
+"""
+
+
+def q_logrank_first_purchase(sf_dir: str):
+    """Two-group log-rank test of user lifetimes split by whether the
+    user's FIRST event is a purchase (`stats.logrank_test`: per-user
+    span groupby with a zero-padded (epoch, type) min-key for
+    deterministic first-event typing, counted (duration, group) cells,
+    exact integer at-risk/death walks)."""
+    from cosmos_ray.functions.stats import logrank_test
+
+    return logrank_test(
+        read(sf_dir, "events", ["user_id", "ts", "event_type"]))
+
+
+SQL_LOGRANK_FIRST_PURCHASE = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l,
+             min(lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                 || chr(31) || event_type) AS k
+      FROM events GROUP BY 1),
+d AS (SELECT (l - f) // 3600000000 AS t,
+             CASE WHEN l <= (SELECT m FROM mx) - 86400000000
+                  THEN 1 ELSE 0 END AS obs,
+             CASE WHEN split_part(k, chr(31), 2) = 'purchase'
+                  THEN 1 ELSE 0 END AS g1
+      FROM u),
+cells AS (SELECT t, g1, sum(obs) AS dd, count(*) AS cc
+          FROM d GROUP BY 1, 2),
+pt AS (SELECT t,
+              sum(CASE WHEN g1 = 1 THEN dd ELSE 0 END) AS d1,
+              sum(CASE WHEN g1 = 0 THEN dd ELSE 0 END) AS d0,
+              sum(CASE WHEN g1 = 1 THEN cc ELSE 0 END) AS c1,
+              sum(CASE WHEN g1 = 0 THEN cc ELSE 0 END) AS c0
+       FROM cells GROUP BY t),
+km AS (SELECT t, d1, d0,
+              sum(c1) OVER (ORDER BY t DESC) AS n1,
+              sum(c0) OVER (ORDER BY t DESC) AS n0
+       FROM pt),
+terms AS (SELECT d1 - (d1 + d0) * n1::DOUBLE / (n1 + n0) AS oe,
+                 CASE WHEN n1 + n0 > 1
+                      THEN (d1 + d0) * (n1::DOUBLE / (n1 + n0))
+                           * (1.0 - n1::DOUBLE / (n1 + n0))
+                           * ((n1 + n0) - (d1 + d0))
+                           / ((n1 + n0) - 1.0)
+                      ELSE 0.0 END AS vv
+          FROM km WHERE d1 + d0 > 0),
+tot AS (SELECT sum(cc) FILTER (g1 = 1) AS t1,
+               sum(cc) FILTER (g1 = 0) AS t0 FROM cells)
+SELECT CAST(COALESCE((SELECT t1 FROM tot), 0) AS BIGINT) AS n_1,
+       CAST(COALESCE((SELECT t0 FROM tot), 0) AS BIGINT) AS n_0,
+       round(COALESCE(sum(oe), 0.0), 6) AS o_minus_e,
+       round(CASE WHEN sum(vv) > 0
+                  THEN sum(oe) * sum(oe) / sum(vv)
+                  ELSE NULL END, 6) AS chi2
+FROM terms
+"""
+
+
+def q_ap_price_urgent(sf_dir: str):
+    """Average precision (step-wise PR-AUC) of order price as a
+    predictor of 1-URGENT priority (`stats.average_precision`:
+    counted two-group exchange, descending-threshold walk with exact
+    integer TP/FP; recall increments are single cp/n_pos divisions on
+    both sides)."""
+    from cosmos_ray.functions.stats import average_precision
+
+    orders = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "is_urgent": pc.equal(t.column("o_orderpriority"),
+                                  "1-URGENT"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t.column("o_totalprice"), pa.float64()),
+                pa.scalar(100.0))), pa.int64())})
+
+    return average_precision(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "is_urgent", "cents")
+
+
+SQL_AP_PRICE_URGENT = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 0 ELSE 1 END) AS cn
+  FROM orders GROUP BY 1),
+w AS (SELECT cp,
+             sum(cp) OVER (ORDER BY v DESC) AS tp,
+             sum(cn) OVER (ORDER BY v DESC) AS fp
+      FROM c),
+tot AS (SELECT sum(cp) AS n1, sum(cn) AS n0 FROM c)
+SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n_pos,
+       CAST((SELECT n0 FROM tot) AS BIGINT) AS n_neg,
+       round(CASE WHEN (SELECT n1 FROM tot) > 0
+                  THEN sum((cp::DOUBLE / (SELECT n1 FROM tot))
+                           * (tp::DOUBLE / (tp + fp)))
+                  ELSE NULL END, 6) AS ap
+FROM w
+"""
+
+
+def q_calibration_price_urgent(sf_dir: str):
+    """Reliability table: $20k price bins vs empirical 1-URGENT rate
+    (`stats.calibration_bins`: one integer-exact (bin, n, n_pos,
+    score_sum) combiner exchange; means are single exact-integer
+    divisions on both sides)."""
+    from cosmos_ray.functions.stats import calibration_bins
+
+    orders = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "is_urgent": pc.equal(t.column("o_orderpriority"),
+                                  "1-URGENT"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t.column("o_totalprice"), pa.float64()),
+                pa.scalar(100.0))), pa.int64())})
+
+    return calibration_bins(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "is_urgent", "cents", bin_width=2_000_000)
+
+
+SQL_CALIBRATION_PRICE_URGENT = """
+WITH b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2000000 AS bin,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS p,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(sum(p)::DOUBLE / count(*), 6) AS pos_rate,
+       round(sum(v)::DOUBLE / count(*), 6) AS mean_score
+FROM b GROUP BY bin
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -6815,6 +7089,13 @@ QUERIES = {
     "kendall_qty_discount": q_kendall_qty_discount,
     "theil_sen_hourly": q_theil_sen_hourly,
     "hellinger_lang_lengths": q_hellinger_lang_lengths,
+    "anova_chars_by_source": q_anova_chars_by_source,
+    "kruskal_chars_by_source": q_kruskal_chars_by_source,
+    "auc_price_urgent": q_auc_price_urgent,
+    "km_user_survival": q_km_user_survival,
+    "logrank_first_purchase": q_logrank_first_purchase,
+    "ap_price_urgent": q_ap_price_urgent,
+    "calibration_price_urgent": q_calibration_price_urgent,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -6864,6 +7145,13 @@ ORACLES = {
     "kendall_qty_discount": SQL_KENDALL_QTY_DISCOUNT,
     "theil_sen_hourly": SQL_THEIL_SEN_HOURLY,
     "hellinger_lang_lengths": SQL_HELLINGER_LANG_LENGTHS,
+    "anova_chars_by_source": SQL_ANOVA_CHARS_BY_SOURCE,
+    "kruskal_chars_by_source": SQL_KRUSKAL_CHARS_BY_SOURCE,
+    "auc_price_urgent": SQL_AUC_PRICE_URGENT,
+    "km_user_survival": SQL_KM_USER_SURVIVAL,
+    "logrank_first_purchase": SQL_LOGRANK_FIRST_PURCHASE,
+    "ap_price_urgent": SQL_AP_PRICE_URGENT,
+    "calibration_price_urgent": SQL_CALIBRATION_PRICE_URGENT,
     "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,

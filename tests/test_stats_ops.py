@@ -610,3 +610,344 @@ class TestHellingerTVD:
         assert abs(out["hellinger"].iloc[0] - round(want_h, 6)) < 2e-6
         assert abs(out["tvd"].iloc[0] - round(want_t, 6)) < 2e-6
         assert out["n_a"].iloc[0] == 400 and out["n_b"].iloc[0] == 300
+
+
+class TestAnovaOneway:
+    def test_matches_direct_formula(self):
+        from cosmos_ray.functions.stats import anova_oneway
+
+        rng = _rng()
+        key = rng.choice(["a", "b", "c"], 600)
+        val = (rng.randint(0, 400, 600)
+               + (key == "b") * 40 + (key == "c") * 90)
+        ds = rd.from_arrow(pa.table({"g": key, "v": val}))
+        out = anova_oneway(ds, "g", "v").to_pandas()
+        k = 3
+        n = 600
+        groups = [val[key == g].astype(np.float64) for g in "abc"]
+        gm = val.mean()
+        ssb = sum(len(x) * (x.mean() - gm) ** 2 for x in groups)
+        ssw = sum(((x - x.mean()) ** 2).sum() for x in groups)
+        want = (ssb / (k - 1)) / (ssw / (n - k))
+        assert out["k"].iloc[0] == 3 and out["n"].iloc[0] == 600
+        assert abs(out["f_stat"].iloc[0] - want) < 1e-4
+        assert out["f_stat"].iloc[0] > 1.0  # planted group shift
+
+    def test_identical_groups_f_near_zero(self):
+        from cosmos_ray.functions.stats import anova_oneway
+
+        v = np.tile(np.arange(50), 2)
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 50 + ["b"] * 50, "v": v}))
+        out = anova_oneway(ds, "g", "v").to_pandas()
+        assert out["f_stat"].iloc[0] == 0.0
+
+    def test_degenerate_single_group_null(self):
+        from cosmos_ray.functions.stats import anova_oneway
+
+        ds = rd.from_arrow(pa.table({"g": ["a"] * 10,
+                                     "v": list(range(10))}))
+        out = anova_oneway(ds, "g", "v").to_pandas()
+        assert pd.isna(out["f_stat"].iloc[0])
+
+    def test_null_values_dropped_null_group_kept(self):
+        from cosmos_ray.functions.stats import anova_oneway
+
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["a", "a", None, None, "b", "b"]),
+            "v": pa.array([1, 2, 3, 4, None, 6], pa.int64())}))
+        out = anova_oneway(ds, "g", "v").to_pandas()
+        assert out["k"].iloc[0] == 3  # NULL is a group (SQL GROUP BY)
+        assert out["n"].iloc[0] == 5  # the NULL value is dropped
+
+
+class TestKruskalWallis:
+    def test_matches_direct_formula_with_ties(self):
+        from cosmos_ray.functions.stats import kruskal_wallis
+
+        rng = _rng()
+        key = rng.choice(["a", "b", "c"], 400)
+        val = rng.randint(0, 30, 400) + (key == "c") * 8  # tied, shifted
+        ds = rd.from_arrow(pa.table({"g": key, "v": val}))
+        out = kruskal_wallis(ds, "g", "v").to_pandas()
+        # direct: midranks over the pooled sample
+        s = pd.Series(val)
+        ranks = s.rank(method="average").to_numpy()
+        n = 400
+        h = (12.0 / (n * (n + 1.0))
+             * sum(ranks[key == g].sum() ** 2 / (key == g).sum()
+                   for g in "abc") - 3.0 * (n + 1.0))
+        _, t = np.unique(val, return_counts=True)
+        corr = 1.0 - float(((t ** 3) - t).sum()) / (n ** 3 - n)
+        want = h / corr
+        assert out["k"].iloc[0] == 3 and out["n"].iloc[0] == 400
+        assert abs(out["h_stat"].iloc[0] - round(want, 6)) < 2e-6
+        assert out["h_stat"].iloc[0] > 6.0  # planted shift is detected
+
+    def test_all_values_tied_null(self):
+        from cosmos_ray.functions.stats import kruskal_wallis
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 10 + ["b"] * 10, "v": [7] * 20}))
+        out = kruskal_wallis(ds, "g", "v").to_pandas()
+        assert pd.isna(out["h_stat"].iloc[0])  # zero tie-corr denominator
+
+    def test_reduces_to_mannwhitney_for_two_groups(self):
+        from cosmos_ray.functions.stats import kruskal_wallis
+
+        # untied two-group case: H = (U - n1 n0 / 2)^2 * 12 / (n1 n0 (N+1))
+        a = np.arange(0, 40, 2)
+        b = np.arange(1, 31, 2)
+        ds = rd.from_arrow(pa.table({
+            "g": ["a"] * 20 + ["b"] * 15,
+            "v": np.concatenate([a, b])}))
+        out = kruskal_wallis(ds, "g", "v").to_pandas()
+        ranks = pd.Series(np.concatenate([a, b])).rank().to_numpy()
+        r1 = ranks[:20].sum()
+        n1, n0, n = 20, 15, 35
+        u = n1 * n0 + n1 * (n1 + 1) / 2 - r1
+        want = (u - n1 * n0 / 2.0) ** 2 * 12.0 / (n1 * n0 * (n + 1.0))
+        assert abs(out["h_stat"].iloc[0] - round(want, 6)) < 2e-6
+
+
+class TestRocAuc:
+    def test_perfect_separation_is_one(self):
+        from cosmos_ray.functions.stats import roc_auc
+
+        ds = rd.from_arrow(pa.table({
+            "y": [True] * 30 + [False] * 30,
+            "s": list(range(100, 130)) + list(range(30))}))
+        out = roc_auc(ds, "y", "s").to_pandas()
+        assert out["auc"].iloc[0] == 1.0
+        assert out["n_pos"].iloc[0] == 30 and out["n_neg"].iloc[0] == 30
+
+    def test_random_scores_near_half_and_matches_direct(self):
+        from cosmos_ray.functions.stats import roc_auc
+
+        rng = _rng()
+        y = rng.rand(500) < 0.4
+        s = rng.randint(0, 50, 500)  # heavy ties
+        ds = rd.from_arrow(pa.table({"y": y, "s": s}))
+        out = roc_auc(ds, "y", "s").to_pandas()
+        # direct midrank AUC
+        ranks = pd.Series(s).rank(method="average").to_numpy()
+        n1, n0 = int(y.sum()), int((~y).sum())
+        want = (ranks[y].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+        assert abs(out["auc"].iloc[0] - round(want, 6)) < 2e-6
+        assert 0.4 < out["auc"].iloc[0] < 0.6
+
+    def test_all_tied_scores_half(self):
+        from cosmos_ray.functions.stats import roc_auc
+
+        ds = rd.from_arrow(pa.table({
+            "y": [True] * 10 + [False] * 10, "s": [5] * 20}))
+        assert roc_auc(ds, "y", "s").to_pandas()["auc"].iloc[0] == 0.5
+
+    def test_single_class_null(self):
+        from cosmos_ray.functions.stats import roc_auc
+
+        ds = rd.from_arrow(pa.table({"y": [True] * 5,
+                                     "s": list(range(5))}))
+        assert pd.isna(roc_auc(ds, "y", "s").to_pandas()["auc"].iloc[0])
+
+
+class TestKaplanMeier:
+    @staticmethod
+    def _events(lifetimes_h, last_offsets_h, base="2024-01-01"):
+        """One user per lifetime: first event at base, last at
+        base + lifetime; corpus max set by the largest last ts."""
+        rows = []
+        b = pd.Timestamp(base).value // 1000
+        for uid, (lt, off) in enumerate(zip(lifetimes_h, last_offsets_h)):
+            first = b + off * 3_600_000_000
+            rows.append((uid, first))
+            rows.append((uid, first + lt * 3_600_000_000))
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows],
+                                    "datetime64[us]"))})
+        return rd.from_arrow(t)
+
+    def test_matches_direct_km_product(self):
+        from cosmos_ray.functions.stats import kaplan_meier
+
+        # 6 users, lifetimes 5,5,10,10,20,30 h; all end >24h before max
+        # except the 30h user, who defines max ts (thus censored)
+        ds = self._events([5, 5, 10, 10, 20, 30],
+                          [0, 1, 2, 3, 4, 200])
+        out = (kaplan_meier(ds).to_pandas()
+               .sort_values("t_hours").reset_index(drop=True))
+        # observed deaths at 5 (x2), 10 (x2), 20; censored at 30
+        assert list(out["t_hours"]) == [5, 10, 20]
+        assert list(out["n_risk"]) == [6, 4, 2]
+        assert list(out["n_events"]) == [2, 2, 1]
+        want = np.cumprod([1 - 2 / 6, 1 - 2 / 4, 1 - 1 / 2])
+        assert np.allclose(out["survival"], np.round(want, 6))
+
+    def test_all_censored_empty_curve(self):
+        from cosmos_ray.functions.stats import kaplan_meier
+
+        # every user's last event is within 24h of the corpus max
+        ds = self._events([5, 8], [0, 0])
+        out = kaplan_meier(ds).to_pandas()
+        assert len(out) == 0
+
+    def test_survival_reaches_zero_when_last_risk_dies(self):
+        from cosmos_ray.functions.stats import kaplan_meier
+
+        ds = self._events([5, 10], [0, 0], base="2024-01-01")
+        # add a sentinel user far in the future so both are observed
+        import pyarrow as _pa
+        far = pd.Timestamp("2024-06-01").value // 1000
+        extra = pa.table({
+            "user_id": pa.array([99, 99], pa.int64()),
+            "ts": pa.array(np.array([far, far + 3_600_000_000 * 400],
+                                    "datetime64[us]"))})
+        ds = ds.union(rd.from_arrow(extra))
+        out = (kaplan_meier(ds).to_pandas()
+               .sort_values("t_hours").reset_index(drop=True))
+        assert list(out["t_hours"]) == [5, 10]
+        # 3 at risk at t=5 (the censored sentinel included), 2 at t=10
+        assert list(out["n_risk"]) == [3, 2]
+        assert out["survival"].iloc[-1] == round((1 - 1/3) * (1 - 1/2), 6)
+
+
+class TestLogrank:
+    @staticmethod
+    def _two_group_events(l1, l0, base="2024-01-01"):
+        """Group-1 users' first event is 'purchase'; group-0 'view'.
+        A far-future sentinel pins the corpus max so all listed users
+        are observed deaths."""
+        rows = []
+        b = pd.Timestamp(base).value // 1000
+        uid = 0
+        for lt_list, ty in ((l1, "purchase"), (l0, "view")):
+            for lt in lt_list:
+                first = b + uid * 3_600_000_000
+                rows.append((uid, first, ty))
+                rows.append((uid, first + lt * 3_600_000_000, "error"))
+                uid += 1
+        far = pd.Timestamp("2025-06-01").value // 1000
+        rows += [(999, far, "view"), (999, far + 10 ** 12, "view")]
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows],
+                                    "datetime64[us]")),
+            "event_type": pa.array([r[2] for r in rows])}))
+
+    def test_matches_direct_logrank(self):
+        from cosmos_ray.functions.stats import logrank_test
+
+        l1, l0 = [5, 8, 8, 12], [3, 5, 7, 9, 11]
+        ds = self._two_group_events(l1, l0)
+        out = logrank_test(ds).to_pandas()
+        # direct walk over pooled death times (sentinel censored)
+        times = sorted(set(l1 + l0))
+        at1 = np.array(l1)
+        at0 = np.array(l0) 
+        oe = v = 0.0
+        cens = 1  # the sentinel, in group 0, lifetime huge
+        for t in times:
+            d1 = int((at1 == t).sum())
+            d0 = int((at0 == t).sum())
+            n1 = int((at1 >= t).sum())
+            n0 = int((at0 >= t).sum()) + cens
+            d, n = d1 + d0, n1 + n0
+            oe += d1 - d * n1 / n
+            if n > 1:
+                v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+        assert out["n_1"].iloc[0] == 4 and out["n_0"].iloc[0] == 6
+        assert abs(out["o_minus_e"].iloc[0] - round(oe, 6)) < 2e-6
+        assert abs(out["chi2"].iloc[0] - round(oe * oe / v, 6)) < 2e-6
+
+    def test_identical_groups_matched_pairs(self):
+        from cosmos_ray.functions.stats import logrank_test
+
+        out = logrank_test(
+            self._two_group_events([4, 9, 15], [4, 9, 15])).to_pandas()
+        # both groups die in matched pairs; the censored group-0
+        # sentinel skews at-risk by one, giving oe = 1/7 + 1/5 + 1/3
+        # exactly and a clearly insignificant chi2
+        assert out["o_minus_e"].iloc[0] == round(1/7 + 1/5 + 1/3, 6)
+        assert out["chi2"].iloc[0] < 1.0
+
+    def test_first_event_tie_broken_by_type_string(self):
+        from cosmos_ray.functions.stats import logrank_test
+
+        # user 0 has TWO events at the identical first instant:
+        # 'purchase' and 'click' — min string key picks 'click', so the
+        # user lands in group 0
+        b = pd.Timestamp("2024-01-01").value // 1000
+        rows = [(0, b, "purchase"), (0, b, "click"),
+                (0, b + 5 * 3_600_000_000, "error"),
+                (9, b + 10 ** 12, "view"), (9, b + 2 * 10 ** 12, "view")]
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows],
+                                    "datetime64[us]")),
+            "event_type": pa.array([r[2] for r in rows])}))
+        out = logrank_test(ds).to_pandas()
+        assert out["n_1"].iloc[0] == 0 and out["n_0"].iloc[0] == 2
+
+
+class TestAveragePrecision:
+    def test_perfect_ranking_is_one(self):
+        from cosmos_ray.functions.stats import average_precision
+
+        ds = rd.from_arrow(pa.table({
+            "y": [True] * 20 + [False] * 30,
+            "s": list(range(100, 120)) + list(range(30))}))
+        assert average_precision(ds, "y", "s").to_pandas()[
+            "ap"].iloc[0] == 1.0
+
+    def test_matches_direct_threshold_walk(self):
+        from cosmos_ray.functions.stats import average_precision
+
+        rng = _rng()
+        y = rng.rand(400) < 0.3
+        s = rng.randint(0, 40, 400)
+        ds = rd.from_arrow(pa.table({"y": y, "s": s}))
+        out = average_precision(ds, "y", "s").to_pandas()
+        vals = np.unique(s)[::-1]
+        n1 = y.sum()
+        tp = fp = 0
+        ap = 0.0
+        for v in vals:
+            cp = int((y & (s == v)).sum())
+            cn = int((~y & (s == v)).sum())
+            tp += cp
+            fp += cn
+            ap += (cp / n1) * (tp / (tp + fp))
+        assert abs(out["ap"].iloc[0] - round(ap, 6)) < 2e-6
+        # random scores: AP close to the base rate
+        assert abs(out["ap"].iloc[0] - y.mean()) < 0.1
+
+    def test_no_positives_null(self):
+        from cosmos_ray.functions.stats import average_precision
+
+        ds = rd.from_arrow(pa.table({"y": [False] * 5,
+                                     "s": list(range(5))}))
+        assert pd.isna(average_precision(ds, "y", "s").to_pandas()[
+            "ap"].iloc[0])
+
+
+class TestCalibrationBins:
+    def test_matches_direct_bin_means(self):
+        from cosmos_ray.functions.stats import calibration_bins
+
+        rng = _rng()
+        s = rng.randint(-250, 250, 500)
+        y = rng.rand(500) < (s + 250) / 500.0  # calibrated-ish
+        ds = rd.from_arrow(pa.table({"y": y, "s": s}))
+        out = (calibration_bins(ds, "y", "s", bin_width=100).to_pandas()
+               .sort_values("bin").reset_index(drop=True))
+        # floor-division bins incl. negatives
+        bins = np.floor_divide(s, 100)
+        for _, row in out.iterrows():
+            m = bins == row["bin"]
+            assert row["n"] == int(m.sum())
+            assert row["pos_rate"] == round(float(y[m].mean()), 6)
+            assert row["mean_score"] == round(float(s[m].mean()), 6)
+        assert list(out["bin"]) == sorted(set(bins))
+        # monotone-ish calibration: top bin rate exceeds bottom
+        assert out["pos_rate"].iloc[-1] > out["pos_rate"].iloc[0]
