@@ -626,3 +626,80 @@ def zipf_slope(docs_ds, text_col: str = "text", min_count: int = 2,
 
     return vocab.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def llr_keyness(docs_ds, group_col: str, text_col: str, group_a,
+                k: int = 50, min_count: int = 5, round_to: int = 6):
+    """Dunning log-likelihood (G²) keyness: the top-k tokens most
+    DISTINCTIVE of sub-corpus A (``group_col == group_a``) vs the rest —
+    the corpus-linguistics comparison a curation pipeline runs between
+    a candidate source and the reference mix. Per token with counts
+    (a, b) against corpus totals (NA, NB):
+
+        E_a = NA (a+b) / (NA+NB),   E_b = NB (a+b) / (NA+NB)
+        G2  = 2 (a ln(a/E_a) + b ln(b/E_b))        (0 ln 0 := 0)
+        dir = sign(a NB - b NA)   (exact integer cross product)
+
+    Tokenization is the `corpus_vocab` convention (single-space split,
+    keeps empties — byte-identical to SQL string_split). Shuffle shape:
+    arrow-native per-batch (token, a, b) combiner, one vocab groupby;
+    totals are two distributed column sums over the materialized count
+    table (never a driver vocab pull); scoring is map_batches with the
+    two scalars closed over; selection is a distributed sort on the
+    ROUNDED score (+ token tiebreak) so the top-k cut is deterministic
+    on both sides. -> (token, count_a, count_b, g2, dir), k rows."""
+    import ray.data as rd  # noqa: F401  (parity with module style)
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.queries.relational import topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        in_a = pc.fill_null(pc.equal(t.column(group_col), group_a), False)
+        rep = np.repeat(in_a.to_numpy(zero_copy_only=False),
+                        lens).astype(np.int64)
+        g = (pa.table({"token": flat, "a": pa.array(rep),
+                       "b": pa.array(1 - rep)})
+             .group_by(["token"])
+             .aggregate([("a", "sum"), ("b", "sum")]))
+        return pa.table({"token": g.column("token"),
+                         "a": g.column("a_sum"), "b": g.column("b_sum")})
+
+    counts = (docs_ds.select_columns([group_col, text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("a", alias_name="a"),
+                         Sum("b", alias_name="b"))
+              .materialize())  # vocab-sized, reused by totals + scoring
+    tot = counts.sum(["a", "b"])
+    na_i, nb_i = int(tot["sum(a)"]), int(tot["sum(b)"])
+    na, nb = float(na_i), float(nb_i)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(
+            pc.add(t.column("a"), t.column("b")),
+            pa.scalar(min_count, pa.int64())))
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
+        ea = na * (a + b) / (na + nb)
+        eb = nb * (a + b) / (na + nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(a > 0, a * np.log(a / ea), 0.0)
+            tb = np.where(b > 0, b * np.log(b / eb), 0.0)
+        g2 = np.round(2.0 * (ta + tb), round_to)
+        # direction via the exact integer cross product a*NB - b*NA
+        # (sign(a/NA - b/NB) without float cancellation risk)
+        ai = t.column("a").to_numpy(zero_copy_only=False)
+        bi = t.column("b").to_numpy(zero_copy_only=False)
+        d = np.sign(ai * nb_i - bi * na_i).astype(np.int64)
+        return pa.table({
+            "token": t.column("token"),
+            "count_a": t.column("a"), "count_b": t.column("b"),
+            "g2": pa.array(g2, pa.float64()),
+            "dir": pa.array(d, pa.int64())})
+
+    scored = counts.map_batches(score, batch_format="pyarrow")
+    return topk(scored, [("g2", True), ("token", False)], k)

@@ -6907,6 +6907,45 @@ FROM b GROUP BY bin
 """
 
 
+def q_keyness_en(sf_dir: str):
+    """Top-50 tokens most distinctive of English vs the rest of the
+    corpus by Dunning log-likelihood (`textops.llr_keyness`: vocab
+    combiner exchange, distributed column-sum totals, rounded-score
+    distributed top-k; direction is the exact integer cross product)."""
+    from cosmos_ray.functions.textops import llr_keyness
+
+    docs = read(sf_dir, "documents", ["lang", "text"])
+    return llr_keyness(docs, "lang", "text", "en", k=50, min_count=5)
+
+
+SQL_KEYNESS_EN = """
+WITH tok AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents),
+c AS (SELECT token, sum(ia) AS a, sum(1 - ia) AS b
+      FROM tok GROUP BY token),
+tot AS (SELECT sum(a) AS nai, sum(b) AS nbi FROM c),
+g AS (SELECT token, a, b,
+             round(2.0 * (
+               CASE WHEN a > 0 THEN a * ln(a / (
+                 (SELECT nai FROM tot)::DOUBLE * (a + b)
+                 / ((SELECT nai FROM tot)::DOUBLE
+                    + (SELECT nbi FROM tot)::DOUBLE))) ELSE 0.0 END
+             + CASE WHEN b > 0 THEN b * ln(b / (
+                 (SELECT nbi FROM tot)::DOUBLE * (a + b)
+                 / ((SELECT nai FROM tot)::DOUBLE
+                    + (SELECT nbi FROM tot)::DOUBLE))) ELSE 0.0 END),
+               6) AS g2,
+             CAST(sign(a * (SELECT nbi FROM tot)
+                       - b * (SELECT nai FROM tot)) AS BIGINT) AS dir
+      FROM c WHERE a + b >= 5)
+SELECT token, CAST(a AS BIGINT) AS count_a, CAST(b AS BIGINT) AS count_b,
+       g2, dir
+FROM g ORDER BY g2 DESC, token LIMIT 50
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -7096,6 +7135,7 @@ QUERIES = {
     "logrank_first_purchase": q_logrank_first_purchase,
     "ap_price_urgent": q_ap_price_urgent,
     "calibration_price_urgent": q_calibration_price_urgent,
+    "keyness_en": q_keyness_en,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7152,6 +7192,7 @@ ORACLES = {
     "logrank_first_purchase": SQL_LOGRANK_FIRST_PURCHASE,
     "ap_price_urgent": SQL_AP_PRICE_URGENT,
     "calibration_price_urgent": SQL_CALIBRATION_PRICE_URGENT,
+    "keyness_en": SQL_KEYNESS_EN,
     "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,

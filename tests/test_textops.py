@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pyarrow as pa
 import ray.data as rd
 
@@ -149,3 +151,65 @@ def test_cdc_short_doc_single_chunk():
     out = cdc_chunk_batch(t).to_pandas()
     assert out["doc_id"].tolist() == [1]  # empty doc emits nothing
     assert out[["chunk_start", "chunk_end"]].values.tolist() == [[0, 3]]
+
+
+class TestLlrKeyness:
+    @staticmethod
+    def _corpus():
+        # 'alpha' is hugely over-represented in group A, 'omega' in B;
+        # 'common' is balanced; 'rare' is below min_count
+        rows = []
+        for i in range(30):
+            rows.append(("en", "alpha alpha common filler" + str(i % 3)))
+        for i in range(30):
+            rows.append(("zh", "omega omega common filler" + str(i % 3)))
+        rows.append(("en", "rare"))
+        return rd.from_arrow(pa.table({
+            "lang": [r[0] for r in rows],
+            "text": [r[1] for r in rows]}))
+
+    def test_matches_direct_g2_and_direction(self):
+        from cosmos_ray.functions.textops import llr_keyness
+
+        out = (llr_keyness(self._corpus(), "lang", "text", "en",
+                           k=10, min_count=5).to_pandas()
+               .set_index("token"))
+        # direct G2 for 'alpha': a=60, b=0
+        na = 30 * 4 + 1   # tokens in group A (4 per doc + 'rare')
+        nb = 30 * 4
+        def g2(a, b):
+            e_a = na * (a + b) / (na + nb)
+            e_b = nb * (a + b) / (na + nb)
+            s = 0.0
+            if a:
+                s += a * np.log(a / e_a)
+            if b:
+                s += b * np.log(b / e_b)
+            return round(2.0 * s, 6)
+        assert out.loc["alpha", "g2"] == g2(60, 0)
+        assert out.loc["alpha", "dir"] == 1
+        assert out.loc["omega", "g2"] == g2(0, 60)
+        assert out.loc["omega", "dir"] == -1
+        # balanced token scores at the bottom, near zero
+        assert out.loc["common", "g2"] < 0.1
+        # top-2 are the planted keys
+        top2 = set(out.sort_values(["g2", "token"],
+                                   ascending=[False, True]).index[:2])
+        assert top2 == {"alpha", "omega"}
+
+    def test_min_count_filters_rare(self):
+        from cosmos_ray.functions.textops import llr_keyness
+
+        out = llr_keyness(self._corpus(), "lang", "text", "en",
+                          k=100, min_count=5).to_pandas()
+        assert "rare" not in set(out["token"])
+
+    def test_k_cut_deterministic(self):
+        from cosmos_ray.functions.textops import llr_keyness
+
+        a = llr_keyness(self._corpus(), "lang", "text", "en",
+                        k=3, min_count=1).to_pandas()
+        b = llr_keyness(self._corpus(), "lang", "text", "en",
+                        k=3, min_count=1).to_pandas()
+        assert list(a["token"]) == list(b["token"])
+        assert len(a) == 3
