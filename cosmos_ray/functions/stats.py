@@ -1680,3 +1680,62 @@ def calibration_bins(ds, label_col: str, score_col: str, bin_width: int,
 
     return counted.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def isotonic_calibration(ds, label_col: str, score_col: str,
+                         round_to: int = 6):
+    """Isotonic-regression calibration (pool-adjacent-violators) of a
+    boolean label on an integer score — the non-parametric monotone
+    companion to `calibration_bins` (no bin width to choose; the output
+    IS the optimal monotone fit in L2). One counted (score, n, n_pos)
+    cell exchange bounded by distinct scores; the finish runs the
+    classic stack-based PAVA over the ascending-score cells (exact
+    integer pooled counts; each block rate is one integer division) and
+    emits one row per pooled block. Not SQL-expressible (iterative
+    pooling), so this operator is pytest-gated rather than
+    oracle-checked. -> (score_min, score_max, n, rate),
+    ascending, with rate non-decreasing."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(score_col), pa.int64())
+        lab = pc.cast(pc.cast(t.column(label_col), pa.bool_()), pa.int64())
+        g = (pa.table({"s": v, "__p": lab,
+                       "__n": pa.array(np.ones(len(v), np.int64))})
+             .group_by(["s"])
+             .aggregate([("__p", "sum"), ("__n", "sum")]))
+        return pa.table({"s": g.column("s"),
+                         "__p": g.column("__p_sum"),
+                         "__n": g.column("__n_sum")})
+
+    counted = (ds.select_columns([label_col, score_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("s")
+               .aggregate(Sum("__p", alias_name="__p"),
+                          Sum("__n", alias_name="__n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("s", "ascending")])
+        s = pc.take(t.column("s"), order).to_numpy(zero_copy_only=False)
+        p = pc.take(t.column("__p"), order).to_numpy(zero_copy_only=False)
+        n = pc.take(t.column("__n"), order).to_numpy(zero_copy_only=False)
+        # stack-based PAVA on (sum_pos, sum_n) blocks: merge while the
+        # previous block's rate >= the new block's rate (weighted-mean
+        # pooling; integer sums keep every comparison exact via
+        # cross-multiplication)
+        blocks: list[list[int]] = []  # [s_min, s_max, pos, cnt]
+        for i in range(len(s)):
+            cur = [int(s[i]), int(s[i]), int(p[i]), int(n[i])]
+            while blocks and blocks[-1][2] * cur[3] >= cur[2] * blocks[-1][3]:
+                prev = blocks.pop()
+                cur = [prev[0], cur[1], prev[2] + cur[2], prev[3] + cur[3]]
+            blocks.append(cur)
+        return pa.table({
+            "score_min": pa.array([b[0] for b in blocks], pa.int64()),
+            "score_max": pa.array([b[1] for b in blocks], pa.int64()),
+            "n": pa.array([b[3] for b in blocks], pa.int64()),
+            "rate": pa.array([round(b[2] / b[3], round_to)
+                              for b in blocks], pa.float64())})
+
+    return counted.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -496,3 +496,37 @@ def trailing_time_sum(events_ds, window_s: int = 3600, round_to: int = 6):
             "win_n": (hi - lo).astype(np.int64)})
 
     return _bucketed_by_user(events_ds, fn)
+
+
+# single-char codes for event-type sequence strings (motif matching);
+# unknown types map to 'x'
+EVENT_CODES = {"click": "c", "view": "v", "purchase": "p",
+               "signup": "s", "error": "e"}
+
+
+def sequence_motif_count(events_ds, pattern: str = "v+p",
+                         num_buckets: int = 64):
+    """Per-user event-sequence motif counting — the MATCH_RECOGNIZE-lite
+    pattern probe (`funnel`'s regex-powered sibling): each user's events
+    are ordered by (ts, event_id), encoded one char per event via
+    ``EVENT_CODES``, and the NON-OVERLAPPING occurrences of ``pattern``
+    (a regex over the code alphabet) are counted. Python re and the SQL
+    replay's RE2 agree on non-overlapping greedy semantics for patterns
+    over this alphabet. Shuffle shape: one user-hash bucket exchange;
+    encoding and counting are vectorized pandas string kernels inside
+    the bucket. -> (user_id, n_events, motif_count)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        codes = g["event_type"].map(EVENT_CODES).fillna("x")
+        seq = codes.groupby(g["user_id"], sort=False).agg("".join)
+        out = pd.DataFrame({
+            "user_id": seq.index.to_numpy(),
+            "n_events": seq.str.len().to_numpy(np.int64),
+            "motif_count": seq.str.count(pattern).to_numpy(np.int64)})
+        return out
+
+    return _bucketed_by_user(
+        events_ds.select_columns(["user_id", "ts", "event_id",
+                                  "event_type"]),
+        fn, num_buckets=num_buckets)

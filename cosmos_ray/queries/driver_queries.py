@@ -6946,6 +6946,60 @@ FROM g ORDER BY g2 DESC, token LIMIT 50
 """
 
 
+def q_motif_view_purchase(sf_dir: str):
+    """Per-user count of non-overlapping 'one-or-more views then a
+    purchase' motifs in the event-type sequence
+    (`windows.sequence_motif_count`: user-hash bucket exchange,
+    vectorized encode + regex count; ordering ties broken by event_id
+    on both sides)."""
+    from cosmos_ray.functions.windows import sequence_motif_count
+
+    return sequence_motif_count(
+        read(sf_dir, "events",
+             ["user_id", "ts", "event_id", "event_type"]),
+        pattern="v+p")
+
+
+SQL_MOTIF_VIEW_PURCHASE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'error' THEN 'e' ELSE 'x' END AS code
+  FROM events),
+s AS (SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             count(*) AS n_events
+      FROM e GROUP BY user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS motif_count
+FROM s
+"""
+
+
+def q_isotonic_price_urgent(sf_dir: str):
+    """Isotonic (PAVA) calibration of the 1-URGENT rate on order price
+    in integer cents (`stats.isotonic_calibration`: counted per-score
+    cells, exact integer-comparison pooling). Iterative pooling is not
+    SQL-expressible, so this query is pytest-gated (exact PAVA
+    reference) rather than oracle-checked."""
+    from cosmos_ray.functions.stats import isotonic_calibration
+
+    orders = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "is_urgent": pc.equal(t.column("o_orderpriority"),
+                                  "1-URGENT"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t.column("o_totalprice"), pa.float64()),
+                pa.scalar(100.0))), pa.int64())})
+
+    return isotonic_calibration(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "is_urgent", "cents")
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -7136,6 +7190,8 @@ QUERIES = {
     "ap_price_urgent": q_ap_price_urgent,
     "calibration_price_urgent": q_calibration_price_urgent,
     "keyness_en": q_keyness_en,
+    "motif_view_purchase": q_motif_view_purchase,
+    "isotonic_price_urgent": q_isotonic_price_urgent,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7193,6 +7249,7 @@ ORACLES = {
     "ap_price_urgent": SQL_AP_PRICE_URGENT,
     "calibration_price_urgent": SQL_CALIBRATION_PRICE_URGENT,
     "keyness_en": SQL_KEYNESS_EN,
+    "motif_view_purchase": SQL_MOTIF_VIEW_PURCHASE,
     "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,

@@ -951,3 +951,121 @@ class TestCalibrationBins:
         assert list(out["bin"]) == sorted(set(bins))
         # monotone-ish calibration: top bin rate exceeds bottom
         assert out["pos_rate"].iloc[-1] > out["pos_rate"].iloc[0]
+
+
+class TestIsotonicCalibration:
+    def test_matches_direct_pava(self):
+        from cosmos_ray.functions.stats import isotonic_calibration
+
+        rng = _rng()
+        s = rng.randint(0, 40, 600)
+        y = rng.rand(600) < (s / 60.0 + 0.1)
+        ds = rd.from_arrow(pa.table({"y": y, "s": s}))
+        out = (isotonic_calibration(ds, "y", "s").to_pandas()
+               .sort_values("score_min").reset_index(drop=True))
+        # direct PAVA on (score, pos, n) cells
+        cells = {}
+        for sc, lab in zip(s, y):
+            p, n = cells.get(sc, (0, 0))
+            cells[sc] = (p + int(lab), n + 1)
+        blocks = []
+        for sc in sorted(cells):
+            p, n = cells[sc]
+            cur = [sc, sc, p, n]
+            while blocks and blocks[-1][2] * cur[3] >= cur[2] * blocks[-1][3]:
+                prev = blocks.pop()
+                cur = [prev[0], cur[1], prev[2] + cur[2], prev[3] + cur[3]]
+            blocks.append(cur)
+        assert len(out) == len(blocks)
+        for row, b in zip(out.itertuples(), blocks):
+            assert (row.score_min, row.score_max, row.n) == (b[0], b[1], b[3])
+            assert row.rate == round(b[2] / b[3], 6)
+        # the defining property: strictly increasing block rates
+        assert (out["rate"].diff().dropna() > 0).all()
+        # and total mass is preserved
+        assert out["n"].sum() == 600
+
+    def test_perfectly_monotone_input_unpooled(self):
+        from cosmos_ray.functions.stats import isotonic_calibration
+
+        # scores 0..4, rates 0, .25, .5, .75, 1 — already isotonic
+        ys, ss = [], []
+        for sc in range(5):
+            for i in range(4):
+                ss.append(sc)
+                ys.append(i < sc)
+        ds = rd.from_arrow(pa.table({"y": ys, "s": ss}))
+        out = (isotonic_calibration(ds, "y", "s").to_pandas()
+               .sort_values("score_min").reset_index(drop=True))
+        assert len(out) == 5
+        assert list(out["rate"]) == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+    def test_antitonic_input_pools_to_one_block(self):
+        from cosmos_ray.functions.stats import isotonic_calibration
+
+        # decreasing rates: PAVA must pool everything into one block
+        ys, ss = [], []
+        for sc, r in ((0, 4), (1, 2), (2, 0)):
+            for i in range(4):
+                ss.append(sc)
+                ys.append(i < r)
+        ds = rd.from_arrow(pa.table({"y": ys, "s": ss}))
+        out = isotonic_calibration(ds, "y", "s").to_pandas()
+        assert len(out) == 1
+        assert out["rate"].iloc[0] == 0.5
+        assert out["score_min"].iloc[0] == 0
+        assert out["score_max"].iloc[0] == 2
+
+
+class TestSequenceMotif:
+    @staticmethod
+    def _events(seqs):
+        rows = []
+        b = pd.Timestamp("2024-01-01").value // 1000
+        eid = 0
+        for uid, seq in enumerate(seqs):
+            for j, ty in enumerate(seq):
+                rows.append((eid, uid, b + j * 60_000_000, ty))
+                eid += 1
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[2] for r in rows],
+                                    "datetime64[us]")),
+            "event_type": pa.array([r[3] for r in rows])}))
+
+    def test_counts_non_overlapping_motifs(self):
+        from cosmos_ray.functions.windows import sequence_motif_count
+
+        ds = self._events([
+            ["view", "view", "purchase", "view", "purchase"],  # vvpvp: 2
+            ["view", "click", "purchase"],                     # vcp: 0
+            ["purchase", "view", "view"],                      # pvv: 0
+            ["view", "purchase"] * 3,                          # vpvpvp: 3
+        ])
+        out = (sequence_motif_count(ds, pattern="v+p").to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert list(out["motif_count"]) == [2, 0, 0, 3]
+        assert list(out["n_events"]) == [5, 3, 3, 6]
+
+    def test_same_instant_ties_broken_by_event_id(self):
+        from cosmos_ray.functions.windows import sequence_motif_count
+
+        # two events at the same ts: event_id order decides v-then-p
+        b = pd.Timestamp("2024-01-01").value // 1000
+        ds = rd.from_arrow(pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([0, 0], pa.int64()),
+            "ts": pa.array(np.array([b, b], "datetime64[us]")),
+            "event_type": pa.array(["view", "purchase"])}))
+        out = sequence_motif_count(ds, pattern="v+p").to_pandas()
+        assert out["motif_count"].iloc[0] == 1
+
+    def test_unknown_types_encode_x(self):
+        from cosmos_ray.functions.windows import sequence_motif_count
+
+        ds = self._events([["view", "refund", "purchase"]])  # vxp
+        out = sequence_motif_count(ds, pattern="v+p").to_pandas()
+        assert out["motif_count"].iloc[0] == 0
+        out2 = sequence_motif_count(ds, pattern="vxp").to_pandas()
+        assert out2["motif_count"].iloc[0] == 1
