@@ -1739,3 +1739,54 @@ def isotonic_calibration(ds, label_col: str, score_col: str,
 
     return counted.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None)
+
+
+def holt_hourly(events_ds, ts_col: str = "ts", value_col: str = "value",
+                alpha: float = 0.5, beta: float = 0.5,
+                round_to: int = 6):
+    """Holt double-exponential smoothing (level + linear trend, no
+    seasonality) of the hourly total-value series — the forecasting
+    companion to `ewma_value` / `ols_trend`. Standard init l_1 = y_1,
+    b_1 = y_2 - y_1, then for t >= 2:
+
+        l_t = a y_t + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B (l_t - l_{t-1}) + (1-B) b_{t-1}
+
+    The series is built in INTEGER cents on the shared tumbling-window
+    exchange; with the default a = B = 0.5 (exact binary fractions)
+    every recursion step is the same IEEE float expression the SQL
+    replay's recursive CTE evaluates, so engine and oracle agree
+    bit-for-bit before rounding. The recursion itself is model-sized
+    (calendar-bounded hour count) driver-side work inside the finish.
+    One-step-ahead forecast = l_H + b_H. -> one row
+    (n_hours, level, trend, forecast_next); trend/forecast are null for
+    a < 2-hour series."""
+    hourly = _hourly_series(events_ds, ts_col, value_col, "yc",
+                            cents=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("hour", "ascending")])
+        y = pc.take(t.column("yc"), order).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = len(y)
+        if n < 2:
+            lev = round(y[0] / 100.0, round_to) if n else None
+            return pa.table({
+                "n_hours": pa.array([n], pa.int64()),
+                "level": pa.array([lev], pa.float64()),
+                "trend": pa.array([None], pa.float64()),
+                "forecast_next": pa.array([None], pa.float64())})
+        lv, b = y[0], y[1] - y[0]
+        for i in range(1, n):
+            l_new = alpha * y[i] + (1.0 - alpha) * (lv + b)
+            b = beta * (l_new - lv) + (1.0 - beta) * b
+            lv = l_new
+        return pa.table({
+            "n_hours": pa.array([n], pa.int64()),
+            "level": pa.array([round(lv / 100.0, round_to)], pa.float64()),
+            "trend": pa.array([round(b / 100.0, round_to)], pa.float64()),
+            "forecast_next": pa.array([round((lv + b) / 100.0, round_to)],
+                                      pa.float64())})
+
+    return hourly.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

@@ -7000,6 +7000,45 @@ def q_isotonic_price_urgent(sf_dir: str):
         "is_urgent", "cents")
 
 
+def q_holt_hourly(sf_dir: str):
+    """Holt double-exponential level/trend/one-step forecast of the
+    hourly total-value series (`stats.holt_hourly`: integer-cents
+    tumbling exchange; a = B = 0.5 exact binary fractions make the
+    recursion bit-identical to the SQL recursive CTE)."""
+    from cosmos_ray.functions.stats import holt_hourly
+
+    return holt_hourly(read(sf_dir, "events", ["ts", "value"]))
+
+
+SQL_HOLT_HOURLY = """
+WITH RECURSIVE h AS (
+  SELECT row_number() OVER (ORDER BY hour) AS rn, yc
+  FROM (SELECT epoch_us(ts) // 3600000000 AS hour,
+               sum(CAST(round(value * 100) AS BIGINT))::DOUBLE AS yc
+        FROM events GROUP BY 1)),
+nh AS (SELECT count(*) AS n FROM h),
+rec AS (
+  SELECT 1 AS rn,
+         (SELECT yc FROM h WHERE rn = 1) AS l,
+         (SELECT yc FROM h WHERE rn = 2)
+           - (SELECT yc FROM h WHERE rn = 1) AS b
+  WHERE (SELECT n FROM nh) >= 2
+  UNION ALL
+  SELECT r.rn + 1,
+         0.5 * h.yc + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * h.yc + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN h ON h.rn = r.rn + 1),
+fin AS (SELECT l, b FROM rec WHERE rn = (SELECT n FROM nh))
+SELECT CAST((SELECT n FROM nh) AS BIGINT) AS n_hours,
+       round(CASE WHEN (SELECT n FROM nh) >= 2 THEN (SELECT l FROM fin)
+                  ELSE (SELECT yc FROM h WHERE rn = 1) END / 100.0, 6)
+         AS level,
+       round((SELECT b FROM fin) / 100.0, 6) AS trend,
+       round(((SELECT l FROM fin) + (SELECT b FROM fin)) / 100.0, 6)
+         AS forecast_next
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -7192,6 +7231,7 @@ QUERIES = {
     "keyness_en": q_keyness_en,
     "motif_view_purchase": q_motif_view_purchase,
     "isotonic_price_urgent": q_isotonic_price_urgent,
+    "holt_hourly": q_holt_hourly,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7250,6 +7290,7 @@ ORACLES = {
     "calibration_price_urgent": SQL_CALIBRATION_PRICE_URGENT,
     "keyness_en": SQL_KEYNESS_EN,
     "motif_view_purchase": SQL_MOTIF_VIEW_PURCHASE,
+    "holt_hourly": SQL_HOLT_HOURLY,
     "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,

@@ -1069,3 +1069,53 @@ class TestSequenceMotif:
         assert out["motif_count"].iloc[0] == 0
         out2 = sequence_motif_count(ds, pattern="vxp").to_pandas()
         assert out2["motif_count"].iloc[0] == 1
+
+
+class TestHoltHourly:
+    @staticmethod
+    def _series(cents):
+        hours = np.arange(len(cents))
+        ts = pd.Timestamp("2024-01-01").value // 1000 \
+            + hours * 3_600_000_000
+        return rd.from_arrow(pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": np.asarray(cents) / 100.0}))
+
+    def test_matches_direct_recursion(self):
+        from cosmos_ray.functions.stats import holt_hourly
+
+        rng = _rng()
+        cents = (rng.randint(-80, 80, 60) + 5000
+                 + np.arange(60) * 37).astype(np.float64)
+        out = holt_hourly(self._series(cents)).to_pandas()
+        lv, b = cents[0], cents[1] - cents[0]
+        for i in range(1, 60):
+            l_new = 0.5 * cents[i] + 0.5 * (lv + b)
+            b = 0.5 * (l_new - lv) + 0.5 * b
+            lv = l_new
+        assert out["n_hours"].iloc[0] == 60
+        assert out["level"].iloc[0] == round(lv / 100.0, 6)
+        assert out["trend"].iloc[0] == round(b / 100.0, 6)
+        assert out["forecast_next"].iloc[0] == round((lv + b) / 100.0, 6)
+        # trend tracks the planted +0.37/hour drift
+        assert 0.2 < out["trend"].iloc[0] < 0.6
+
+    def test_linear_series_exact_trend(self):
+        from cosmos_ray.functions.stats import holt_hourly
+
+        # exactly linear input: Holt locks onto the true line
+        cents = 1000 + 200 * np.arange(40)
+        out = holt_hourly(self._series(cents)).to_pandas()
+        assert out["trend"].iloc[0] == 2.0
+        assert out["level"].iloc[0] == round((1000 + 200 * 39) / 100, 6)
+        assert out["forecast_next"].iloc[0] == round(
+            (1000 + 200 * 40) / 100, 6)
+
+    def test_single_hour_degenerate(self):
+        from cosmos_ray.functions.stats import holt_hourly
+
+        out = holt_hourly(self._series([500])).to_pandas()
+        assert out["n_hours"].iloc[0] == 1
+        assert out["level"].iloc[0] == 5.0
+        assert pd.isna(out["trend"].iloc[0])
+        assert pd.isna(out["forecast_next"].iloc[0])
