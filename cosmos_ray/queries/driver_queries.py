@@ -7039,6 +7039,42 @@ SELECT CAST((SELECT n FROM nh) AS BIGINT) AS n_hours,
 """
 
 
+def q_ntile_chars(sf_dir: str):
+    """Per-language quartile assignment of doc length — SQL ntile(4)
+    replayed distributed with SQL's exact uneven-bucket rule (the first
+    n mod k buckets get the extra row). Ties are made deterministic on
+    BOTH sides by ordering on (n_chars, doc_id)."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    k = 4
+
+    def nt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="stable")
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        small, extra = divmod(n, k)
+        cut = extra * (small + 1)
+        tile = np.where(
+            idx < cut,
+            idx // (small + 1) + 1,
+            extra + (np.maximum(idx - cut, 0)
+                     // max(small, 1)) + 1).astype(np.int64)
+        out = g[["doc_id", "lang", "n_chars"]].copy()
+        out["tile"] = tile
+        return out
+
+    return bucketed_group_apply(docs, ["lang"], nt)
+
+
+SQL_NTILE_CHARS = """
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(4) OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -7232,6 +7268,7 @@ QUERIES = {
     "motif_view_purchase": q_motif_view_purchase,
     "isotonic_price_urgent": q_isotonic_price_urgent,
     "holt_hourly": q_holt_hourly,
+    "ntile_chars": q_ntile_chars,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7291,6 +7328,7 @@ ORACLES = {
     "keyness_en": SQL_KEYNESS_EN,
     "motif_view_purchase": SQL_MOTIF_VIEW_PURCHASE,
     "holt_hourly": SQL_HOLT_HOURLY,
+    "ntile_chars": SQL_NTILE_CHARS,
     "cusum_hourly": SQL_CUSUM_HOURLY,
     "spearman_qty_discount": SQL_SPEARMAN_QTY_DISCOUNT,
     "rolling_median": SQL_ROLLING_MEDIAN,

@@ -363,3 +363,33 @@ def test_counted_quantiles_agree_with_gather():
     a = _norm(group_quantiles(ev, ["event_type"], "value").to_pandas())
     b = _norm(group_quantiles_counted(ev, ["event_type"], "value").to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ntile_uneven_buckets_match_sql_rule():
+    """ntile(4) over 10 rows: buckets sized 3,3,2,2 (first n%k get the
+    extra row), ties ordered deterministically by doc_id."""
+    import numpy as np
+    from cosmos_ray.queries.driver_queries import q_ntile_chars
+    import duckdb, os, tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "lang": pa.array(["en"] * 10),
+            "text": pa.array(["x"] * 10),
+            "source": pa.array(["s"] * 10),
+            "n_chars": pa.array([5, 5, 5, 5, 9, 9, 9, 2, 2, 2],
+                                pa.int64())})
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = (q_ntile_chars(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        exp = con.sql(
+            "SELECT doc_id, CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)"
+            " AS BIGINT) tile FROM documents ORDER BY doc_id").df()
+        assert list(out["tile"]) == list(exp["tile"])
+        sizes = out["tile"].value_counts().sort_index().tolist()
+        assert sizes == [3, 3, 2, 2]
