@@ -1037,3 +1037,184 @@ def reciprocity(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
         "reciprocity": pa.array(
             [round(recip / total, round_to) if total else 0.0],
             pa.float64())}))
+
+
+# ------------------------------------------------ betweenness (sampled)
+def betweenness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 6,
+                        src: str = "src_entity", dst: str = "dst_entity",
+                        topn: int = 20, round_to: int = 6):
+    """Approximate betweenness centrality via sampled-source Brandes
+    (unweighted): the exact two-phase Brandes computation — forward BFS
+    building per-level (seed, node, sigma) shortest-path counts, then
+    backward dependency accumulation delta(v) += sigma_v/sigma_w *
+    (1 + delta_w) over DAG edges (dist_w = dist_v + 1) — from the
+    ``k_sources`` smallest node ids (deterministic pivot sample),
+    reporting the top ``topn`` nodes by accumulated dependency
+    (undirected halving applied). Scores are the EXACT betweenness
+    restricted to those sources; sampling error is the standard
+    Brandes-pivot tradeoff.
+
+    Scale shape: ALL seeds advance together in one composite-key
+    (seed, node) frontier, so the number of distributed rounds is
+    O(diameter), independent of k — each round is a hash join of the
+    node-bounded edge list against the frontier plus a groupby-sum
+    (the same round structure as `weighted_distances` / `k_core`); no
+    driver pull of nodes or edges at any size. Per-level tables are
+    materialized (k x node bounded). -> (entity, betweenness), topn
+    rows, (score desc, entity) order."""
+    import ray as _ray
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    from cosmos_ray.queries.relational import drop_empty_blocks, topk
+
+    num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    e = _distinct_canonical_edges(edges_ds, src, dst).materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        ca = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        cb = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table({"src": pa.concat_arrays([ca, cb]),
+                         "dst": pa.concat_arrays([cb, ca])})
+
+    eb = e.map_batches(both, batch_format="pyarrow").materialize()
+
+    # deterministic pivot sample: the k smallest node ids
+    nodes = (eb.select_columns(["src"])
+             .groupby("src").aggregate(_Min("src", alias_name="__m"))
+             .select_columns(["src"]))
+    seeds = [r["src"] for r in topk(nodes, [("src", False)],
+                                    k_sources).take_all()]
+    node_type = pa.array(seeds).type if seeds else pa.string()
+    empty = rd.from_arrow(pa.table({
+        "entity": pa.array([], node_type),
+        "betweenness": pa.array([], pa.float64())}))
+    if not seeds:
+        return empty
+
+    def strip_seed_rows(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("entity"), t.column("seed"))
+        return t.filter(keep).select(["entity", "delta"])
+
+    # forward multi-source BFS: one frontier keyed (seed, entity)
+    levels = [rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, node_type),
+        "entity": pa.array(seeds, node_type),
+        "sigma": pa.array([1.0] * len(seeds), pa.float64()),
+    })).materialize()]
+    seen = levels[0]
+    for _ in range(max_depth):
+        cand = drop_empty_blocks(
+            eb.join(levels[-1], join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("src",), right_on=("entity",))
+            .map_batches(lambda t: pa.table({
+                "seed": t.column("seed"),
+                "entity": t.column("dst"),
+                "sigma": t.column("sigma")}),
+                batch_format="pyarrow"))
+        nxt = (cand.join(
+            seen.map_batches(lambda t: pa.table({
+                "__vs": t.column("seed"),
+                "__ve": t.column("entity"),
+                "__v": pa.array(np.ones(len(t), np.int64))}),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("seed", "entity"), right_on=("__vs", "__ve"))
+            .map_batches(lambda t: pa.table({
+                "seed": t.column("seed"),
+                "entity": t.column("entity"),
+                "sigma": t.column("sigma")}).filter(
+                    pc.is_null(t.column("__v"))),
+                batch_format="pyarrow"))
+        lvl = drop_empty_blocks(
+            nxt.groupby(["seed", "entity"])
+            .aggregate(_Sum("sigma", alias_name="sigma"))).materialize()
+        if not lvl.count():
+            break
+        levels.append(lvl)
+        seen = drop_empty_blocks(seen.union(lvl)).materialize()
+
+    # backward accumulation: deepest level starts at delta = 0
+    deltas = []
+    delta = levels[-1].map_batches(lambda t: pa.table({
+        "seed": t.column("seed"),
+        "entity": t.column("entity"),
+        "sigma": t.column("sigma"),
+        "delta": pa.array(np.zeros(len(t), np.float64))}),
+        batch_format="pyarrow").materialize()
+    if len(levels) > 1 and delta.count():
+        # deepest-level nodes carry zero dependency but must still
+        # appear in the output
+        deltas.append(delta.map_batches(strip_seed_rows,
+                                        batch_format="pyarrow"))
+    for d in range(len(levels) - 1, 0, -1):
+        # contributions flow across DAG edges (v at depth d-1, w at d):
+        # join edges against the deeper level's (sigma_w, delta_w), then
+        # against the shallower level's sigma_v — both per (seed, node)
+        up_l = drop_empty_blocks(
+            eb.join(delta.map_batches(lambda t: pa.table({
+                    "seed": t.column("seed"),
+                    "entity": t.column("entity"),
+                    "__sw": t.column("sigma"),
+                    "__dw": t.column("delta")}),
+                    batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=("dst",), right_on=("entity",))
+            .map_batches(lambda t: pa.table({
+                "seed": t.column("seed"),
+                "entity": t.column("src"),
+                "__sw": t.column("__sw"),
+                "__dw": t.column("__dw")}),
+                batch_format="pyarrow"))
+        up = up_l.join(
+            levels[d - 1].map_batches(lambda t: pa.table({
+                "__ls": t.column("seed"),
+                "__le": t.column("entity"),
+                "sigma": t.column("sigma")}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("seed", "entity"), right_on=("__ls", "__le"))
+        contrib = up.map_batches(lambda t: pa.table({
+            "seed": t.column("seed"),
+            "entity": t.column("entity"),
+            "__c": pc.multiply(
+                pc.divide(pc.cast(t.column("sigma"), pa.float64()),
+                          t.column("__sw")),
+                pc.add(t.column("__dw"), pa.scalar(1.0)))}),
+            batch_format="pyarrow")
+        agg = drop_empty_blocks(
+            contrib.groupby(["seed", "entity"])
+            .aggregate(_Sum("__c", alias_name="delta")))
+        delta = drop_empty_blocks(
+            levels[d - 1].join(
+                agg.map_batches(lambda t: pa.table({
+                    "__as": t.column("seed"),
+                    "__ae": t.column("entity"),
+                    "delta": t.column("delta")}),
+                    batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("seed", "entity"), right_on=("__as", "__ae"))
+            .map_batches(lambda t: pa.table({
+                "seed": t.column("seed"),
+                "entity": t.column("entity"),
+                "sigma": t.column("sigma"),
+                "delta": pc.fill_null(t.column("delta"), 0.0)}),
+                batch_format="pyarrow")).materialize()
+        if delta.count():
+            deltas.append(delta.map_batches(strip_seed_rows,
+                                            batch_format="pyarrow"))
+
+    if not deltas:
+        return empty
+    acc = deltas[0]
+    for dd in deltas[1:]:
+        acc = acc.union(dd)
+    scored = (acc.groupby("entity")
+              .aggregate(_Sum("delta", alias_name="__b"))
+              .map_batches(lambda t: pa.table({
+                  "entity": t.column("entity"),
+                  "betweenness": pc.round(
+                      pc.divide(t.column("__b"), pa.scalar(2.0)),
+                      ndigits=round_to)}), batch_format="pyarrow"))
+    return topk(scored, [("betweenness", True), ("entity", False)], topn)

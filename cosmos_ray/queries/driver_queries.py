@@ -7075,6 +7075,19 @@ FROM documents
 """
 
 
+def q_kg_betweenness(sf_dir: str):
+    """Sampled-source Brandes betweenness over the entity graph
+    (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
+    smallest entity ids — forward BFS sigma levels, backward dependency
+    joins, all node-bounded exchanges). Pivot-sampled scores have no
+    closed SQL form, so this query is pytest-gated (exact Brandes
+    reference on known graphs) rather than oracle-checked."""
+    from cosmos_ray.functions.graph import betweenness_sampled
+
+    return betweenness_sampled(_built_kg(sf_dir).adjacency,
+                               k_sources=4, max_depth=6, topn=20)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -7269,6 +7282,7 @@ QUERIES = {
     "isotonic_price_urgent": q_isotonic_price_urgent,
     "holt_hourly": q_holt_hourly,
     "ntile_chars": q_ntile_chars,
+    "kg_betweenness": q_kg_betweenness,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,

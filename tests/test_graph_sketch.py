@@ -594,3 +594,94 @@ class TestClusteringCoefficient:
             _edges([("x", "y", 1), ("y", "z", 1)])).to_pandas()
         assert (df["cc"] == 0.0).all()
         assert (df["triangles"] == 0).all()
+
+
+class TestBetweenness:
+    def test_path_graph_exact(self):
+        from cosmos_ray.functions.graph import betweenness_sampled
+
+        edges = pa.table({"src_entity": [0, 1, 2, 3],
+                          "dst_entity": [1, 2, 3, 4]})
+        out = (betweenness_sampled(rd.from_arrow(edges), k_sources=5,
+                                   max_depth=8, topn=5).to_pandas()
+               .set_index("entity"))
+        # all 5 sources sampled -> exact betweenness of the path P5
+        assert out.loc[2, "betweenness"] == 4.0
+        assert out.loc[1, "betweenness"] == 3.0
+        assert out.loc[3, "betweenness"] == 3.0
+        assert out.loc[0, "betweenness"] == 0.0
+
+    def test_star_graph_center_dominates(self):
+        from cosmos_ray.functions.graph import betweenness_sampled
+
+        # star: center 0, leaves 1..5; center betweenness = C(5,2) = 10
+        edges = pa.table({"src_entity": [0] * 5,
+                          "dst_entity": [1, 2, 3, 4, 5]})
+        out = (betweenness_sampled(rd.from_arrow(edges), k_sources=6,
+                                   max_depth=4, topn=6).to_pandas()
+               .set_index("entity"))
+        assert out.loc[0, "betweenness"] == 10.0
+        for leaf in range(1, 6):
+            assert out.loc[leaf, "betweenness"] == 0.0
+
+    def test_two_shortest_paths_split_credit(self):
+        from cosmos_ray.functions.graph import betweenness_sampled
+
+        # diamond 0-1-3, 0-2-3: nodes 1 and 2 each carry half of the
+        # single 0<->3 dependency => betweenness 0.5 each
+        edges = pa.table({"src_entity": [0, 0, 1, 2],
+                          "dst_entity": [1, 2, 3, 3]})
+        out = (betweenness_sampled(rd.from_arrow(edges), k_sources=4,
+                                   max_depth=4, topn=4).to_pandas()
+               .set_index("entity"))
+        # by symmetry EVERY C4 node carries 0.5 (each opposite pair's
+        # two shortest paths split through the other two nodes)
+        for v in range(4):
+            assert out.loc[v, "betweenness"] == 0.5
+
+    def test_sampled_subset_matches_restricted_direct(self):
+        from cosmos_ray.functions.graph import betweenness_sampled
+
+        # cycle C6; sources restricted to {0, 1}: compute the direct
+        # Brandes dependency sums for those two sources only
+        n = 6
+        edges = pa.table({"src_entity": list(range(n)),
+                          "dst_entity": [(i + 1) % n for i in range(n)]})
+        out = (betweenness_sampled(rd.from_arrow(edges), k_sources=2,
+                                   max_depth=6, topn=6).to_pandas()
+               .set_index("entity"))
+
+        def brandes_from(s):
+            import collections
+            adj = collections.defaultdict(list)
+            for i in range(n):
+                adj[i].append((i + 1) % n)
+                adj[(i + 1) % n].append(i)
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = [s]
+            q = [s]
+            while q:
+                v = q.pop(0)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                        order.append(w)
+                        sigma[w] = 0.0
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            delta = {v: 0.0 for v in order}
+            for w in reversed(order):
+                for v in adj[w]:
+                    if dist.get(v, -9) == dist[w] - 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            return {v: d for v, d in delta.items() if v != s}
+
+        want = {}
+        for s in (0, 1):
+            for v, d in brandes_from(s).items():
+                want[v] = want.get(v, 0.0) + d
+        for v in range(n):
+            assert abs(out.loc[v, "betweenness"]
+                       - round(want.get(v, 0.0) / 2.0, 6)) < 2e-6
