@@ -171,40 +171,57 @@ class MinHasher:
         return ph.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # per-doc signature (each is one vectorized (perm x shingles)
+        # matrix op — batching docs into a single matrix would allocate
+        # perm x total-shingles, a memory blowup at batch size); the
+        # fixed-size-list column is built from one flat buffer
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t) for t in texts]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
+        if not texts:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.uint64(), self.num_perm))})
+        sig_flat = np.concatenate([self.signature(t) for t in texts])
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig_flat, pa.uint64()), self.num_perm)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sig": sig_col})
+
+
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
 
 
 def _explode_bands(t: pa.Table, bands: int = 16) -> pa.Table:
-    """(doc_id, sig) -> (band_id, band_hash, doc_id): one row per band."""
-    import hashlib
-
-    ids = t.column("doc_id").to_pylist()
-    sigs = t.column("sig").to_pylist()
-    rows_per = None
-    o_band, o_hash, o_id = [], [], []
-    for did, sig in zip(ids, sigs):
-        rows_per = len(sig) // bands
-        for b in range(bands):
-            chunk = sig[b * rows_per : (b + 1) * rows_per]
-            h = hashlib.md5(("|".join(map(str, chunk))).encode()).hexdigest()[:16]
-            o_band.append(b)
-            o_hash.append(h)
-            o_id.append(did)
-    return pa.table(
-        {
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_hash": pa.array(o_hash, pa.string()),
-            "doc_id": pa.array(o_id, pa.int64()),
-        }
-    )
+    """(doc_id, sig) -> (band_id, band_hash, doc_id): one row per band.
+    The band hash is a vectorized 64-bit polynomial mix of the band's
+    signature lanes (native uint64 column) — candidates only need
+    band-hash EQUALITY, so any injective-enough mix works; collisions
+    are ~2^-64 and are removed by pair verification anyway."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n == 0:
+        return pa.table({"band_id": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.int64())})
+    sig = t.column("sig")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    num_perm = len(sig[0])
+    flat = np.asarray(sig.flatten(), dtype=np.uint64).reshape(n, num_perm)
+    rows_per = num_perm // bands
+    lanes = flat.reshape(n, bands, rows_per)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n, bands), np.uint64)
+        for j in range(rows_per):  # rows_per (8) vectorized passes
+            h = h * _BAND_MIX + lanes[:, :, j]
+            h ^= h >> np.uint64(29)
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                            pa.int32()),
+        "band_hash": pa.array(h.reshape(-1), pa.uint64()),
+        "doc_id": pa.array(np.repeat(ids.astype(np.int64), bands),
+                           pa.int64()),
+    })
 
 
 def minhash_signatures(docs_ds, num_perm: int = 128, concurrency: int | tuple = (1, 4)):
@@ -949,8 +966,8 @@ def _banded_bucketed(t: pa.Table, bands: int, n_buckets: int) -> pa.Table:
     an in-data band id (`bid`) — hive partitioning strips partition
     columns from the files, and candidates must match on band position."""
     b = _explode_bands(t, bands)
-    bucket = np.array([int(h, 16) % n_buckets
-                       for h in b.column("band_hash").to_pylist()], np.int64)
+    bucket = (b.column("band_hash").to_numpy(zero_copy_only=False)
+              % np.uint64(n_buckets)).astype(np.int64)
     return pa.table({
         "band_id": b.column("band_id").cast(pa.int64()),
         "bucket": pa.array(bucket, pa.int64()),

@@ -526,6 +526,9 @@ def self_join_pairs(ds, keys: list[str], id_col: str, payload_cols: list[str] | 
         g = g.drop(columns="__bucket")
         sizes = g.groupby(keys, sort=False)[id_col].transform("size")
         if (sizes > max_group).any():
+            # deterministic truncation: keep the max_group SMALLEST ids
+            # per group (block arrival order varies run to run)
+            g = g.sort_values(id_col, kind="stable")
             g = g[
                 g.groupby(keys, sort=False).cumcount() < max_group
             ]

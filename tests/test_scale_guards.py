@@ -35,12 +35,17 @@ ALLOWED = {
     "functions/bpe.py": 1,            # word-frequency model table
     "functions/embed.py": 2,          # vocab + co-occurrence partials
     "functions/lm.py": 1,             # bigram model table
-    "functions/stats.py": 3,          # worker-local Table.to_pandas inside
+    "functions/stats.py": 5,          # worker-local Table.to_pandas inside
                                       # grouped_corr/value_histogram partials
                                       # + markov_stationary's model-sized
                                       # transition-count table (states², tiny)
+                                      # + logrank_test's two worker-local
+                                      # conversions (batch partial combiner;
+                                      # distinct-duration finish table)
                                       # — ratchet equals the audited count,
                                       # no slack for unaudited new pulls
+    "functions/graph.py": 1,          # betweenness pivot seeds: k_sources
+                                      # rows by construction (topk.take_all)
     "state/copartition.py": 4,        # worker-local bucket reads inside
                                       # join_bucket (+ typed-empty fallback)
     "functions/similarity.py": 3,     # seeded centroid samples (capped n)
@@ -50,7 +55,6 @@ ALLOWED = {
     "functions/retrieval.py": 0,      # df via .sum() combiner only
     "functions/windows.py": 0,
     "functions/temporal.py": 0,
-    "functions/graph.py": 0,
     "functions/validate.py": 0,
     "functions/geometry.py": 0,
     # relational.py hosts collect_small itself (the guard) + topk merge
