@@ -1218,3 +1218,104 @@ def betweenness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 6,
                       pc.divide(t.column("__b"), pa.scalar(2.0)),
                       ndigits=round_to)}), batch_format="pyarrow"))
     return topk(scored, [("betweenness", True), ("entity", False)], topn)
+
+
+# ------------------------------------------------- closeness centrality
+def closeness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 4,
+                      src: str = "src_entity", dst: str = "dst_entity"):
+    """Sampled harmonic closeness centrality: for each of the
+    ``k_sources`` smallest node ids (the deterministic pivot sample
+    shared with `betweenness_sampled`), C(s) = sum over nodes v != s
+    reachable within ``max_depth`` unweighted hops of 1/d(s, v), plus
+    the reach count. Reference analog: the entity-importance passes the
+    Cosmos ES graph serves (`elastic_retriever.py:143-159` adjacency
+    consumption); harmonic closeness is the textbook disconnected-safe
+    closeness.
+
+    Exactness contract: per-level reciprocal contributions accumulate as
+    INTEGERS scaled by lcm(1..max_depth) (each level-h node contributes
+    lcm // h) and the scale is divided out ONCE at the end — one float64
+    division of the same integer on both the engine and the SQL-oracle
+    side, so hashes match bit-for-bit.
+
+    Scale shape: ALL seeds advance in one composite-key (seed, entity)
+    BFS frontier — O(max_depth) rounds independent of k, each one hash
+    join of the node-bounded undirected edge list against the frontier
+    plus an anti-join against the seen set (the `betweenness_sampled`
+    forward phase without sigma); per-level counts cross as k rows.
+    -> (entity, n_reached, closeness), ordered by entity."""
+    import math
+
+    from cosmos_ray.queries.relational import drop_empty_blocks, topk
+
+    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    e = _distinct_canonical_edges(edges_ds, src, dst)
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        ca = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        cb = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table({"src": pa.concat_arrays([ca, cb]),
+                         "dst": pa.concat_arrays([cb, ca])})
+
+    eb = e.map_batches(both, batch_format="pyarrow").materialize()
+
+    nodes = (eb.select_columns(["src"])
+             .groupby("src").aggregate(Min("src", alias_name="__m"))
+             .select_columns(["src"]))
+    seeds = [r["src"] for r in topk(nodes, [("src", False)],
+                                    k_sources).take_all()]
+    node_type = pa.array(seeds).type if seeds else pa.string()
+    if not seeds:
+        return rd.from_arrow(pa.table({
+            "entity": pa.array([], node_type),
+            "n_reached": pa.array([], pa.int64()),
+            "closeness": pa.array([], pa.float64())}))
+
+    lcm = math.lcm(*range(1, max_depth + 1))
+    frontier = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, node_type),
+        "entity": pa.array(seeds, node_type)})).materialize()
+    seen = frontier
+    # per-seed accumulators (k-bounded driver state, like the seed list)
+    n_reached = {s: 0 for s in seeds}
+    scaled = {s: 0 for s in seeds}
+    for h in range(1, max_depth + 1):
+        cand = drop_empty_blocks(
+            eb.join(frontier, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("src",), right_on=("entity",))
+            .map_batches(lambda t: pa.table({
+                "seed": t.column("seed"),
+                "entity": t.column("dst")}), batch_format="pyarrow")
+            .groupby(["seed", "entity"])
+            .aggregate(Min("seed", alias_name="__m"))
+            .select_columns(["seed", "entity"]))
+        nxt = (cand.join(
+            seen.map_batches(lambda t: pa.table({
+                "__vs": t.column("seed"),
+                "__ve": t.column("entity"),
+                "__v": pa.array(np.ones(len(t), np.int64))}),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("seed", "entity"), right_on=("__vs", "__ve"))
+            .map_batches(lambda t: pa.table({
+                "seed": t.column("seed"),
+                "entity": t.column("entity")}).filter(
+                    pc.is_null(t.column("__v"))),
+                batch_format="pyarrow"))
+        frontier = drop_empty_blocks(nxt).materialize()
+        if not frontier.count():
+            break
+        from ray.data.aggregate import Count as _Count
+        lvl_counts = (frontier.groupby("seed")
+                      .aggregate(_Count(alias_name="__n")).take_all())
+        for r in lvl_counts:  # k rows
+            n_reached[r["seed"]] += int(r["__n"])
+            scaled[r["seed"]] += int(r["__n"]) * (lcm // h)
+        seen = drop_empty_blocks(seen.union(frontier)).materialize()
+    return rd.from_arrow(pa.table({
+        "entity": pa.array(seeds, node_type),
+        "n_reached": pa.array([n_reached[s] for s in seeds], pa.int64()),
+        "closeness": pa.array([scaled[s] / float(lcm) for s in seeds],
+                              pa.float64())}).sort_by("entity"))

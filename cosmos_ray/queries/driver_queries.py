@@ -7075,6 +7075,64 @@ FROM documents
 """
 
 
+def q_token_dense_rank(sf_dir: str):
+    """Docs holding the top-2 DENSE ranks of token count per language —
+    dense_rank with a COUNTED exchange: only DISTINCT (lang, n_tokens)
+    values cross the shuffle and are ranked in-group (value-bounded
+    traffic, the `group_quantiles_counted` shape — a hot language's
+    billion rows contribute at most its distinct token counts), then the
+    <=2-per-lang winning values broadcast back as a lookup; the doc rows
+    themselves never shuffle."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import (bucketed_group_apply,
+                                               join_or_broadcast)
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t.column("text"), " "))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_tokens": ntok.cast(pa.int64()),
+        })
+
+    tok = docs.map_batches(toks, batch_format="pyarrow")
+    distinct = (tok.groupby(["lang", "n_tokens"])
+                .aggregate(Count(alias_name="__n")).drop_columns(["__n"]))
+
+    def rk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_tokens", ascending=False, kind="stable")
+        g = g.assign(drank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[g["drank"] <= 2]
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("lang").cast(pa.string()),
+            t.column("n_tokens").cast(pa.string()), "\x1f")
+        return t.append_column("__k", k)
+
+    winners = (bucketed_group_apply(distinct, ["lang"], rk)
+               .map_batches(keyed, batch_format="pyarrow")
+               .select_columns(["__k", "drank"]))
+    out = join_or_broadcast(
+        tok.map_batches(keyed, batch_format="pyarrow"),
+        winners, key="__k", add_cols=["drank"])
+    return out.select_columns(["doc_id", "lang", "n_tokens", "drank"])
+
+
+SQL_TOKEN_DENSE_RANK = """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, n_tokens,
+       dense_rank() OVER (PARTITION BY lang
+                          ORDER BY n_tokens DESC) AS drank
+FROM t QUALIFY drank <= 2
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7086,6 +7144,68 @@ def q_kg_betweenness(sf_dir: str):
 
     return betweenness_sampled(_built_kg(sf_dir).adjacency,
                                k_sources=4, max_depth=6, topn=20)
+
+
+def q_kg_closeness(sf_dir: str):
+    """Sampled harmonic closeness centrality from the 4 smallest entity
+    ids (`graph.closeness_sampled`: one composite-key (seed, entity) BFS
+    frontier for all seeds, hop-bounded at 4; reciprocal contributions
+    accumulate as lcm-scaled INTEGERS and divide once at the end, so the
+    unrolled-BFS SQL oracle matches bit-for-bit)."""
+    from cosmos_ray.functions.graph import closeness_sampled
+
+    return closeness_sampled(_built_kg(sf_dir).adjacency,
+                             k_sources=4, max_depth=4)
+
+
+def _sql_kg_closeness(k_sources: int = 4, max_depth: int = 4) -> str:
+    """Unrolled multi-source BFS replay: per hop one frontier-expand CTE
+    (join the undirected simple edge list) + one anti-join against the
+    seen set; harmonic sum as integer lcm/hop contributions."""
+    import math
+
+    lcm = math.lcm(*range(1, max_depth + 1))
+    parts = [_SQL_ADJ_CTE, f"""
+, e AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM adj WHERE src <> dst)
+, und AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)
+, sd AS MATERIALIZED (
+    SELECT DISTINCT src AS seed FROM und ORDER BY seed LIMIT {k_sources})
+, l0 AS MATERIALIZED (SELECT seed, seed AS entity FROM sd)
+, seen0 AS MATERIALIZED (SELECT seed, entity FROM l0)
+"""]
+    for i in range(1, max_depth + 1):
+        parts.append(f"""
+, l{i} AS MATERIALIZED (
+    SELECT DISTINCT c.seed, c.entity FROM (
+      SELECT l.seed, u.dst AS entity
+      FROM l{i - 1} l JOIN und u ON u.src = l.entity) c
+    LEFT JOIN seen{i - 1} s ON s.seed = c.seed AND s.entity = c.entity
+    WHERE s.seed IS NULL)
+, seen{i} AS MATERIALIZED (
+    SELECT seed, entity FROM seen{i - 1}
+    UNION ALL SELECT seed, entity FROM l{i})
+""")
+    reach = "\nUNION ALL ".join(
+        f"SELECT seed, {lcm // i} AS c FROM l{i}"
+        for i in range(1, max_depth + 1))
+    parts.append(f"""
+, r AS ({reach})
+, agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+                 CAST(sum(c) AS BIGINT) AS tot
+          FROM r GROUP BY seed)
+SELECT sd.seed AS entity,
+       COALESCE(agg.n_reached, 0) AS n_reached,
+       COALESCE(agg.tot, 0) / {float(lcm)} AS closeness
+FROM sd LEFT JOIN agg ON agg.seed = sd.seed
+ORDER BY entity
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_CLOSENESS = _sql_kg_closeness()
 
 
 QUERIES = {
@@ -7283,6 +7403,8 @@ QUERIES = {
     "holt_hourly": q_holt_hourly,
     "ntile_chars": q_ntile_chars,
     "kg_betweenness": q_kg_betweenness,
+    "kg_closeness": q_kg_closeness,
+    "token_dense_rank": q_token_dense_rank,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7466,6 +7588,8 @@ ORACLES = {
     "kg_degree": SQL_KG_DEGREE,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
+    "kg_closeness": SQL_KG_CLOSENESS,
+    "token_dense_rank": SQL_TOKEN_DENSE_RANK,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,

@@ -685,3 +685,53 @@ class TestBetweenness:
         for v in range(n):
             assert abs(out.loc[v, "betweenness"]
                        - round(want.get(v, 0.0) / 2.0, 6)) < 2e-6
+
+
+class TestCloseness:
+    def test_path_graph_exact(self):
+        from cosmos_ray.functions.graph import closeness_sampled
+
+        # path 0-1-2-3-4: from node 0, d = 1,2,3,4 -> C = 1 + 1/2 + 1/3 + 1/4
+        edges = pa.table({"src_entity": pa.array([0, 1, 2, 3], pa.int64()),
+                          "dst_entity": pa.array([1, 2, 3, 4], pa.int64()),
+                          "weight": pa.array([1, 1, 1, 1], pa.int64())})
+        out = (closeness_sampled(rd.from_arrow(edges), k_sources=5,
+                                 max_depth=4)
+               .to_pandas().set_index("entity"))
+        assert len(out) == 5
+        assert out.loc[0, "n_reached"] == 4
+        # lcm-scaled integer sum divided once: (12 + 6 + 4 + 3) / 12
+        assert out.loc[0, "closeness"] == 25 / 12
+        # middle node reaches everything within 2 hops
+        assert out.loc[2, "closeness"] == 1 + 1 + 1 / 2 + 1 / 2
+        assert out.loc[2, "n_reached"] == 4
+
+    def test_hop_bound_truncates(self):
+        from cosmos_ray.functions.graph import closeness_sampled
+
+        # path 0-1-2-3: depth 1 sees only direct neighbours
+        edges = pa.table({"src_entity": pa.array([0, 1, 2], pa.int64()),
+                          "dst_entity": pa.array([1, 2, 3], pa.int64()),
+                          "weight": pa.array([1, 1, 1], pa.int64())})
+        out = (closeness_sampled(rd.from_arrow(edges), k_sources=4,
+                                 max_depth=1)
+               .to_pandas().set_index("entity"))
+        assert out["n_reached"].tolist() == [1, 2, 2, 1]
+        assert out["closeness"].tolist() == [1.0, 2.0, 2.0, 1.0]
+
+    def test_disconnected_and_duplicate_edges(self):
+        from cosmos_ray.functions.graph import closeness_sampled
+
+        # two components {a,b}, {c,d,e}; duplicate + reversed + self edges
+        # must collapse to the simple graph
+        edges = pa.table({
+            "src_entity": pa.array(["a", "b", "a", "c", "d", "e", "c"]),
+            "dst_entity": pa.array(["b", "a", "a", "d", "e", "c", "c"]),
+            "weight": pa.array([1, 5, 2, 1, 1, 1, 9], pa.int64())})
+        out = (closeness_sampled(rd.from_arrow(edges), k_sources=3,
+                                 max_depth=4)
+               .to_pandas().set_index("entity"))
+        assert sorted(out.index) == ["a", "b", "c"]
+        assert out.loc["a", "n_reached"] == 1 and out.loc["a", "closeness"] == 1.0
+        # c-d-e is a triangle: both d and e at distance 1
+        assert out.loc["c", "n_reached"] == 2 and out.loc["c", "closeness"] == 2.0
