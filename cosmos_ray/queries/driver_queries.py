@@ -7133,6 +7133,108 @@ FROM t QUALIFY drank <= 2
 """
 
 
+def q_docs_evolved_union(sf_dir: str):
+    """Schema-evolution read (`sources/evolution.py`): documents are
+    re-written as three crawl GENERATIONS with diverging physical
+    schemas — gen0 (doc_id:int32, text), gen1 (+lang), gen2 (all columns
+    + a new ``rev`` column) — then read back as ONE dataset via
+    ``read_parquet_evolved`` (union-by-name + int widening + typed-null
+    fill, per-schema-group distributed reads) and aggregated per
+    language. The oracle replays the generation split in SQL, so a
+    wrong cast, dropped column, or misfilled null changes the hash."""
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from cosmos_ray.sources.evolution import read_parquet_evolved
+
+    docs = read(sf_dir, "documents",
+                ["doc_id", "text", "lang", "source", "n_chars"])
+    base = tempfile.mkdtemp(prefix="evolved_", dir="/tmp")
+    dirs = [os.path.join(base, f"gen{i}") for i in range(3)]
+    for d in dirs:
+        os.makedirs(d, exist_ok=True)
+
+    def split(g: int, cols_fn):
+        def f(t: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                t.column("doc_id"),
+                pc.multiply(pc.divide(t.column("doc_id"), pa.scalar(3)),
+                            pa.scalar(3)))
+            return cols_fn(t.filter(pc.equal(mod, g)))
+
+        return f
+
+    docs.map_batches(split(0, lambda t: pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int32()),
+        "text": t.column("text")})), batch_format="pyarrow"
+    ).write_parquet(dirs[0])
+    docs.map_batches(split(1, lambda t: pa.table({
+        "doc_id": t.column("doc_id"),
+        "text": t.column("text"),
+        "lang": t.column("lang")})), batch_format="pyarrow"
+    ).write_parquet(dirs[1])
+    docs.map_batches(split(2, lambda t: pa.table({
+        "doc_id": t.column("doc_id"),
+        "text": t.column("text"),
+        "lang": t.column("lang"),
+        "source": t.column("source"),
+        "n_chars": t.column("n_chars"),
+        "rev": pc.binary_join_element_wise(
+            pa.array(["r"] * len(t)), t.column("doc_id").cast(pa.string()),
+            "")})), batch_format="pyarrow"
+    ).write_parquet(dirs[2])
+
+    ev = read_parquet_evolved(dirs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        lang_k = (t.column("lang").cast(pa.string()).fill_null("??")
+                  if "lang" in t.column_names
+                  else pa.array(["??"] * len(t)))
+        n_chars = (t.column("n_chars").fill_null(0)
+                   if "n_chars" in t.column_names
+                   else pa.array([0] * len(t), pa.int64()))
+        rev_ok = (pc.is_valid(t.column("rev")).cast(pa.int64())
+                  if "rev" in t.column_names
+                  else pa.array([0] * len(t), pa.int64()))
+        df = pd_.DataFrame({
+            "lang_k": lang_k.to_pandas() if hasattr(lang_k, "to_pandas")
+            else lang_k,
+            "sum_chars": n_chars.to_pandas() if hasattr(n_chars, "to_pandas")
+            else n_chars,
+            "n_rev": rev_ok.to_pandas() if hasattr(rev_ok, "to_pandas")
+            else rev_ok})
+        g = df.groupby("lang_k", as_index=False).agg(
+            n_docs=("sum_chars", "size"), sum_chars=("sum_chars", "sum"),
+            n_rev=("n_rev", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang_k")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"),
+                       Sum("n_rev", alias_name="n_rev")))
+
+
+SQL_DOCS_EVOLVED_UNION = """
+WITH ev AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 3 = 2 THEN n_chars END AS n_chars,
+         CASE WHEN doc_id % 3 = 2
+              THEN 'r' || CAST(doc_id AS VARCHAR) END AS rev
+  FROM documents)
+SELECT COALESCE(lang, '??') AS lang_k,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars,
+       CAST(count(rev) AS BIGINT) AS n_rev
+FROM ev GROUP BY 1
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7405,6 +7507,7 @@ QUERIES = {
     "kg_betweenness": q_kg_betweenness,
     "kg_closeness": q_kg_closeness,
     "token_dense_rank": q_token_dense_rank,
+    "docs_evolved_union": q_docs_evolved_union,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7590,6 +7693,7 @@ ORACLES = {
     "kg_kcore": SQL_KG_KCORE,
     "kg_closeness": SQL_KG_CLOSENESS,
     "token_dense_rank": SQL_TOKEN_DENSE_RANK,
+    "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
