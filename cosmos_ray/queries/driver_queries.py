@@ -7265,6 +7265,43 @@ WHERE user_id BETWEEN 0 AND (SELECT max(user_id) // 3 FROM events)
 """
 
 
+def q_fingerprint_lookup(sf_dir: str):
+    """Content-addressed point lookup via the file-level BLOOM index
+    (`state/bloom_index.py`): documents are written in crawl order (no
+    sort), a per-file bloom manifest is built over the md5 fingerprint
+    column in one distributed column-pruned pass, and the probe (the
+    middle doc's fingerprint) opens only bloom-hit files + an exact
+    equality residual — point pruning on a column zone maps can't serve
+    (high-cardinality, unclustered). Oracle: the same md5 equality over
+    the raw table."""
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Max
+
+    from cosmos_ray.functions.textops import fingerprints
+    from cosmos_ray.state.bloom_index import build_bloom_index, read_point
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    fps = fingerprints(docs)
+    store = os.path.join(tempfile.mkdtemp(prefix="bloomidx_", dir="/tmp"),
+                         "docs_fp")
+    os.makedirs(store, exist_ok=True)
+    fps.repartition(16).write_parquet(store)
+    build_bloom_index(store, "fingerprint")
+    probe_id = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"]) // 2
+    probe_fp = (fps.filter(lambda r: r["doc_id"] == probe_id)
+                .take_all()[0]["fingerprint"])  # one bounded row
+    return read_point(store, "fingerprint", probe_fp)
+
+
+SQL_FINGERPRINT_LOOKUP = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+WHERE md5(text) = (SELECT md5(text) FROM documents
+                   WHERE doc_id = (SELECT max(doc_id) // 2 FROM documents))
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7539,6 +7576,7 @@ QUERIES = {
     "token_dense_rank": q_token_dense_rank,
     "docs_evolved_union": q_docs_evolved_union,
     "events_box_scan": q_events_box_scan,
+    "fingerprint_lookup": q_fingerprint_lookup,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7726,6 +7764,7 @@ ORACLES = {
     "token_dense_rank": SQL_TOKEN_DENSE_RANK,
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
+    "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,

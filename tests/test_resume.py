@@ -328,3 +328,62 @@ def test_zorder_beats_single_column_sort_on_second_dim(ray_session, tmp_path):
     for p in _glob.glob(sdir + "/*.parquet"):
         ycol = pq.read_table(p, columns=["y"]).column("y")
         assert ycol.to_pylist()[0] is not None
+
+
+def test_bloom_index_point_lookup_prunes_and_stays_exact(ray_session, tmp_path):
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from cosmos_ray.state.bloom_index import (build_bloom_index,
+                                              lookup_files, read_point)
+
+    store = str(tmp_path / "bstore")
+    import os as _os
+    _os.makedirs(store)
+    # 8 files with DISJOINT key sets (file-local values: the layout
+    # blooms exist for) + one duplicated key spanning two files
+    for i in range(8):
+        keys = [f"k{i}_{j}" for j in range(200)]
+        if i in (2, 5):
+            keys.append("shared")
+        pq.write_table(pa.table({
+            "fp": pa.array(keys, pa.string()),
+            "payload": pa.array(list(range(len(keys))), pa.int64())}),
+            f"{store}/part_{i}.parquet")
+    m = build_bloom_index(store, "fp")
+    n_files = len(_glob.glob(store + "/*.parquet"))
+    assert len(m["files"]) == n_files == 8
+    # a file-local key: bloom must open far fewer than all files
+    hit = lookup_files(store, "fp", "k3_17")
+    assert "part_3.parquet" in hit and len(hit) < n_files
+    got = read_point(store, "fp", "k3_17").to_pandas()
+    assert got["fp"].tolist() == ["k3_17"]
+    # a key present in two files: BOTH must be found (no false negatives)
+    got2 = read_point(store, "fp", "shared").to_pandas()
+    assert len(got2) == 2
+    # an absent key: empty result, schema intact
+    empty = read_point(store, "fp", "nope")
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"fp", "payload"}
+
+
+def test_bloom_index_integer_keys(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.state.bloom_index import build_bloom_index, read_point
+
+    store = str(tmp_path / "bint")
+    import os as _os
+    _os.makedirs(store)
+    for i in range(4):
+        pq.write_table(pa.table({
+            "k": pa.array(range(i * 100, (i + 1) * 100), pa.int64())}),
+            f"{store}/part_{i}.parquet")
+    build_bloom_index(store, "k")
+    got = read_point(store, "k", 250).to_pandas()
+    assert got["k"].tolist() == [250]
