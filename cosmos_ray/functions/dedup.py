@@ -41,6 +41,29 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def hashed_winner_ids(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Min-id winner per distinct text with a DIGEST-ONLY exchange:
+    (md5(text), id) crosses the shuffle, never the payload. The id-set
+    building block of ``exact_dedup_hashed``, reusable wherever only the
+    winner ids are needed (e.g. the curation semi-join)."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table({"__h": pa.array(hs, pa.string()), id_col: t.column(id_col)})
+
+    return (
+        docs_ds.select_columns([id_col, text_col])
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("__h")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
 def exact_dedup_hashed(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                        cap_rows: int = 50_000_000):
     """Scale variant of ``exact_dedup``: the exchange moves (md5(text),
@@ -48,24 +71,9 @@ def exact_dedup_hashed(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     rows are fetched back by id with the size-guarded semi-join (128-bit
     collision probability is negligible; a paranoid deployment verifies
     winners' texts in a second grouped pass)."""
-    import hashlib
-
-    from ray.data.aggregate import Min
-
     from cosmos_ray.queries.relational import semi_join_ds
 
-    def hash_batch(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
-        return pa.table({"__h": pa.array(hs, pa.string()), id_col: t.column(id_col)})
-
-    winners = (
-        docs_ds.select_columns([id_col, text_col])
-        .map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("__h")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
-    )
+    winners = hashed_winner_ids(docs_ds, text_col, id_col)
     return semi_join_ds(
         docs_ds.select_columns([id_col, text_col]), winners,
         key_col=id_col, big_key=id_col, cap_rows=cap_rows,

@@ -71,11 +71,11 @@ def curate_documents(docs_ds, lang: str = "en", per_source: int = 20,
     (text, id) only; quality+language run BEFORE the semi-join so the
     join's big side is already thinned; text is dropped the moment the
     last text-consuming stage has run."""
-    from cosmos_ray.functions.dedup import exact_dedup
+    from cosmos_ray.functions.dedup import hashed_winner_ids
     from cosmos_ray.queries.relational import semi_join_ds, stratified_sample
 
-    winners = exact_dedup(docs_ds, text_col="text", id_col="doc_id").select_columns(
-        ["doc_id"])
+    # digest-only dedup exchange: only (md5, id) shuffles, never text
+    winners = hashed_winner_ids(docs_ds, text_col="text", id_col="doc_id")
 
     thinned = (
         docs_ds.select_columns(["doc_id", "text", "source"])
