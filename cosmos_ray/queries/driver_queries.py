@@ -7302,6 +7302,69 @@ WHERE md5(text) = (SELECT md5(text) FROM documents
 """
 
 
+def q_user_event_types(sf_dir: str):
+    """Per-user DISTINCT-set aggregate (SQL array_agg(DISTINCT ... ORDER
+    BY) / collect_set): the sorted distinct event types each user has
+    produced, emitted as a canonical comma-joined string + count. Scale
+    shape: the exchange carries DISTINCT (user, type) pairs (one
+    combiner groupby — bounded by user x type-vocabulary, not events),
+    then a tiny per-user assembly."""
+    from ray.data.aggregate import Count as _Count
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = (ev.groupby(["user_id", "event_type"])
+             .aggregate(_Count(alias_name="__n")).drop_columns(["__n"]))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values("event_type", kind="stable").groupby(
+            "user_id", sort=False)["event_type"]
+        return pd.DataFrame({
+            "user_id": s.agg("first").index.to_numpy(),
+            "n_types": s.size().to_numpy().astype(np.int64),
+            "types": s.agg(",".join).to_numpy()})
+
+    return bucketed_group_apply(pairs, ["user_id"], assemble)
+
+
+SQL_USER_EVENT_TYPES = """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+FROM events GROUP BY user_id
+"""
+
+
+def q_dedup_consecutive(sf_dir: str):
+    """Consecutive-duplicate removal per user stream (the event-log
+    cleanup / run-length compaction op): keep each event whose type
+    differs from the SAME user's previous event in (ts, event_id) order.
+    One user-hash exchange, vectorized shift compare in-bucket."""
+    from cosmos_ray.functions.windows import _bucketed_by_user
+
+    ev = read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def keep_changes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        out = g[(prev.isna()) | (g["event_type"] != prev)]
+        return out[["user_id", "event_id", "event_type"]]
+
+    return _bucketed_by_user(ev, keep_changes)
+
+
+SQL_DEDUP_CONSECUTIVE = """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, event_id, event_type FROM r
+WHERE prev IS NULL OR event_type <> prev
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7577,6 +7640,8 @@ QUERIES = {
     "docs_evolved_union": q_docs_evolved_union,
     "events_box_scan": q_events_box_scan,
     "fingerprint_lookup": q_fingerprint_lookup,
+    "user_event_types": q_user_event_types,
+    "dedup_consecutive": q_dedup_consecutive,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7765,6 +7830,8 @@ ORACLES = {
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
+    "user_event_types": SQL_USER_EVENT_TYPES,
+    "dedup_consecutive": SQL_DEDUP_CONSECUTIVE,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
