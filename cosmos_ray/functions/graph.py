@@ -1040,6 +1040,37 @@ def reciprocity(edges_ds, src: str = "src_entity", dst: str = "dst_entity",
 
 
 # ------------------------------------------------ betweenness (sampled)
+def _undirected_expanded(edges_ds, src: str, dst: str):
+    """Materialized (src, dst) table holding BOTH directions of the
+    distinct simple undirected graph — the shared BFS substrate of
+    `betweenness_sampled` / `closeness_sampled`."""
+    e = _distinct_canonical_edges(edges_ds, src, dst)
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        ca = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        cb = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table({"src": pa.concat_arrays([ca, cb]),
+                         "dst": pa.concat_arrays([cb, ca])})
+
+    return e.map_batches(both, batch_format="pyarrow").materialize()
+
+
+def _smallest_k_seeds(eb, k: int):
+    """Deterministic pivot sample — the k smallest node ids of the
+    expanded edge table — plus the node id arrow type."""
+    from ray.data.aggregate import Min as _Min
+
+    from cosmos_ray.queries.relational import topk
+
+    nodes = (eb.select_columns(["src"])
+             .groupby("src").aggregate(_Min("src", alias_name="__m"))
+             .select_columns(["src"]))
+    seeds = [r["src"] for r in topk(nodes, [("src", False)], k).take_all()]
+    node_type = pa.array(seeds).type if seeds else pa.string()
+    return seeds, node_type
+
+
 def betweenness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 6,
                         src: str = "src_entity", dst: str = "dst_entity",
                         topn: int = 20, round_to: int = 6):
@@ -1068,24 +1099,8 @@ def betweenness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 6,
     from cosmos_ray.queries.relational import drop_empty_blocks, topk
 
     num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    e = _distinct_canonical_edges(edges_ds, src, dst).materialize()
-
-    def both(t: pa.Table) -> pa.Table:
-        a, b = t.column("a"), t.column("b")
-        ca = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-        cb = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
-        return pa.table({"src": pa.concat_arrays([ca, cb]),
-                         "dst": pa.concat_arrays([cb, ca])})
-
-    eb = e.map_batches(both, batch_format="pyarrow").materialize()
-
-    # deterministic pivot sample: the k smallest node ids
-    nodes = (eb.select_columns(["src"])
-             .groupby("src").aggregate(_Min("src", alias_name="__m"))
-             .select_columns(["src"]))
-    seeds = [r["src"] for r in topk(nodes, [("src", False)],
-                                    k_sources).take_all()]
-    node_type = pa.array(seeds).type if seeds else pa.string()
+    eb = _undirected_expanded(edges_ds, src, dst)
+    seeds, node_type = _smallest_k_seeds(eb, k_sources)
     empty = rd.from_arrow(pa.table({
         "entity": pa.array([], node_type),
         "betweenness": pa.array([], pa.float64())}))
@@ -1246,26 +1261,11 @@ def closeness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 4,
     -> (entity, n_reached, closeness), ordered by entity."""
     import math
 
-    from cosmos_ray.queries.relational import drop_empty_blocks, topk
+    from cosmos_ray.queries.relational import drop_empty_blocks
 
     num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    e = _distinct_canonical_edges(edges_ds, src, dst)
-
-    def both(t: pa.Table) -> pa.Table:
-        a, b = t.column("a"), t.column("b")
-        ca = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-        cb = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
-        return pa.table({"src": pa.concat_arrays([ca, cb]),
-                         "dst": pa.concat_arrays([cb, ca])})
-
-    eb = e.map_batches(both, batch_format="pyarrow").materialize()
-
-    nodes = (eb.select_columns(["src"])
-             .groupby("src").aggregate(Min("src", alias_name="__m"))
-             .select_columns(["src"]))
-    seeds = [r["src"] for r in topk(nodes, [("src", False)],
-                                    k_sources).take_all()]
-    node_type = pa.array(seeds).type if seeds else pa.string()
+    eb = _undirected_expanded(edges_ds, src, dst)
+    seeds, node_type = _smallest_k_seeds(eb, k_sources)
     if not seeds:
         return rd.from_arrow(pa.table({
             "entity": pa.array([], node_type),

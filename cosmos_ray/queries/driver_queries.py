@@ -7283,15 +7283,19 @@ def q_fingerprint_lookup(sf_dir: str):
     from cosmos_ray.state.bloom_index import build_bloom_index, read_point
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
-    fps = fingerprints(docs)
+    # materialized ONCE: the md5 pass feeds the store write AND the
+    # probe filter without re-executing its lineage
+    fps = fingerprints(docs).materialize()
     store = os.path.join(tempfile.mkdtemp(prefix="bloomidx_", dir="/tmp"),
                          "docs_fp")
     os.makedirs(store, exist_ok=True)
     fps.repartition(16).write_parquet(store)
     build_bloom_index(store, "fingerprint")
     probe_id = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"]) // 2
-    probe_fp = (fps.filter(lambda r: r["doc_id"] == probe_id)
-                .take_all()[0]["fingerprint"])  # one bounded row
+    probe_fp = (fps.map_batches(
+        lambda t: t.filter(pc.equal(t.column("doc_id"),
+                                    pa.scalar(probe_id))),
+        batch_format="pyarrow").take_all()[0]["fingerprint"])  # one row
     return read_point(store, "fingerprint", probe_fp)
 
 

@@ -150,10 +150,29 @@ def _bloom_indices(vals: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
 
 
 def _key_np(col) -> np.ndarray:
+    """Hashing-canonical numpy view of a key column: integers widen to
+    int64 and floats to float64 BEFORE hashing, so the same key value
+    hashes identically regardless of the column's physical width
+    (pd.util.hash_array(int32(x)) != hash_array(int64(x)) otherwise —
+    a bloom false-negative source when two tables or a probe disagree
+    on width)."""
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if pa.types.is_integer(a.type) or pa.types.is_floating(a.type):
-        return a.to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(a.type):
+        return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(a.type):
+        return a.cast(pa.float64()).to_numpy(zero_copy_only=False)
     return np.asarray(a.cast(pa.string()).to_pylist(), dtype=object)
+
+
+def _key_np_scalar(value) -> np.ndarray:
+    """One-element probe array in the same canonical dtype `_key_np`
+    hashes (int64 / float64 / object-string)."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        return np.asarray([str(value) if not isinstance(value, str) else value],
+                          dtype=object)
+    if isinstance(value, int):
+        return np.asarray([value], dtype=np.int64)
+    return np.asarray([value], dtype=np.float64)
 
 
 def build_bloom(keys_ds, key_col: str, m_bits: int = 1 << 23,

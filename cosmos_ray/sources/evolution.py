@@ -62,8 +62,12 @@ def _widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if binaryish(a) and binaryish(b):
         return pa.binary()
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
-        tz = a.tz if a.tz == b.tz else None
-        return pa.timestamp("us", tz=tz)
+        if a.tz != b.tz:
+            # naive wall-clock vs UTC (or two zones) is a real conflict:
+            # unifying silently would mix time bases row-by-row
+            raise ValueError(f"incompatible schema evolution: {a} vs {b} "
+                             "(timezone mismatch)")
+        return pa.timestamp("us", tz=a.tz)
     raise ValueError(f"incompatible schema evolution: {a} vs {b}")
 
 

@@ -28,7 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from cosmos_ray.queries.relational import _bloom_indices, _key_np
+from cosmos_ray.queries.relational import (_bloom_indices, _key_np,
+                                           _key_np_scalar)
 
 
 def build_bloom_index(store_dir: str, col: str, m_bits: int = 1 << 19,
@@ -59,6 +60,11 @@ def build_bloom_index(store_dir: str, col: str, m_bits: int = 1 << 19,
                          "w": pa.array([x.tolist() for x in out_w],
                                        pa.list_(pa.uint64()))})
 
+    import pyarrow.parquet as pq
+
+    ctype = pq.read_schema(files[0]).field(col).type
+    kind = ("int" if pa.types.is_integer(ctype)
+            else "float" if pa.types.is_floating(ctype) else "str")
     ds = rd.read_parquet(files, columns=[col], include_paths=True)
     bitmaps: dict[str, np.ndarray] = {}
     # one row per (batch, file): file-count-bounded driver state
@@ -69,7 +75,7 @@ def build_bloom_index(store_dir: str, col: str, m_bits: int = 1 << 19,
             acc = bitmaps.setdefault(f, np.zeros(words, np.uint64))
             np.bitwise_or(acc, np.asarray(w, np.uint64), out=acc)
     manifest = {
-        "col": col, "m_bits": m_bits, "k_hashes": k_hashes,
+        "col": col, "kind": kind, "m_bits": m_bits, "k_hashes": k_hashes,
         "files": {f: w.tobytes().hex() for f, w in sorted(bitmaps.items())},
     }
     tmp = os.path.join(store_dir, f"_bloom_index_{col}.json.tmp")
@@ -88,8 +94,17 @@ def lookup_files(store_dir: str, col: str, value) -> list[str]:
     """Files whose bloom bitmap hits ``value`` (superset of the files
     actually containing it)."""
     m = _load(store_dir, col)
-    probe = np.asarray(
-        [value], dtype=object if isinstance(value, str) else None)
+    # coerce the probe to the COLUMN's canonical hash family recorded at
+    # build time (int64/float64/object — `_key_np` discipline): a Python
+    # int probing a float column must hash as float64 or the bloom
+    # false-negatives silently
+    kind = m.get("kind", "str")
+    if kind == "int":
+        probe = np.asarray([int(value)], dtype=np.int64)
+    elif kind == "float":
+        probe = np.asarray([float(value)], dtype=np.float64)
+    else:
+        probe = _key_np_scalar(str(value))
     idx = _bloom_indices(probe, m["m_bits"], m["k_hashes"])[0]
     hits = []
     for f, hexw in m["files"].items():
@@ -107,6 +122,9 @@ def read_point(store_dir: str, col: str, value):
 
     import ray.data as rd
 
+    kind = _load(store_dir, col).get("kind", "str")
+    value = (int(value) if kind == "int"
+             else float(value) if kind == "float" else str(value))
     hit = lookup_files(store_dir, col, value)
     if not hit:
         any_file = glob.glob(os.path.join(store_dir, "*.parquet"))

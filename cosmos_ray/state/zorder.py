@@ -48,6 +48,9 @@ def _quantize(col: pa.ChunkedArray | pa.Array, lo: float, hi: float) -> np.ndarr
     """Monotone map of values into [0, 2^_QBITS): rank-preserving scale
     over the GLOBAL [lo, hi] range; nulls place at 0 (they can never
     satisfy a box predicate, so placement is arbitrary)."""
+    if pa.types.is_timestamp(col.type):
+        # arrow has no timestamp->float cast; epoch-us int64 first
+        col = col.cast(pa.int64())
     v = np.asarray(col.cast(pa.float64()).fill_null(lo).to_numpy(
         zero_copy_only=False), dtype=np.float64)
     span = hi - lo
@@ -68,7 +71,9 @@ def write_zordered(ds, cols: tuple[str, str], out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     stats = ds.aggregate(Min(c0, alias_name="lo0"), Max(c0, alias_name="hi0"),
                          Min(c1, alias_name="lo1"), Max(c1, alias_name="hi1"))
-    rng = {k: _to_float(stats[k]) for k in ("lo0", "hi0", "lo1", "hi1")}
+    # an all-null key column has no range: span 0 places every row at 0
+    rng = {k: _to_float(stats[k]) if stats[k] is not None else 0.0
+           for k in ("lo0", "hi0", "lo1", "hi1")}
 
     def add_z(t: pa.Table) -> pa.Table:
         q0 = _quantize(t.column(c0), rng["lo0"], rng["hi0"])
@@ -110,9 +115,16 @@ def pruned_box_files(store_dir: str, box: tuple) -> list[str]:
     lo0, hi0, lo1, hi1 = box
     with open(os.path.join(store_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    return [z["file"] for z in manifest["zones"]
-            if not (z["max0"] < lo0 or z["min0"] > hi0
-                    or z["max1"] < lo1 or z["min1"] > hi1)]
+    def hits(z) -> bool:
+        # null bounds = the file's key column is entirely null there
+        # (parquet stats ignore nulls): no row can satisfy a box
+        # predicate, so the file never intersects
+        if any(z[k] is None for k in ("min0", "max0", "min1", "max1")):
+            return False
+        return not (z["max0"] < lo0 or z["min0"] > hi0
+                    or z["max1"] < lo1 or z["min1"] > hi1)
+
+    return [z["file"] for z in manifest["zones"] if hits(z)]
 
 
 def read_box(store_dir: str, box: tuple, scalars: tuple | None = None):

@@ -92,3 +92,9 @@ class TestEvolvedRead:
         self._write(g0, "b.parquet", pa.table({"id": pa.array([3])}))
         out = read_parquet_evolved(g0).to_pandas()
         assert sorted(out["id"].tolist()) == [1, 2, 3]
+
+    def test_timezone_mismatch_raises(self):
+        with pytest.raises(ValueError, match="timezone"):
+            unify_schemas([
+                pa.schema([("ts", pa.timestamp("us", tz="UTC"))]),
+                pa.schema([("ts", pa.timestamp("us"))])])

@@ -387,3 +387,63 @@ def test_bloom_index_integer_keys(ray_session, tmp_path):
     build_bloom_index(store, "k")
     got = read_point(store, "k", 250).to_pandas()
     assert got["k"].tolist() == [250]
+
+
+def test_bloom_index_float_column_int_probe(ray_session, tmp_path):
+    """Probe-dtype coercion: a Python int probing a float64 column must
+    hash in the column's family (regression: silent false negative)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.state.bloom_index import build_bloom_index, read_point
+
+    store = str(tmp_path / "bfloat")
+    import os as _os
+    _os.makedirs(store)
+    pq.write_table(pa.table({"v": pa.array([1.0, 250.0, 7.5], pa.float64())}),
+                   f"{store}/part_0.parquet")
+    build_bloom_index(store, "v")
+    assert read_point(store, "v", 250).to_pandas()["v"].tolist() == [250.0]
+
+
+def test_zorder_timestamp_column(ray_session, tmp_path):
+    """Timestamp keys quantize via epoch-us (regression: arrow has no
+    timestamp->float64 cast)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.state.zorder import read_box, write_zordered
+
+    base = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    ts = [base + _dt.timedelta(hours=h) for h in range(100)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+                  "v": pa.array(range(100), pa.int64())})
+    store = str(tmp_path / "zts")
+    write_zordered(rd.from_arrow(t), ("v", "ts"), store, num_partitions=4)
+    # manifest domain for ts is epoch-us; residual needs arrow scalars
+    lo_us = int(ts[10].timestamp() * 1_000_000)
+    hi_us = int(ts[20].timestamp() * 1_000_000)
+    got = read_box(store, (0, 50, lo_us, hi_us),
+                   scalars=(0, 50, ts[10], ts[20])).to_pandas()
+    assert sorted(got["v"].tolist()) == list(range(10, 21))
+
+
+def test_zorder_all_null_file_never_crashes_reads(ray_session, tmp_path):
+    """A file whose key column is entirely null records null bounds;
+    box reads must skip it, not TypeError (regression)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.state.zorder import read_box, write_zordered
+
+    t = pa.table({"x": pa.array([None] * 50 + list(range(50)), pa.int64()),
+                  "y": pa.array(list(range(100)), pa.int64())})
+    store = str(tmp_path / "znull")
+    write_zordered(rd.from_arrow(t), ("x", "y"), store, num_partitions=4)
+    got = read_box(store, (0, 10, 0, 1000)).to_pandas()
+    assert sorted(got["x"].tolist()) == list(range(0, 11))
+    assert not got["x"].isna().any()

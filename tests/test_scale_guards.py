@@ -44,9 +44,10 @@ ALLOWED = {
                                       # distinct-duration finish table)
                                       # — ratchet equals the audited count,
                                       # no slack for unaudited new pulls
-    "functions/graph.py": 3,          # betweenness + closeness pivot seeds
-                                      # (k_sources rows each) and closeness
-                                      # per-level counts (k rows per hop)
+    "functions/graph.py": 2,          # shared k-smallest pivot-seed pull
+                                      # (_smallest_k_seeds, k rows) and the
+                                      # closeness per-level counts (k rows
+                                      # per hop)
                                       # rows by construction (topk.take_all)
     "state/copartition.py": 4,        # worker-local bucket reads inside
                                       # join_bucket (+ typed-empty fallback)
