@@ -7369,6 +7369,46 @@ WHERE prev IS NULL OR event_type <> prev
 """
 
 
+def q_doc_argmax_chars(sf_dir: str):
+    """Per-language argmax (SQL arg_max / the max-by aggregate) with a
+    COMBINER exchange: each batch emits at most one (lang, best) row —
+    the longest doc, ties to the smallest doc_id — and one tiny groupby
+    reduces the partials with the same rule. No per-group sort, no
+    row_number window: one row per (batch, lang) crosses the shuffle,
+    the physical plan arg_max compiles to at 100 TB."""
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True], kind="stable")
+        best = df.drop_duplicates(subset=["lang"], keep="first")
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        return g.drop_duplicates(subset=["lang"], keep="first")[
+            ["lang", "doc_id", "n_chars"]]
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_apply(partials, ["lang"], finish)
+
+
+SQL_DOC_ARGMAX_CHARS = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7646,6 +7686,7 @@ QUERIES = {
     "fingerprint_lookup": q_fingerprint_lookup,
     "user_event_types": q_user_event_types,
     "dedup_consecutive": q_dedup_consecutive,
+    "doc_argmax_chars": q_doc_argmax_chars,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7836,6 +7877,7 @@ ORACLES = {
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "user_event_types": SQL_USER_EVENT_TYPES,
     "dedup_consecutive": SQL_DEDUP_CONSECUTIVE,
+    "doc_argmax_chars": SQL_DOC_ARGMAX_CHARS,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
