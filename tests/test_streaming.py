@@ -97,3 +97,98 @@ def test_sparse_dedup_plan(pages_small):
     kept_urls = [r["url"] for r in kept.select_columns(["url"]).take_all()]
     assert len(kept_urls) == len(set(kept_urls))  # one row per url survives
     assert set(kept_urls) == set(urls)
+
+
+def _poison_udf():
+    # defined as a nested-return factory so cloudpickle ships it by
+    # value (test modules are not importable inside ray workers)
+    def udf(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vals = t.column("v")
+        if pc.any(pc.equal(vals, 13)).as_py():
+            raise ValueError("poison 13")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "doubled": pc.multiply(vals, 2)})
+
+    return udf
+
+
+class TestSafeMapBatches:
+
+    def test_poison_rows_quarantined_good_rows_flow(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.stages.safemap import read_dead, safe_map_batches
+
+        dead = str(tmp_path / "dead")
+        n = 500
+        vals = [13 if i in (7, 250, 499) else i + 1000 for i in range(n)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "v": pa.array(vals, pa.int64())}))
+        out = safe_map_batches(ds, _poison_udf(), dead, id_col="doc_id",
+                               stage="double", batch_size=64).to_pandas()
+        assert len(out) == n - 3
+        assert (out["doubled"] == out["doc_id"].map(
+            dict(zip(range(n), vals))) * 2).all()
+        d = read_dead(dead).to_pandas()
+        assert sorted(d["id"].tolist()) == ["250", "499", "7"]
+        assert (d["stage"] == "double").all()
+        assert d["error"].str.contains("poison").all()
+
+    def test_no_failures_no_shards(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.stages.safemap import read_dead, safe_map_batches
+
+        dead = str(tmp_path / "dead2")
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(50), pa.int64()),
+            "v": pa.array(range(1000, 1050), pa.int64())}))
+        out = safe_map_batches(ds, _poison_udf(), dead, id_col="doc_id")
+        assert out.count() == 50
+        assert os.listdir(dead) == []
+        assert read_dead(dead).count() == 0
+
+    def test_all_poison_batch_keeps_schema(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.stages.safemap import read_dead, safe_map_batches
+
+        dead = str(tmp_path / "dead3")
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "v": pa.array([13, 13], pa.int64())}))
+        out = safe_map_batches(ds, _poison_udf(), dead, id_col="doc_id")
+        assert out.count() == 0
+        assert read_dead(dead).count() == 2
+
+    def test_rerun_idempotent_shards(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.stages.safemap import read_dead, safe_map_batches
+
+        dead = str(tmp_path / "dead4")
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "v": pa.array([13 if i == 42 else i + 100 for i in range(100)],
+                          pa.int64())}))
+        for _ in range(2):  # identical content-keyed shard on re-run
+            safe_map_batches(ds, _poison_udf(), dead,
+                             id_col="doc_id").materialize()
+        assert len(os.listdir(dead)) == 1
+        assert read_dead(dead).count() == 1
