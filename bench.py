@@ -158,6 +158,8 @@ def _run_bench() -> dict:
         "fuzzy_parts",
         "revenue_gini",
         "rolling_median",
+        "events_box_scan",
+        "fingerprint_lookup",
     )
     for name in q_names:
         t0 = time.perf_counter()
