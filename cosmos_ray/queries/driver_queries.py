@@ -7409,6 +7409,80 @@ SELECT lang, doc_id, n_chars FROM (
 """
 
 
+def q_vocab_overlap(sf_dir: str):
+    """Cross-corpus vocabulary overlap: for every language pair, the
+    distinct-token intersection size and overlap coefficient
+    |A∩B| / min(|A|, |B|) — the corpus-comparison set-similarity op
+    (sub-corpus drift / contamination screening at the vocabulary
+    level). Scale shape: tokens explode vectorized, ONE distinct
+    (lang, token) groupby bounds everything downstream by vocabulary
+    (not corpus) size; the pair intersection is a token self-join over
+    that distinct table; per-lang sizes broadcast back."""
+    from ray.data.aggregate import Count as _Count
+
+    from cosmos_ray.queries.relational import (_join_partitions,
+                                               join_or_broadcast)
+
+    docs = read(sf_dir, "documents", ["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(s).to_numpy(zero_copy_only=False)
+        langs = np.repeat(
+            np.asarray(t.column("lang").to_pylist(), dtype=object), lens)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "tok": pc.list_flatten(s)})
+
+    distinct = (docs.map_batches(toks, batch_format="pyarrow")
+                .groupby(["lang", "tok"])
+                .aggregate(_Count(alias_name="__n")).drop_columns(["__n"]))
+    v = distinct.groupby("lang").aggregate(_Count(alias_name="nv"))
+
+    b = distinct.map_batches(
+        lambda t: pa.table({"lb": t.column("lang"), "tok_b": t.column("tok")}),
+        batch_format="pyarrow")
+    pairs = (distinct.join(b, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("tok",), right_on=("tok_b",))
+             .map_batches(lambda t: t.filter(
+                 pc.less(t.column("lang"), t.column("lb"))),
+                 batch_format="pyarrow")
+             .groupby(["lang", "lb"]).aggregate(_Count(alias_name="n_common")))
+    pairs = join_or_broadcast(pairs, v, key="lang", add_cols=["nv"])
+    pairs = pairs.map_batches(
+        lambda t: pa.table({"lang_a": t.column("lang"),
+                            "lang_b": t.column("lb"),
+                            "n_common": t.column("n_common"),
+                            "nv_a": t.column("nv")}),
+        batch_format="pyarrow")
+    pairs = join_or_broadcast(pairs, v, key="lang", add_cols=["nv"],
+                              big_key="lang_b")
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = t.column("nv_a").to_numpy(zero_copy_only=False)
+        nb = t.column("nv").to_numpy(zero_copy_only=False)
+        nc = t.column("n_common").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang_a": t.column("lang_a"), "lang_b": t.column("lang_b"),
+            "n_common": pa.array(nc.astype(np.int64)),
+            "overlap": pa.array(nc / np.minimum(na, nb), pa.float64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VOCAB_OVERLAP = """
+WITH tok AS (SELECT DISTINCT lang, t.tok
+             FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+v AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv FROM tok GROUP BY lang),
+pairs AS (SELECT a.lang AS la, b.lang AS lb, CAST(count(*) AS BIGINT) AS nc
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang < b.lang
+          GROUP BY 1, 2)
+SELECT la AS lang_a, lb AS lang_b, nc AS n_common,
+       nc / least(va.nv, vb.nv) AS overlap
+FROM pairs JOIN v va ON va.lang = la JOIN v vb ON vb.lang = lb
+"""
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7687,6 +7761,7 @@ QUERIES = {
     "user_event_types": q_user_event_types,
     "dedup_consecutive": q_dedup_consecutive,
     "doc_argmax_chars": q_doc_argmax_chars,
+    "vocab_overlap": q_vocab_overlap,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7878,6 +7953,7 @@ ORACLES = {
     "user_event_types": SQL_USER_EVENT_TYPES,
     "dedup_consecutive": SQL_DEDUP_CONSECUTIVE,
     "doc_argmax_chars": SQL_DOC_ARGMAX_CHARS,
+    "vocab_overlap": SQL_VOCAB_OVERLAP,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
