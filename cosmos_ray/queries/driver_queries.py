@@ -7409,6 +7409,67 @@ SELECT lang, doc_id, n_chars FROM (
 """
 
 
+def q_orders_loo_encoding(sf_dir: str):
+    """Leave-one-out target encoding (the ML categorical-feature op):
+    each order's o_orderstatus encoded as the mean o_totalprice of all
+    OTHER orders in its category. Exactness: prices become integer
+    CENTS via floor(x*100+0.5) on both sides, the per-category (sum,
+    count) is an exact integer combiner broadcast back as a 3-row
+    lookup, and the single float division of identical integers is
+    bit-equal to the SQL window replay. Scale shape: one category-sized
+    groupby + a broadcast; order rows never shuffle."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_orderstatus": t.column("o_orderstatus"),
+                         "cents": pa.array(c)})
+
+    c = orders.map_batches(cents, batch_format="pyarrow")
+    stats = (c.groupby("o_orderstatus")
+             .aggregate(_Sum("cents", alias_name="sc"),
+                        _Count(alias_name="n")))
+    out = join_or_broadcast(c, stats, key="o_orderstatus",
+                            add_cols=["sc", "n"])
+
+    def loo(t: pa.Table) -> pa.Table:
+        sc = t.column("sc").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ci = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = 100.0 * (n - 1)
+        val = np.where(denom > 0, (sc - ci) / np.where(denom > 0, denom, 1),
+                       np.nan)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "loo_mean": pa.array(
+                [None if not np.isfinite(x) else x for x in val],
+                pa.float64())})
+
+    return out.map_batches(loo, batch_format="pyarrow")
+
+
+SQL_ORDERS_LOO_ENCODING = """
+WITH c AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+s AS (SELECT o_orderstatus, sum(cents) AS sc, count(*) AS n
+      FROM c GROUP BY 1)
+SELECT c.o_orderkey, c.o_orderstatus,
+       CAST(s.sc - c.cents AS DOUBLE)
+         / (100.0 * NULLIF(s.n - 1, 0)) AS loo_mean
+FROM c JOIN s USING (o_orderstatus)
+"""
+
+
 def q_vocab_overlap(sf_dir: str):
     """Cross-corpus vocabulary overlap: for every language pair, the
     distinct-token intersection size and overlap coefficient
@@ -7762,6 +7823,7 @@ QUERIES = {
     "dedup_consecutive": q_dedup_consecutive,
     "doc_argmax_chars": q_doc_argmax_chars,
     "vocab_overlap": q_vocab_overlap,
+    "orders_loo_encoding": q_orders_loo_encoding,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -7954,6 +8016,7 @@ ORACLES = {
     "dedup_consecutive": SQL_DEDUP_CONSECUTIVE,
     "doc_argmax_chars": SQL_DOC_ARGMAX_CHARS,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
+    "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
