@@ -7470,6 +7470,41 @@ FROM c JOIN s USING (o_orderstatus)
 """
 
 
+def q_rare_label_rollup(sf_dir: str):
+    """Rare-category consolidation (sklearn 'infrequent categories' /
+    feature-engineering rare-label encoder): event types with fewer
+    than 10% of total events collapse into '__other__'. Scale shape:
+    one category-sized count combiner; the relabel + rollup runs on the
+    COUNTS table (vocabulary-sized), so event rows are read once and
+    never shuffled."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    ev = read(sf_dir, "events", ["event_id", "event_type"])
+    total = ev.count()
+    thr = total // 10
+
+    counts = ev.groupby("event_type").aggregate(_Count(alias_name="n"))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        rare = pc.less(t.column("n"), pa.scalar(thr))
+        return pa.table({
+            "label": pc.if_else(rare, pa.scalar("__other__"),
+                                t.column("event_type")),
+            "n": t.column("n")})
+
+    return (counts.map_batches(relabel, batch_format="pyarrow")
+            .groupby("label").aggregate(_Sum("n", alias_name="n_events")))
+
+
+SQL_RARE_LABEL_ROLLUP = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+SELECT CASE WHEN n < (SELECT count(*) // 10 FROM events)
+            THEN '__other__' ELSE event_type END AS label,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM c GROUP BY 1
+"""
+
+
 def q_vocab_overlap(sf_dir: str):
     """Cross-corpus vocabulary overlap: for every language pair, the
     distinct-token intersection size and overlap coefficient
@@ -7824,6 +7859,7 @@ QUERIES = {
     "doc_argmax_chars": q_doc_argmax_chars,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
+    "rare_label_rollup": q_rare_label_rollup,
     "cusum_hourly": q_cusum_hourly,
     "spearman_qty_discount": q_spearman_qty_discount,
     "rolling_median": q_rolling_median,
@@ -8017,6 +8053,7 @@ ORACLES = {
     "doc_argmax_chars": SQL_DOC_ARGMAX_CHARS,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
+    "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
     "kg_linkpred": SQL_KG_LINKPRED,
     "kg_shortest": SQL_KG_SHORTEST,
     "kg_pagerank": SQL_KG_PAGERANK,
