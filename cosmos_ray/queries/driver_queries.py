@@ -7579,6 +7579,254 @@ FROM pairs JOIN v va ON va.lang = la JOIN v vb ON vb.lang = lb
 """
 
 
+# shared oracle CTE for the pred-level entity edge list (the engine's
+# adjacency keyed (src, pred, dst); _SQL_ADJ_CTE collapses pred away)
+_SQL_EDG_CTE = """
+, edg AS (
+  SELECT ss.canonical_id AS src, f.pred, so.canonical_id AS dst
+  FROM facts f
+  JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  GROUP BY 1, 2, 3)
+"""
+
+
+def q_kg_negative_samples(sf_dir: str):
+    """Filtered negative sampling for KG-embedding training (the
+    TransE/DistMult corrupted-tail generator): every distinct adjacency
+    edge (src, pred, dst) gets a deterministic corrupted tail
+    ``neg_dst`` — the successor of ``dst`` in the md5-shuffled CYCLIC
+    order of the entity vocabulary (a fixed pseudo-random derangement
+    any engine replays exactly; same device as the md5 stratified
+    sample) — plus the standard 'filtered' flag ``is_true_triple``
+    marking corruptions that collide with a real edge (Bordes et al.
+    2013 §3; the filtered protocol of Bordes' ranking eval).
+
+    Scale shape: the successor map is entity-VOCABULARY-sized and
+    broadcast once (`ray.put`, the J4 KB-lookup bound); the collision
+    flag is a left join of corrupted keys against the edge-key table —
+    size-guarded broadcast with a distributed fallback. Edge rows are
+    read once and never re-shuffle."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    from cosmos_ray.queries.relational import (collect_small,
+                                               left_join_or_broadcast)
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["src_entity", "pred", "dst_entity"])
+
+    def ends(t: pa.Table) -> pa.Table:
+        e = pa.chunked_array(t.column("src_entity").chunks
+                             + t.column("dst_entity").chunks,
+                             type=pa.string())
+        return pa.table({"e": pc.unique(e)})
+
+    ent_ds = (adj.map_batches(ends, batch_format="pyarrow")
+              .groupby("e").aggregate(_Count(alias_name="__n"))
+              .drop_columns(["__n"]))
+    ents = collect_small(ent_ds, 2_000_000).column("e").to_pylist()
+    order = sorted(ents, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))
+    succ_ref = ray.put(
+        {order[i]: order[(i + 1) % len(order)] for i in range(len(order))})
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        succ = ray.get(succ_ref)
+        neg = pa.array(
+            pd.Series(t.column("dst_entity").to_pylist()).map(succ),
+            pa.string())
+        key = pc.binary_join_element_wise(
+            t.column("src_entity").cast(pa.string()),
+            t.column("pred").cast(pa.string()), neg, "\x1f")
+        return pa.table({
+            "src_entity": t.column("src_entity"), "pred": t.column("pred"),
+            "dst_entity": t.column("dst_entity"), "neg_dst": neg,
+            "__k": key})
+
+    corrupted = adj.map_batches(corrupt, batch_format="pyarrow")
+    keys = adj.map_batches(
+        lambda t: pa.table({
+            "__k": pc.binary_join_element_wise(
+                t.column("src_entity").cast(pa.string()),
+                t.column("pred").cast(pa.string()),
+                t.column("dst_entity").cast(pa.string()), "\x1f"),
+            "__hit": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    out = left_join_or_broadcast(corrupted, keys, key="__k",
+                                 add_cols=["__hit"], fill=0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_entity": t.column("src_entity"), "pred": t.column("pred"),
+            "dst_entity": t.column("dst_entity"),
+            "neg_dst": t.column("neg_dst"),
+            "is_true_triple": pc.equal(t.column("__hit"), pa.scalar(1))
+            .cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KG_NEGATIVE_SAMPLES = with_goldens(_SQL_EDG_CTE + """
+, ent AS (SELECT DISTINCT e FROM (
+    SELECT src AS e FROM edg UNION ALL SELECT dst FROM edg) u)
+, ord AS (SELECT e, row_number() OVER (ORDER BY md5(e), e) AS rn FROM ent)
+, succ AS (
+  SELECT o.e, o2.e AS nxt
+  FROM ord o JOIN ord o2 ON o2.rn = o.rn % (SELECT count(*) FROM ord) + 1)
+SELECT g.src AS src_entity, g.pred, g.dst AS dst_entity, s.nxt AS neg_dst,
+       CAST(h.src IS NOT NULL AS BIGINT) AS is_true_triple
+FROM edg g
+JOIN succ s ON s.e = g.dst
+LEFT JOIN edg h ON h.src = g.src AND h.pred = g.pred AND h.dst = s.nxt
+""")
+
+
+def q_kg_rule_mining(sf_dir: str):
+    """AMIE-style closed Horn-rule mining over the entity graph: for
+    every predicate triple (p1, p2, p3), the rule
+    ``p1(x,y) AND p2(y,z) => p3(x,z)`` scored by body support
+    (#distinct (x,z) pairs satisfying the body), head support
+    (#distinct body pairs where the head edge exists) and standard
+    confidence — the KB-completion rule miner (Galárraga et al.,
+    WWW'13 §4, CWA confidence). Top-20 rules by (confidence, support).
+
+    Scale shape: one edge self-join on the shared middle entity (the
+    linkpred/2hop wedge fan-out — skew bounded by max entity degree),
+    a distinct-tuple groupby that bounds everything downstream by
+    distinct body pairs, one head hash-join, then predicate-cubed tiny
+    aggregates; the rule table broadcast is |preds|^2-sized."""
+    from ray.data.aggregate import Count as _Count
+
+    from cosmos_ray.queries.relational import (_join_partitions,
+                                               join_or_broadcast)
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["src_entity", "pred", "dst_entity"])
+    right = adj.map_batches(
+        lambda t: pa.table({"mid": t.column("dst_entity"),
+                            "p1": t.column("pred"),
+                            "a": t.column("src_entity")}),
+        batch_format="pyarrow")
+    body = right.join(adj, join_type="inner",
+                      num_partitions=_join_partitions(),
+                      on=("mid",), right_on=("src_entity",))
+    # distinct (a, p1, p2, c) tuples: support counts distinct pairs
+    body_pairs = (body.map_batches(
+        lambda t: pa.table({"a": t.column("a"), "p1": t.column("p1"),
+                            "p2": t.column("pred"),
+                            "c": t.column("dst_entity")}),
+        batch_format="pyarrow")
+        .groupby(["a", "p1", "p2", "c"])
+        .aggregate(_Count(alias_name="__n")).drop_columns(["__n"]))
+    n_body = (body_pairs.groupby(["p1", "p2"])
+              .aggregate(_Count(alias_name="n_body")))
+    head = adj.map_batches(
+        lambda t: pa.table({"h_src": t.column("src_entity"),
+                            "p3": t.column("pred"),
+                            "h_dst": t.column("dst_entity")}),
+        batch_format="pyarrow")
+    sup = (body_pairs.join(head, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("a", "c"), right_on=("h_src", "h_dst"))
+           .groupby(["p1", "p2", "p3"])
+           .aggregate(_Count(alias_name="support")))
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__k", pc.binary_join_element_wise(
+            t.column("p1").cast(pa.string()),
+            t.column("p2").cast(pa.string()), "\x1f"))
+
+    sup = sup.map_batches(with_key, batch_format="pyarrow")
+    n_body = n_body.map_batches(with_key, batch_format="pyarrow") \
+        .drop_columns(["p1", "p2"])
+    out = join_or_broadcast(sup, n_body, key="__k", add_cols=["n_body"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("support").to_numpy(zero_copy_only=False)
+        nb = t.column("n_body").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p1": t.column("p1"), "p2": t.column("p2"), "p3": t.column("p3"),
+            "n_body": t.column("n_body").cast(pa.int64()),
+            "support": t.column("support").cast(pa.int64()),
+            "confidence": pa.array(
+                s.astype(np.float64) / nb.astype(np.float64), pa.float64())})
+
+    return (out.map_batches(finish, batch_format="pyarrow")
+            .sort(["confidence", "support", "p1", "p2", "p3"],
+                  descending=[True, True, False, False, False])
+            .limit(20))
+
+
+SQL_KG_RULE_MINING = with_goldens(_SQL_EDG_CTE + """
+, body AS (SELECT DISTINCT e1.src AS a, e1.pred AS p1,
+                           e2.pred AS p2, e2.dst AS c
+           FROM edg e1 JOIN edg e2 ON e2.src = e1.dst)
+, nb AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_body
+         FROM body GROUP BY 1, 2)
+, sup AS (SELECT b.p1, b.p2, h.pred AS p3,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM body b JOIN edg h ON h.src = b.a AND h.dst = b.c
+          GROUP BY 1, 2, 3)
+SELECT s.p1, s.p2, s.p3, nb.n_body, s.support,
+       CAST(s.support AS DOUBLE) / nb.n_body AS confidence
+FROM sup s JOIN nb USING (p1, p2)
+ORDER BY confidence DESC, support DESC, p1, p2, p3
+LIMIT 20
+""")
+
+
+def q_kg_entity_types(sf_dir: str):
+    """Predicate-profile type induction: each entity typed by the
+    predicate it most often appears as SUBJECT of (argmax over summed
+    adjacency weight, ties to the lexicographically smallest pred) —
+    the schema-bootstrap step that assigns coarse entity types before
+    an ontology exists. Combiner shape (same as doc_argmax_chars): one
+    (entity, pred)-keyed sum, at most one candidate row per (batch,
+    entity) crosses the final exchange."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    adj = _built_kg(sf_dir).adjacency
+    sp = (adj.groupby(["src_entity", "pred"])
+          .aggregate(_Sum("weight", alias_name="n")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "pred"],
+                                       ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(subset=["src_entity"], keep="first"),
+            preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "pred"], ascending=[False, True],
+                          kind="stable")
+        best = g.drop_duplicates(subset=["src_entity"], keep="first")
+        return pd.DataFrame({"entity": best["src_entity"],
+                             "top_pred": best["pred"],
+                             "n_as_subj": best["n"].astype("int64")})
+
+    partials = sp.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_apply(partials, ["src_entity"], finish)
+
+
+SQL_KG_ENTITY_TYPES = with_goldens("""
+, sp AS (SELECT ss.canonical_id AS entity, f.pred,
+                CAST(count(*) AS BIGINT) AS n
+         FROM facts f
+         JOIN surf ss ON ss.surface = f.subj
+         JOIN surf so ON so.surface = f.obj
+         GROUP BY 1, 2)
+SELECT entity, pred AS top_pred, n AS n_as_subj FROM (
+  SELECT entity, pred, n,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY n DESC, pred) AS rn
+  FROM sp) WHERE rn = 1
+""")
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -7857,6 +8105,9 @@ QUERIES = {
     "user_event_types": q_user_event_types,
     "dedup_consecutive": q_dedup_consecutive,
     "doc_argmax_chars": q_doc_argmax_chars,
+    "kg_negative_samples": q_kg_negative_samples,
+    "kg_rule_mining": q_kg_rule_mining,
+    "kg_entity_types": q_kg_entity_types,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -8051,6 +8302,9 @@ ORACLES = {
     "user_event_types": SQL_USER_EVENT_TYPES,
     "dedup_consecutive": SQL_DEDUP_CONSECUTIVE,
     "doc_argmax_chars": SQL_DOC_ARGMAX_CHARS,
+    "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
+    "kg_rule_mining": SQL_KG_RULE_MINING,
+    "kg_entity_types": SQL_KG_ENTITY_TYPES,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
