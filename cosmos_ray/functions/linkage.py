@@ -107,13 +107,18 @@ def fuzzy_name_pairs(ds, col: str, max_dist: int = 2, max_group: int = 256):
         return pa.table({"variant": pa.array(va, pa.string()),
                          "name": pa.array(na, pa.string())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # arrow output: a 0-row pandas frame with object columns trips
+        # Ray's block size estimator (np.vectorize on empty) — log spam
+        # per singleton bucket; typed arrow tables size cleanly
         names = np.sort(g["name"].unique())[:max_group]
         m = len(names)
         if m < 2:
-            return pd.DataFrame({"name_a": [], "name_b": []}, dtype=str)
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string())})
         ia, ib = np.triu_indices(m, k=1)
-        return pd.DataFrame({"name_a": names[ia], "name_b": names[ib]})
+        return pa.table({"name_a": pa.array(names[ia], pa.string()),
+                         "name_b": pa.array(names[ib], pa.string())})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         # one row per distinct candidate pair survives the groupby;
@@ -239,18 +244,20 @@ def jw_name_pairs(ds, col: str, threshold: float = 0.92,
     def distinct_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.iloc[:1][[col]]
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # arrow output for the same estimator reason as fuzzy_name_pairs
         names = np.sort(g[col].unique())[:max_group]
         if len(names) < 2:
-            return pd.DataFrame({"name_a": pd.Series([], dtype=str),
-                                 "name_b": pd.Series([], dtype=str),
-                                 "jw": pd.Series([], dtype=np.float64)})
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string()),
+                             "jw": pa.array([], pa.float64())})
         ia, ib = np.triu_indices(len(names), k=1)
         a, b = names[ia], names[ib]
         jw = jaro_winkler_batch(a.tolist(), b.tolist())
         keep = jw >= threshold
-        return pd.DataFrame({"name_a": a[keep], "name_b": b[keep],
-                             "jw": np.round(jw[keep], 9)})
+        return pa.table({"name_a": pa.array(a[keep], pa.string()),
+                         "name_b": pa.array(b[keep], pa.string()),
+                         "jw": pa.array(np.round(jw[keep], 9), pa.float64())})
 
     def add_block(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
