@@ -7235,6 +7235,61 @@ FROM ev GROUP BY 1
 """
 
 
+def q_docs_time_travel(sf_dir: str):
+    """Snapshot time-travel over a versioned at-rest table
+    (`state/versioned.py`, the Delta/Iceberg-lite commit log):
+    documents are committed as v1 = APPEND even doc_ids, v2 = APPEND
+    odd doc_ids, v3 = OVERWRITE with doc_id % 3 == 0, v4 = ROLLBACK to
+    v2 — then snapshots AS OF v2, v3 and v4 are read back AFTER all
+    four commits. v2 must still see every document (overwrite didn't
+    destroy history), v3 the overwrite subset, v4 the restored full
+    set; the oracle states each snapshot's content directly from
+    `documents`, so a wrong log replay, a file leaked across versions
+    or a rollback that re-added a live file changes the hash."""
+    import tempfile
+
+    from cosmos_ray.state import versioned as V
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+    tdir = tempfile.mkdtemp(prefix="ttravel_", dir="/tmp")
+
+    def part(rem: int, mod: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % mod == rem))
+
+        return f
+
+    V.commit_append(tdir, docs.map_batches(part(0, 2),
+                                           batch_format="pyarrow"))
+    V.commit_append(tdir, docs.map_batches(part(1, 2),
+                                           batch_format="pyarrow"))
+    V.commit_overwrite(tdir, docs.map_batches(part(0, 3),
+                                              batch_format="pyarrow"))
+    V.rollback(tdir, to_version=2)
+
+    def tag(v: int):
+        return lambda t: pa.table({
+            "version": pa.array(np.full(t.num_rows, v, np.int64)),
+            "doc_id": t.column("doc_id")})
+
+    out = None
+    for v in (2, 3, 4):
+        snap = V.read_snapshot(tdir, v).map_batches(
+            tag(v), batch_format="pyarrow")
+        out = snap if out is None else out.union(snap)
+    return out
+
+
+SQL_DOCS_TIME_TRAVEL = """
+SELECT CAST(2 AS BIGINT) AS version, doc_id FROM documents
+UNION ALL
+SELECT CAST(3 AS BIGINT), doc_id FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(4 AS BIGINT), doc_id FROM documents
+"""
+
+
 def q_events_box_scan(sf_dir: str):
     """2-D box scan served from Z-ORDER clustered storage
     (`state/zorder.py`): events are written once in Morton order of
@@ -8100,6 +8155,7 @@ QUERIES = {
     "kg_closeness": q_kg_closeness,
     "token_dense_rank": q_token_dense_rank,
     "docs_evolved_union": q_docs_evolved_union,
+    "docs_time_travel": q_docs_time_travel,
     "events_box_scan": q_events_box_scan,
     "fingerprint_lookup": q_fingerprint_lookup,
     "user_event_types": q_user_event_types,
@@ -8297,6 +8353,7 @@ ORACLES = {
     "kg_closeness": SQL_KG_CLOSENESS,
     "token_dense_rank": SQL_TOKEN_DENSE_RANK,
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
+    "docs_time_travel": SQL_DOCS_TIME_TRAVEL,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "user_event_types": SQL_USER_EVENT_TYPES,

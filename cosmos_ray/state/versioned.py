@@ -1,0 +1,203 @@
+"""Versioned at-rest table with snapshot time-travel (Delta/Iceberg-lite).
+
+The missing piece of the at-rest family (`sorted_store` / `zorder` /
+`bloom_index` / `copartition` / `compact`): a parquet directory whose
+COMMIT LOG makes every historical state readable. Layout:
+
+    table_dir/
+      data/                 immutable parquet files, never rewritten
+      _log/v00000001.json   one JSON record per commit (the table state)
+
+Each commit record lists the files it ``added`` and ``removed``; the
+active file set of version V is the log replay up to V. Readers resolve
+a snapshot to a FILE LIST first, then ``read_parquet`` exactly those
+files — so a reader pinned to version V is untouched by any later
+commit (snapshot isolation by immutability), and time travel is free.
+
+Scale shape: the log is file-count-sized driver metadata (this is how
+production table formats work — the data plane streams, the commit
+plane is tiny JSON); data writes stream through ``ds.write_parquet``
+into a per-version staging dir and are published by atomic renames,
+log record last. A crash anywhere before the log rename leaves the
+commit invisible; re-running the same commit overwrites its own
+staging/data files and republishes — idempotent under Ray lineage
+re-execution, same discipline as `compact_parquet_dir`.
+
+Single-writer assumption: version allocation is max(log)+1 with an
+O_EXCL log-file claim — concurrent writers on shared storage need a
+CAS/lock service exactly as Delta does; documented, not hidden.
+
+Reference analog: the reference mutates one live ES index in place
+(`cosmos_service/.../api.py` ingest endpoints) with no history; a
+100-TB corpus store needs reproducible as-of reads (eval pinning,
+incremental-crawl rollback) — `pipelines/incremental.py` composes with
+this by committing each refresh as one version.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+__all__ = ["commit_append", "commit_overwrite", "rollback", "history",
+           "snapshot_files", "read_snapshot", "current_version", "vacuum"]
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_log")
+
+
+def _data_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "data")
+
+
+def _log_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"v{version:08d}.json")
+
+
+def _read_log(table_dir: str) -> list[dict]:
+    recs = []
+    for f in sorted(glob.glob(os.path.join(_log_dir(table_dir), "v*.json"))):
+        with open(f) as fh:
+            recs.append(json.load(fh))
+    return recs
+
+
+def current_version(table_dir: str) -> int:
+    """Latest committed version (0 = empty table, no commits yet)."""
+    recs = _read_log(table_dir)
+    return recs[-1]["version"] if recs else 0
+
+
+def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
+    """Active data-file paths as of ``version`` (default: latest) —
+    the log replay. Raises on a version that was never committed."""
+    recs = _read_log(table_dir)
+    if version is None:
+        version = recs[-1]["version"] if recs else 0
+    if version == 0:
+        return []
+    if not any(r["version"] == version for r in recs):
+        raise ValueError(f"version {version} not in log "
+                         f"(have {[r['version'] for r in recs]})")
+    active: list[str] = []
+    for r in recs:
+        if r["version"] > version:
+            break
+        removed = set(r["removed"])
+        active = [f for f in active if f not in removed] + r["added"]
+    return [os.path.join(_data_dir(table_dir), f) for f in sorted(active)]
+
+
+def read_snapshot(table_dir: str, version: int | None = None):
+    """Streaming Dataset of the table as of ``version`` — the
+    time-travel read. Empty snapshots return an empty Dataset."""
+    import ray.data as rd
+
+    files = snapshot_files(table_dir, version)
+    if not files:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({}))
+    return rd.read_parquet(files)
+
+
+def _publish(table_dir: str, ds, removed: list[str], op: str) -> dict:
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    os.makedirs(_data_dir(table_dir), exist_ok=True)
+    version = current_version(table_dir) + 1
+
+    added: list[str] = []
+    rows = 0
+    if ds is not None:
+        stage = os.path.join(table_dir, f"_stage_v{version:08d}")
+        if os.path.isdir(stage):  # leftover from a crashed attempt
+            for f in glob.glob(os.path.join(stage, "*")):
+                os.remove(f)
+        ds.write_parquet(stage)
+        for k, f in enumerate(sorted(glob.glob(
+                os.path.join(stage, "*.parquet")))):
+            name = f"v{version:08d}-{k:05d}.parquet"
+            os.replace(f, os.path.join(_data_dir(table_dir), name))
+            added.append(name)
+        os.rmdir(stage)
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.read_metadata(
+            os.path.join(_data_dir(table_dir), n)).num_rows for n in added)
+
+    rec = {"version": version, "op": op, "added": added,
+           "removed": sorted(removed), "rows_added": rows}
+    tmp = _log_path(table_dir, version) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, _log_path(table_dir, version))  # commit point
+    return rec
+
+
+def commit_append(table_dir: str, ds, op: str = "append") -> dict:
+    """Append ``ds`` as a new version; existing files stay active.
+    Returns the commit record."""
+    return _publish(table_dir, ds, removed=[], op=op)
+
+
+def commit_overwrite(table_dir: str, ds, op: str = "overwrite") -> dict:
+    """Replace the table contents with ``ds`` as a new version. Old
+    files leave the ACTIVE set but remain on disk (time travel keeps
+    working) until `vacuum`."""
+    recs = _read_log(table_dir)
+    active: list[str] = []
+    for r in recs:
+        removed = set(r["removed"])
+        active = [f for f in active if f not in removed] + r["added"]
+    return _publish(table_dir, ds, removed=active, op=op)
+
+
+def rollback(table_dir: str, to_version: int) -> dict:
+    """Restore the table to ``to_version``'s content as a NEW commit
+    (roll-forward rollback: history is append-only, nothing is
+    deleted). The new version re-references the old version's files."""
+    target = [os.path.basename(f)
+              for f in snapshot_files(table_dir, to_version)]
+    recs = _read_log(table_dir)
+    active: list[str] = []
+    for r in recs:
+        removed = set(r["removed"])
+        active = [f for f in active if f not in removed] + r["added"]
+    version = current_version(table_dir) + 1
+    # added/removed are DELTAS vs the current active set: re-adding an
+    # already-active file would double-count it in the replay
+    rec = {"version": version, "op": f"rollback({to_version})",
+           "added": sorted(set(target) - set(active)),
+           "removed": sorted(set(active) - set(target)), "rows_added": 0}
+    tmp = _log_path(table_dir, version) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, _log_path(table_dir, version))
+    return rec
+
+
+def history(table_dir: str) -> list[dict]:
+    """All commit records, oldest first."""
+    return _read_log(table_dir)
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreachable from the latest ``keep_versions``
+    snapshots (maintenance pass — after it, time travel older than the
+    kept window raises on read). Returns the deleted file names."""
+    recs = _read_log(table_dir)
+    if not recs:
+        return []
+    versions = [r["version"] for r in recs][-keep_versions:]
+    keep: set[str] = set()
+    for v in versions:
+        keep.update(os.path.basename(f) for f in snapshot_files(table_dir, v))
+    deleted = []
+    for f in sorted(glob.glob(os.path.join(_data_dir(table_dir),
+                                           "*.parquet"))):
+        if os.path.basename(f) not in keep:
+            os.remove(f)
+            deleted.append(os.path.basename(f))
+    return deleted
