@@ -530,3 +530,102 @@ def sequence_motif_count(events_ds, pattern: str = "v+p",
         events_ds.select_columns(["user_id", "ts", "event_id",
                                   "event_type"]),
         fn, num_buckets=num_buckets)
+
+
+def watermarked_window(events_ds, window_s: int = 3600,
+                       lateness_s: int = 900, bucket_size: int = 100_000,
+                       round_to: int = 4):
+    """Event-time tumbling window with a processing-order WATERMARK —
+    the Flink/Beam late-data discipline replayed deterministically in
+    batch. Arrival order is ``event_id`` (the stream's ingestion
+    sequence); the watermark after processing event i is
+    ``max(ts[0..i]) - lateness``; an event is dropped as too-late iff
+    its own ts is below the watermark. Per window the operator emits
+    the on-time count/sum plus the dropped-late count — the number a
+    real streaming job would surface as its late-data side output.
+
+    Scale shape (the global-prefix pattern of `pack_sequences` — a
+    running max over a total order WITHOUT a global sort):
+
+    1. one combiner pass computes per-BUCKET ts maxima, where bucket =
+       ``event_id // bucket_size`` (contiguous arrival ranges); only
+       O(n / bucket_size) rows cross the exchange;
+    2. the driver takes the exclusive prefix-max over the tiny ordered
+       bucket list and broadcasts it;
+    3. one bucket-hash exchange co-locates each bucket, where the
+       in-bucket running max is a vectorized ``np.maximum.accumulate``
+       seeded with the bucket's prefix, and rows pre-aggregate to
+       per-window partials before the final window groupby.
+
+    -> (window_start_us, n_events, sum_value, n_late), on-time only in
+    n_events/sum_value; every event lands in exactly one window.
+    """
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from cosmos_ray.queries.relational import (bucketed_group_apply,
+                                               collect_small)
+
+    window_us = window_s * 1_000_000
+    late_us = lateness_s * 1_000_000
+
+    def to_cols(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+              .astype(np.int64))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(eid // bucket_size, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "tu": pa.array(ts, pa.int64()),
+            "value": t.column("value").cast(pa.float64())})
+
+    cols = events_ds.select_columns(["event_id", "ts", "value"]).map_batches(
+        to_cols, batch_format="pyarrow")
+
+    bmax = collect_small(
+        cols.groupby("bucket").aggregate(Max("tu", alias_name="mx")),
+        cap_rows=5_000_000)
+    if bmax is None:  # n_events/bucket_size buckets exceeded the guard
+        raise ValueError(
+            "watermarked_window: bucket list exceeds the driver cap; "
+            "raise bucket_size so n_events/bucket_size <= 5M")
+    order = np.argsort(bmax.column("bucket").to_numpy(zero_copy_only=False))
+    bids = bmax.column("bucket").to_numpy(zero_copy_only=False)[order]
+    mxs = bmax.column("mx").to_numpy(zero_copy_only=False)[order]
+    # exclusive prefix: the watermark carried INTO each bucket
+    prefix = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(mxs)[:-1]))
+    prefix_ref = ray.put(dict(zip(bids.tolist(), prefix.tolist())))
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        carried = ray.get(prefix_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("event_id", kind="stable")
+        tu = g["tu"].to_numpy(np.int64)
+        hi = np.maximum.accumulate(np.maximum(tu, carried))
+        ok = tu >= hi - late_us
+        win = (tu // window_us) * window_us
+        val = g["value"].to_numpy(np.float64)
+        uniq, inv = np.unique(win, return_inverse=True)
+        return pd.DataFrame({
+            "window_start_us": uniq,
+            "n_events": np.bincount(inv, weights=ok).astype(np.int64),
+            "sum_value": np.bincount(inv, weights=val * ok),
+            "n_late": np.bincount(inv, weights=~ok).astype(np.int64)})
+
+    partials = bucketed_group_apply(cols, ["bucket"], in_bucket)
+    agg = (partials.groupby("window_start_us")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"),
+                      Sum("n_late", alias_name="n_late")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start_us": t.column("window_start_us"),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "sum_value": pa.array(
+                np.round(t.column("sum_value").to_numpy(zero_copy_only=False),
+                         round_to), pa.float64()),
+            "n_late": t.column("n_late").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2256,6 +2256,38 @@ FROM w GROUP BY 1
 """
 
 
+def q_watermarked_counts(sf_dir: str):
+    """Event-time tumbling window with a processing-order watermark and
+    late-data drop (`windows.watermarked_window`, Flink/Beam lateness
+    semantics replayed deterministically): arrival order = event_id,
+    watermark = running max event time minus 15 min; per hourly window
+    the on-time count/sum plus the dropped-late count. The oracle
+    replays the running max as a SQL window over the arrival order, so
+    a wrong prefix seed, bucket boundary or drop rule changes the
+    hash."""
+    from cosmos_ray.functions.windows import watermarked_window
+
+    return watermarked_window(
+        read(sf_dir, "events", ["event_id", "ts", "value"]),
+        window_s=3600, lateness_s=900)
+
+
+SQL_WATERMARKED_COUNTS = """
+WITH w AS (
+  SELECT epoch_us(ts) AS tu, value,
+         max(epoch_us(ts)) OVER (ORDER BY event_id) AS hi
+  FROM events),
+f AS (SELECT (tu // 3600000000) * 3600000000 AS window_start_us, value,
+             tu >= hi - 900000000 AS ok
+      FROM w)
+SELECT window_start_us,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN ok THEN value ELSE 0 END), 4) AS sum_value,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+FROM f GROUP BY 1
+"""
+
+
 def q_distinct_users_daily(sf_dir: str):
     """Exact daily distinct users via the two-stage distinct (the
     exchange carries one row per DISTINCT (day, user), never per event;
@@ -8035,6 +8067,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
+    "watermarked_counts": q_watermarked_counts,
     "distinct_users_daily": q_distinct_users_daily,
     "top_terms_by_lang": q_top_terms_by_lang,
     "value_quantiles": q_value_quantiles,
@@ -8306,6 +8339,7 @@ ORACLES = {
     "hybrid_rrf": SQL_HYBRID_RRF,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,
+    "watermarked_counts": SQL_WATERMARKED_COUNTS,
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
     "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
     "value_quantiles": SQL_VALUE_QUANTILES,

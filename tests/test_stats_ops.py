@@ -1119,3 +1119,83 @@ class TestHoltHourly:
         assert out["level"].iloc[0] == 5.0
         assert pd.isna(out["trend"].iloc[0])
         assert pd.isna(out["forecast_next"].iloc[0])
+
+
+class TestWatermarkedWindow:
+    """`windows.watermarked_window` — Flink-style lateness drop with the
+    running-max watermark computed via the bucket-prefix pattern."""
+
+    @staticmethod
+    def _events(rows):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        eid, ts_us, val = zip(*rows)
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(list(ts_us), pa.timestamp("us")),
+            "value": pa.array(val, pa.float64())}))
+
+    @staticmethod
+    def _reference(rows, window_us, late_us):
+        # direct sequential replay: inclusive running max watermark
+        out = {}
+        hi = -(1 << 62)
+        for _, tu, v in sorted(rows):
+            hi = max(hi, tu)
+            w = (tu // window_us) * window_us
+            n, s, late = out.get(w, (0, 0.0, 0))
+            if tu >= hi - late_us:
+                out[w] = (n + 1, s + v, late)
+            else:
+                out[w] = (n, s, late + 1)
+        return out
+
+    def test_out_of_order_drops_match_sequential_replay(self, ray_session):
+        from cosmos_ray.functions.windows import watermarked_window
+
+        H = 3_600_000_000
+        # watermark jumps to 10h at event 2; events 3/4 are >15min late
+        # (dropped); event 5 is within lateness (kept)
+        rows = [
+            (0, 1 * H, 1.0),
+            (1, 1 * H + 5, 2.0),
+            (2, 10 * H, 4.0),
+            (3, 1 * H + 10, 8.0),          # late by ~9h -> dropped
+            (4, 9 * H, 16.0),              # late by 1h -> dropped
+            (5, 10 * H - 600_000_000, 32.0),  # 10 min late -> kept
+            (6, 11 * H, 64.0),
+        ]
+        got = watermarked_window(self._events(rows), window_s=3600,
+                                 lateness_s=900, bucket_size=2).to_pandas()
+        ref = self._reference(rows, H, 900_000_000)
+        assert len(got) == len(ref)
+        for _, r in got.iterrows():
+            n, s, late = ref[int(r["window_start_us"])]
+            assert int(r["n_events"]) == n
+            assert abs(float(r["sum_value"]) - round(s, 4)) < 1e-9
+            assert int(r["n_late"]) == late
+
+    def test_cross_bucket_watermark_carries(self, ray_session):
+        """The high watermark set in bucket 0 must drop a late event in
+        bucket 1 (exclusive driver prefix seeds the in-bucket scan)."""
+        from cosmos_ray.functions.windows import watermarked_window
+
+        H = 3_600_000_000
+        rows = [(0, 10 * H, 1.0), (1, 10 * H + 1, 1.0),
+                (2, 1 * H, 1.0), (3, 1 * H + 2, 1.0)]  # bucket 1, very late
+        got = watermarked_window(self._events(rows), window_s=3600,
+                                 lateness_s=900, bucket_size=2).to_pandas()
+        w1 = got[got["window_start_us"] == 1 * H].iloc[0]
+        assert int(w1["n_events"]) == 0 and int(w1["n_late"]) == 2
+
+    def test_ordered_stream_never_drops(self, ray_session):
+        from cosmos_ray.functions.windows import watermarked_window
+
+        H = 3_600_000_000
+        rows = [(i, i * H // 4, 1.0) for i in range(40)]
+        got = watermarked_window(self._events(rows), window_s=3600,
+                                 lateness_s=900, bucket_size=7).to_pandas()
+        assert int(got["n_late"].sum()) == 0
+        assert int(got["n_events"].sum()) == 40
