@@ -1110,6 +1110,75 @@ FROM events GROUP BY event_type, hour
 """
 
 
+def q_events_hourly_incremental(sf_dir: str):
+    """Incremental materialized-view maintenance
+    (`functions/matview.py`, the Z-set/DBSP signed-delta algebra): the
+    hourly count/sum view is built from 80% of events (event_id % 5 <
+    4), then refreshed from a SIGNED delta — the remaining events as
+    +1 inserts and every event_id % 10 == 0 row as a -1 RETRACTION
+    (those live in the base, so the refresh must subtract, and an
+    hour fully retracted must leave the view). The maintained result
+    must equal a full recompute over (events minus retracted) — which
+    is exactly what the oracle states. Sums ride as integer
+    micro-units so incremental and recompute are bit-identical."""
+    from cosmos_ray.functions.matview import delta_partials, maintain_view
+
+    ev = read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            ts = (t.column("ts").cast(pa.timestamp("us"))
+                  .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                  .astype(np.int64))
+            vm = np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 1e6
+                + 0.5).astype(np.int64)
+            hour = (ts // 3_600_000_000) * 3_600_000_000
+            if which == "base":
+                m = eid % 5 < 4
+                sign = np.ones(int(m.sum()), np.int64)
+            else:  # inserts eid%5==4 (+1), retractions eid%10==0 (-1)
+                m = (eid % 5 == 4) | (eid % 10 == 0)
+                sign = np.where(eid[m] % 10 == 0, -1, 1).astype(np.int64)
+            return pa.table({"hour_us": pa.array(hour[m]),
+                             "sign": pa.array(sign),
+                             "svm": pa.array(vm[m])})
+
+        return f
+
+    from ray.data.aggregate import Sum as _Sum
+
+    base_view = (delta_partials(
+        ev.map_batches(prep("base"), batch_format="pyarrow"),
+        ["hour_us"], ["svm"])
+        .groupby("hour_us")
+        .aggregate(_Sum("n", alias_name="n"), _Sum("svm", alias_name="svm")))
+    delta = ev.map_batches(prep("delta"), batch_format="pyarrow")
+    out = maintain_view(base_view, delta, ["hour_us"], ["svm"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour_us": t.column("hour_us"),
+            "n_events": t.column("n").cast(pa.int64()),
+            "sum_value": pa.array(
+                t.column("svm").to_numpy(zero_copy_only=False) / 1e6,
+                pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY_INCREMENTAL = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events WHERE event_id % 10 <> 0)
+SELECT hour_us, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vm) AS DOUBLE) / 1000000.0 AS sum_value
+FROM e GROUP BY 1
+"""
+
+
 def q_big_spenders(sf_dir: str):
     """Semi-join: customers having at least one order above 300k
     (broadcast key-set filter; ES doc-filter semi-join analog,
@@ -8015,6 +8084,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "count_by_lang": q_count_by_lang,
     "events_hourly": q_events_hourly,
+    "events_hourly_incremental": q_events_hourly_incremental,
     "big_spenders": q_big_spenders,
     "customer_order_counts": q_customer_order_counts,
     "customers_no_orders": q_customers_no_orders,
@@ -8290,6 +8360,7 @@ ORACLES = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "count_by_lang": SQL_COUNT_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_hourly_incremental": SQL_EVENTS_HOURLY_INCREMENTAL,
     "big_spenders": SQL_BIG_SPENDERS,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,

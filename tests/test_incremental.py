@@ -64,3 +64,77 @@ def test_recrawl_is_idempotent(tmp_path):
     for name in TABLES:
         pd.testing.assert_frame_equal(_table(str(out / name)), before[name],
                                       check_dtype=False)
+
+
+class TestMatviewMaintenance:
+    """`functions/matview.py` — signed-delta (Z-set) view maintenance."""
+
+    @staticmethod
+    def _rows(rows):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        k, sign, v = zip(*rows)
+        return rd.from_arrow(pa.table({
+            "k": pa.array(k, pa.string()),
+            "sign": pa.array(sign, pa.int64()),
+            "v": pa.array(v, pa.int64())}))
+
+    def _view(self, rows):
+        from cosmos_ray.functions.matview import delta_partials
+
+        return delta_partials(self._rows(rows), ["k"], ["v"])
+
+    def test_incremental_equals_full_recompute(self, ray_session):
+        from cosmos_ray.functions.matview import maintain_view
+
+        base = [("a", 1, 10), ("a", 1, 20), ("b", 1, 5), ("c", 1, 7)]
+        delta = [("a", 1, 40), ("b", -1, 5), ("d", 1, 3)]
+        got = maintain_view(self._view(base), self._rows(delta),
+                            ["k"], ["v"]).to_pandas().sort_values("k")
+        # full recompute of base + delta as multisets
+        assert got["k"].tolist() == ["a", "c", "d"]
+        assert got["n"].tolist() == [3, 1, 1]
+        assert got["v"].tolist() == [70, 7, 3]
+
+    def test_fully_retracted_group_leaves_view(self, ray_session):
+        from cosmos_ray.functions.matview import maintain_view
+
+        base = [("x", 1, 2), ("x", 1, 3), ("y", 1, 1)]
+        delta = [("x", -1, 2), ("x", -1, 3)]
+        got = maintain_view(self._view(base), self._rows(delta),
+                            ["k"], ["v"]).to_pandas()
+        assert got["k"].tolist() == ["y"]
+
+    def test_over_retraction_raises(self, ray_session):
+        import pytest as _pytest
+
+        from cosmos_ray.functions.matview import maintain_view
+
+        base = [("x", 1, 2)]
+        delta = [("x", -1, 2), ("x", -1, 2)]
+        with _pytest.raises(Exception, match="negative maintained count"):
+            maintain_view(self._view(base), self._rows(delta),
+                          ["k"], ["v"]).to_pandas()
+
+    def test_empty_delta_is_identity(self, ray_session):
+        from cosmos_ray.functions.matview import maintain_view
+
+        base = [("a", 1, 10), ("b", 1, 5)]
+        got = maintain_view(self._view(base), self._rows_empty(),
+                            ["k"], ["v"]).to_pandas().sort_values("k")
+        assert got["k"].tolist() == ["a", "b"]
+        assert got["n"].tolist() == [1, 1]
+        assert got["v"].tolist() == [10, 5]
+
+    @staticmethod
+    def _rows_empty():
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "k": pa.array([], pa.string()),
+            "sign": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64())}))
