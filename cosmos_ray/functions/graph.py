@@ -1319,3 +1319,70 @@ def closeness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 4,
         "n_reached": pa.array([n_reached[s] for s in seeds], pa.int64()),
         "closeness": pa.array([scaled[s] / float(lcm) for s in seeds],
                               pa.float64())}).sort_by("entity"))
+
+
+def label_propagation(edges_ds, rounds: int = 4,
+                      src: str = "src_entity", dst: str = "dst_entity",
+                      num_buckets: int = 64):
+    """Deterministic SYNCHRONOUS label-propagation community detection
+    (Raghavan et al. 2007, made replayable): labels start as node ids;
+    each round every node adopts the label most frequent among its
+    neighbors, ties to the smallest label; after a FIXED number of
+    rounds the label is the community id. Fixing the rounds and the
+    tie rule removes classic LPA's update-order nondeterminism, so the
+    SQL oracle can unroll the rounds exactly (the kg_shortest /
+    kg_kcore CTE pattern).
+
+    Scale shape per round: one hash-join of the (node, label) table —
+    entity-vocabulary-sized, the KB bound — against the expanded edge
+    table, one (node, label) count groupby, then the per-batch argmax
+    combiner (at most one candidate row per (batch, node) crosses the
+    final exchange); labels materialize per round so the lazy chain
+    does not recompute across rounds.
+
+    -> (entity, community)"""
+    from ray.data.aggregate import Count as _Count
+
+    from cosmos_ray.queries.relational import (_join_partitions,
+                                               bucketed_group_apply)
+
+    eb = _undirected_expanded(edges_ds, src, dst)
+    labels = (eb.select_columns(["src"])
+              .groupby("src").aggregate(_Count(alias_name="__n"))
+              .map_batches(lambda t: pa.table({"node": t.column("src"),
+                                               "lbl": t.column("src")}),
+                           batch_format="pyarrow")
+              .materialize())
+
+    def partial_argmax(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "lbl"],
+                                       ascending=[False, True],
+                                       kind="stable")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(subset=["node"], keep="first"),
+            preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "lbl"], ascending=[False, True],
+                          kind="stable")
+        return g.drop_duplicates(subset=["node"], keep="first")[
+            ["node", "lbl"]]
+
+    for _ in range(rounds):
+        counts = (eb.join(labels, join_type="inner",
+                          num_partitions=_join_partitions(),
+                          on=("dst",), right_on=("node",))
+                  .map_batches(lambda t: pa.table({
+                      "node": t.column("src"), "lbl": t.column("lbl")}),
+                      batch_format="pyarrow")
+                  .groupby(["node", "lbl"])
+                  .aggregate(_Count(alias_name="n")))
+        labels = (bucketed_group_apply(
+            counts.map_batches(partial_argmax, batch_format="pyarrow"),
+            ["node"], finish, num_buckets=num_buckets)
+            .materialize())
+
+    return labels.map_batches(
+        lambda t: pa.table({"entity": t.column("node"),
+                            "community": t.column("lbl")}),
+        batch_format="pyarrow")

@@ -7983,6 +7983,47 @@ SELECT entity, pred AS top_pred, n AS n_as_subj FROM (
 """)
 
 
+def q_kg_communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities over
+    the entity graph (`graph.label_propagation`, 4 fixed rounds,
+    most-frequent-neighbor-label with smallest-label ties) — the
+    community-detection member of the graph family; the oracle unrolls
+    the rounds as materialized CTEs (kg_shortest pattern)."""
+    from cosmos_ray.functions.graph import label_propagation
+
+    return label_propagation(_built_kg(sf_dir).adjacency, rounds=4)
+
+
+def _sql_kg_communities(rounds: int = 4) -> str:
+    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+, e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM adj WHERE src <> dst)
+, und AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)
+, l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und)
+"""]
+    for i in range(rounds):
+        parts.append(f"""
+, c{i} AS MATERIALIZED (
+    SELECT u.src AS node, l.lbl, count(*) AS n
+    FROM und u JOIN l{i} l ON l.node = u.dst GROUP BY 1, 2)
+, l{i + 1} AS MATERIALIZED (
+    SELECT node, lbl FROM (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY n DESC, lbl) AS rn
+      FROM c{i}) WHERE rn = 1)
+""")
+    parts.append(f"""
+SELECT node AS entity, lbl AS community FROM l{rounds}
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_COMMUNITIES = _sql_kg_communities()
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -8267,6 +8308,7 @@ QUERIES = {
     "kg_negative_samples": q_kg_negative_samples,
     "kg_rule_mining": q_kg_rule_mining,
     "kg_entity_types": q_kg_entity_types,
+    "kg_communities": q_kg_communities,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -8467,6 +8509,7 @@ ORACLES = {
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "kg_rule_mining": SQL_KG_RULE_MINING,
     "kg_entity_types": SQL_KG_ENTITY_TYPES,
+    "kg_communities": SQL_KG_COMMUNITIES,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,

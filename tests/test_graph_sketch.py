@@ -735,3 +735,69 @@ class TestCloseness:
         assert out.loc["a", "n_reached"] == 1 and out.loc["a", "closeness"] == 1.0
         # c-d-e is a triangle: both d and e at distance 1
         assert out.loc["c", "n_reached"] == 2 and out.loc["c", "closeness"] == 2.0
+
+
+class TestLabelPropagation:
+    """`graph.label_propagation` — deterministic synchronous LPA vs a
+    direct sequential replay of the same rule."""
+
+    @staticmethod
+    def _replay(pairs, rounds):
+        # inclusive neighbor sets of the distinct simple graph
+        und = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        lbl = {v: v for v in und}
+        for _ in range(rounds):
+            new = {}
+            for v, nbrs in und.items():
+                counts = {}
+                for u in nbrs:
+                    counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = best[0][0]
+            lbl = new
+        return lbl
+
+    def _check(self, pairs, rounds=4):
+        from cosmos_ray.functions.graph import label_propagation
+
+        rows = [(a, b, 1) for a, b in pairs]
+        got = label_propagation(_edges(rows), rounds=rounds).to_pandas()
+        want = self._replay(pairs, rounds)
+        assert dict(zip(got["entity"], got["community"])) == want
+
+    def test_two_triangles_with_bridge_split(self, ray_session):
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+        self._check(pairs)
+        # and the labels actually separate the two triangles
+        from cosmos_ray.functions.graph import label_propagation
+
+        got = label_propagation(
+            _edges([(a, b, 1) for a, b in pairs]), rounds=4).to_pandas()
+        lbl = dict(zip(got["entity"], got["community"]))
+        assert lbl["a"] == lbl["b"]
+        assert lbl["x"] == lbl["y"] == lbl["z"]
+
+    def test_clique_converges_to_min_label(self, ray_session):
+        nodes = ["p", "q", "r", "s"]
+        pairs = [(a, b) for i, a in enumerate(nodes)
+                 for b in nodes[i + 1:]]
+        self._check(pairs)
+        from cosmos_ray.functions.graph import label_propagation
+
+        got = label_propagation(
+            _edges([(a, b, 1) for a, b in pairs]), rounds=4).to_pandas()
+        assert set(got["community"]) == {"p"}
+
+    def test_duplicate_and_reverse_edges_collapse(self, ray_session):
+        pairs = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")]
+        self._check(pairs)
+
+    def test_disconnected_components_stay_separate(self, ray_session):
+        pairs = [("a", "b"), ("c", "d")]
+        self._check(pairs, rounds=3)
