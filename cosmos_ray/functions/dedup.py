@@ -616,21 +616,18 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
     sigs = simhash_signatures(docs_ds)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        hs = t.column("simhash").to_pylist()
-        o_band, o_key, o_id, o_sig = [], [], [], []
-        for did, h in zip(ids, hs):
-            for b in range(4):
-                o_band.append(b)
-                o_key.append((h >> (16 * b)) & 0xFFFF)
-                o_id.append(did)
-                o_sig.append(h)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = t.column("simhash").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.uint64), n)
+        rep = np.repeat(hs, 4)
+        key = (rep >> (band * np.uint64(16))) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "band_id": pa.array(o_band, pa.int32()),
-                "band_key": pa.array(o_key, pa.int32()),
-                "doc_id": pa.array(o_id, pa.int64()),
-                "simhash": pa.array(o_sig, pa.uint64()),
+                "band_id": pa.array(band.astype(np.int32)),
+                "band_key": pa.array(key.astype(np.int32)),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash": pa.array(rep, pa.uint64()),
             }
         )
 
