@@ -720,18 +720,17 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, n_planes: int = 12,
         ids = g["vec_id"].tolist()
         U = np.asarray(g["unit"].tolist())
         if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        sims = U @ U.T
-        out_a, out_b, out_c = [], [], []
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         order = np.argsort(ids)
-        for ii in range(len(ids)):
-            for jj in range(ii + 1, len(ids)):
-                i, j = order[ii], order[jj]
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_c.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+        ids_s = np.asarray(ids)[order]
+        sims = U[order] @ U[order].T
+        ia, ib = np.triu_indices(len(ids_s), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "vec_a": ids_s[ia[keep]], "vec_b": ids_s[ib[keep]],
+            "cosine": np.round(sims[ia[keep], ib[keep]], 6)})
 
     bucketed = emb_ds.map_batches(
         Bucketer,
