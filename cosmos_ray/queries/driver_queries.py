@@ -1179,6 +1179,72 @@ FROM e GROUP BY 1
 """
 
 
+def q_order_window_overlaps(sf_dir: str):
+    """INTERVAL-OVERLAP self-join (the temporal-join member SQL writes
+    as ``a.lo <= b.hi AND b.lo <= a.hi``): each order spans the 8-day
+    window [date, date+7]; emit every same-customer order pair whose
+    windows overlap, with the overlap length in days. Shape: one
+    customer-hash bucket exchange co-locates each key, then the
+    in-group sweep is fully vectorized — sort by day, one
+    ``searchsorted`` finds each interval's last overlapping neighbor,
+    and the pair list materializes via repeat/offset arithmetic (no
+    per-pair Python). Per-key output is quadratic in co-window orders
+    — inherent to the join's own semantics, bounded here by orders per
+    customer per week."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = (t.column("o_orderdate").cast(pa.timestamp("us"))
+             .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "day": pa.array(d, pa.int64())})
+
+    def in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "o_orderkey"], kind="stable")
+        d = g["day"].to_numpy(np.int64)
+        k = g["o_orderkey"].to_numpy(np.int64)
+        n = len(d)
+        if n < 2:
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "order_a": pa.array([], pa.int64()),
+                             "order_b": pa.array([], pa.int64()),
+                             "overlap_days": pa.array([], pa.int64())})
+        hi = np.searchsorted(d, d + 7, side="right")
+        cnt = hi - np.arange(n) - 1
+        total = int(cnt.sum())
+        ia = np.repeat(np.arange(n), cnt)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        ib = ia + 1 + offs
+        a, b = k[ia], k[ib]
+        return pd.DataFrame({
+            "custkey": np.full(total, g["o_custkey"].iloc[0] if n else 0,
+                               np.int64),
+            "order_a": np.minimum(a, b), "order_b": np.maximum(a, b),
+            "overlap_days": 8 - (d[ib] - d[ia])})
+
+    return bucketed_group_apply(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], in_group)
+
+
+SQL_ORDER_WINDOW_OVERLAPS = """
+WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                  epoch_us(o_orderdate) // 86400000000 AS d
+           FROM orders)
+SELECT a.c AS custkey, least(a.k, b.k) AS order_a,
+       greatest(a.k, b.k) AS order_b,
+       CAST(8 - abs(a.d - b.d) AS BIGINT) AS overlap_days
+FROM o a JOIN o b
+  ON b.c = a.c AND a.k < b.k AND abs(a.d - b.d) <= 7
+"""
+
+
 def q_big_spenders(sf_dir: str):
     """Semi-join: customers having at least one order above 300k
     (broadcast key-set filter; ES doc-filter semi-join analog,
@@ -8126,6 +8192,7 @@ QUERIES = {
     "count_by_lang": q_count_by_lang,
     "events_hourly": q_events_hourly,
     "events_hourly_incremental": q_events_hourly_incremental,
+    "order_window_overlaps": q_order_window_overlaps,
     "big_spenders": q_big_spenders,
     "customer_order_counts": q_customer_order_counts,
     "customers_no_orders": q_customers_no_orders,
@@ -8403,6 +8470,7 @@ ORACLES = {
     "count_by_lang": SQL_COUNT_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_hourly_incremental": SQL_EVENTS_HOURLY_INCREMENTAL,
+    "order_window_overlaps": SQL_ORDER_WINDOW_OVERLAPS,
     "big_spenders": SQL_BIG_SPENDERS,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
