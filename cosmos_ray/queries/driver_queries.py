@@ -2391,6 +2391,55 @@ FROM w GROUP BY 1
 """
 
 
+def q_hopping_distinct_users(sf_dir: str):
+    """EXACT sliding-window cardinality (1h window, 15min hop): distinct
+    users per hopping window — the streaming COUNT(DISTINCT) the HLL
+    sketch approximates, done exactly via the two-stage distinct: the
+    in-batch window explode dedups (window, user) pairs BEFORE the
+    exchange, one groupby collapses them globally, and only one row
+    per distinct pair ever shuffles (never per-event fan-out)."""
+    from ray.data.aggregate import Count as _Count
+
+    window_us, hop_us = 3_600_000_000, 900_000_000
+    ev = read(sf_dir, "events", ["ts", "user_id"])
+
+    def explode_dedup(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+              .astype(np.int64))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        k_hi = ts // hop_us
+        k_lo = (ts - window_us) // hop_us + 1
+        counts = (k_hi - k_lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        starts = np.repeat(k_lo, counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        pairs = np.stack([(starts + offs) * hop_us,
+                          np.repeat(uid, counts)], axis=1)
+        uniq = np.unique(pairs, axis=0)
+        return pa.table({"window_start_us": pa.array(uniq[:, 0], pa.int64()),
+                         "user_id": pa.array(uniq[:, 1], pa.int64())})
+
+    distinct = (ev.map_batches(explode_dedup, batch_format="pyarrow")
+                .groupby(["window_start_us", "user_id"])
+                .aggregate(_Count(alias_name="__n")).drop_columns(["__n"]))
+    return (distinct.groupby("window_start_us")
+            .aggregate(_Count(alias_name="n_users")))
+
+
+SQL_HOPPING_DISTINCT_USERS = """
+WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events),
+w AS (SELECT unnest(generate_series((t - 3600000000) // 900000000 + 1,
+                                    t // 900000000)) AS k,
+             user_id
+      FROM e)
+SELECT k * 900000000 AS window_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1
+"""
+
+
 def q_watermarked_counts(sf_dir: str):
     """Event-time tumbling window with a processing-order watermark and
     late-data drop (`windows.watermarked_window`, Flink/Beam lateness
@@ -8245,6 +8294,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
+    "hopping_distinct_users": q_hopping_distinct_users,
     "watermarked_counts": q_watermarked_counts,
     "distinct_users_daily": q_distinct_users_daily,
     "top_terms_by_lang": q_top_terms_by_lang,
@@ -8520,6 +8570,7 @@ ORACLES = {
     "hybrid_rrf": SQL_HYBRID_RRF,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,
+    "hopping_distinct_users": SQL_HOPPING_DISTINCT_USERS,
     "watermarked_counts": SQL_WATERMARKED_COUNTS,
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
     "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
