@@ -417,3 +417,75 @@ def heavy_hitters(docs_ds, text_col: str = "text", phi: float = 0.005,
                          "frac": frac})
 
     return exact.map_batches(finish, batch_format="pyarrow")
+
+
+def kmv_sketch_table(ds, key_cols: list[str], value_col: str, k: int = 64,
+                     seed: str = "kmv0"):
+    """Per-group KMV sketch ROWS (key_cols..., __kmin = the k smallest
+    distinct-value md5 hashes) — the at-rest MERGEABLE sketch: persist
+    this table beside the data and answer any coarser-grain distinct
+    estimate later from the sketches alone (`kmv_rollup`), never
+    re-reading the fact table. Same hash/seed contract as
+    `kmv_distinct`, so the rollup stays DuckDB-replayable."""
+    import hashlib
+
+    import pandas as pd
+
+    def _hash_vals(vals) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(f"{seed}:{v}".encode()).digest()[:8],
+                            "little") for v in vals),
+            dtype=np.uint64, count=len(vals))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[key_cols + [value_col]].drop_duplicates()
+        d = d.assign(__h=_hash_vals(d[value_col].tolist()))
+        rows = {c: [] for c in key_cols}
+        hh = []
+        for key, g in d.groupby(key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            u = np.unique(g["__h"].to_numpy())[:k]
+            for c, v in zip(key_cols, key):
+                rows[c].append(v)
+            hh.append(u.astype(np.uint64).tolist())
+        rows["__kmin"] = hh
+        return pd.DataFrame(rows)
+
+    def to_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate(
+            [np.asarray(x, dtype=np.uint64) for x in g["__kmin"]]))[:k]
+        out = g.iloc[:1][key_cols].copy()
+        out["__kmin"] = [u.tolist()]
+        return out
+
+    return (ds.select_columns(key_cols + [value_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(key_cols)
+            .map_groups(to_sketch, batch_format="pandas"))
+
+
+def kmv_rollup(sketch_ds, group_keys: list[str], k: int = 64,
+               round_to: int = 6):
+    """Merge fine-grain KMV sketch rows to coarser groups: the k
+    smallest of the UNION of per-part min-k sets — provably identical
+    to a sketch built directly at the coarse grain (any hash among the
+    week's k smallest is among its own day's k smallest), so the
+    rolled-up estimate is bit-equal to the direct one and the SQL
+    oracle can state it from the fact table. -> (group_keys...,
+    n_distinct_est)."""
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate(
+            [np.asarray(x, dtype=np.uint64) for x in g["__kmin"]]))
+        m = len(u)
+        if m < k:
+            est = float(m)
+        else:
+            est = round((k - 1) * 2.0 ** 64 / float(u[k - 1]), round_to)
+        out = g.iloc[:1][group_keys].copy()
+        out["n_distinct_est"] = est
+        return out
+
+    return (sketch_ds.groupby(group_keys)
+            .map_groups(merge, batch_format="pandas"))

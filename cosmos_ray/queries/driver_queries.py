@@ -2631,6 +2631,50 @@ FROM r GROUP BY event_type
 """
 
 
+def q_weekly_users_kmv(sf_dir: str):
+    """Mergeable-sketch ROLLUP (`sketch.kmv_sketch_table` +
+    `sketch.kmv_rollup`): per-(week, day) KMV sketches are built once —
+    the at-rest sketch table a 100-TB OLAP layer persists beside the
+    facts — then WEEKLY distinct-user estimates come from merging the
+    daily sketches alone, never re-reading events. KMV's min-k union
+    makes the merged estimate bit-equal to a direct weekly sketch, so
+    the oracle states the rollup from the fact table directly."""
+    from cosmos_ray.functions.sketch import kmv_rollup, kmv_sketch_table
+
+    ev = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        lambda t: pa.table({
+            "week_us": pc.multiply(
+                pc.divide(t.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64()), pa.scalar(604_800_000_000)),
+                pa.scalar(604_800_000_000)),
+            "day_us": pc.multiply(
+                pc.divide(t.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64()), pa.scalar(86_400_000_000)),
+                pa.scalar(86_400_000_000)),
+            "user_id": t.column("user_id")}),
+        batch_format="pyarrow")
+    sketches = kmv_sketch_table(ev, ["week_us", "day_us"], "user_id", k=64)
+    return kmv_rollup(sketches, ["week_us"], k=64)
+
+
+SQL_WEEKLY_USERS_KMV = """
+WITH d AS (SELECT DISTINCT
+             (epoch_us(ts) // 604800000000) * 604800000000 AS week_us,
+             user_id
+           FROM events),
+h AS (SELECT week_us, md5_number_upper('kmv0:' || user_id) AS hh FROM d),
+r AS (SELECT week_us, hh,
+             row_number() OVER (PARTITION BY week_us ORDER BY hh) AS rn
+      FROM h)
+SELECT week_us,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 * 18446744073709551616.0 /
+                       CAST(max(CASE WHEN rn = 64 THEN hh END) AS DOUBLE)
+             END, 6) AS n_distinct_est
+FROM r GROUP BY week_us
+"""
+
+
 def q_top_terms_by_lang(sf_dir: str):
     """Exact heavy hitters: top-10 tokens per language (combiner counts
     inside each batch; the exchange is vocabulary-bounded)."""
@@ -8281,6 +8325,7 @@ QUERIES = {
     "ewma_value": q_ewma_value,
     "value_histogram": q_value_histogram,
     "distinct_users_kmv": q_distinct_users_kmv,
+    "weekly_users_kmv": q_weekly_users_kmv,
     "fuzzy_clusters": q_fuzzy_clusters,
     "docs_merged": q_docs_merged,
     "event_attribution": q_event_attribution,
@@ -8557,6 +8602,7 @@ ORACLES = {
     "ewma_value": SQL_EWMA_VALUE,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "distinct_users_kmv": SQL_DISTINCT_USERS_KMV,
+    "weekly_users_kmv": SQL_WEEKLY_USERS_KMV,
     "fuzzy_clusters": SQL_FUZZY_CLUSTERS,
     "docs_merged": SQL_DOCS_MERGED,
     "event_attribution": SQL_EVENT_ATTRIBUTION,

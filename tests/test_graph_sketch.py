@@ -801,3 +801,31 @@ class TestLabelPropagation:
     def test_disconnected_components_stay_separate(self, ray_session):
         pairs = [("a", "b"), ("c", "d")]
         self._check(pairs, rounds=3)
+
+
+def test_kmv_rollup_equals_direct_coarse_sketch(ray_session):
+    """Merging fine-grain KMV sketches must reproduce the direct
+    coarse-grain sketch bit-for-bit (min-k of union == head-k of the
+    union of per-part min-k sets)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from cosmos_ray.functions.sketch import (kmv_distinct, kmv_rollup,
+                                             kmv_sketch_table)
+
+    n = 3000
+    coarse = [i % 3 for i in range(n)]
+    fine = [i % 12 for i in range(n)]
+    vals = [i % 700 for i in range(n)]  # >k distinct per coarse group
+    ds = rd.from_arrow(pa.table({
+        "coarse": pa.array(coarse, pa.int64()),
+        "fine": pa.array(fine, pa.int64()),
+        "v": pa.array(vals, pa.int64())}))
+    rolled = (kmv_rollup(kmv_sketch_table(ds, ["coarse", "fine"], "v", k=64),
+                         ["coarse"], k=64)
+              .to_pandas().sort_values("coarse").reset_index(drop=True))
+    direct = (kmv_distinct(ds, ["coarse"], "v", k=64)
+              .to_pandas().sort_values("coarse").reset_index(drop=True))
+    assert rolled["coarse"].tolist() == direct["coarse"].tolist()
+    assert rolled["n_distinct_est"].tolist() == direct["n_distinct_est"].tolist()
