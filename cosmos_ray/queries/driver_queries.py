@@ -5053,6 +5053,52 @@ FROM per GROUP BY host
 """)
 
 
+def q_kg_evidence(sf_dir: str):
+    """Per-fact EVIDENCE aggregation — the acceptance signal a KG build
+    computes before trusting a triple: total mentions, distinct source
+    pages and distinct source HOSTS per (subj, pred, obj) (cross-site
+    corroboration is the standard spam/mirror defense). Shape: host
+    parsed with one vectorized regex, then two bounded groupbys —
+    (fact, host) partials first, fact rollup second — so the exchange
+    never exceeds distinct (fact, host) pairs."""
+    from ray.data.aggregate import Count, Sum
+
+    tr = _built_kg(sf_dir).triples
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t.column("url"),
+                                r"https?://(?P<host>[^/]+)/")
+        return pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"),
+            "host": pc.struct_field(host, "host"),
+            "m": t.column("n_mentions").cast(pa.int64())})
+
+    per_host = (tr.map_batches(prep, batch_format="pyarrow")
+                .groupby(["subj", "pred", "obj", "host"])
+                .aggregate(Sum("m", alias_name="m"),
+                           Count(alias_name="n_urls")))
+    return (per_host.groupby(["subj", "pred", "obj"])
+            .aggregate(Sum("m", alias_name="n_mentions"),
+                       Sum("n_urls", alias_name="n_urls"),
+                       Count(alias_name="n_hosts")))
+
+
+SQL_KG_EVIDENCE = with_goldens("""
+, tr AS (SELECT url, subj, pred, obj, count(*) AS m
+         FROM facts GROUP BY 1, 2, 3, 4)
+, ph AS (SELECT subj, pred, obj,
+                regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+                sum(m) AS m, count(*) AS n_urls
+         FROM tr GROUP BY 1, 2, 3, 4)
+SELECT subj, pred, obj,
+       CAST(sum(m) AS BIGINT) AS n_mentions,
+       CAST(sum(n_urls) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM ph GROUP BY 1, 2, 3
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -8471,6 +8517,7 @@ QUERIES = {
     "kg_rule_mining": q_kg_rule_mining,
     "kg_entity_types": q_kg_entity_types,
     "kg_communities": q_kg_communities,
+    "kg_evidence": q_kg_evidence,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -8675,6 +8722,7 @@ ORACLES = {
     "kg_rule_mining": SQL_KG_RULE_MINING,
     "kg_entity_types": SQL_KG_ENTITY_TYPES,
     "kg_communities": SQL_KG_COMMUNITIES,
+    "kg_evidence": SQL_KG_EVIDENCE,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
