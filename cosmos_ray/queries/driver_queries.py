@@ -2391,6 +2391,53 @@ FROM w GROUP BY 1
 """
 
 
+def q_user_key_moments(sf_dir: str):
+    """Exact frequency moments of the event key distribution — the
+    numbers a planner reads before choosing a join/shuffle strategy:
+    F0 = distinct users, F1 = total events, F2 = sum of squared per-key
+    counts (the SELF-JOIN SIZE the AMS sketch estimates), and the skew
+    factor F2*F0/F1^2 (1.0 = uniform keys). Shape: per-batch key-count
+    combiner, one vocabulary-bounded groupby, then a single-row
+    reduce of squared counts."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = read(sf_dir, "events", ["user_id"])
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("user_id").combine_chunks())
+        return pa.table({"user_id": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    per_key = (ev.map_batches(batch_counts, batch_format="pyarrow")
+               .groupby("user_id").aggregate(_Sum("c", alias_name="c")))
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({"f0": pa.array([len(c)], pa.int64()),
+                         "f1": pa.array([int(c.sum())], pa.int64()),
+                         "f2": pa.array([int((c * c).sum())], pa.int64())})
+
+    agg = (per_key.map_batches(moments, batch_format="pyarrow")
+           .aggregate(_Sum("f0", alias_name="f0"),
+                      _Sum("f1", alias_name="f1"),
+                      _Sum("f2", alias_name="f2")))
+    f0, f1, f2 = int(agg["f0"]), int(agg["f1"]), int(agg["f2"])
+    return pd.DataFrame({"f0": [f0], "f1": [f1], "f2": [f2],
+                         "skew": [round(f2 * f0 / (f1 * f1), 6)]})
+
+
+SQL_USER_KEY_MOMENTS = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS f0,
+       CAST(sum(n) AS BIGINT) AS f1,
+       CAST(sum(n * n) AS BIGINT) AS f2,
+       round(CAST(sum(n * n) * count(*) AS DOUBLE)
+             / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS skew
+FROM c
+"""
+
+
 def q_hopping_distinct_users(sf_dir: str):
     """EXACT sliding-window cardinality (1h window, 15min hop): distinct
     users per hopping window — the streaming COUNT(DISTINCT) the HLL
@@ -8386,6 +8433,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "hopping_counts": q_hopping_counts,
     "hopping_distinct_users": q_hopping_distinct_users,
+    "user_key_moments": q_user_key_moments,
     "watermarked_counts": q_watermarked_counts,
     "distinct_users_daily": q_distinct_users_daily,
     "top_terms_by_lang": q_top_terms_by_lang,
@@ -8664,6 +8712,7 @@ ORACLES = {
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "hopping_counts": SQL_HOPPING_COUNTS,
     "hopping_distinct_users": SQL_HOPPING_DISTINCT_USERS,
+    "user_key_moments": SQL_USER_KEY_MOMENTS,
     "watermarked_counts": SQL_WATERMARKED_COUNTS,
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
     "top_terms_by_lang": SQL_TOP_TERMS_BY_LANG,
