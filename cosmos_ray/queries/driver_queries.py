@@ -7643,6 +7643,43 @@ SELECT CAST(4 AS BIGINT), doc_id FROM documents
 """
 
 
+def q_docs_forget(sf_dir: str):
+    """Targeted key deletion on the versioned store
+    (`versioned.commit_delete_keys`, the right-to-be-forgotten pass):
+    documents are committed in two appends, then every doc_id % 7 == 0
+    is deleted — rewriting ONLY the files that contain those keys (one
+    Ray task per affected file; untouched files keep their physical
+    identity). The query returns the post-delete snapshot, which the
+    oracle states as documents minus the deleted keys."""
+    import tempfile
+
+    from cosmos_ray.state import versioned as V
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+    tdir = tempfile.mkdtemp(prefix="forget_", dir="/tmp")
+
+    def half(rem: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == rem))
+
+        return f
+
+    V.commit_append(tdir, docs.map_batches(half(0), batch_format="pyarrow"))
+    V.commit_append(tdir, docs.map_batches(half(1), batch_format="pyarrow"))
+    keys = [r["doc_id"] for r in docs.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 7 == 0)),
+        batch_format="pyarrow").take_all()]
+    V.commit_delete_keys(tdir, "doc_id", keys)
+    return V.read_snapshot(tdir).select_columns(["doc_id"])
+
+
+SQL_DOCS_FORGET = """
+SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
 def q_events_box_scan(sf_dir: str):
     """2-D box scan served from Z-ORDER clustered storage
     (`state/zorder.py`): events are written once in Morton order of
@@ -8556,6 +8593,7 @@ QUERIES = {
     "token_dense_rank": q_token_dense_rank,
     "docs_evolved_union": q_docs_evolved_union,
     "docs_time_travel": q_docs_time_travel,
+    "docs_forget": q_docs_forget,
     "events_box_scan": q_events_box_scan,
     "fingerprint_lookup": q_fingerprint_lookup,
     "user_event_types": q_user_event_types,
@@ -8762,6 +8800,7 @@ ORACLES = {
     "token_dense_rank": SQL_TOKEN_DENSE_RANK,
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
     "docs_time_travel": SQL_DOCS_TIME_TRAVEL,
+    "docs_forget": SQL_DOCS_FORGET,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "user_event_types": SQL_USER_EVENT_TYPES,

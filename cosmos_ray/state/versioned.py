@@ -40,8 +40,9 @@ import glob
 import json
 import os
 
-__all__ = ["commit_append", "commit_overwrite", "rollback", "history",
-           "snapshot_files", "read_snapshot", "current_version", "vacuum"]
+__all__ = ["commit_append", "commit_overwrite", "commit_delete_keys",
+           "rollback", "history", "snapshot_files", "read_snapshot",
+           "current_version", "vacuum"]
 
 
 def _log_dir(table_dir: str) -> str:
@@ -201,3 +202,100 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
             os.remove(f)
             deleted.append(os.path.basename(f))
     return deleted
+
+
+def commit_delete_keys(table_dir: str, key_col: str, keys,
+                       op: str = "delete_keys") -> dict:
+    """Targeted key deletion (the right-to-be-forgotten pass) with
+    MINIMAL rewrite: only data files that actually contain one of
+    ``keys`` are rewritten (column-pruned scan of ``key_col`` decides
+    per file; compose with `state/bloom_index.py` to pre-prune the
+    candidate list at 100-TB file counts); untouched files keep their
+    physical identity, so the commit's cost is O(affected files), not
+    O(table). History is preserved — pre-delete snapshots still read
+    the full data until `vacuum` reclaims them (run vacuum after a
+    compliance delete to physically destroy the rows).
+
+    Scale shape: the per-file probe and rewrite fan out as one Ray task
+    per file (the `compact_parquet_dir` pattern); the key set is
+    broadcast once via ``ray.put``. Returns the commit record with
+    ``rewritten`` / ``untouched`` file counts; a delete hitting no
+    file publishes no new version (no-op, returns the current record
+    shape with "noop": True)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    files = snapshot_files(table_dir)
+    if not files:
+        return {"noop": True, "version": current_version(table_dir),
+                "rewritten": 0, "untouched": 0}
+    key_ref = ray.put(pa.array(list(keys)))
+    version = current_version(table_dir) + 1
+    stage = os.path.join(table_dir, f"_stage_v{version:08d}")
+    if os.path.isdir(stage):
+        for f in glob.glob(os.path.join(stage, "*")):
+            os.remove(f)
+    os.makedirs(stage, exist_ok=True)
+
+    def probe_rewrite(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        out_old, out_new, out_removed = [], [], []
+        for path in t.column("path").to_pylist():
+            col = pq.read_table(path, columns=[key_col]).column(key_col)
+            hit = pc.any(pc.is_in(
+                col, value_set=ks.cast(col.type))).as_py()
+            if not hit:
+                continue
+            full = pq.read_table(path)
+            keep = pc.invert(pc.is_in(
+                full.column(key_col),
+                value_set=ks.cast(full.column(key_col).type)))
+            kept = full.filter(keep)
+            name = os.path.basename(path)
+            new_name = f"v{version:08d}-del-{name}"
+            tmp = os.path.join(stage, new_name)
+            if kept.num_rows:
+                pq.write_table(kept, tmp)
+                out_new.append(new_name)
+            else:
+                out_new.append("")  # file fully deleted, no replacement
+            out_old.append(name)
+            out_removed.append(full.num_rows - kept.num_rows)
+        return pa.table({
+            "old": pa.array(out_old, pa.string()),
+            "new": pa.array(out_new, pa.string()),
+            "n_removed": pa.array(out_removed, pa.int64())})
+
+    plan = rd.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
+    res = (plan.repartition(max(1, len(files)))
+           .map_batches(probe_rewrite, batch_format="pyarrow")
+           .to_pandas())
+    if res.empty:
+        for f in glob.glob(os.path.join(stage, "*")):
+            os.remove(f)
+        os.rmdir(stage)
+        return {"noop": True, "version": version - 1,
+                "rewritten": 0, "untouched": len(files)}
+
+    added = []
+    for new_name in res["new"]:
+        if new_name:
+            os.replace(os.path.join(stage, new_name),
+                       os.path.join(_data_dir(table_dir), new_name))
+            added.append(new_name)
+    for f in glob.glob(os.path.join(stage, "*")):
+        os.remove(f)
+    os.rmdir(stage)
+    rec = {"version": version, "op": op, "added": sorted(added),
+           "removed": sorted(res["old"].tolist()),
+           "rows_added": 0, "rows_deleted": int(res["n_removed"].sum()),
+           "rewritten": len(res), "untouched": len(files) - len(res)}
+    tmp = _log_path(table_dir, version) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, _log_path(table_dir, version))
+    return rec

@@ -563,3 +563,65 @@ class TestVersionedStore:
         V.commit_append(d, rd.from_arrow(self._tbl(range(3))))
         with _pytest.raises(ValueError):
             V.snapshot_files(d, 7)
+
+
+class TestDeleteKeys:
+    """`versioned.commit_delete_keys` — minimal-rewrite targeted delete."""
+
+    @staticmethod
+    def _tbl(ids):
+        import pyarrow as pa
+
+        return pa.table({"doc_id": pa.array(list(ids), pa.int64())})
+
+    def test_only_affected_files_rewritten(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "fg")
+        V.commit_append(d, rd.from_arrow(self._tbl(range(0, 50))))
+        V.commit_append(d, rd.from_arrow(self._tbl(range(100, 150))))
+        before = {os.path.basename(f): os.stat(f).st_ino
+                  for f in V.snapshot_files(d)}
+        rec = V.commit_delete_keys(d, "doc_id", [5, 7, 9])  # first commit only
+        assert rec["rows_deleted"] == 3 and rec["rewritten"] >= 1
+        got = sorted(V.read_snapshot(d).to_pandas()["doc_id"])
+        assert got == sorted(set(range(0, 50)) - {5, 7, 9} | set(range(100, 150)))
+        # every file holding only 100..149 kept its physical identity
+        after = {os.path.basename(f): os.stat(f).st_ino
+                 for f in V.snapshot_files(d)}
+        untouched = set(before) & set(after)
+        assert rec["untouched"] == len(untouched) > 0
+        for name in untouched:
+            assert before[name] == after[name]
+        # pre-delete snapshot still sees the deleted keys (until vacuum)
+        assert 5 in set(V.read_snapshot(d, 2).to_pandas()["doc_id"])
+
+    def test_delete_absent_keys_is_noop(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "fgnoop")
+        V.commit_append(d, rd.from_arrow(self._tbl(range(10))))
+        rec = V.commit_delete_keys(d, "doc_id", [999])
+        assert rec.get("noop") is True
+        assert V.current_version(d) == 1
+        assert V.read_snapshot(d).count() == 10
+
+    def test_delete_entire_file_leaves_no_replacement(self, ray_session,
+                                                      tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "fgall")
+        V.commit_append(d, rd.from_arrow(self._tbl(range(5))))
+        V.commit_append(d, rd.from_arrow(self._tbl(range(50, 55))))
+        rec = V.commit_delete_keys(d, "doc_id", list(range(5)))
+        assert rec["rows_deleted"] == 5
+        got = sorted(V.read_snapshot(d).to_pandas()["doc_id"])
+        assert got == list(range(50, 55))
