@@ -41,8 +41,8 @@ import json
 import os
 
 __all__ = ["commit_append", "commit_overwrite", "commit_delete_keys",
-           "rollback", "history", "snapshot_files", "read_snapshot",
-           "current_version", "vacuum"]
+           "commit_compact", "rollback", "history", "snapshot_files",
+           "read_snapshot", "current_version", "vacuum"]
 
 
 def _log_dir(table_dir: str) -> str:
@@ -294,6 +294,87 @@ def commit_delete_keys(table_dir: str, key_col: str, keys,
            "removed": sorted(res["old"].tolist()),
            "rows_added": 0, "rows_deleted": int(res["n_removed"].sum()),
            "rewritten": len(res), "untouched": len(files) - len(res)}
+    tmp = _log_path(table_dir, version) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, _log_path(table_dir, version))
+    return rec
+
+
+def commit_compact(table_dir: str, target_bytes: int = 128 * 1024 * 1024,
+                   op: str = "compact") -> dict:
+    """OPTIMIZE for the versioned table: bin-pack the ACTIVE small
+    files into ~``target_bytes`` groups (`state/compact.py:plan_groups`
+    on footer metadata only) and rewrite each multi-file group as one
+    file in its own Ray task, publishing the swap as a new commit —
+    content identical, file count lower, history intact (pre-compact
+    snapshots still reference the old files until `vacuum`). Groups
+    already consisting of one file are left untouched. No-op (no new
+    version) when nothing would shrink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from cosmos_ray.state.compact import plan_groups
+
+    files = snapshot_files(table_dir)
+    sizes = {f: os.path.getsize(f) for f in files}
+    # plan over the active set only (plan_groups scans a dir; inline
+    # the same greedy name-sorted bin-pack here on the snapshot list)
+    groups, cur, cur_b = [], [], 0
+    for f in sorted(files):
+        sz = sizes[f]
+        if cur and cur_b + sz > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(f)
+        cur_b += sz
+    if cur:
+        groups.append(cur)
+    multi = [g for g in groups if len(g) > 1]
+    if not multi:
+        return {"noop": True, "version": current_version(table_dir),
+                "compacted_groups": 0}
+
+    version = current_version(table_dir) + 1
+    stage = os.path.join(table_dir, f"_stage_v{version:08d}")
+    if os.path.isdir(stage):
+        for f in glob.glob(os.path.join(stage, "*")):
+            os.remove(f)
+    os.makedirs(stage, exist_ok=True)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        out_new, out_olds = [], []
+        for k, paths in zip(t.column("k").to_pylist(),
+                            t.column("paths").to_pylist()):
+            tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                                   promote_options="default")
+            name = f"v{version:08d}-cmp-{k:05d}.parquet"
+            pq.write_table(tbl, os.path.join(stage, name))
+            out_new.append(name)
+            out_olds.append("|".join(os.path.basename(p) for p in paths))
+        return pa.table({"new": pa.array(out_new, pa.string()),
+                         "olds": pa.array(out_olds, pa.string())})
+
+    plan = rd.from_arrow(pa.table({
+        "k": pa.array(range(len(multi)), pa.int64()),
+        "paths": pa.array(multi, pa.list_(pa.string()))}))
+    res = (plan.repartition(len(multi))
+           .map_batches(rewrite, batch_format="pyarrow").to_pandas())
+
+    added, removed = [], []
+    for _, r in res.iterrows():
+        os.replace(os.path.join(stage, r["new"]),
+                   os.path.join(_data_dir(table_dir), r["new"]))
+        added.append(r["new"])
+        removed.extend(r["olds"].split("|"))
+    for f in glob.glob(os.path.join(stage, "*")):
+        os.remove(f)
+    os.rmdir(stage)
+    rec = {"version": version, "op": op, "added": sorted(added),
+           "removed": sorted(removed), "rows_added": 0,
+           "compacted_groups": len(multi)}
     tmp = _log_path(table_dir, version) + f".tmp{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(rec, fh)

@@ -625,3 +625,46 @@ class TestDeleteKeys:
         assert rec["rows_deleted"] == 5
         got = sorted(V.read_snapshot(d).to_pandas()["doc_id"])
         assert got == list(range(50, 55))
+
+
+class TestVersionedCompact:
+    """`versioned.commit_compact` — OPTIMIZE as a history-preserving commit."""
+
+    @staticmethod
+    def _tbl(ids):
+        import pyarrow as pa
+
+        return pa.table({"doc_id": pa.array(list(ids), pa.int64())})
+
+    def test_compact_shrinks_files_content_identical(self, ray_session,
+                                                     tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "cmp")
+        for i in range(4):  # 4 tiny commits -> >=4 active files
+            V.commit_append(d, rd.from_arrow(
+                self._tbl(range(i * 10, i * 10 + 10))))
+        before_files = V.snapshot_files(d)
+        before = sorted(V.read_snapshot(d).to_pandas()["doc_id"])
+        rec = V.commit_compact(d, target_bytes=1 << 30)
+        assert rec["compacted_groups"] >= 1
+        after_files = V.snapshot_files(d)
+        assert len(after_files) < len(before_files)
+        assert sorted(V.read_snapshot(d).to_pandas()["doc_id"]) == before
+        # pre-compact snapshot still reads the original files
+        assert sorted(V.read_snapshot(d, 4).to_pandas()["doc_id"]) == before
+        # second compact is a no-op
+        rec2 = V.commit_compact(d, target_bytes=1 << 30)
+        assert rec2.get("noop") is True
+
+    def test_single_file_table_noop(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "cmp1")
+        V.commit_append(d, rd.from_arrow(self._tbl(range(10))))
+        if len(V.snapshot_files(d)) == 1:
+            assert V.commit_compact(d).get("noop") is True

@@ -44,11 +44,14 @@ ALLOWED = {
                                       # distinct-duration finish table)
                                       # — ratchet equals the audited count,
                                       # no slack for unaudited new pulls
-    "functions/graph.py": 2,          # shared k-smallest pivot-seed pull
+    "functions/graph.py": 3,          # shared k-smallest pivot-seed pull
                                       # (_smallest_k_seeds, k rows) and the
                                       # closeness per-level counts (k rows
                                       # per hop)
                                       # rows by construction (topk.take_all)
+                                      # + label_propagation's worker-local
+                                      # Table.to_pandas inside the argmax
+                                      # combiner (per-batch, not a pull)
     "state/copartition.py": 4,        # worker-local bucket reads inside
                                       # join_bucket (+ typed-empty fallback)
     "functions/similarity.py": 3,     # seeded centroid samples (capped n)
@@ -57,6 +60,13 @@ ALLOWED = {
                                       # map_batches fn (worker-local)
     "functions/retrieval.py": 0,      # df via .sum() combiner only
     "functions/windows.py": 0,
+    "functions/matview.py": 1,        # worker-local Table.to_pandas inside
+                                      # the delta combiner (per-batch)
+    "state/versioned.py": 2,          # commit_delete_keys / commit_compact
+                                      # pull ONE ROW PER AFFECTED FILE /
+                                      # PER GROUP — commit-plane metadata,
+                                      # file-count bounded by design (the
+                                      # log itself is driver-side JSON)
     "functions/temporal.py": 0,
     "functions/validate.py": 0,
     "functions/geometry.py": 0,
