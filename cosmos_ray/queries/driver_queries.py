@@ -1073,6 +1073,29 @@ SELECT doc_id, lang, n_chars FROM documents WHERE contains(text, 'spark join')
 """
 
 
+def q_substring_lookup(sf_dir: str):
+    """Substring (LIKE '%needle%') search served from the at-rest
+    byte-trigram index (`state/trigram.py`, the pg_trgm analog):
+    the corpus is written once into hash file-parts plus a distinct
+    (trigram, part) posting table; the query intersects its trigrams'
+    part sets and scans ONLY candidate parts with a vectorized
+    residual — exact rows, pruned read. The full-scan sibling is
+    phrase_search; this is the indexed form."""
+    import tempfile
+
+    from cosmos_ray.state.trigram import build_trigram_index, substring_search
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="trigram_", dir="/tmp")
+    build_trigram_index(docs, idx)
+    return substring_search(idx, "spark join")
+
+
+SQL_SUBSTRING_LOOKUP = """
+SELECT doc_id FROM documents WHERE contains(text, 'spark join')
+"""
+
+
 def q_count_by_lang(sf_dir: str):
     docs = read(sf_dir, "documents", ["doc_id", "lang"])
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -8412,6 +8435,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
+    "substring_lookup": q_substring_lookup,
     "count_by_lang": q_count_by_lang,
     "events_hourly": q_events_hourly,
     "events_hourly_incremental": q_events_hourly_incremental,
@@ -8695,6 +8719,7 @@ ORACLES = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "top_customers_page2": SQL_TOP_CUSTOMERS_PAGE2,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "substring_lookup": SQL_SUBSTRING_LOOKUP,
     "count_by_lang": SQL_COUNT_BY_LANG,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_hourly_incremental": SQL_EVENTS_HOURLY_INCREMENTAL,
