@@ -7703,6 +7703,96 @@ SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
 """
 
 
+def _merge_fixture(sf_dir: str):
+    """Shared builder for the MERGE/change-feed queries: v1 = the
+    documents table, v2 = MERGE (update n_chars for doc_id%7==0,
+    content-identical touch for doc_id%11==0, insert doc_id+1000000
+    for doc_id%13==0), v3 = targeted delete of doc_id%5==0."""
+    import tempfile
+
+    from cosmos_ray.state import versioned as V
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tdir = tempfile.mkdtemp(prefix="merge_", dir="/tmp")
+    V.commit_append(tdir, docs)
+
+    def upd(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((ids % 7 == 0) | (ids % 11 == 0)))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"), "lang": t.column("lang"),
+            "n_chars": pa.array(np.where(ids % 7 == 0, nc + 1000, nc))})
+
+    def ins(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 13 == 0))
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"), pa.scalar(1_000_000)),
+            "lang": t.column("lang"), "n_chars": t.column("n_chars")})
+
+    updates = docs.map_batches(upd, batch_format="pyarrow").union(
+        docs.map_batches(ins, batch_format="pyarrow"))
+    V.commit_merge_upsert(tdir, "doc_id", updates)
+
+    del_keys = [r["doc_id"] for r in docs.map_batches(
+        lambda t: t.select(["doc_id"]).filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 5 == 0)),
+        batch_format="pyarrow").take_all()]
+    V.commit_delete_keys(tdir, "doc_id", del_keys)
+    return tdir
+
+
+def q_docs_upserted(sf_dir: str):
+    """Delta-MERGE upsert on the versioned store
+    (`versioned.commit_merge_upsert`): matched keys are replaced by
+    rewriting ONLY the files that contain them (one Ray task per
+    affected file), unmatched update rows insert, untouched files keep
+    their physical identity — all one atomic commit. Returns the
+    post-merge snapshot (v2); the oracle restates it from `documents`
+    with the update/insert arithmetic."""
+    from cosmos_ray.state import versioned as V
+
+    tdir = _merge_fixture(sf_dir)
+    return V.read_snapshot(tdir, 2)
+
+
+SQL_DOCS_UPSERTED = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+         AS n_chars
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def q_docs_change_feed(sf_dir: str):
+    """Change data feed between snapshots (`versioned.version_diff`,
+    the Delta CDF analog): v1 -> v3 spans a MERGE and a targeted
+    delete; the diff reads ONLY files that differ between the two
+    snapshots (immutable files common to both prune out) and
+    classifies by full-outer key join — delete for keys gone, update
+    for keys whose non-key content changed, insert for new keys.
+    Discriminative: the doc_id%11 rows were REWRITTEN by the merge
+    with identical content and must NOT appear in the feed."""
+    from cosmos_ray.state.versioned import version_diff
+
+    tdir = _merge_fixture(sf_dir)
+    return version_diff(tdir, "doc_id", 1, 3)
+
+
+SQL_DOCS_CHANGE_FEED = """
+SELECT doc_id, 'delete' AS change FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, 'update' FROM documents
+WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 1000000, 'insert' FROM documents WHERE doc_id % 13 = 0
+"""
+
+
 def q_events_box_scan(sf_dir: str):
     """2-D box scan served from Z-ORDER clustered storage
     (`state/zorder.py`): events are written once in Morton order of
@@ -8618,6 +8708,8 @@ QUERIES = {
     "docs_evolved_union": q_docs_evolved_union,
     "docs_time_travel": q_docs_time_travel,
     "docs_forget": q_docs_forget,
+    "docs_upserted": q_docs_upserted,
+    "docs_change_feed": q_docs_change_feed,
     "events_box_scan": q_events_box_scan,
     "fingerprint_lookup": q_fingerprint_lookup,
     "user_event_types": q_user_event_types,
@@ -8826,6 +8918,8 @@ ORACLES = {
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
     "docs_time_travel": SQL_DOCS_TIME_TRAVEL,
     "docs_forget": SQL_DOCS_FORGET,
+    "docs_upserted": SQL_DOCS_UPSERTED,
+    "docs_change_feed": SQL_DOCS_CHANGE_FEED,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "user_event_types": SQL_USER_EVENT_TYPES,

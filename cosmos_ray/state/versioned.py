@@ -41,8 +41,9 @@ import json
 import os
 
 __all__ = ["commit_append", "commit_overwrite", "commit_delete_keys",
-           "commit_compact", "rollback", "history", "snapshot_files",
-           "read_snapshot", "current_version", "vacuum"]
+           "commit_merge_upsert", "commit_compact", "rollback", "history",
+           "snapshot_files", "read_snapshot", "current_version", "vacuum",
+           "version_diff"]
 
 
 def _log_dir(table_dir: str) -> str:
@@ -204,6 +205,239 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def _rewrite_without_keys(files: list[str], key_col: str, key_ref,
+                          version: int, stage: str, tag: str):
+    """Fan out one Ray task per active file: files whose ``key_col``
+    hits the broadcast key set are rewritten into ``stage`` WITHOUT
+    those rows; misses are skipped entirely (column-pruned probe read).
+    -> pandas(old, new, n_removed) of the affected files only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    def probe_rewrite(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        out_old, out_new, out_removed = [], [], []
+        for path in t.column("path").to_pylist():
+            col = pq.read_table(path, columns=[key_col]).column(key_col)
+            hit = pc.any(pc.is_in(
+                col, value_set=ks.cast(col.type))).as_py()
+            if not hit:
+                continue
+            full = pq.read_table(path)
+            keep = pc.invert(pc.is_in(
+                full.column(key_col),
+                value_set=ks.cast(full.column(key_col).type)))
+            kept = full.filter(keep)
+            name = os.path.basename(path)
+            new_name = f"v{version:08d}-{tag}-{name}"
+            tmp = os.path.join(stage, new_name)
+            if kept.num_rows:
+                pq.write_table(kept, tmp)
+                out_new.append(new_name)
+            else:
+                out_new.append("")  # file fully emptied, no replacement
+            out_old.append(name)
+            out_removed.append(full.num_rows - kept.num_rows)
+        return pa.table({
+            "old": pa.array(out_old, pa.string()),
+            "new": pa.array(out_new, pa.string()),
+            "n_removed": pa.array(out_removed, pa.int64())})
+
+    plan = rd.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
+    return (plan.repartition(max(1, len(files)))
+            .map_batches(probe_rewrite, batch_format="pyarrow")
+            .to_pandas())
+
+
+def commit_merge_upsert(table_dir: str, key_col: str, updates_ds,
+                        op: str = "merge_upsert",
+                        max_update_keys: int = 5_000_000) -> dict:
+    """Delta ``MERGE`` analog — WHEN MATCHED THEN UPDATE, WHEN NOT
+    MATCHED THEN INSERT — published as ONE atomic commit: active files
+    containing a matched key are rewritten without those rows (the
+    `commit_delete_keys` probe, one Ray task per file, O(affected
+    files) not O(table)), and the full update batch is appended as new
+    files; the log record lands last, so readers see either the old
+    snapshot or the complete merge, never a half-applied state.
+    Untouched files keep their physical identity.
+
+    Contract: ``updates_ds`` must be key-unique (Delta raises on
+    multiple source matches per target key; duplicate update keys here
+    would both insert). The DISTINCT update-key set is pulled to the
+    driver and broadcast once via ``ray.put`` — a MERGE batch is
+    update-sized, not table-sized; ``max_update_keys`` guards the pull
+    and the function raises past it rather than degrade silently.
+
+    Reference analog: the reference upserts documents into one live ES
+    index (`cosmos_service` ingest endpoints) destroying history; this
+    keeps every pre-merge snapshot readable."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: pc.unique(t.column(key_col))})
+
+    parts = (updates_ds.select_columns([key_col])
+             .map_batches(batch_keys, batch_format="pyarrow")
+             .take_all())
+    keys = np.unique(np.array([r[key_col] for r in parts]))
+    if len(keys) > max_update_keys:
+        raise ValueError(
+            f"merge batch has {len(keys)} distinct keys > max_update_keys="
+            f"{max_update_keys}; split the merge or raise the cap")
+
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    os.makedirs(_data_dir(table_dir), exist_ok=True)
+    files = snapshot_files(table_dir)
+    version = current_version(table_dir) + 1
+    stage = os.path.join(table_dir, f"_stage_v{version:08d}")
+    if os.path.isdir(stage):
+        for root, _dirs, fs in os.walk(stage, topdown=False):
+            for f in fs:
+                os.remove(os.path.join(root, f))
+    os.makedirs(stage, exist_ok=True)
+
+    if files and len(keys):
+        res = _rewrite_without_keys(files, key_col, ray.put(pa.array(keys)),
+                                    version, stage, tag="mrg")
+    else:
+        import pandas as pd
+
+        res = pd.DataFrame({"old": [], "new": [], "n_removed": []})
+
+    # the update batch streams into its own staging subdir
+    ups_stage = os.path.join(stage, "ups")
+    updates_ds.write_parquet(ups_stage)
+
+    import pyarrow.parquet as pq
+
+    added, rows_added = [], 0
+    for r_new in res["new"]:
+        if r_new:
+            os.replace(os.path.join(stage, r_new),
+                       os.path.join(_data_dir(table_dir), r_new))
+            added.append(r_new)
+    for k, f in enumerate(sorted(glob.glob(
+            os.path.join(ups_stage, "*.parquet")))):
+        name = f"v{version:08d}-ups-{k:05d}.parquet"
+        os.replace(f, os.path.join(_data_dir(table_dir), name))
+        rows_added += pq.read_metadata(
+            os.path.join(_data_dir(table_dir), name)).num_rows
+        added.append(name)
+    for root, _dirs, fs in os.walk(stage, topdown=False):
+        for f in fs:
+            os.remove(os.path.join(root, f))
+        os.rmdir(root)
+
+    rec = {"version": version, "op": op, "added": sorted(added),
+           "removed": sorted(res["old"].tolist()),
+           "rows_added": rows_added,
+           "rows_updated": int(res["n_removed"].sum()),
+           "rewritten": len(res), "untouched": len(files) - len(res)}
+    tmp = _log_path(table_dir, version) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, _log_path(table_dir, version))
+    return rec
+
+
+def version_diff(table_dir: str, key_col: str, v_from: int, v_to: int,
+                 num_partitions: int | None = None):
+    """Change data feed between two snapshots (Delta CDF analog) ->
+    Dataset(key_col, change) with change in {'insert','delete',
+    'update'}. Reads ONLY the files that differ between the two
+    snapshots: data files are immutable, so rows in files common to
+    both versions cannot have changed and are never opened — the cost
+    is O(changed files), not O(table).
+
+    Classification is a full-outer join of the two changed-file row
+    sets on ``key_col``: key only on the from-side -> delete, only on
+    the to-side -> insert, both sides with different non-key content ->
+    update; rewrite survivors (same key, same content, merely moved to
+    a new file by delete/merge/compact rewrites) cancel out and are
+    dropped. Content equality is a vectorized column-wise string join
+    per row (no per-row Python). Assumes key-uniqueness per snapshot —
+    the `commit_merge_upsert` discipline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    f_from = set(snapshot_files(table_dir, v_from))
+    f_to = set(snapshot_files(table_dir, v_to))
+    only_f = sorted(f_from - f_to)
+    only_t = sorted(f_to - f_from)
+
+    def empty() -> "rd.Dataset":
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                       "change": pa.array([], pa.string())}))
+
+    def contented(col_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            others = [c for c in t.column_names if c != key_col]
+            if not others:
+                content = pa.array([""] * t.num_rows, pa.string())
+            elif len(others) == 1:
+                content = pc.fill_null(
+                    pc.cast(t.column(others[0]), pa.string()), "\x00null")
+            else:
+                strs = [pc.cast(t.column(c), pa.string()) for c in others]
+                content = pc.binary_join_element_wise(
+                    *strs, "\x1f", null_handling="replace",
+                    null_replacement="\x00null")
+            return pa.table({key_col: t.column(key_col), col_out: content})
+
+        return fn
+
+    if not only_f and not only_t:
+        return empty()
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def tagged(files, change):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                key_col: t.column(key_col),
+                "change": pa.array([change] * t.num_rows, pa.string())})
+
+        return rd.read_parquet(files).map_batches(fn, batch_format="pyarrow")
+
+    if not only_f:
+        return tagged(only_t, "insert")
+    if not only_t:
+        return tagged(only_f, "delete")
+
+    a = rd.read_parquet(only_f).map_batches(
+        contented("c_from"), batch_format="pyarrow")
+    b = rd.read_parquet(only_t).map_batches(
+        contented("c_to"), batch_format="pyarrow")
+    j = a.join(b, join_type="full_outer", num_partitions=num_partitions,
+               on=(key_col,))
+
+    def classify(t: pa.Table) -> pa.Table:
+        key = t.column(key_col)
+        cf, ct = t.column("c_from"), t.column("c_to")
+        ins = pc.is_null(cf)
+        dele = pc.is_null(ct)
+        upd = pc.and_kleene(pc.invert(ins), pc.invert(dele))
+        changed = pc.or_(pc.or_(ins, dele),
+                         pc.and_kleene(upd, pc.not_equal(cf, ct)))
+        change = pc.if_else(ins, "insert", pc.if_else(dele, "delete",
+                                                      "update"))
+        out = pa.table({key_col: key, "change": change})
+        return out.filter(pc.fill_null(changed, False))
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
 def commit_delete_keys(table_dir: str, key_col: str, keys,
                        op: str = "delete_keys") -> dict:
     """Targeted key deletion (the right-to-be-forgotten pass) with
@@ -223,11 +457,8 @@ def commit_delete_keys(table_dir: str, key_col: str, keys,
     file publishes no new version (no-op, returns the current record
     shape with "noop": True)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     import ray
-    import ray.data as rd
 
     files = snapshot_files(table_dir)
     if not files:
@@ -241,39 +472,8 @@ def commit_delete_keys(table_dir: str, key_col: str, keys,
             os.remove(f)
     os.makedirs(stage, exist_ok=True)
 
-    def probe_rewrite(t: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        out_old, out_new, out_removed = [], [], []
-        for path in t.column("path").to_pylist():
-            col = pq.read_table(path, columns=[key_col]).column(key_col)
-            hit = pc.any(pc.is_in(
-                col, value_set=ks.cast(col.type))).as_py()
-            if not hit:
-                continue
-            full = pq.read_table(path)
-            keep = pc.invert(pc.is_in(
-                full.column(key_col),
-                value_set=ks.cast(full.column(key_col).type)))
-            kept = full.filter(keep)
-            name = os.path.basename(path)
-            new_name = f"v{version:08d}-del-{name}"
-            tmp = os.path.join(stage, new_name)
-            if kept.num_rows:
-                pq.write_table(kept, tmp)
-                out_new.append(new_name)
-            else:
-                out_new.append("")  # file fully deleted, no replacement
-            out_old.append(name)
-            out_removed.append(full.num_rows - kept.num_rows)
-        return pa.table({
-            "old": pa.array(out_old, pa.string()),
-            "new": pa.array(out_new, pa.string()),
-            "n_removed": pa.array(out_removed, pa.int64())})
-
-    plan = rd.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
-    res = (plan.repartition(max(1, len(files)))
-           .map_batches(probe_rewrite, batch_format="pyarrow")
-           .to_pandas())
+    res = _rewrite_without_keys(files, key_col, key_ref, version, stage,
+                                tag="del")
     if res.empty:
         for f in glob.glob(os.path.join(stage, "*")):
             os.remove(f)

@@ -668,3 +668,115 @@ class TestVersionedCompact:
         V.commit_append(d, rd.from_arrow(self._tbl(range(10))))
         if len(V.snapshot_files(d)) == 1:
             assert V.commit_compact(d).get("noop") is True
+
+    @staticmethod
+    def _kv(ids, vals):
+        import pyarrow as pa
+
+        return pa.table({"doc_id": pa.array(list(ids), pa.int64()),
+                         "val": pa.array(list(vals), pa.string())})
+
+    def test_merge_upsert_semantics_and_minimal_rewrite(
+            self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "mrg")
+        V.commit_append(d, rd.from_arrow(self._kv([1, 2, 3],
+                                                  ["a", "b", "c"])))
+        V.commit_append(d, rd.from_arrow(self._kv([4, 5, 6],
+                                                  ["d", "e", "f"])))
+        before = {os.path.basename(f): os.stat(f).st_ino
+                  for f in V.snapshot_files(d)}
+        rec = V.commit_merge_upsert(
+            d, "doc_id", rd.from_arrow(self._kv([2, 7], ["B", "g"])))
+        # one atomic commit: matched replaced, unmatched kept, new inserted
+        assert rec["version"] == 3 and rec["rows_updated"] == 1
+        got = V.read_snapshot(d).to_pandas().sort_values("doc_id")
+        assert list(zip(got.doc_id, got.val)) == [
+            (1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e"),
+            (6, "f"), (7, "g")]
+        # the file without matched keys kept its physical identity
+        after = {os.path.basename(f): os.stat(f).st_ino
+                 for f in V.snapshot_files(d)}
+        untouched = set(before) & set(after)
+        assert rec["untouched"] == len(untouched) >= 1
+        for name in untouched:
+            assert before[name] == after[name]
+        # pre-merge snapshot unaffected (time travel intact)
+        old = V.read_snapshot(d, 2).to_pandas()
+        assert sorted(old.doc_id) == [1, 2, 3, 4, 5, 6]
+        assert set(old.val) == {"a", "b", "c", "d", "e", "f"}
+
+    def test_merge_into_empty_table_is_insert_only(self, ray_session,
+                                                   tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "mrg0")
+        rec = V.commit_merge_upsert(
+            d, "doc_id", rd.from_arrow(self._kv([1, 2], ["a", "b"])))
+        assert rec["rows_added"] == 2 and rec["rewritten"] == 0
+        assert sorted(V.read_snapshot(d).to_pandas()["doc_id"]) == [1, 2]
+
+    def test_merge_key_cap_raises(self, ray_session, tmp_path):
+        import pytest
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "mrgcap")
+        V.commit_append(d, rd.from_arrow(self._tbl(range(5))))
+        with pytest.raises(ValueError, match="max_update_keys"):
+            V.commit_merge_upsert(
+                d, "doc_id",
+                rd.from_arrow(self._kv(range(10), [str(i) for i in
+                                                   range(10)])),
+                max_update_keys=3)
+
+    def test_version_diff_classification_and_survivor_drop(
+            self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "cdf")
+        V.commit_append(d, rd.from_arrow(self._kv([1, 2, 3],
+                                                  ["a", "b", "c"])))
+        # merge: 2 changes, 3 rewritten with IDENTICAL content, 7 new
+        V.commit_merge_upsert(
+            d, "doc_id", rd.from_arrow(self._kv([2, 3, 7],
+                                                ["B", "c", "g"])))
+        feed = (V.version_diff(d, "doc_id", 1, 2).to_pandas()
+                .sort_values("doc_id"))
+        assert list(zip(feed.doc_id, feed.change)) == [
+            (2, "update"), (7, "insert")]  # 3 (no-op rewrite) dropped
+        V.commit_delete_keys(d, "doc_id", [1, 7])
+        feed2 = (V.version_diff(d, "doc_id", 1, 3).to_pandas()
+                 .sort_values("doc_id"))
+        # 7 inserted-then-deleted nets out; 1 is a delete
+        assert list(zip(feed2.doc_id, feed2.change)) == [
+            (1, "delete"), (2, "update")]
+        # reversed direction flips insert/delete
+        rev = (V.version_diff(d, "doc_id", 2, 1).to_pandas()
+               .sort_values("doc_id"))
+        assert list(zip(rev.doc_id, rev.change)) == [
+            (2, "update"), (7, "delete")]
+
+    def test_version_diff_same_version_empty_and_pruned(
+            self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "cdf0")
+        V.commit_append(d, rd.from_arrow(self._kv([1], ["a"])))
+        assert V.version_diff(d, "doc_id", 1, 1).count() == 0
+        # append-only delta: pure-insert path (no join needed)
+        V.commit_append(d, rd.from_arrow(self._kv([2], ["b"])))
+        feed = V.version_diff(d, "doc_id", 1, 2).to_pandas()
+        assert list(zip(feed.doc_id, feed.change)) == [(2, "insert")]
