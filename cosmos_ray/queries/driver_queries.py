@@ -7793,6 +7793,39 @@ SELECT doc_id + 1000000, 'insert' FROM documents WHERE doc_id % 13 = 0
 """
 
 
+def q_events_skew_join(sf_dir: str):
+    """Skew-aware fact-dim join (`relational.skew_join`): event_type is
+    a catastrophically hot key (every fact row carries one of ~5
+    values), so a plain hash join funnels the whole fact table through
+    5 aggregator partitions; skew_join's hot-key census (combiner
+    value_counts partials) routes hot rows through a map-side broadcast
+    lookup and reserves the shuffle for the cold tail — no hot row ever
+    enters an exchange. Output: every 97th event with its type's total
+    count."""
+    from cosmos_ray.queries.relational import skew_join
+
+    ev = read(sf_dir, "events", ["event_id", "event_type"])
+    dim = (read(sf_dir, "events", ["event_type"])
+           .groupby("event_type").aggregate(Count(alias_name="type_n")))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    big = ev.map_batches(pick, batch_format="pyarrow")
+    return skew_join(big, dim, key="event_type", add_cols=["type_n"],
+                     hot_count=50, max_hot_keys=10_000)
+
+
+SQL_EVENTS_SKEW_JOIN = """
+SELECT e.event_id, e.event_type, t.type_n
+FROM events e
+JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+      FROM events GROUP BY event_type) t USING (event_type)
+WHERE e.event_id % 97 = 0
+"""
+
+
 def q_events_box_scan(sf_dir: str):
     """2-D box scan served from Z-ORDER clustered storage
     (`state/zorder.py`): events are written once in Morton order of
@@ -8710,6 +8743,7 @@ QUERIES = {
     "docs_forget": q_docs_forget,
     "docs_upserted": q_docs_upserted,
     "docs_change_feed": q_docs_change_feed,
+    "events_skew_join": q_events_skew_join,
     "events_box_scan": q_events_box_scan,
     "fingerprint_lookup": q_fingerprint_lookup,
     "user_event_types": q_user_event_types,
@@ -8920,6 +8954,7 @@ ORACLES = {
     "docs_forget": SQL_DOCS_FORGET,
     "docs_upserted": SQL_DOCS_UPSERTED,
     "docs_change_feed": SQL_DOCS_CHANGE_FEED,
+    "events_skew_join": SQL_EVENTS_SKEW_JOIN,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "user_event_types": SQL_USER_EVENT_TYPES,

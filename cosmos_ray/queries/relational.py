@@ -450,6 +450,104 @@ def semi_join_filter(big_ds, keys: set, key_col: str, keep: bool = True):
     return big_ds.map_batches(member, batch_format="pyarrow")
 
 
+def skew_join(big_ds, dim_ds, key: str, add_cols: list[str],
+              big_key: str | None = None, hot_count: int = 100_000,
+              max_hot_keys: int = 1_000_000):
+    """Skew-aware inner equi-join: append ``add_cols`` from a key-unique
+    ``dim_ds`` to ``big_ds`` when the big side's key distribution has
+    heavy hitters that would overload single hash-join partitions (the
+    north-rule's "skew-aware repartitioning for head entities" — a hot
+    key sends ALL its rows to one aggregator in a plain shuffle join).
+
+    Plan, in three exchanges none of which moves a hot row:
+      1. hot-key census — per-batch ``value_counts`` partials (distinct-
+         keys-per-batch sized) reduce through one small groupby; keys
+         with ≥ ``hot_count`` big-side rows are pulled to the driver
+         under ``max_hot_keys``.
+      2. the dim rows for hot keys (≤ one per hot key by the key-unique
+         contract) broadcast once via ``ray.put``; big-side hot rows
+         join by map-side lookup — they never enter an exchange.
+      3. the cold remainder (bounded per-key fan-in by construction)
+         goes through the ordinary distributed hash join.
+    Both branches emit (big columns + add_cols) and union streaming.
+
+    Degradations keep correctness over cleverness: more than
+    ``max_hot_keys`` "hot" keys means the threshold is below the bulk of
+    the distribution (nothing is special about those keys), so the plan
+    falls back to the plain distributed join; an empty hot set does the
+    same. Test-gated: both branches and the fallback agree with pandas
+    merge on a zipf-skewed fixture."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    big_key = big_key or key
+    sel_dim = dim_ds.select_columns([key] + add_cols)
+
+    def plain():
+        j = big_ds.join(drop_empty_blocks(sel_dim), join_type="inner",
+                        num_partitions=_join_partitions(),
+                        on=(big_key,), right_on=(key,))
+        if key != big_key:
+            j = j.map_batches(
+                lambda t: t.drop_columns([key]) if key in t.column_names else t,
+                batch_format="pyarrow")
+        return j
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(big_key).combine_chunks())
+        return pa.table({"__k": vc.field("values"),
+                         "__c": pc.cast(vc.field("counts"), pa.int64())})
+
+    # the census is distinct-key-sized (far below the fact table);
+    # materializing it lets one pass over the big side answer both
+    # "which keys are hot" and "does a cold remainder exist at all"
+    counts = (big_ds.select_columns([big_key])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("__k").aggregate(Sum("__c", alias_name="__n"))
+              .materialize())
+
+    def split(cold: bool):
+        op = pc.less if cold else pc.greater_equal
+        return counts.map_batches(
+            lambda t: t.filter(op(t.column("__n"), pa.scalar(hot_count))),
+            batch_format="pyarrow")
+
+    hot_tbl = collect_small(split(cold=False), cap_rows=max_hot_keys)
+    if hot_tbl is None:
+        return plain()
+    hot_keys = set(hot_tbl.column("__k").to_pylist())
+    if not hot_keys:
+        return plain()
+
+    out_cols = [c for c in big_ds.columns()] + add_cols
+    dim_hot = collect_small(semi_join_filter(sel_dim, hot_keys, key),
+                            cap_rows=max_hot_keys)
+    if dim_hot is None:  # dim not key-unique enough to hold the contract
+        return plain()
+    hot_res = broadcast_join(
+        semi_join_filter(big_ds, hot_keys, big_key), dim_hot,
+        key=key, add_cols=add_cols, big_key=big_key).select_columns(out_cols)
+    # Ray's hash join rejects a side whose blocks were ALL filtered empty
+    # (schema lost) — and an empty side makes an inner join empty anyway,
+    # so both degenerate branches resolve to hot_res without a join.
+    if split(cold=True).count() == 0:  # no cold key on the big side
+        return hot_res
+    dim_cold = drop_empty_blocks(  # materializes: count below is metadata
+        semi_join_filter(sel_dim, hot_keys, key, keep=False))
+    if dim_cold.count() == 0:
+        return hot_res
+    cold = semi_join_filter(big_ds, hot_keys, big_key, keep=False)
+    j = cold.join(dim_cold, join_type="inner",
+                  num_partitions=_join_partitions(),
+                  on=(big_key,), right_on=(key,))
+    if key != big_key:
+        j = j.map_batches(
+            lambda t: t.drop_columns([key]) if key in t.column_names else t,
+            batch_format="pyarrow")
+    return hot_res.union(j.select_columns(out_cols))
+
+
 def merge_upsert(base_ds, changes_ds, key: str, delete_col: str = "is_delete",
                  num_buckets: int = 256):
     """SQL MERGE semantics in ONE key-hash exchange: a change row

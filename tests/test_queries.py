@@ -232,6 +232,43 @@ def test_bloom_tier_agrees_with_exact_paths():
         assert fast.equals(bloom), f"bloom tier keep={keep} diverged"
 
 
+def test_skew_join_paths_agree():
+    """skew_join on a zipf-skewed fixture: (a) mixed hot/cold split
+    agrees with the pandas merge ground truth, (b) all-cold (threshold
+    above every key) and the max_hot_keys-overflow fallback both take
+    the plain-join path and still agree, (c) hot-only (threshold 1)
+    agrees — every branch returns the identical inner join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.queries.relational import skew_join
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: key 0 is ~half the rows, long uniform tail
+    keys = np.where(rng.random(5000) < 0.5, 0,
+                    rng.integers(1, 400, 5000)).astype(np.int64)
+    big = pa.table({"row_id": pa.array(np.arange(5000, dtype=np.int64)),
+                    "k": pa.array(keys)})
+    dim_keys = np.arange(0, 380, dtype=np.int64)  # keys 380..399 unmatched
+    dim = pa.table({"k": pa.array(dim_keys),
+                    "label": pa.array([f"d{i}" for i in dim_keys])})
+    want = (big.to_pandas().merge(dim.to_pandas(), on="k")
+            [["row_id", "k", "label"]])
+    want = want.sort_values("row_id").reset_index(drop=True)
+
+    for hot_count, max_hot in [(500, 100),   # mixed: only key 0 is hot
+                               (10**9, 100),  # all cold -> plain join
+                               (2, 3),        # overflow -> plain fallback
+                               (1, 10**6)]:   # everything hot -> broadcast
+        got = (skew_join(rd.from_arrow(big), rd.from_arrow(dim), key="k",
+                         add_cols=["label"], hot_count=hot_count,
+                         max_hot_keys=max_hot)
+               .to_pandas().sort_values("row_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["row_id", "k", "label"]], want,
+                                      check_dtype=False), hot_count
+
+
 def test_bloom_no_false_negatives_string_keys():
     """String-typed keys through the bloom: every true member survives
     the pre-filter (bitmap has no false negatives), checked directly."""
