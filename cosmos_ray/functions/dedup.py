@@ -1194,3 +1194,142 @@ def dedup_keep_best(docs_ds, threshold: float = 0.8,
     return kept.map_batches(flag(True), batch_format="pyarrow").union(
         drops.map_batches(flag(False), batch_format="pyarrow")
     )
+
+
+# ------------------------------------- exact set-similarity self-join
+
+_DF_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                     0x94D049BB133111EB, 0xBF58476D1CE4E5B9], np.uint64)
+
+
+def _df_grid_partial(hashes: np.ndarray, width: int) -> np.ndarray:
+    """Fold uint64 token hashes into a (depth, width) count-min grid
+    partial — multiply-shift row hashing, fully vectorized (the
+    `sketch.cms_build` shape without its per-value string
+    canonicalization, which this hot path can't afford)."""
+    grid = np.zeros((len(_DF_MULT), width), np.int64)
+    with np.errstate(over="ignore"):
+        for d, m in enumerate(_DF_MULT):
+            np.add.at(grid[d], ((hashes * m) >> np.uint64(40))
+                      % np.uint64(width), 1)
+    return grid
+
+
+def _df_estimate(grid: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Min-over-depth count-min point estimates for uint64 hashes."""
+    width = grid.shape[1]
+    with np.errstate(over="ignore"):
+        return np.min(np.stack([
+            grid[d][((hashes * m) >> np.uint64(40)) % np.uint64(width)]
+            for d, m in enumerate(_DF_MULT)], axis=1), axis=1)
+
+
+def set_similarity_join(docs_ds, threshold: float = 0.8, k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        df_width: int = 1 << 16, num_buckets: int = 64,
+                        round_to: int = 6):
+    """EXACT all-pairs set-similarity self-join: every (doc_a < doc_b)
+    pair whose k-gram-shingle Jaccard is >= ``threshold`` — the exact
+    counterpart of `minhash_dedup`'s LSH approximation (AllPairs/PPJoin
+    prefix filtering; Bayardo, Ma & Srikant, WWW'07).
+
+    Why it scales: a naive token self-join explodes on common shingles.
+    The prefix theorem says two sets with J >= t must share a token in
+    their first n - ceil(t*n) + 1 elements under ANY global total
+    order, so only that prefix is exchanged — and ordering tokens
+    rarest-first pushes common template shingles out of every prefix,
+    so candidate groups stay near-singleton on real corpora. The global
+    rarity order comes from a count-min grid over token hashes
+    (mergeable one-grid-per-batch partials, broadcast once via
+    ``ray.put``): estimates only ever overcount, and any deterministic
+    estimate yields a consistent total order (df_est, hash), so the
+    filter stays lossless. Candidates are verified with the exact
+    n-gram Jaccard via the minhash machinery's distributed two-join
+    fetch (`_verify_pairs_by_join`) — candidate docs' text only, never
+    the corpus.
+
+    Degenerate hazard (documented, not capped — a cap would break
+    exactness): tiny docs whose prefix covers their whole set can pull
+    a common token into a prefix; the group pairing is O(m^2) in that
+    token's prefixed docs. Reference analog: the reference dedups by
+    exact content hash only (`ingest/ingest.py` duplicate drop); this
+    is the web-scale generalization.
+
+    -> Dataset(doc_a, doc_b, jaccard rounded half-away to ``round_to``),
+    jaccard >= threshold."""
+    import ray
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    sel = docs_ds.select_columns([id_col, text_col])
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        hs = [_shingle_hashes(x or "", k) for x in
+              t.column(text_col).to_pylist()]
+        flat = (np.concatenate(hs) if hs else
+                np.array([], np.uint64))
+        return pa.table({"g": pa.array(
+            [_df_grid_partial(flat, df_width).reshape(-1)],
+            pa.list_(pa.int64()))})
+
+    grid = np.zeros(len(_DF_MULT) * df_width, np.int64)
+    for b in sel.map_batches(grid_partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        for r in b.column("g").to_pylist():
+            grid += np.asarray(r, np.int64)
+    grid_ref = ray.put(grid.reshape(len(_DF_MULT), df_width))
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        toks, ids, ns = [], [], []
+        for i, x in zip(t.column(id_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            h = _shingle_hashes(x or "", k)
+            n = len(h)
+            if n == 0:
+                continue
+            order = np.lexsort((h, _df_estimate(g, h)))  # (df, hash) asc
+            p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+            toks.append(h[order[:p]])
+            ids.append(np.full(p, i, np.int64))
+            ns.append(np.full(p, n, np.int64))
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"tok": pa.array(np.concatenate(toks), pa.uint64()),
+                         "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                         "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    pref = sel.map_batches(prefixes, batch_format="pyarrow")
+
+    def pair(gdf: pd.DataFrame) -> pd.DataFrame:
+        ids = gdf["doc_id"].to_numpy()
+        ns = gdf["n"].to_numpy()
+        order = np.argsort(ids)
+        ids, ns = ids[order], ns[order]
+        ia, ib = np.triu_indices(len(ids), 1)
+        na, nb = ns[ia], ns[ib]
+        keep = (np.minimum(na, nb)
+                >= threshold * np.maximum(na, nb) - 1e-9)
+        keep &= ids[ia] != ids[ib]  # same doc via two prefix tokens
+        return pd.DataFrame({"doc_a": ids[ia][keep],
+                             "doc_b": ids[ib][keep]})
+
+    from ray.data.aggregate import Count
+
+    cand = (bucketed_group_apply(pref, ["tok"], pair,
+                                 num_buckets=num_buckets)
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="__nt")))
+    scored = _verify_pairs_by_join(cand, sel, text_col, mode="exact", k=k)
+
+    def finish(t: pa.Table) -> pa.Table:
+        j = t.column("jaccard").to_numpy(zero_copy_only=False)
+        rj = np.floor(j * 10**round_to + 0.5) / 10**round_to  # half-away
+        keep = rj >= threshold - 1e-12
+        return pa.table({"doc_a": t.column("doc_a").filter(pa.array(keep)),
+                         "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                         "jaccard": pa.array(rj[keep], pa.float64())})
+
+    return scored.map_batches(finish, batch_format="pyarrow")

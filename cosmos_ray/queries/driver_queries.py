@@ -1706,6 +1706,45 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_similar_pairs(sf_dir: str):
+    """Exact all-pairs set-similarity self-join at Jaccard >= 0.7
+    (`dedup.set_similarity_join`, AllPairs/PPJoin prefix filter): only
+    each doc's rarest n - ceil(t*n) + 1 shingles are exchanged (rarity
+    from a broadcast count-min grid — any consistent order keeps the
+    filter lossless), candidates verify with exact n-gram Jaccard via
+    the distributed two-join fetch. The oracle replays the full token
+    self-join in SQL; the engine's prefix filter must lose nothing."""
+    from cosmos_ray.functions.dedup import set_similarity_join
+
+    return set_similarity_join(read(sf_dir, "documents", ["doc_id", "text"]),
+                               threshold=0.7)
+
+
+SQL_SIMILAR_PAIRS = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS sh
+  FROM documents),
+tok AS (SELECT doc_id, unnest(sh) AS tk FROM s),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(c.inter AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - c.inter), 6) AS jaccard
+FROM cand c
+JOIN s sa ON sa.doc_id = c.doc_a
+JOIN s sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(c.inter AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - c.inter), 6) >= 0.7
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     from cosmos_ray.functions.dedup import exact_dedup
 
@@ -8744,6 +8783,7 @@ QUERIES = {
     "docs_upserted": q_docs_upserted,
     "docs_change_feed": q_docs_change_feed,
     "events_skew_join": q_events_skew_join,
+    "similar_pairs": q_similar_pairs,
     "events_box_scan": q_events_box_scan,
     "fingerprint_lookup": q_fingerprint_lookup,
     "user_event_types": q_user_event_types,
@@ -8955,6 +8995,7 @@ ORACLES = {
     "docs_upserted": SQL_DOCS_UPSERTED,
     "docs_change_feed": SQL_DOCS_CHANGE_FEED,
     "events_skew_join": SQL_EVENTS_SKEW_JOIN,
+    "similar_pairs": SQL_SIMILAR_PAIRS,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,
     "fingerprint_lookup": SQL_FINGERPRINT_LOOKUP,
     "user_event_types": SQL_USER_EVENT_TYPES,

@@ -103,6 +103,39 @@ def test_minhash_signature_verify_chain(chain_corpus):
     assert lbl == {1: 1, 2: 1, 3: 1}
 
 
+def test_set_similarity_join_exact_vs_bruteforce(planted_corpus):
+    """The AllPairs prefix filter must be LOSSLESS: every pair with
+    rounded Jaccard >= t appears, nothing below it does — compared
+    against the O(n^2) brute force over the planted corpus (exact
+    copies J=1.0, near-dups J just under 1, plus <3-token docs that
+    have no shingles and must be excluded on both sides)."""
+    import itertools
+
+    rows = planted_corpus.to_pylist()
+    rows.append({"doc_id": 90001, "text": "one two"})
+    rows.append({"doc_id": 90002, "text": "solo"})
+    tbl = pa.Table.from_pylist(rows)
+    t = 0.7
+    got = dedup.set_similarity_join(rd.from_arrow(tbl), threshold=t).to_pandas()
+    got_pairs = set(zip(got.doc_a, got.doc_b))
+    want = set()
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    ids = sorted(by_id)
+    for a, b in itertools.combinations(ids, 2):
+        if len(by_id[a].split()) < 3 or len(by_id[b].split()) < 3:
+            continue
+        rj = np.floor(dedup.ngram_jaccard(by_id[a], by_id[b]) * 1e6 + 0.5) / 1e6
+        if rj >= t:
+            want.add((a, b))
+    assert want, "fixture must contain qualifying pairs"
+    assert got_pairs == want
+    # reported similarity matches the exact recomputation, rounded
+    for _, r in got.iterrows():
+        rj = np.floor(dedup.ngram_jaccard(by_id[r.doc_a], by_id[r.doc_b])
+                      * 1e6 + 0.5) / 1e6
+        assert abs(r.jaccard - rj) < 1e-12
+
+
 def test_ngram_jaccard_bounds():
     assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
     assert dedup.ngram_jaccard("a b c d e", "v w x y z") == 0.0
