@@ -62,11 +62,12 @@ ALLOWED = {
     "functions/windows.py": 0,
     "functions/matview.py": 1,        # worker-local Table.to_pandas inside
                                       # the delta combiner (per-batch)
-    "state/versioned.py": 2,          # commit_delete_keys / commit_compact
-                                      # pull ONE ROW PER AFFECTED FILE /
-                                      # PER GROUP — commit-plane metadata,
-                                      # file-count bounded by design (the
-                                      # log itself is driver-side JSON)
+    "state/versioned.py": 3,          # commit_delete_keys / commit_compact
+                                      # / commit_merge_upsert pull ONE ROW
+                                      # PER AFFECTED FILE / PER GROUP —
+                                      # commit-plane metadata, file-count
+                                      # bounded by design (the log itself
+                                      # is driver-side JSON)
     "functions/temporal.py": 0,
     "functions/validate.py": 0,
     "functions/geometry.py": 0,
