@@ -7832,6 +7832,46 @@ SELECT doc_id + 1000000, 'insert' FROM documents WHERE doc_id % 13 = 0
 """
 
 
+def q_docs_view_incremental(sf_dir: str):
+    """Incremental view maintenance driven by the versioned store's
+    OWN change feed: a per-lang (count, sum n_chars) view built once on
+    snapshot v1 is refreshed to v3 purely from
+    `versioned.version_delta(1, 3)` — the signed Z-set delta that reads
+    ONLY the files the MERGE and delete commits touched. Updates arrive
+    as old-row(-1)/new-row(+1), the content-identical %11 rewrite
+    survivors cancel algebraically inside `matview.maintain_view`, and
+    the result is bit-identical to recomputing the view on the final
+    snapshot (the oracle replays that recompute from `documents`)."""
+    from cosmos_ray.functions.matview import delta_partials, maintain_view
+    from cosmos_ray.state.versioned import read_snapshot, version_delta
+
+    tdir = _merge_fixture(sf_dir)
+
+    def sign1(t: pa.Table) -> pa.Table:
+        return t.append_column("sign", pa.array([1] * t.num_rows, pa.int64()))
+
+    view1 = delta_partials(
+        read_snapshot(tdir, 1).map_batches(sign1, batch_format="pyarrow"),
+        keys=["lang"], sum_cols=["n_chars"])
+    delta = version_delta(tdir, 1, 3)
+    return maintain_view(view1, delta, keys=["lang"], sum_cols=["n_chars"])
+
+
+SQL_DOCS_VIEW_INCREMENTAL = """
+WITH v3 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 13 = 0
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM v3 GROUP BY lang
+"""
+
+
 def q_events_skew_join(sf_dir: str):
     """Skew-aware fact-dim join (`relational.skew_join`): event_type is
     a catastrophically hot key (every fact row carries one of ~5
@@ -8782,6 +8822,7 @@ QUERIES = {
     "docs_forget": q_docs_forget,
     "docs_upserted": q_docs_upserted,
     "docs_change_feed": q_docs_change_feed,
+    "docs_view_incremental": q_docs_view_incremental,
     "events_skew_join": q_events_skew_join,
     "similar_pairs": q_similar_pairs,
     "events_box_scan": q_events_box_scan,
@@ -8994,6 +9035,7 @@ ORACLES = {
     "docs_forget": SQL_DOCS_FORGET,
     "docs_upserted": SQL_DOCS_UPSERTED,
     "docs_change_feed": SQL_DOCS_CHANGE_FEED,
+    "docs_view_incremental": SQL_DOCS_VIEW_INCREMENTAL,
     "events_skew_join": SQL_EVENTS_SKEW_JOIN,
     "similar_pairs": SQL_SIMILAR_PAIRS,
     "events_box_scan": SQL_EVENTS_BOX_SCAN,

@@ -43,7 +43,7 @@ import os
 __all__ = ["commit_append", "commit_overwrite", "commit_delete_keys",
            "commit_merge_upsert", "commit_compact", "rollback", "history",
            "snapshot_files", "read_snapshot", "current_version", "vacuum",
-           "version_diff"]
+           "version_diff", "version_delta"]
 
 
 def _log_dir(table_dir: str) -> str:
@@ -580,3 +580,45 @@ def commit_compact(table_dir: str, target_bytes: int = 128 * 1024 * 1024,
         json.dump(rec, fh)
     os.replace(tmp, _log_path(table_dir, version))
     return rec
+
+def version_delta(table_dir: str, v_from: int, v_to: int,
+                  sign_col: str = "sign"):
+    """Signed Z-set delta between two snapshots -> Dataset(all data
+    columns + ``sign_col``): rows in files only the FROM snapshot holds
+    carry sign -1, rows in files only the TO snapshot holds carry +1;
+    files common to both snapshots are never opened (immutability
+    prunes them), so the delta costs O(changed files), not O(table).
+
+    This is the feed for `functions/matview.maintain_view`: an update
+    appears as the old row at -1 plus the new row at +1, a no-op
+    rewrite survivor as identical rows at -1/+1 — both resolve to the
+    correct (respectively zero) net effect ALGEBRAICALLY inside any
+    SUM/COUNT view, so unlike `version_diff` no key join is needed at
+    all. Works in either direction (swap the versions for the inverse
+    delta)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    f_from = set(snapshot_files(table_dir, v_from))
+    f_to = set(snapshot_files(table_dir, v_to))
+    only_f = sorted(f_from - f_to)
+    only_t = sorted(f_to - f_from)
+
+    def tag(files: list[str], s: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                sign_col, pa.array([s] * t.num_rows, pa.int64()))
+
+        return rd.read_parquet(files).map_batches(fn, batch_format="pyarrow")
+
+    if not only_f and not only_t:
+        ref = sorted(f_to) or sorted(f_from)
+        if not ref:  # table empty at both versions
+            return rd.from_arrow(pa.table({sign_col: pa.array([], pa.int64())}))
+        sch = pq.read_schema(ref[0]).append(pa.field(sign_col, pa.int64()))
+        return rd.from_arrow(sch.empty_table())
+    parts = ([tag(only_f, -1)] if only_f else []) + \
+            ([tag(only_t, +1)] if only_t else [])
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])

@@ -5,6 +5,7 @@ already-known urls must be idempotent."""
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -138,3 +139,92 @@ class TestMatviewMaintenance:
             "k": pa.array([], pa.string()),
             "sign": pa.array([], pa.int64()),
             "v": pa.array([], pa.int64())}))
+
+
+class TestVersionDelta:
+    """versioned.version_delta -> matview composition: the signed
+    Z-set delta between snapshots maintains a view to bit-exact
+    equality with a full recompute, reading only changed files."""
+
+    @staticmethod
+    def _kv(ids, langs, vals):
+        return pa.table({"doc_id": pa.array(list(ids), pa.int64()),
+                         "lang": pa.array(list(langs), pa.string()),
+                         "v": pa.array(list(vals), pa.int64())})
+
+    def _view(self, snap):
+        from cosmos_ray.functions.matview import delta_partials
+
+        signed = snap.map_batches(
+            lambda t: t.append_column(
+                "sign", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+        return delta_partials(signed, keys=["lang"], sum_cols=["v"])
+
+    def _fixture(self, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "vd")
+        V.commit_append(d, rd.from_arrow(
+            self._kv([1, 2, 3, 4], ["en", "en", "de", "fr"],
+                     [10, 20, 30, 40])))
+        V.commit_merge_upsert(d, "doc_id", rd.from_arrow(
+            self._kv([2, 3, 9], ["en", "de", "fr"], [25, 30, 90])))
+        V.commit_delete_keys(d, "doc_id", [4])
+        return d
+
+    def test_maintain_equals_recompute(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.functions.matview import maintain_view
+        from cosmos_ray.state import versioned as V
+
+        d = self._fixture(tmp_path)
+        got = (maintain_view(self._view(V.read_snapshot(d, 1)),
+                             V.version_delta(d, 1, 3),
+                             keys=["lang"], sum_cols=["v"])
+               .to_pandas().sort_values("lang").reset_index(drop=True))
+        want = (maintain_view(self._view(V.read_snapshot(d, 3)),
+                              rd.from_arrow(self._kv([], [], []).append_column(
+                                  "sign", pa.array([], pa.int64()))),
+                              keys=["lang"], sum_cols=["v"])
+                .to_pandas().sort_values("lang").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        # fr: doc 4 deleted, doc 9 inserted -> n=1, v=90; de rewrite
+        # survivor (identical row moved files) cancelled exactly
+        row = got.set_index("lang")
+        assert (row.loc["fr", "n"], row.loc["fr", "v"]) == (1, 90)
+        assert (row.loc["de", "n"], row.loc["de", "v"]) == (1, 30)
+        assert (row.loc["en", "n"], row.loc["en", "v"]) == (2, 35)
+
+    def test_reverse_delta_restores_old_view(self, ray_session, tmp_path):
+        from cosmos_ray.functions.matview import maintain_view
+        from cosmos_ray.state import versioned as V
+
+        d = self._fixture(tmp_path)
+        back = (maintain_view(self._view(V.read_snapshot(d, 3)),
+                              V.version_delta(d, 3, 1),
+                              keys=["lang"], sum_cols=["v"])
+                .to_pandas().set_index("lang"))
+        assert (back.loc["en", "n"], back.loc["en", "v"]) == (2, 30)
+        assert (back.loc["fr", "n"], back.loc["fr", "v"]) == (1, 40)
+
+    def test_delta_prunes_unchanged_files(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.state import versioned as V
+
+        d = str(tmp_path / "pr")
+        V.commit_append(d, rd.from_arrow(
+            self._kv([1, 2], ["en", "en"], [1, 2])))
+        V.commit_append(d, rd.from_arrow(
+            self._kv([3], ["de"], [3])))
+        # append-only delta: only the v2 file, +1 rows, v1 file unopened
+        delta = V.version_delta(d, 1, 2).to_pandas()
+        assert list(delta["doc_id"]) == [3]
+        assert list(delta["sign"]) == [1]
+        # identical versions: typed empty delta
+        same = V.version_delta(d, 2, 2)
+        assert same.count() == 0 and "sign" in same.schema().names
