@@ -1358,9 +1358,11 @@ def label_propagation(edges_ds, rounds: int = 4,
         df = t.to_pandas().sort_values(["n", "lbl"],
                                        ascending=[False, True],
                                        kind="stable")
+        # strip the pandas metadata dict: unhashable under pyarrow 16,
+        # defeats Ray's block-schema dedup in the downstream join
         return pa.Table.from_pandas(
             df.drop_duplicates(subset=["node"], keep="first"),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n", "lbl"], ascending=[False, True],
@@ -1380,9 +1382,101 @@ def label_propagation(edges_ds, rounds: int = 4,
         labels = (bucketed_group_apply(
             counts.map_batches(partial_argmax, batch_format="pyarrow"),
             ["node"], finish, num_buckets=num_buckets)
+            .map_batches(lambda t: t.replace_schema_metadata(None),
+                         batch_format="pyarrow")
             .materialize())
 
     return labels.map_batches(
         lambda t: pa.table({"entity": t.column("node"),
                             "community": t.column("lbl")}),
         batch_format="pyarrow")
+
+
+def modularity(edges_ds, labels_ds, src: str = "src_entity",
+               dst: str = "dst_entity", entity_col: str = "entity",
+               label_col: str = "community"):
+    """Newman modularity of a node partition over the distinct simple
+    undirected graph (Newman & Girvan 2004): per community c,
+
+        Q_c = e_c / m - (d_c / 2m)^2
+
+    with e_c the intra-community edge count, d_c the sum of member
+    degrees and m the total edge count; sum(Q_c) is the usual global
+    score. The community-quality companion of `label_propagation` (the
+    reference consumes its entity graph whole; scoring the partition is
+    the standard follow-up pass).
+
+    Scale shape: the label table is entity-vocabulary-sized (the KB
+    bound), so both endpoint labelings ride `join_or_broadcast` (the
+    canonical edge set — corpus-sized — never moves when the labels
+    broadcast); e_c / d_c reduce via per-batch value-count combiners, so
+    only (community, partial) rows cross the one groupby exchange; m is
+    a count(). Float determinism: Q_c is two IEEE divisions and one
+    multiply over exact int64 counts, computed identically in the SQL
+    oracle (no pow(), no reassociation).
+
+    -> (community, intra_edges, degree_sum, modularity) sorted by
+    community."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    e = _distinct_canonical_edges(edges_ds, src, dst).materialize()
+    m = e.count()
+    if m == 0:
+        sch = labels_ds.schema()
+        lbl_t = dict(zip(sch.names, sch.types))[label_col]
+        return rd.from_arrow(pa.table({
+            "community": pa.array([], lbl_t),
+            "intra_edges": pa.array([], pa.int64()),
+            "degree_sum": pa.array([], pa.int64()),
+            "modularity": pa.array([], pa.float64())}))
+
+    la = labels_ds.map_batches(
+        lambda t: pa.table({"a": t.column(entity_col),
+                            "__ca": t.column(label_col)}),
+        batch_format="pyarrow")
+    lb = labels_ds.map_batches(
+        lambda t: pa.table({"b": t.column(entity_col),
+                            "__cb": t.column(label_col)}),
+        batch_format="pyarrow")
+    ej = join_or_broadcast(
+        join_or_broadcast(e, la, key="a", add_cols=["__ca"]),
+        lb, key="b", add_cols=["__cb"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ca = t.column("__ca").combine_chunks() \
+            if isinstance(t.column("__ca"), pa.ChunkedArray) else t.column("__ca")
+        cb = t.column("__cb").combine_chunks() \
+            if isinstance(t.column("__cb"), pa.ChunkedArray) else t.column("__cb")
+        # every canonical edge adds 1 to deg(a) and 1 to deg(b)
+        deg = pa.concat_arrays([ca, cb]).value_counts()
+        intra = ca.filter(pc.equal(ca, cb)).value_counts()
+        dv = deg.field("values")
+        iv = intra.field("values")
+        return pa.table({
+            "community": pa.concat_arrays([dv, iv]),
+            "__deg": pa.concat_arrays([
+                deg.field("counts").cast(pa.int64()),
+                pa.nulls(len(iv), pa.int64()).fill_null(0)]),
+            "__intra": pa.concat_arrays([
+                pa.nulls(len(dv), pa.int64()).fill_null(0),
+                intra.field("counts").cast(pa.int64())])})
+
+    sums = (ej.map_batches(partial, batch_format="pyarrow")
+            .groupby("community")
+            .aggregate(_Sum("__intra", alias_name="intra_edges"),
+                       _Sum("__deg", alias_name="degree_sum")))
+
+    def score(t: pa.Table) -> pa.Table:
+        ec = t.column("intra_edges").to_numpy(zero_copy_only=False).astype(np.float64)
+        dc = t.column("degree_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        half = dc / (2.0 * float(m))
+        return pa.table({
+            "community": t.column("community"),
+            "intra_edges": t.column("intra_edges").cast(pa.int64()),
+            "degree_sum": t.column("degree_sum").cast(pa.int64()),
+            "modularity": pa.array(ec / float(m) - half * half,
+                                   pa.float64())})
+
+    return sums.map_batches(score, batch_format="pyarrow").sort("community")

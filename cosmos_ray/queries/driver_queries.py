@@ -8538,6 +8538,50 @@ SELECT node AS entity, lbl AS community FROM l{rounds}
 SQL_KG_COMMUNITIES = _sql_kg_communities()
 
 
+def q_kg_modularity(sf_dir: str):
+    """Newman modularity decomposition of the label-propagation
+    partition (`graph.modularity` over `graph.label_propagation`,
+    4 rounds): per community, intra-edge count, degree sum and
+    Q_c = e_c/m - (d_c/2m)^2 — the partition-quality score a
+    community detection pass is judged by. The oracle replays the
+    unrolled LPA rounds (kg_communities pattern) then computes the
+    identical two-division IEEE expression over exact BIGINT counts."""
+    from cosmos_ray.functions.graph import label_propagation, modularity
+
+    adj = _built_kg(sf_dir).adjacency
+    return modularity(adj, label_propagation(adj, rounds=4))
+
+
+def _sql_kg_modularity(rounds: int = 4) -> str:
+    base = _sql_kg_communities(rounds)
+    tail = f"SELECT node AS entity, lbl AS community FROM l{rounds}"
+    assert tail in base
+    return base.replace(tail, f"""
+, lab AS MATERIALIZED (SELECT node, lbl FROM l{rounds})
+, mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM e0)
+, ej AS MATERIALIZED (
+    SELECT la.lbl AS ca, lb.lbl AS cb
+    FROM e0 JOIN lab la ON la.node = e0.a
+            JOIN lab lb ON lb.node = e0.b)
+, intra AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_c
+            FROM ej WHERE ca = cb GROUP BY 1)
+, deg AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c
+          FROM (SELECT ca AS community FROM ej
+                UNION ALL SELECT cb FROM ej) GROUP BY 1)
+SELECT d.community,
+       coalesce(i.e_c, 0) AS intra_edges,
+       d.d_c AS degree_sum,
+       coalesce(i.e_c, 0) / mm.m
+         - (d.d_c / (2 * mm.m)) * (d.d_c / (2 * mm.m)) AS modularity
+FROM deg d LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN mm
+ORDER BY d.community
+""")
+
+
+SQL_KG_MODULARITY = _sql_kg_modularity()
+
+
 def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
@@ -8834,6 +8878,7 @@ QUERIES = {
     "kg_rule_mining": q_kg_rule_mining,
     "kg_entity_types": q_kg_entity_types,
     "kg_communities": q_kg_communities,
+    "kg_modularity": q_kg_modularity,
     "kg_evidence": q_kg_evidence,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
@@ -9047,6 +9092,7 @@ ORACLES = {
     "kg_rule_mining": SQL_KG_RULE_MINING,
     "kg_entity_types": SQL_KG_ENTITY_TYPES,
     "kg_communities": SQL_KG_COMMUNITIES,
+    "kg_modularity": SQL_KG_MODULARITY,
     "kg_evidence": SQL_KG_EVIDENCE,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,

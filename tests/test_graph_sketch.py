@@ -803,6 +803,62 @@ class TestLabelPropagation:
         self._check(pairs, rounds=3)
 
 
+class TestModularity:
+    """`graph.modularity` — Newman Q decomposition vs hand-computed
+    values, with duplicate/reverse/self edges collapsing first."""
+
+    def test_two_triangles_bridge_hand_values(self, ray_session):
+        from cosmos_ray.functions.graph import (label_propagation,
+                                                modularity)
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+        edges = _edges([(a, b, 1) for a, b in pairs])
+        out = (modularity(edges, label_propagation(edges, rounds=4))
+               .to_pandas().set_index("community"))
+        # m=7; two communities, each 3 intra edges, degree sum 7
+        assert len(out) == 2
+        assert out["intra_edges"].tolist() == [3, 3]
+        assert out["degree_sum"].tolist() == [7, 7]
+        q = 3 / 7 - (7 / 14.0) ** 2
+        assert out["modularity"].tolist() == [q, q]
+        assert abs(out["modularity"].sum() - 5 / 14) < 1e-12
+
+    def test_single_community_q_zero(self, ray_session):
+        # whole graph in one community: Q = m/m - (2m/2m)^2 = 0
+        from cosmos_ray.functions.graph import (label_propagation,
+                                                modularity)
+
+        pairs = [("p", "q"), ("q", "r"), ("r", "p"), ("p", "q"),
+                 ("q", "p"), ("p", "p")]
+        edges = _edges([(a, b, 1) for a, b in pairs])
+        out = (modularity(edges, label_propagation(edges, rounds=4))
+               .to_pandas())
+        assert len(out) == 1
+        assert out.loc[0, "intra_edges"] == 3  # simple graph collapses
+        assert out.loc[0, "degree_sum"] == 6
+        assert out.loc[0, "modularity"] == 0.0
+
+    def test_inter_community_only_negative_q(self, ray_session):
+        # force a partition by hand: star center vs leaves has no
+        # intra edges anywhere -> every Q_c < 0, sum < 0
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.graph import modularity
+
+        edges = _edges([("c", "l1", 1), ("c", "l2", 1), ("c", "l3", 1)])
+        labels = rd.from_arrow(pa.table({
+            "entity": pa.array(["c", "l1", "l2", "l3"]),
+            "community": pa.array(["hub", "leaf", "leaf", "leaf"])}))
+        out = modularity(edges, labels).to_pandas().set_index("community")
+        assert out.loc["hub", "intra_edges"] == 0
+        assert out.loc["hub", "degree_sum"] == 3
+        assert out.loc["leaf", "degree_sum"] == 3
+        assert (out["modularity"] < 0).all()
+
+
 def test_kmv_rollup_equals_direct_coarse_sketch(ray_session):
     """Merging fine-grain KMV sketches must reproduce the direct
     coarse-grain sketch bit-for-bit (min-k of union == head-k of the
