@@ -5208,6 +5208,154 @@ FROM ph GROUP BY 1, 2, 3
 """)
 
 
+def q_kg_fact_intervals(sf_dir: str):
+    """Temporal fact provenance: per (subj, pred, obj) the first/last
+    crawl timestamp among the pages asserting it plus the page count —
+    the validity-interval signal a temporal KG keeps alongside each fact
+    (first_seen/last_seen is how crawl-to-crawl fact churn is detected).
+
+    Shape: page timestamps come from a (url, ts) metadata pass over the
+    INPUT pages (html never read; keep-latest = max ts per url, one
+    url-bounded groupby); the triple table joins that narrow map via
+    `join_or_broadcast` (distributed hash join once the url count
+    exceeds the broadcast cap), then one fact-keyed groupby of
+    (count, min, max) — rows crossing the exchange are per-batch
+    combiner partials bounded by distinct facts."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    tr = _built_kg(sf_dir).triples.select_columns(
+        ["url", "subj", "pred", "obj"])
+    meta = (_pages_ds(sf_dir)
+            .map_batches(lambda t: pa.table({
+                "url": t.column("url"),
+                "ts_us": t.column("warc_ts").cast(pa.int64())}),
+                batch_format="pyarrow")
+            .groupby("url").aggregate(Max("ts_us", alias_name="ts_us")))
+    j = join_or_broadcast(tr, meta, key="url", add_cols=["ts_us"])
+    return (j.groupby(["subj", "pred", "obj"])
+            .aggregate(Count(alias_name="n_pages"),
+                       Min("ts_us", alias_name="first_seen_us"),
+                       Max("ts_us", alias_name="last_seen_us")))
+
+
+SQL_KG_FACT_INTERVALS = with_goldens("""
+SELECT subj, pred, obj,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       CAST(min(1700000000000000 + did * 1000000) AS BIGINT)
+         AS first_seen_us,
+       CAST(max(1700000000000000 + did * 1000000) AS BIGINT)
+         AS last_seen_us
+FROM facts GROUP BY 1, 2, 3
+""")
+
+
+def q_kg_pred_functionality(sf_dir: str):
+    """Per-predicate functionality statistics (Galarraga et al. 2013,
+    AMIE): over the distinct canonical (src, dst) pairs of each
+    predicate, fun(p) = |distinct subjects| / |pairs| and
+    ifun(p) = |distinct objects| / |pairs| — the KG-quality signal that
+    separates near-functional predicates (is located in) from
+    many-to-many ones (partnered with), and the weighting AMIE-style
+    rule confidence uses.
+
+    Shape: adjacency rows are already unique per (src, dst, pred), so
+    n_pairs is a plain pred groupby count; the two distinct-endpoint
+    counts are two-stage distincts ((pred, endpoint) exchange first,
+    entity-vocabulary-bounded); the three pred-vocabulary-sized tables
+    meet via broadcast joins. Ratios are single IEEE divisions of exact
+    int64 counts (identical in the oracle)."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    adj = _built_kg(sf_dir).adjacency
+    pairs = adj.groupby("pred").aggregate(Count(alias_name="n_pairs"))
+    n_subj = (adj.select_columns(["pred", "src_entity"])
+              .groupby(["pred", "src_entity"])
+              .aggregate(Count(alias_name="__c"))
+              .groupby("pred").aggregate(Count(alias_name="n_subj")))
+    n_obj = (adj.select_columns(["pred", "dst_entity"])
+             .groupby(["pred", "dst_entity"])
+             .aggregate(Count(alias_name="__c"))
+             .groupby("pred").aggregate(Count(alias_name="n_obj")))
+    j = join_or_broadcast(
+        join_or_broadcast(pairs, n_subj, key="pred", add_cols=["n_subj"]),
+        n_obj, key="pred", add_cols=["n_obj"])
+
+    def score(t: pa.Table) -> pa.Table:
+        np_ = t.column("n_pairs").to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = t.column("n_subj").to_numpy(zero_copy_only=False).astype(np.float64)
+        no = t.column("n_obj").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "pred": t.column("pred"),
+            "n_pairs": t.column("n_pairs").cast(pa.int64()),
+            "n_subj": t.column("n_subj").cast(pa.int64()),
+            "n_obj": t.column("n_obj").cast(pa.int64()),
+            "functionality": pa.array(ns / np_, pa.float64()),
+            "inv_functionality": pa.array(no / np_, pa.float64())})
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+SQL_KG_PRED_FUNCTIONALITY = with_goldens("""
+, pairs AS (
+  SELECT f.pred, ss.canonical_id AS src, so.canonical_id AS dst
+  FROM facts f
+  JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  GROUP BY 1, 2, 3)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT dst) AS BIGINT) AS n_obj,
+       count(DISTINCT src) / CAST(count(*) AS DOUBLE) AS functionality,
+       count(DISTINCT dst) / CAST(count(*) AS DOUBLE) AS inv_functionality
+FROM pairs GROUP BY pred
+""")
+
+
+def q_kg_ntriples(sf_dir: str):
+    """RDF N-Triples export of the canonical graph — the W3C interchange
+    serialization a KG build hands to triple stores (the reference's ES
+    bulk index is its substrate-specific analog of this handoff). One
+    line per distinct (src, pred, dst): entity/predicate ids templated
+    into IRIs. Canonical ids are ``E\\d{4}`` and predicates lowercase
+    words by construction, so the only escaping needed is predicate
+    spaces -> '_' (full N-Triples string escaping is out of scope for
+    these id vocabularies and documented as such).
+
+    Shape: embarrassingly parallel — one vectorized arrow string-concat
+    pass over the adjacency, no exchange."""
+    adj = _built_kg(sf_dir).adjacency
+
+    def ser(t: pa.Table) -> pa.Table:
+        pred = pc.replace_substring(t.column("pred"), " ", "_")
+        line = pc.binary_join_element_wise(
+            "<http://kg.example/e/", t.column("src_entity"),
+            "> <http://kg.example/p/", pred,
+            "> <http://kg.example/e/", t.column("dst_entity"),
+            "> .", "")
+        return pa.table({"ntriple": line})
+
+    return adj.map_batches(ser, batch_format="pyarrow")
+
+
+SQL_KG_NTRIPLES = with_goldens("""
+, pairs AS (
+  SELECT ss.canonical_id AS src, so.canonical_id AS dst,
+         replace(f.pred, ' ', '_') AS pred
+  FROM facts f
+  JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  GROUP BY 1, 2, 3)
+SELECT '<http://kg.example/e/' || src || '> <http://kg.example/p/' ||
+       pred || '> <http://kg.example/e/' || dst || '> .' AS ntriple
+FROM pairs
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -8880,6 +9028,9 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_modularity": q_kg_modularity,
     "kg_evidence": q_kg_evidence,
+    "kg_fact_intervals": q_kg_fact_intervals,
+    "kg_pred_functionality": q_kg_pred_functionality,
+    "kg_ntriples": q_kg_ntriples,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9094,6 +9245,9 @@ ORACLES = {
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_modularity": SQL_KG_MODULARITY,
     "kg_evidence": SQL_KG_EVIDENCE,
+    "kg_fact_intervals": SQL_KG_FACT_INTERVALS,
+    "kg_pred_functionality": SQL_KG_PRED_FUNCTIONALITY,
+    "kg_ntriples": SQL_KG_NTRIPLES,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
