@@ -5356,6 +5356,169 @@ FROM pairs
 """)
 
 
+def _kb_types_ds():
+    """KB (canonical_id, type) as a Dataset — each synthetic entity
+    carries exactly one type (types[0]); entity-vocabulary-sized."""
+    from cosmos_ray.sources.entity_dict import build_entity_dict
+
+    kb = build_entity_dict()
+    return rd.from_arrow(pa.table({
+        "canonical_id": kb.column("canonical_id"),
+        "typ": pa.array([r[0].as_py() for r in kb.column("types")],
+                        pa.string())}))
+
+
+def q_kg_type_violations(sf_dir: str):
+    """Ontology-constraint validation: induce each predicate's domain
+    and range as the MODAL subject/object entity type over its distinct
+    canonical pairs (ties to the lexically smallest type), then emit the
+    facts whose endpoint types violate either — the knowledge-fusion
+    cleaning pass that catches linker errors (a COMPANY 'is located in'
+    a PERSON) before facts are trusted.
+
+    Shape: the KB type map is entity-vocabulary-sized, so both endpoint
+    typings are size-guarded broadcasts; modal induction is a
+    (pred, type) groupby — vocabulary x vocabulary bounded — finished by
+    a per-pred argmax inside `bucketed_group_apply`; the induced
+    domain/range table (pred-sized) broadcasts back onto the typed
+    pairs. No corpus-sized exchange anywhere."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import (bucketed_group_apply,
+                                               join_or_broadcast)
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["pred", "src_entity", "dst_entity"])
+    kt = _kb_types_ds()
+    typed = join_or_broadcast(
+        join_or_broadcast(
+            adj,
+            kt.map_batches(lambda t: pa.table({
+                "canonical_id": t.column("canonical_id"),
+                "subj_type": t.column("typ")}), batch_format="pyarrow"),
+            key="canonical_id", add_cols=["subj_type"],
+            big_key="src_entity"),
+        kt.map_batches(lambda t: pa.table({
+            "canonical_id": t.column("canonical_id"),
+            "obj_type": t.column("typ")}), batch_format="pyarrow"),
+        key="canonical_id", add_cols=["obj_type"],
+        big_key="dst_entity").materialize()
+
+    def modal(col: str, out: str):
+        counts = (typed.groupby(["pred", col])
+                  .aggregate(Count(alias_name="__n")))
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["__n", col], ascending=[False, True],
+                              kind="stable")
+            top = g.drop_duplicates(subset=["pred"], keep="first")
+            return pd.DataFrame({"pred": top["pred"].to_numpy(),
+                                 out: top[col].to_numpy()})
+
+        return bucketed_group_apply(counts, ["pred"], finish)
+
+    j = join_or_broadcast(
+        join_or_broadcast(typed, modal("subj_type", "domain_type"),
+                          key="pred", add_cols=["domain_type"]),
+        modal("obj_type", "range_type"), key="pred",
+        add_cols=["range_type"])
+
+    def violations(t: pa.Table) -> pa.Table:
+        bad = pc.or_(pc.not_equal(t.column("subj_type"),
+                                  t.column("domain_type")),
+                     pc.not_equal(t.column("obj_type"),
+                                  t.column("range_type")))
+        return t.select(["pred", "src_entity", "dst_entity", "subj_type",
+                         "obj_type", "domain_type", "range_type"]).filter(bad)
+
+    return j.map_batches(violations, batch_format="pyarrow")
+
+
+def _sql_kg_type_violations() -> str:
+    from cosmos_ray.queries.oracle_gen import kb_types_values
+
+    return with_goldens(f"""
+, ktypes(canonical_id, typ) AS (VALUES {kb_types_values()})
+, pairs AS (
+  SELECT f.pred, ss.canonical_id AS src, so.canonical_id AS dst
+  FROM facts f
+  JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  GROUP BY 1, 2, 3)
+, typed AS (
+  SELECT p.pred, p.src, p.dst, ts.typ AS subj_type, tt.typ AS obj_type
+  FROM pairs p
+  JOIN ktypes ts ON ts.canonical_id = p.src
+  JOIN ktypes tt ON tt.canonical_id = p.dst)
+, dom AS (
+  SELECT pred, subj_type AS domain_type FROM (
+    SELECT pred, subj_type, count(*) AS n,
+           row_number() OVER (PARTITION BY pred
+                              ORDER BY count(*) DESC, subj_type) AS rn
+    FROM typed GROUP BY pred, subj_type) WHERE rn = 1)
+, rng AS (
+  SELECT pred, obj_type AS range_type FROM (
+    SELECT pred, obj_type, count(*) AS n,
+           row_number() OVER (PARTITION BY pred
+                              ORDER BY count(*) DESC, obj_type) AS rn
+    FROM typed GROUP BY pred, obj_type) WHERE rn = 1)
+SELECT t.pred, t.src AS src_entity, t.dst AS dst_entity,
+       t.subj_type, t.obj_type, d.domain_type, r.range_type
+FROM typed t
+JOIN dom d ON d.pred = t.pred
+JOIN rng r ON r.pred = t.pred
+WHERE t.subj_type <> d.domain_type OR t.obj_type <> r.range_type
+""")
+
+
+SQL_KG_TYPE_VIOLATIONS = _sql_kg_type_violations()
+
+
+def q_kg_conflicts(sf_dir: str):
+    """Functional-predicate conflict sets — the knowledge-fusion input:
+    for every (subject, predicate) asserting MORE THAN ONE distinct
+    canonical object, the sorted object set (canonical comma-join) and
+    its size. Downstream fusion (voting, source-reliability weighting)
+    consumes exactly these sets; for near-functional predicates they are
+    the contradiction candidates.
+
+    Shape: adjacency rows are already distinct (src, dst, pred), so the
+    only exchange is the (pred, src)-bucketed assembly
+    (`bucketed_group_apply`); output is bounded by conflicted
+    (subject, pred) groups."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["pred", "src_entity", "dst_entity"])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("dst_entity", kind="stable")
+        s = g.groupby(["pred", "src_entity"], sort=False)["dst_entity"]
+        n = s.size()
+        out = pd.DataFrame({
+            "pred": n.index.get_level_values(0).to_numpy(),
+            "src_entity": n.index.get_level_values(1).to_numpy(),
+            "n_objs": n.to_numpy().astype(np.int64),
+            "objs": s.agg(",".join).to_numpy()})
+        return out[out["n_objs"] > 1]
+
+    return bucketed_group_apply(adj, ["pred", "src_entity"], assemble)
+
+
+SQL_KG_CONFLICTS = with_goldens("""
+, pairs AS (
+  SELECT f.pred, ss.canonical_id AS src, so.canonical_id AS dst
+  FROM facts f
+  JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  GROUP BY 1, 2, 3)
+SELECT pred, src AS src_entity,
+       CAST(count(*) AS BIGINT) AS n_objs,
+       string_agg(dst, ',' ORDER BY dst) AS objs
+FROM pairs GROUP BY pred, src HAVING count(*) > 1
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -9031,6 +9194,8 @@ QUERIES = {
     "kg_fact_intervals": q_kg_fact_intervals,
     "kg_pred_functionality": q_kg_pred_functionality,
     "kg_ntriples": q_kg_ntriples,
+    "kg_type_violations": q_kg_type_violations,
+    "kg_conflicts": q_kg_conflicts,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9248,6 +9413,8 @@ ORACLES = {
     "kg_fact_intervals": SQL_KG_FACT_INTERVALS,
     "kg_pred_functionality": SQL_KG_PRED_FUNCTIONALITY,
     "kg_ntriples": SQL_KG_NTRIPLES,
+    "kg_type_violations": SQL_KG_TYPE_VIOLATIONS,
+    "kg_conflicts": SQL_KG_CONFLICTS,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,

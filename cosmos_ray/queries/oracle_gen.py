@@ -65,6 +65,17 @@ def _kb_values() -> tuple[str, str, str]:
 
 
 @lru_cache(maxsize=1)
+def kb_types_values() -> str:
+    """(canonical_id, type) VALUES literal from the pinned KB — each
+    synthetic entity carries exactly one type (types[0]); queries that
+    need ontology constraints embed this as their own CTE."""
+    kb = build_entity_dict()
+    return ", ".join(
+        f"({_q(r['canonical_id'])}, {_q(r['types'][0])})"
+        for r in kb.to_pylist())
+
+
+@lru_cache(maxsize=1)
 def golden_ctes() -> str:
     """The shared WITH-clause body: kb/surf/kbname/base/facts/blocks.
 
