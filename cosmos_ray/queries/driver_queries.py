@@ -5519,6 +5519,61 @@ FROM pairs GROUP BY pred, src HAVING count(*) > 1
 """)
 
 
+def q_kg_fused_facts(sf_dir: str):
+    """Evidence-weighted fact fusion (the resolution step downstream of
+    `kg_conflicts`): for every (subj, pred), keep the single object with
+    the strongest corroboration — most distinct source HOSTS first
+    (cross-site agreement, the mirror/spam defense), then most mentions,
+    then the lexically smallest object (deterministic tiebreak). The
+    one-iteration, host-vote special case of TruthFinder-style fusion
+    (Yin et al. 2008) that stays SQL-replayable.
+
+    Shape: reuses the kg_evidence aggregation ((fact, host) partials,
+    fact rollup), then a per-batch argmax combiner + (subj, pred)
+    bucketed finish — at most one candidate row per (batch, group)
+    crosses the final exchange."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    ev = q_kg_evidence(sf_dir)  # (subj, pred, obj, n_mentions, n_urls, n_hosts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_hosts", "n_mentions", "obj"],
+            ascending=[False, False, True], kind="stable")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(subset=["subj", "pred"], keep="first"),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_hosts", "n_mentions", "obj"],
+                          ascending=[False, False, True], kind="stable")
+        top = g.drop_duplicates(subset=["subj", "pred"], keep="first")
+        return top[["subj", "pred", "obj", "n_mentions", "n_hosts"]]
+
+    return bucketed_group_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["subj", "pred"], finish)
+
+
+SQL_KG_FUSED_FACTS = with_goldens("""
+, tr AS (SELECT url, subj, pred, obj, count(*) AS m
+         FROM facts GROUP BY 1, 2, 3, 4)
+, ph AS (SELECT subj, pred, obj,
+                regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+                sum(m) AS m
+         FROM tr GROUP BY 1, 2, 3, 4)
+, ev AS (SELECT subj, pred, obj,
+                CAST(sum(m) AS BIGINT) AS n_mentions,
+                CAST(count(*) AS BIGINT) AS n_hosts
+         FROM ph GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, n_mentions, n_hosts FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY subj, pred
+      ORDER BY n_hosts DESC, n_mentions DESC, obj) AS rn
+  FROM ev) WHERE rn = 1
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -9196,6 +9251,7 @@ QUERIES = {
     "kg_ntriples": q_kg_ntriples,
     "kg_type_violations": q_kg_type_violations,
     "kg_conflicts": q_kg_conflicts,
+    "kg_fused_facts": q_kg_fused_facts,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9415,6 +9471,7 @@ ORACLES = {
     "kg_ntriples": SQL_KG_NTRIPLES,
     "kg_type_violations": SQL_KG_TYPE_VIOLATIONS,
     "kg_conflicts": SQL_KG_CONFLICTS,
+    "kg_fused_facts": SQL_KG_FUSED_FACTS,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
