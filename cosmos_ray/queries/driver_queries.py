@@ -5574,6 +5574,86 @@ SELECT subj, pred, obj, n_mentions, n_hosts FROM (
 """)
 
 
+def q_kg_nil_entities(sf_dir: str):
+    """NIL clustering — the entity-linking step for UNLINKABLE mentions
+    (reference analog: surfaces below the linker's 0.8 threshold,
+    `link.EntityLinker`): endpoint surfaces absent from the KB surface
+    index are normalized (lowercase, non-alphanumeric runs -> single
+    space, trim) and clustered by normalized key; each cluster mints a
+    provisional entity id ``NIL:<min surface>`` — how cross-document
+    coreference of out-of-KB entities enters a KG build.
+
+    Shape: the KB surface set is vocabulary-bounded and ships in the
+    task closure (J4 broadcast pattern); mention counting is a per-batch
+    weighted combiner then one surface groupby (distinct unknown
+    surfaces — open-world, so it STAYS distributed); the nil-id map is a
+    key groupby + size-guarded join back. -> (nil_id, surface,
+    n_mentions)."""
+    from ray.data.aggregate import Min, Sum
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+    from cosmos_ray.sources.entity_dict import (build_entity_dict,
+                                                surface_index)
+
+    known = frozenset(surface_index(build_entity_dict()))
+    tr = _built_kg(sf_dir).triples.select_columns(
+        ["subj", "obj", "n_mentions"])
+
+    def ends(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df["n_mentions"].to_numpy()
+        s = pd.DataFrame({
+            "surface": pd.concat([df["subj"], df["obj"]],
+                                 ignore_index=True),
+            "n": np.concatenate([m, m])})
+        s = s[~s["surface"].isin(known)]
+        g = s.groupby("surface", sort=False)["n"].sum()
+        return pa.table({"surface": pa.array(g.index, pa.string()),
+                         "n": pa.array(g.to_numpy(), pa.int64())})
+
+    per_surface = (tr.map_batches(ends, batch_format="pyarrow")
+                   .groupby("surface")
+                   .aggregate(Sum("n", alias_name="n_mentions")))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t.column("surface")), "[^a-z0-9]+", " "))
+        return pa.table({"surface": t.column("surface"),
+                         "n_mentions": t.column("n_mentions").cast(pa.int64()),
+                         "k": k})
+
+    # consumed twice (nil-id groupby + join back): materialize once
+    ks = (per_surface.map_batches(keyed, batch_format="pyarrow")
+          .materialize())
+    nil = ks.groupby("k").aggregate(Min("surface", alias_name="nil_min"))
+    j = join_or_broadcast(ks, nil, key="k", add_cols=["nil_min"])
+    return j.map_batches(
+        lambda t: pa.table({
+            "nil_id": pc.binary_join_element_wise(
+                "NIL:", t.column("nil_min"), ""),
+            "surface": t.column("surface"),
+            "n_mentions": t.column("n_mentions")}),
+        batch_format="pyarrow")
+
+
+SQL_KG_NIL_ENTITIES = with_goldens("""
+, ends AS (
+  SELECT subj AS surface FROM facts
+  UNION ALL SELECT obj FROM facts)
+, unk AS (
+  SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM ends WHERE surface NOT IN (SELECT surface FROM surf)
+  GROUP BY surface)
+, keyed AS (
+  SELECT surface, n_mentions,
+         trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS k
+  FROM unk)
+SELECT 'NIL:' || min(surface) OVER (PARTITION BY k) AS nil_id,
+       surface, n_mentions
+FROM keyed
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -9252,6 +9332,7 @@ QUERIES = {
     "kg_type_violations": q_kg_type_violations,
     "kg_conflicts": q_kg_conflicts,
     "kg_fused_facts": q_kg_fused_facts,
+    "kg_nil_entities": q_kg_nil_entities,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9472,6 +9553,7 @@ ORACLES = {
     "kg_type_violations": SQL_KG_TYPE_VIOLATIONS,
     "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_fused_facts": SQL_KG_FUSED_FACTS,
+    "kg_nil_entities": SQL_KG_NIL_ENTITIES,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
