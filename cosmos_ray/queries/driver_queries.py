@@ -5654,6 +5654,81 @@ FROM keyed
 """)
 
 
+def q_kg_links(sf_dir: str):
+    """Hyperlink extraction — the web link graph's edge list
+    (url, link_idx, href, anchor): every <a href> outside skip regions,
+    with normalized anchor text, in document order
+    (`stages/extract.parse_html_links`; the web substrate's analog of
+    the reference's cross-document reference index). Stale same-url
+    crawl duplicates collapse via a distinct groupby (link tuples are
+    identical by construction)."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.stages.extract import extract_links
+
+    links = extract_links(_pages_ds(sf_dir))
+    return (links.groupby(["url", "link_idx", "href", "anchor"])
+            .aggregate(Count(alias_name="__n")).drop_columns(["__n"]))
+
+
+def _sql_kg_links() -> str:
+    from cosmos_ray.queries.oracle_gen import _H
+
+    h = _H("60 + f")
+    return with_goldens(f"""
+SELECT url, CAST(f AS INT) AS link_idx,
+       'https://web' || ({h} % 20) || '.example.org/p/' || ({h} % 9973)
+         AS href,
+       subj || ' ' || pred || ' ' || obj || '.' AS anchor
+FROM facts
+""")
+
+
+SQL_KG_LINKS = _sql_kg_links()
+
+
+def q_host_link_graph(sf_dir: str):
+    """Host-level web link graph: (src_host, dst_host, n_links) from the
+    extracted outlinks — the aggregation commercial crawls publish (the
+    Common Crawl host graph) and the substrate host-level PageRank /
+    spam analysis runs on. Shape: host parsing is one vectorized regex
+    pass; the exchange carries (host, host) pairs — host-vocabulary
+    bounded, not link bounded, after the per-batch combiner groupby."""
+    from ray.data.aggregate import Sum
+
+    links = q_kg_links(sf_dir)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        src = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"https?://(?P<h>[^/]+)/"), "h")
+        dst = pc.struct_field(
+            pc.extract_regex(t.column("href"), r"https?://(?P<h>[^/]+)/"), "h")
+        pre = pa.table({"src_host": src, "dst_host": dst}) \
+            .group_by(["src_host", "dst_host"]).aggregate([([], "count_all")])
+        return pa.table({"src_host": pre.column("src_host"),
+                         "dst_host": pre.column("dst_host"),
+                         "n": pre.column("count_all").cast(pa.int64())})
+
+    return (links.map_batches(hosts, batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .aggregate(Sum("n", alias_name="n_links")))
+
+
+def _sql_host_link_graph() -> str:
+    from cosmos_ray.queries.oracle_gen import _H
+
+    h = _H("60 + f")
+    return with_goldens(f"""
+SELECT 'web' || (did % 20) || '.example.org' AS src_host,
+       'web' || ({h} % 20) || '.example.org' AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM facts GROUP BY 1, 2
+""")
+
+
+SQL_HOST_LINK_GRAPH = _sql_host_link_graph()
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -9333,6 +9408,8 @@ QUERIES = {
     "kg_conflicts": q_kg_conflicts,
     "kg_fused_facts": q_kg_fused_facts,
     "kg_nil_entities": q_kg_nil_entities,
+    "kg_links": q_kg_links,
+    "host_link_graph": q_host_link_graph,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9554,6 +9631,8 @@ ORACLES = {
     "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_fused_facts": SQL_KG_FUSED_FACTS,
     "kg_nil_entities": SQL_KG_NIL_ENTITIES,
+    "kg_links": SQL_KG_LINKS,
+    "host_link_graph": SQL_HOST_LINK_GRAPH,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,

@@ -65,7 +65,8 @@ MALFORMED_MOD, MALFORMED_REM = 97, 13
 DUP_MOD, DUP_REM = 50, 7
 
 # bump when golden_doc/render_html semantics change (bench cache key)
-GEN_VERSION = 6
+GEN_VERSION = 7  # v7: fact <li> blocks hyperlink their text (html-only;
+#                  extracted text/blocks unchanged vs v6)
 
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch anchor (us)
 
@@ -197,9 +198,19 @@ _TAG_OPEN = {
 }
 
 
+def _link_href(did: int, li_idx: int) -> str:
+    """Planted outlink target for the li_idx-th fact <li> of doc did —
+    _h arithmetic so the links oracle replays it in SQL (draw keys
+    60+f sit clear of the fact draws 10+6f..14+6f, f <= 8)."""
+    h = _h(did, 60 + li_idx)
+    return f"https://web{h % 20}.example.org/p/{h % 9973}"
+
+
 def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
     """Render a GoldenDoc to noisy-but-well-formed HTML. Extraction of
-    this html must reproduce ``g.text`` byte-for-byte."""
+    this html must reproduce ``g.text`` byte-for-byte (anchors are
+    INLINE tags — the block parser passes their text through, so the
+    planted fact-<li> hyperlinks leave extraction goldens untouched)."""
     rng = random.Random(f"{seed}:{g.doc_id}:html")
     parts = [
         "<!DOCTYPE html>",
@@ -213,6 +224,7 @@ def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
     ]
     in_list = in_table = False
     td_in_row = 0
+    li_idx = 0
     for tag, text in g.blocks:
         if tag == "li" and not in_list:
             parts.append("<ul>")
@@ -236,7 +248,13 @@ def render_html(g: GoldenDoc, seed: int = DEFAULT_SEED) -> bytes:
             in_table = False
         if rng.random() < 0.2:
             parts.append(f"<!-- c{rng.randrange(100)} -->")
-        parts.append(f"{_TAG_OPEN[tag]}{_html.escape(text)}</{tag}>")
+        if tag == "li":
+            href = _link_href(g.doc_id, li_idx)
+            li_idx += 1
+            parts.append(
+                f'<li><a href="{href}">{_html.escape(text)}</a></li>')
+        else:
+            parts.append(f"{_TAG_OPEN[tag]}{_html.escape(text)}</{tag}>")
     if in_list:
         parts.append("</ul>")
     if in_table:

@@ -180,6 +180,121 @@ def extract(pages: "ray.data.Dataset", batch_size: int = 256) -> "ray.data.Datas
     return pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
+class _LinkParser(HTMLParser):
+    """Collect (href, normalized anchor text) for <a href=...> elements
+    in document order — the hyperlink analog of `_BlockParser` (the web
+    substrate's link graph is what the reference's cross-document entity
+    index is to PDFs). Anchors inside skip regions (script/nav/...) are
+    ignored; an anchor implicitly closes at the next block boundary or
+    at a nested <a> (HTML5 recovery), so malformed nesting never leaks
+    text across links; href-less <a> elements are skipped."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip_depth = 0
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def reset_state(self) -> None:
+        self.reset()
+        self.links.clear()
+        self._skip_depth = 0
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._flush()
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href:
+                self._href = href
+                self._buf = []
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a" or tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and self._skip_depth == 0:
+            self._buf.append(data)
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, normalize_text("".join(self._buf))))
+        self._href = None
+        self._buf = []
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+_LINK_PARSER: _LinkParser | None = None
+
+
+def parse_html_links(raw: bytes) -> list[tuple[str, str]]:
+    """bytes -> [(href, anchor_text)] in document order. Raises on
+    undecodable bytes (same dead-letter contract as the block parse)."""
+    global _LINK_PARSER
+    if _LINK_PARSER is None:
+        _LINK_PARSER = _LinkParser()
+    p = _LINK_PARSER
+    p.reset_state()
+    p.feed(raw.decode("utf-8"))
+    p.close()
+    return list(p.links)
+
+
+def links_batch(batch: pa.Table) -> pa.Table:
+    """PAGES batch -> (url, link_idx, href, anchor) outlink rows.
+    Undecodable rows contribute no links (the extract dead-letter path
+    owns their reporting); hrefs are emitted raw (no resolution —
+    relative-url joining is a policy choice left to consumers)."""
+    htmls = batch.column("html").to_pylist()
+    urls = batch.column("url").to_pylist()
+    out_url: list[str] = []
+    out_idx: list[int] = []
+    out_href: list[str] = []
+    out_anchor: list[str] = []
+    for u, h in zip(urls, htmls):
+        try:
+            links = parse_html_links(h)
+        except Exception:
+            continue
+        for i, (href, anchor) in enumerate(links):
+            out_url.append(u)
+            out_idx.append(i)
+            out_href.append(href)
+            out_anchor.append(anchor)
+    return pa.table({
+        "url": pa.array(out_url, pa.string()),
+        "link_idx": pa.array(out_idx, pa.int32()),
+        "href": pa.array(out_href, pa.string()),
+        "anchor": pa.array(out_anchor, pa.string()),
+    })
+
+
+def extract_links(pages: "ray.data.Dataset", batch_size: int = 256) -> "ray.data.Dataset":
+    """Outlink extraction stage (same wide-row batch sizing as
+    `extract`). Stale same-url duplicates in the input produce duplicate
+    rows; callers wanting one crawl per url dedup downstream (the link
+    tuple is identical by construction, so a distinct groupby is
+    exact)."""
+    return pages.map_batches(links_batch, batch_format="pyarrow",
+                             batch_size=batch_size)
+
+
 def split_dead_letter(extracted: "ray.data.Dataset"):
     """-> (ok_ds, dead_ds). Both remain lazy; the predicate is a
     vectorized Arrow filter."""

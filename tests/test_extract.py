@@ -112,3 +112,68 @@ def test_jsonl_and_csv_sources_roundtrip(tmp_path, documents_small):
         f.write(json.dumps({"text": "no id"}) + "\n")
     with _pytest.raises(Exception):
         read_jsonl_docs(str(bad)).take_all()
+
+
+def test_link_parser_edges():
+    """`parse_html_links`: skip regions, nested <a> recovery, block
+    boundary implicit close, href-less anchors, entity refs."""
+    from cosmos_ray.stages.extract import parse_html_links
+
+    html = (
+        b"<html><head><script>var a='<a href=\"x\">no</a>';</script></head>"
+        b"<body><nav><a href='https://skip.me/'>nav link</a></nav>"
+        b"<p>see <a href='https://a.example/1'>first  link</a> here</p>"
+        b"<p><a href='https://a.example/2'>outer "
+        b"<a href='https://a.example/3'>inner</a></p>"
+        b"<p><a>no href</a><a href='https://a.example/4'>A &amp; B</a></p>"
+        b"</body></html>"
+    )
+    links = parse_html_links(html)
+    assert links == [
+        ("https://a.example/1", "first link"),
+        ("https://a.example/2", "outer"),   # nested <a> closes it
+        ("https://a.example/3", "inner"),
+        ("https://a.example/4", "A & B"),
+    ]
+    # block boundary closes an unterminated anchor
+    assert parse_html_links(
+        b"<p><a href='https://a.example/5'>dangling<p>next block</p>") == [
+        ("https://a.example/5", "dangling")]
+    # undecodable bytes raise (dead-letter contract)
+    import pytest as _pt
+
+    with _pt.raises(UnicodeDecodeError):
+        parse_html_links(b"\xff\xfe<a href='x'>y</a>")
+
+
+def test_corpus_links_match_planted_facts(pages_small, golden_small, ray_session):
+    """Every well-formed page plants exactly one outlink per fact <li>,
+    href = _link_href(did, f), anchor = the li text."""
+    from cosmos_ray.sources.pages import _link_href
+    from cosmos_ray.stages.extract import extract_links
+
+    import ray.data as rd
+
+    links = extract_links(rd.from_arrow(pages_small)).to_pandas()
+    seg = golden_small["segments"].to_pandas()
+    # anchor text is the fact sentence; stale-dup urls repeat the
+    # identical link rows, so contiguity holds on the distinct rows
+    got = (links.sort_values(["url", "link_idx"])
+           .drop_duplicates().reset_index(drop=True))
+    assert (got.groupby("url")["link_idx"].apply(
+        lambda s: (s.to_numpy() == range(len(s))).all())).all()
+    li = seg[seg["tag"] == "li"]
+    by_url = li.groupby("url").size()
+    # stale dup urls appear twice in pages -> links doubled for them;
+    # distinct rows must match the planted <li> counts, anchors the texts
+    dist = got.drop_duplicates().groupby("url").size()
+    assert dist.to_dict() == by_url.to_dict()
+    merged = got.drop_duplicates().merge(
+        li, left_on=["url", "link_idx"],
+        right_on=["url", li.groupby("url").cumcount()], how="left")
+    assert (merged["anchor"] == merged["text"]).all()
+    # spot-check href arithmetic on one url
+    u = got["url"].iloc[0]
+    did = int(u.rsplit("/", 1)[1])
+    row = got[got["url"] == u].iloc[0]
+    assert row["href"] == _link_href(did, int(row["link_idx"]))
