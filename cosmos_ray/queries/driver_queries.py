@@ -4715,13 +4715,17 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(_built_kg(sf_dir).adjacency, iters=10)
 
 
-def _sql_kg_pagerank(iters: int = 10, damping: float = 0.85) -> str:
+def _sql_kg_pagerank(iters: int = 10, damping: float = 0.85,
+                     adj_cte: str | None = None, out: str = "entity") -> str:
     """PageRank replay: the fixed iteration count unrolled as chained
     MATERIALIZED CTEs (r0..r{iters}) — each r{i} is referenced twice, so
     without materialization DuckDB's CTE inlining makes the plan grow
     2^iters. Float partial-sum order differs from the engine's combiner
-    tree only below the 6dp round."""
-    parts = [_SQL_ADJ_CTE.replace("adj AS (", "adj AS MATERIALIZED ("), """
+    tree only below the 6dp round. ``adj_cte`` swaps the edge source
+    (host_pagerank reuses the unroll over the host link graph); ``out``
+    names the output node column."""
+    parts = [(adj_cte or _SQL_ADJ_CTE).replace(
+        "adj AS (", "adj AS MATERIALIZED ("), """
 , nodes AS MATERIALIZED (SELECT DISTINCT e FROM
             (SELECT src AS e FROM adj UNION ALL SELECT dst FROM adj))
 , nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)
@@ -4745,7 +4749,7 @@ def _sql_kg_pagerank(iters: int = 10, damping: float = 0.85) -> str:
                FROM nodes n LEFT JOIN c{i} c ON c.entity = n.e)
 """)
     parts.append(f"""
-SELECT entity, round(pr, 6) AS "rank" FROM r{iters}
+SELECT entity AS {out}, round(pr, 6) AS "rank" FROM r{iters}
 """)
     return with_goldens("".join(parts))
 
@@ -5727,6 +5731,93 @@ FROM facts GROUP BY 1, 2
 
 
 SQL_HOST_LINK_GRAPH = _sql_host_link_graph()
+
+
+def q_host_pagerank(sf_dir: str):
+    """PageRank over the HOST link graph (10 power iterations, damping
+    0.85, uniform dangling redistribution) — the crawl-prioritization /
+    spam-weighting score engines compute on exactly the host-graph
+    rollup `host_link_graph` publishes. Same scale shape as
+    kg_pagerank: edges stream; the node (host) table is broadcast under
+    a cap with the distributed-join fallback inside `graph.pagerank`."""
+    from cosmos_ray.functions.graph import pagerank
+
+    pr = pagerank(q_host_link_graph(sf_dir), src="src_host",
+                  dst="dst_host", weight="n_links", iters=10)
+    return pr.map_batches(
+        lambda t: pa.table({"host": t.column("entity"),
+                            "rank": t.column("rank")}),
+        batch_format="pyarrow")
+
+
+def _sql_host_pagerank() -> str:
+    from cosmos_ray.queries.oracle_gen import _H
+
+    h = _H("60 + f")
+    host_adj = f"""
+, adj AS (
+  SELECT 'web' || (did % 20) || '.example.org' AS src,
+         'web' || ({h} % 20) || '.example.org' AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM facts GROUP BY 1, 2)
+"""
+    return _sql_kg_pagerank(adj_cte=host_adj, out="host")
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
+def q_inlink_anchors(sf_dir: str):
+    """Inlink anchor profile per target page — the signal search engines
+    aggregate for ranking and entity naming: for every link target,
+    total inlinks, distinct linking hosts (cross-site popularity) and
+    distinct anchor phrasings. Shape: one exchange of the distinct
+    (href, src_host, anchor) link rows keyed by href (link-bounded, the
+    same cost class as any link groupby), vectorized pandas nunique
+    in-bucket."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    links = q_kg_links(sf_dir)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        src = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"https?://(?P<h>[^/]+)/"), "h")
+        return pa.table({"href": t.column("href"), "src_host": src,
+                         "anchor": t.column("anchor")})
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("href", sort=False)
+        return pd.DataFrame({
+            "href": gb.size().index.to_numpy(),
+            "n_inlinks": gb.size().to_numpy().astype(np.int64),
+            "n_src_hosts": gb["src_host"].nunique().to_numpy().astype(np.int64),
+            "n_anchors": gb["anchor"].nunique().to_numpy().astype(np.int64)})
+
+    return bucketed_group_apply(
+        links.map_batches(add_host, batch_format="pyarrow"),
+        ["href"], profile)
+
+
+def _sql_inlink_anchors() -> str:
+    from cosmos_ray.queries.oracle_gen import _H
+
+    h = _H("60 + f")
+    return with_goldens(f"""
+, lk AS (
+  SELECT 'web' || (did % 20) || '.example.org' AS src_host,
+         'https://web' || ({h} % 20) || '.example.org/p/' || ({h} % 9973)
+           AS href,
+         subj || ' ' || pred || ' ' || obj || '.' AS anchor
+  FROM facts)
+SELECT href,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors
+FROM lk GROUP BY href
+""")
+
+
+SQL_INLINK_ANCHORS = _sql_inlink_anchors()
 
 
 def q_kg_sections(sf_dir: str):
@@ -9410,6 +9501,8 @@ QUERIES = {
     "kg_nil_entities": q_kg_nil_entities,
     "kg_links": q_kg_links,
     "host_link_graph": q_host_link_graph,
+    "host_pagerank": q_host_pagerank,
+    "inlink_anchors": q_inlink_anchors,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9633,6 +9726,8 @@ ORACLES = {
     "kg_nil_entities": SQL_KG_NIL_ENTITIES,
     "kg_links": SQL_KG_LINKS,
     "host_link_graph": SQL_HOST_LINK_GRAPH,
+    "host_pagerank": SQL_HOST_PAGERANK,
+    "inlink_anchors": SQL_INLINK_ANCHORS,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
