@@ -5820,6 +5820,68 @@ FROM lk GROUP BY href
 SQL_INLINK_ANCHORS = _sql_inlink_anchors()
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery: outlink targets NOT in the crawled url
+    set, ranked by inbound evidence (inlinks, distinct linking hosts) —
+    the queue a crawler feeds from next. Shape: the inlink profile
+    (href-keyed, link-bounded) anti-semi-joined against the crawled url
+    key set (`semi_join_ds`, broadcast key set under the cap with the
+    distributed fallback). Malformed pages never extracted still COUNT
+    as crawled (their url was fetched), so the key set comes from the
+    raw page listing, not the extraction survivors."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply, semi_join_ds
+
+    links = q_kg_links(sf_dir)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        src = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"https?://(?P<h>[^/]+)/"), "h")
+        return pa.table({"href": t.column("href"), "src_host": src})
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("href", sort=False)
+        return pd.DataFrame({
+            "href": gb.size().index.to_numpy(),
+            "n_inlinks": gb.size().to_numpy().astype(np.int64),
+            "n_src_hosts": gb["src_host"].nunique().to_numpy().astype(np.int64)})
+
+    prof = bucketed_group_apply(
+        links.map_batches(add_host, batch_format="pyarrow"),
+        ["href"], profile)
+    crawled = (_pages_ds(sf_dir)
+               .map_batches(lambda t: pa.table({"url": t.column("url")}),
+                            batch_format="pyarrow"))
+    return semi_join_ds(prof, crawled, key_col="url", big_key="href",
+                        keep=False)
+
+
+def _sql_crawl_frontier() -> str:
+    from cosmos_ray.queries.oracle_gen import _H
+
+    h = _H("60 + f")
+    return with_goldens(f"""
+, lk AS (
+  SELECT 'web' || (did % 20) || '.example.org' AS src_host,
+         'https://web' || ({h} % 20) || '.example.org/p/' || ({h} % 9973)
+           AS href
+  FROM facts)
+, crawled AS (
+  SELECT 'https://web' || (doc_id % 20) || '.example.org/p/' || doc_id
+           AS url
+  FROM documents)
+SELECT href,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+FROM lk WHERE href NOT IN (SELECT url FROM crawled)
+GROUP BY href
+""")
+
+
+SQL_CRAWL_FRONTIER = _sql_crawl_frontier()
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -9503,6 +9565,7 @@ QUERIES = {
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
     "inlink_anchors": q_inlink_anchors,
+    "crawl_frontier": q_crawl_frontier,
     "vocab_overlap": q_vocab_overlap,
     "orders_loo_encoding": q_orders_loo_encoding,
     "rare_label_rollup": q_rare_label_rollup,
@@ -9728,6 +9791,7 @@ ORACLES = {
     "host_link_graph": SQL_HOST_LINK_GRAPH,
     "host_pagerank": SQL_HOST_PAGERANK,
     "inlink_anchors": SQL_INLINK_ANCHORS,
+    "crawl_frontier": SQL_CRAWL_FRONTIER,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "orders_loo_encoding": SQL_ORDERS_LOO_ENCODING,
     "rare_label_rollup": SQL_RARE_LABEL_ROLLUP,
