@@ -9331,6 +9331,78 @@ ORDER BY entity
 SQL_KG_CLOSENESS = _sql_kg_closeness()
 
 
+def q_alias_usage(sf_dir: str):
+    """Per-entity ALIAS-USAGE statistics: for each canonical entity, how
+    often each surface form (canonical name vs alias) appears across the
+    linked mentions (subject and object slots of extracted facts), plus
+    its distinct-page spread — the signal an entity-resolution pipeline
+    uses to maintain its alias dictionary (reference analog: the
+    scispacy linker's per-candidate alias table,
+    `ingest/process/entity_linking/link.py:60-67`).
+
+    Shape: the per-mention linked table is split into two narrow
+    (entity_id, surface, url) streams inside one map_batches (columns
+    pruned to 3, unlinked mentions dropped batch-side); usage rolls up
+    through a (entity, surface, url)-keyed partial then an
+    (entity, surface) groupby, so the exchange is bounded by distinct
+    mention shapes, not corpus size. is_alias is a KB name lookup (120
+    entries, vocabulary-sized closure) applied batch-side."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.sources.entity_dict import build_entity_dict
+
+    lk = _built_kg(sf_dir).linked
+    names = {r["canonical_id"]: r["name"]
+             for r in build_entity_dict().to_pylist()}
+
+    def mentions(t: pa.Table) -> pa.Table:
+        urls = t.column("url").combine_chunks()
+        parts = []
+        for idc, surfc in (("subj_id", "subj"), ("obj_id", "obj")):
+            eid = t.column(idc).combine_chunks()
+            mask = pc.not_equal(eid, "")
+            parts.append(pa.table({
+                "entity_id": eid.filter(mask),
+                "surface": t.column(surfc).combine_chunks().filter(mask),
+                "url": urls.filter(mask)}))
+        return pa.concat_tables(parts)
+
+    per_url = (lk.map_batches(mentions, batch_format="pyarrow")
+               .groupby(["entity_id", "surface", "url"])
+               .aggregate(Count(alias_name="m")))
+    rolled = (per_url.groupby(["entity_id", "surface"])
+              .aggregate(Sum("m", alias_name="n_mentions"),
+                         Count(alias_name="n_urls")))
+
+    def flag(t: pa.Table) -> pa.Table:
+        eids = t.column("entity_id").to_pylist()
+        surfs = t.column("surface").to_pylist()
+        return t.append_column(
+            "is_alias",
+            pa.array([names.get(e) != s for e, s in zip(eids, surfs)],
+                     pa.bool_()))
+
+    return rolled.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_ALIAS_USAGE = with_goldens("""
+, men AS (
+  SELECT s.canonical_id AS entity_id, f.subj AS surface, f.url
+  FROM facts f JOIN surf s ON s.surface = f.subj
+  UNION ALL
+  SELECT s.canonical_id, f.obj, f.url
+  FROM facts f JOIN surf s ON s.surface = f.obj)
+, pu AS (SELECT entity_id, surface, url, count(*) AS m
+         FROM men GROUP BY 1, 2, 3)
+SELECT pu.entity_id, pu.surface,
+       CAST(sum(pu.m) AS BIGINT) AS n_mentions,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       (pu.surface != k.name) AS is_alias
+FROM pu JOIN kbname k ON k.canonical_id = pu.entity_id
+GROUP BY 1, 2, 5
+""")
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_by_segment": q_revenue_by_segment,
@@ -9583,6 +9655,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "canonical_urls": q_canonical_urls,
     "dedup_best_rep": q_dedup_best_rep,
+    "alias_usage": q_alias_usage,
 }
 
 ORACLES = {
@@ -9830,6 +9903,7 @@ ORACLES = {
     "canonical_urls": SQL_CANONICAL_URLS,
     "dedup_best_rep": SQL_DEDUP_BEST_REP,
     "mmr_rerank": SQL_MMR_RERANK,
+    "alias_usage": SQL_ALIAS_USAGE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
