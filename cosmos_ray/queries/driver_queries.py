@@ -6099,6 +6099,72 @@ FROM bsrc b, cellgrid c WHERE b.ht
 """)
 
 
+def q_kg_numeric_facts(sf_dir: str):
+    """Measurement extraction — the reference's headline downstream use
+    (turning parsed table cells into typed quantities,
+    `htcosmos/make_parquet.py:786-815` feeding the Cosmos QA surface):
+    every cell matching '<metric> score <int>' becomes a numeric fact
+    (url, table_idx, metric, value BIGINT) tagged with its table's
+    caption label.
+
+    Shape: cells parse with one vectorized `extract_regex` (non-matching
+    header cells drop batch-side, so only real measurements move);
+    captions are a narrow (url, table_label) stream off the classified
+    segments; the two meet via `join_or_broadcast` — broadcast at test
+    scale, distributed hash join once the caption count exceeds the
+    cap."""
+    from cosmos_ray.queries.relational import join_or_broadcast
+    from cosmos_ray.stages import extract
+    from cosmos_ray.stages.tables import extract_table_cells
+
+    pages = _pages_ds(sf_dir)
+    dup_ref = extract.discover_dup_urls(pages)
+    if dup_ref is not None:
+        pages = extract.drop_stale(pages, dup_ref)
+
+    def parse(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("cell_text"),
+                             r"^(?P<metric>[a-z]+) score (?P<val>[0-9]+)$")
+        ok = pc.is_valid(m)
+        return pa.table({
+            "url": t.column("url").filter(ok),
+            "table_idx": t.column("table_idx").filter(ok),
+            "metric": pc.struct_field(m, "metric").filter(ok),
+            "value": pc.struct_field(m, "val").filter(ok).cast(pa.int64()),
+        })
+
+    facts = extract_table_cells(pages).map_batches(
+        parse, batch_format="pyarrow")
+
+    def caps(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keep = pc.equal(t.column("cls").combine_chunks(), "Table Caption")
+        txt = t.column("text").combine_chunks().filter(keep)
+        lab = pc.extract_regex(
+            txt, r"(?i)\b(?:table|tbl|tab)\.? {1,2}(?P<n>[0-9]+)")
+        good = pc.is_valid(lab)
+        return pa.table({
+            "url": t.column("url").combine_chunks().filter(keep).filter(good),
+            "table_label": pc.binary_join_element_wise(
+                pa.array(["table"] * len(txt)).filter(good),
+                pc.struct_field(lab, "n").filter(good), " "),
+        })
+
+    captions = _built_kg(sf_dir).segments.map_batches(
+        caps, batch_format="pyarrow")
+    return join_or_broadcast(facts, captions, key="url",
+                             add_cols=["table_label"])
+
+
+SQL_KG_NUMERIC_FACTS = with_goldens("""
+, mf(metric, which) AS (VALUES ('alpha', 1), ('beta', 2))
+SELECT b.url, CAST(0 AS INT) AS table_idx, m.metric,
+       CAST(CASE m.which WHEN 1 THEN b.m1 ELSE b.m2 END AS BIGINT) AS value,
+       'table ' || (1 + b.did % 3) AS table_label
+FROM bsrc b, mf m WHERE b.ht
+""")
+
+
 def q_qa_spans(sf_dir: str):
     """Extractive QA over documents (D4 analog, `qa_extractor.py:15-61`):
     answer spans for 'what scans?' — subjects of '<w> scan <w>' SVO
@@ -9656,6 +9722,7 @@ QUERIES = {
     "canonical_urls": q_canonical_urls,
     "dedup_best_rep": q_dedup_best_rep,
     "alias_usage": q_alias_usage,
+    "kg_numeric_facts": q_kg_numeric_facts,
 }
 
 ORACLES = {
@@ -9904,6 +9971,7 @@ ORACLES = {
     "dedup_best_rep": SQL_DEDUP_BEST_REP,
     "mmr_rerank": SQL_MMR_RERANK,
     "alias_usage": SQL_ALIAS_USAGE,
+    "kg_numeric_facts": SQL_KG_NUMERIC_FACTS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
