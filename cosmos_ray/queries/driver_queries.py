@@ -5691,6 +5691,90 @@ FROM facts
 SQL_KG_LINKS = _sql_kg_links()
 
 
+def q_anchor_entity_links(sf_dir: str):
+    """Anchor-text entity harvesting — the anchor-dictionary operator KB
+    population pipelines run over a crawl (Wikipedia-style: anchors
+    pointing at a target page vote on which entities the target is
+    about; reference analog: Cosmos's cross-document entity evidence in
+    the ES join index, `retrieval/elastic_retriever.py:74-90`). Each
+    inbound anchor is parsed with the SVO extraction contract, its
+    surfaces resolved against the KB, and evidence rolled up per
+    (dst_host, entity): inbound anchor mentions + distinct source
+    hosts.
+
+    Shape: anchors parse with ONE vectorized extract_regex (the shared
+    SVO pattern — no per-row finditer); surface->id resolution is a
+    vectorized `index_in`/`take` against the vocabulary-sized KB arrays
+    captured in the task closure; the exchange carries
+    (dst_host, entity, src_host) partials — host-vocab x entity-vocab
+    bounded — then one rollup groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.sources.entity_dict import build_entity_dict, surface_index
+    from cosmos_ray.stages.triples import SVO_RE
+
+    sidx = surface_index(build_entity_dict())
+    kb_surfaces = pa.array(list(sidx.keys()), pa.string())
+    kb_ids = pa.array([cid for cid, _sc in sidx.values()], pa.string())
+    host_re = r"https?://(?P<h>[^/]+)/"
+
+    def men(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = pc.extract_regex(t.column("anchor").combine_chunks(),
+                             SVO_RE.pattern)
+        ok = pc.is_valid(m)
+        dst = pc.struct_field(
+            pc.extract_regex(t.column("href").combine_chunks(), host_re),
+            "h").filter(ok)
+        src = pc.struct_field(
+            pc.extract_regex(t.column("url").combine_chunks(), host_re),
+            "h").filter(ok)
+        parts = []
+        for fld in ("subj", "obj"):
+            surf = pc.struct_field(m, fld).filter(ok)
+            idx = pc.index_in(surf, kb_surfaces)
+            keep = pc.is_valid(idx)
+            parts.append(pa.table({
+                "dst_host": dst.filter(keep),
+                "entity_id": pc.take(kb_ids, idx.filter(keep)),
+                "src_host": src.filter(keep)}))
+        return pa.concat_tables(parts)
+
+    per = (q_kg_links(sf_dir).map_batches(men, batch_format="pyarrow")
+           .groupby(["dst_host", "entity_id", "src_host"])
+           .aggregate(Count(alias_name="m")))
+    return (per.groupby(["dst_host", "entity_id"])
+            .aggregate(Sum("m", alias_name="n_anchors"),
+                       Count(alias_name="n_src_hosts")))
+
+
+def _sql_anchor_entity_links() -> str:
+    from cosmos_ray.queries.oracle_gen import _H
+
+    h = _H("60 + f")
+    return with_goldens(f"""
+, lk AS (
+  SELECT 'web' || ({h} % 20) || '.example.org' AS dst_host,
+         regexp_extract(url, 'https?://([^/]+)/', 1) AS src_host,
+         subj, obj
+  FROM facts)
+, men AS (
+  SELECT dst_host, s.canonical_id AS entity_id, src_host
+  FROM lk JOIN surf s ON s.surface = lk.subj
+  UNION ALL
+  SELECT dst_host, s.canonical_id, src_host
+  FROM lk JOIN surf s ON s.surface = lk.obj)
+, ph AS (SELECT dst_host, entity_id, src_host, count(*) AS m
+         FROM men GROUP BY 1, 2, 3)
+SELECT dst_host, entity_id, CAST(sum(m) AS BIGINT) AS n_anchors,
+       CAST(count(*) AS BIGINT) AS n_src_hosts
+FROM ph GROUP BY 1, 2
+""")
+
+
+SQL_ANCHOR_ENTITY_LINKS = _sql_anchor_entity_links()
+
+
 def q_host_link_graph(sf_dir: str):
     """Host-level web link graph: (src_host, dst_host, n_links) from the
     extracted outlinks — the aggregation commercial crawls publish (the
@@ -9723,6 +9807,7 @@ QUERIES = {
     "dedup_best_rep": q_dedup_best_rep,
     "alias_usage": q_alias_usage,
     "kg_numeric_facts": q_kg_numeric_facts,
+    "anchor_entity_links": q_anchor_entity_links,
 }
 
 ORACLES = {
@@ -9972,6 +10057,7 @@ ORACLES = {
     "mmr_rerank": SQL_MMR_RERANK,
     "alias_usage": SQL_ALIAS_USAGE,
     "kg_numeric_facts": SQL_KG_NUMERIC_FACTS,
+    "anchor_entity_links": SQL_ANCHOR_ENTITY_LINKS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
