@@ -5748,6 +5748,122 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_kg_entity_profile(sf_dir: str):
+    """Per-entity PROFILE card — the star rollup a KB service keeps per
+    canonical entity (the 'entity card' behind Cosmos's per-entity
+    retrieval view, `retrieval/elastic_retriever.py:74-90`): mention
+    counts by role, distinct predicates asserted, distinct linked
+    partner entities, and the modal predicate (ties to the lexically
+    smallest).
+
+    Shape: one pruned (entity, role, pred, partner) mention stream off
+    the linked table (materialized once, consumed by four bounded
+    rollups); every distinct count is a two-stage groupby so nothing
+    driver-side holds a set; the modal predicate is a
+    `bucketed_group_apply` argmax over (entity, pred) counts; the four
+    entity-vocabulary-sized side tables meet the base via
+    `left_join_or_broadcast` (distributed left join past the cap)."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.queries.relational import (bucketed_group_apply,
+                                               left_join_or_broadcast)
+
+    lk = _built_kg(sf_dir).linked
+
+    def men(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parts = []
+        for role, idc, pidc in (("s", "subj_id", "obj_id"),
+                                ("o", "obj_id", "subj_id")):
+            eid = t.column(idc).combine_chunks()
+            ok = pc.not_equal(eid, "")
+            partner = t.column(pidc).combine_chunks().filter(ok)
+            parts.append(pa.table({
+                "e": eid.filter(ok),
+                "role": pa.array([role] * len(partner), pa.string()),
+                "pred": t.column("pred").combine_chunks().filter(ok),
+                "partner": pc.if_else(pc.equal(partner, ""),
+                                      pa.nulls(len(partner), pa.string()),
+                                      partner)}))
+        return pa.concat_tables(parts)
+
+    m = lk.map_batches(men, batch_format="pyarrow").materialize()
+
+    def cnt_prep(t: pa.Table) -> pa.Table:
+        is_s = pc.equal(t.column("role"), "s")
+        return pa.table({
+            "e": t.column("e"),
+            "s1": is_s.cast(pa.int64()),
+            "o1": pc.invert(is_s).cast(pa.int64())})
+
+    base = (m.map_batches(cnt_prep, batch_format="pyarrow")
+            .groupby("e")
+            .aggregate(Sum("s1", alias_name="n_subj_facts"),
+                       Sum("o1", alias_name="n_obj_facts")))
+
+    subj = m.map_batches(
+        lambda t: t.filter(pc.equal(t.column("role"), "s")),
+        batch_format="pyarrow")
+    n_preds = (subj.groupby(["e", "pred"]).aggregate(Count(alias_name="__c"))
+               .groupby("e").aggregate(Count(alias_name="n_preds")))
+    n_partners = (m.map_batches(
+                      lambda t: t.filter(pc.is_valid(t.column("partner"))),
+                      batch_format="pyarrow")
+                  .groupby(["e", "partner"])
+                  .aggregate(Count(alias_name="__c"))
+                  .groupby("e").aggregate(Count(alias_name="n_partners")))
+    pm = subj.groupby(["e", "pred"]).aggregate(Count(alias_name="__n"))
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__n", "pred"], ascending=[False, True],
+                          kind="stable")
+        t = g.drop_duplicates(subset=["e"], keep="first")
+        return pd.DataFrame({"e": t["e"].to_numpy(),
+                             "top_pred": t["pred"].to_numpy()})
+
+    tp = bucketed_group_apply(pm, ["e"], top)
+
+    out = left_join_or_broadcast(base, n_preds, key="e",
+                                 add_cols=["n_preds"], fill=0)
+    out = left_join_or_broadcast(out, n_partners, key="e",
+                                 add_cols=["n_partners"], fill=0)
+    return left_join_or_broadcast(out, tp, key="e", add_cols=["top_pred"])
+
+
+SQL_KG_ENTITY_PROFILE = with_goldens("""
+, men AS (
+  SELECT s.canonical_id AS e, 's' AS role, f.pred,
+         so.canonical_id AS partner
+  FROM facts f JOIN surf s ON s.surface = f.subj
+  LEFT JOIN surf so ON so.surface = f.obj
+  UNION ALL
+  SELECT so.canonical_id, 'o', f.pred, s.canonical_id
+  FROM facts f JOIN surf so ON so.surface = f.obj
+  JOIN surf s ON s.surface = f.subj)
+, cnts AS (SELECT e,
+         CAST(sum(CASE WHEN role = 's' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_subj_facts,
+         CAST(sum(CASE WHEN role = 'o' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_obj_facts
+       FROM men GROUP BY e)
+, pd_ AS (SELECT e, CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+          FROM men WHERE role = 's' GROUP BY e)
+, pt AS (SELECT e, CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
+         FROM men WHERE partner IS NOT NULL GROUP BY e)
+, pm AS (SELECT e, pred, count(*) AS c FROM men WHERE role = 's'
+         GROUP BY 1, 2)
+, tp AS (SELECT e, min(pred) AS top_pred FROM pm p
+         WHERE c = (SELECT max(c) FROM pm p2 WHERE p2.e = p.e)
+         GROUP BY e)
+SELECT c.e, c.n_subj_facts, c.n_obj_facts,
+       coalesce(pd_.n_preds, 0) AS n_preds,
+       coalesce(pt.n_partners, 0) AS n_partners,
+       tp.top_pred
+FROM cnts c LEFT JOIN pd_ USING (e) LEFT JOIN pt USING (e)
+LEFT JOIN tp USING (e)
+""")
+
+
 def _sql_anchor_entity_links() -> str:
     from cosmos_ray.queries.oracle_gen import _H
 
@@ -9808,6 +9924,7 @@ QUERIES = {
     "alias_usage": q_alias_usage,
     "kg_numeric_facts": q_kg_numeric_facts,
     "anchor_entity_links": q_anchor_entity_links,
+    "kg_entity_profile": q_kg_entity_profile,
 }
 
 ORACLES = {
@@ -10058,6 +10175,7 @@ ORACLES = {
     "alias_usage": SQL_ALIAS_USAGE,
     "kg_numeric_facts": SQL_KG_NUMERIC_FACTS,
     "anchor_entity_links": SQL_ANCHOR_ENTITY_LINKS,
+    "kg_entity_profile": SQL_KG_ENTITY_PROFILE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
