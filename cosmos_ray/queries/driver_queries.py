@@ -5748,6 +5748,76 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_kg_pred_cooccurrence(sf_dir: str):
+    """Relation-paraphrase signal (PATTY/AMIE-style): for every unordered
+    predicate pair, how many distinct canonical (subj, obj) entity pairs
+    assert BOTH predicates, with the Jaccard overlap of their pair sets
+    — high overlap flags predicate synonyms for KG schema alignment.
+
+    Shape: the per-entity-pair predicate co-occurrence is a
+    `self_join_pairs` bucket self-join (vectorized pandas merge per
+    coarse hash bucket; group size = predicates per entity pair,
+    lexicon-bounded); totals are one pred-vocab groupby broadcast back
+    onto the pair counts; Jaccard is integer-exact arithmetic divided
+    once in float64 (bit-equal to the SQL DOUBLE expression)."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import (join_or_broadcast,
+                                               self_join_pairs)
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["src_entity", "dst_entity", "pred"])
+    pairs = self_join_pairs(adj, ["src_entity", "dst_entity"],
+                            id_col="pred", max_group=64)
+    both = (pairs.groupby(["pred_a", "pred_b"])
+            .aggregate(Count(alias_name="n_both")))
+    totals = adj.groupby("pred").aggregate(Count(alias_name="n"))
+
+    def rename(col_key: str, col_n: str):
+        return totals.map_batches(
+            lambda t, ck=col_key, cn=col_n: pa.table({
+                ck: t.column("pred"), cn: t.column("n")}),
+            batch_format="pyarrow")
+
+    j = join_or_broadcast(both, rename("pred_a", "n_a"),
+                          key="pred_a", add_cols=["n_a"])
+    j = join_or_broadcast(j, rename("pred_b", "n_b"),
+                          key="pred_b", add_cols=["n_b"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        nb = t.column("n_both").cast(pa.int64())
+        denom = pc.subtract(
+            pc.add(t.column("n_a").cast(pa.int64()),
+                   t.column("n_b").cast(pa.int64())), nb)
+        jac = pc.round(pc.divide(nb.cast(pa.float64()),
+                                 denom.cast(pa.float64())), ndigits=6)
+        return pa.table({
+            "pred_a": t.column("pred_a"), "pred_b": t.column("pred_b"),
+            "n_both": nb, "n_a": t.column("n_a").cast(pa.int64()),
+            "n_b": t.column("n_b").cast(pa.int64()), "jaccard": jac})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_KG_PRED_COOCCURRENCE = with_goldens("""
+, ep AS (SELECT DISTINCT ss.canonical_id AS src, so.canonical_id AS dst,
+                f.pred
+         FROM facts f JOIN surf ss ON ss.surface = f.subj
+         JOIN surf so ON so.surface = f.obj)
+, pr AS (SELECT a.pred AS pred_a, b.pred AS pred_b
+         FROM ep a JOIN ep b
+           ON a.src = b.src AND a.dst = b.dst AND a.pred < b.pred)
+, nb AS (SELECT pred_a, pred_b, CAST(count(*) AS BIGINT) AS n_both
+         FROM pr GROUP BY 1, 2)
+, tot AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM ep GROUP BY 1)
+SELECT nb.pred_a, nb.pred_b, nb.n_both, ta.n AS n_a, tb.n AS n_b,
+       round(CAST(nb.n_both AS DOUBLE) / (ta.n + tb.n - nb.n_both), 6)
+         AS jaccard
+FROM nb JOIN tot ta ON ta.pred = nb.pred_a
+JOIN tot tb ON tb.pred = nb.pred_b
+""")
+
+
 def q_kg_entity_profile(sf_dir: str):
     """Per-entity PROFILE card — the star rollup a KB service keeps per
     canonical entity (the 'entity card' behind Cosmos's per-entity
@@ -9925,6 +9995,7 @@ QUERIES = {
     "kg_numeric_facts": q_kg_numeric_facts,
     "anchor_entity_links": q_anchor_entity_links,
     "kg_entity_profile": q_kg_entity_profile,
+    "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
 }
 
 ORACLES = {
@@ -10176,6 +10247,7 @@ ORACLES = {
     "kg_numeric_facts": SQL_KG_NUMERIC_FACTS,
     "anchor_entity_links": SQL_ANCHOR_ENTITY_LINKS,
     "kg_entity_profile": SQL_KG_ENTITY_PROFILE,
+    "kg_pred_cooccurrence": SQL_KG_PRED_COOCCURRENCE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
