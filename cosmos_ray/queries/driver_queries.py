@@ -5748,6 +5748,60 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_host_url_sample(sf_dir: str):
+    """Consistent per-host URL sampling: the k urls with the smallest
+    md5 digests per host — hash-rank sampling, so re-crawls sample the
+    SAME urls without any RNG state (the crawl-QA audit sample every
+    large crawl pipeline keeps; deterministic analog of per-group
+    reservoir sampling).
+
+    Shape: a per-batch combiner keeps only the k smallest digests per
+    host within each batch (the md5 per distinct url is the one
+    unavoidable per-string hash), so the exchange carries k x hosts
+    partials per batch, never the url list; the per-host finish is a
+    `bucketed_group_apply` merge of partials."""
+    import hashlib
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    K = 3
+    pages = _pages_ds(sf_dir).select_columns(["url"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["url"]).copy()
+        df["digest"] = [hashlib.md5(u.encode()).hexdigest()
+                        for u in df["url"]]
+        df["host"] = df["url"].str.extract(r"https?://([^/]+)/",
+                                           expand=False)
+        df = df.sort_values("digest", kind="stable")
+        df = df[df.groupby("host", sort=False).cumcount() < K]
+        return df[["host", "url", "digest"]]
+
+    partials = pages.map_batches(part, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(subset=["url"])
+             .sort_values("digest", kind="stable").head(K).copy())
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["host", "url", "digest", "rnk"]]
+
+    return bucketed_group_apply(partials, ["host"], finish)
+
+
+SQL_HOST_URL_SAMPLE = """
+WITH u AS (SELECT DISTINCT
+             'web' || (doc_id % 20) || '.example.org' AS host,
+             'https://web' || (doc_id % 20) || '.example.org/p/' || doc_id
+               AS url
+           FROM documents)
+, r AS (SELECT host, url, md5(url) AS digest,
+               row_number() OVER (PARTITION BY host ORDER BY md5(url))
+                 AS rnk
+        FROM u)
+SELECT host, url, digest, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+
 def q_kg_pred_cooccurrence(sf_dir: str):
     """Relation-paraphrase signal (PATTY/AMIE-style): for every unordered
     predicate pair, how many distinct canonical (subj, obj) entity pairs
@@ -9996,6 +10050,7 @@ QUERIES = {
     "anchor_entity_links": q_anchor_entity_links,
     "kg_entity_profile": q_kg_entity_profile,
     "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
+    "host_url_sample": q_host_url_sample,
 }
 
 ORACLES = {
@@ -10248,6 +10303,7 @@ ORACLES = {
     "anchor_entity_links": SQL_ANCHOR_ENTITY_LINKS,
     "kg_entity_profile": SQL_KG_ENTITY_PROFILE,
     "kg_pred_cooccurrence": SQL_KG_PRED_COOCCURRENCE,
+    "host_url_sample": SQL_HOST_URL_SAMPLE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
