@@ -5748,6 +5748,64 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_autocomplete(sf_dir: str):
+    """Search-autocomplete prefix index: for every query prefix (lengths
+    1..4) the top-k completions ranked by corpus frequency (ties to the
+    lexically smallest) — the type-ahead index a search surface builds
+    beside its inverted index (reference analog: the ES retrieval layer,
+    `retrieval/elastic_retriever.py:228-342`).
+
+    Shape: the index is built over the VOCABULARY (already
+    combiner-reduced by `corpus_vocab`, ≪ corpus), exploded x4 with
+    vectorized codepoint slices; the per-prefix top-k finish is a
+    `bucketed_group_apply` (prefix groups are vocab-bounded)."""
+    from cosmos_ray.functions.embed import corpus_vocab
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    K, PMAX = 5, 4
+    vocab = corpus_vocab(read(sf_dir, "documents", ["doc_id", "text"]),
+                         min_count=2)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = t.column("token").combine_chunks()
+        cnts = t.column("count").combine_chunks().cast(pa.int64())
+        parts = []
+        for L in range(1, PMAX + 1):
+            ok = pc.greater_equal(pc.utf8_length(toks), L)
+            parts.append(pa.table({
+                "prefix": pc.utf8_slice_codeunits(toks.filter(ok), 0, L),
+                "term": toks.filter(ok),
+                "n": cnts.filter(ok)}))
+        return pa.concat_tables(parts)
+
+    ex = vocab.map_batches(explode, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "term"], ascending=[False, True],
+                          kind="stable").head(K).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["prefix", "term", "n", "rnk"]]
+
+    return bucketed_group_apply(ex, ["prefix"], finish)
+
+
+SQL_AUTOCOMPLETE = """
+WITH v AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY token HAVING count(*) >= 2)
+, ex AS (SELECT substring(token, 1, L) AS prefix, token AS term, n
+         FROM v, (VALUES (1), (2), (3), (4)) AS ls(L)
+         WHERE length(token) >= L)
+, r AS (SELECT prefix, term, n,
+               row_number() OVER (PARTITION BY prefix
+                                  ORDER BY n DESC, term) AS rnk
+        FROM ex)
+SELECT prefix, term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+"""
+
+
 def q_host_url_sample(sf_dir: str):
     """Consistent per-host URL sampling: the k urls with the smallest
     md5 digests per host — hash-rank sampling, so re-crawls sample the
@@ -10051,6 +10109,7 @@ QUERIES = {
     "kg_entity_profile": q_kg_entity_profile,
     "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
     "host_url_sample": q_host_url_sample,
+    "autocomplete": q_autocomplete,
 }
 
 ORACLES = {
@@ -10304,6 +10363,7 @@ ORACLES = {
     "kg_entity_profile": SQL_KG_ENTITY_PROFILE,
     "kg_pred_cooccurrence": SQL_KG_PRED_COOCCURRENCE,
     "host_url_sample": SQL_HOST_URL_SAMPLE,
+    "autocomplete": SQL_AUTOCOMPLETE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
