@@ -5748,6 +5748,79 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_kg_mention_offsets(sf_dir: str):
+    """Span provenance for every extracted fact: the character offsets
+    of the subject and object surfaces within their source segment —
+    the provenance a production KG keeps so each triple links back to
+    its exact evidence span (reference analog: Cosmos threads
+    per-extraction bbox/page provenance through its parquet outputs,
+    `htcosmos/make_parquet.py`; this is the text-substrate equivalent).
+
+    Shape: stateless map_batches fan-out with the SAME vectorized RE2
+    predicate prefilter as the triple extractor (prose segments never
+    reach the per-match span walk); no exchange at all — provenance is
+    url-local by construction."""
+    from cosmos_ray.stages.triples import _PRED_ALT, _SENT_SPLIT, SVO_RE
+
+    segs = _built_kg(sf_dir).segments
+
+    def spans(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.match_substring_regex(batch.column("text"), _PRED_ALT))
+        urls = batch.column("url").to_pylist()
+        seg_ids = batch.column("seg_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cols: dict[str, list] = {k: [] for k in (
+            "url", "seg_id", "sent_id", "subj", "pred", "obj",
+            "subj_start", "subj_end", "obj_start", "obj_end")}
+        for u, sid, t in zip(urls, seg_ids, texts):
+            if not t:
+                continue
+            pos = 0
+            for si, sent in enumerate(_SENT_SPLIT.split(t)):
+                start = t.find(sent, pos)
+                pos = start + len(sent)
+                for m in SVO_RE.finditer(sent):
+                    cols["url"].append(u)
+                    cols["seg_id"].append(sid)
+                    cols["sent_id"].append(si)
+                    cols["subj"].append(m.group("subj"))
+                    cols["pred"].append(m.group("pred"))
+                    cols["obj"].append(m.group("obj"))
+                    cols["subj_start"].append(start + m.start("subj"))
+                    cols["subj_end"].append(start + m.end("subj"))
+                    cols["obj_start"].append(start + m.start("obj"))
+                    cols["obj_end"].append(start + m.end("obj"))
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "seg_id": pa.array(cols["seg_id"], pa.int32()),
+            "sent_id": pa.array(cols["sent_id"], pa.int32()),
+            "subj": pa.array(cols["subj"], pa.string()),
+            "pred": pa.array(cols["pred"], pa.string()),
+            "obj": pa.array(cols["obj"], pa.string()),
+            "subj_start": pa.array(cols["subj_start"], pa.int32()),
+            "subj_end": pa.array(cols["subj_end"], pa.int32()),
+            "obj_start": pa.array(cols["obj_start"], pa.int32()),
+            "obj_end": pa.array(cols["obj_end"], pa.int32()),
+        })
+
+    return segs.map_batches(spans, batch_format="pyarrow")
+
+
+SQL_KG_MENTION_OFFSETS = with_goldens("""
+SELECT f.url,
+       CAST(4 + b.npar + CASE WHEN b.ht THEN 7 ELSE 0 END + f.f AS INT)
+         AS seg_id,
+       CAST(0 AS INT) AS sent_id, f.subj, f.pred, f.obj,
+       CAST(0 AS INT) AS subj_start,
+       CAST(length(f.subj) AS INT) AS subj_end,
+       CAST(length(f.subj) + length(f.pred) + 2 AS INT) AS obj_start,
+       CAST(length(f.subj) + length(f.pred) + 2 + length(f.obj) AS INT)
+         AS obj_end
+FROM facts f JOIN bsrc b USING (did)
+""")
+
+
 def q_autocomplete(sf_dir: str):
     """Search-autocomplete prefix index: for every query prefix (lengths
     1..4) the top-k completions ranked by corpus frequency (ties to the
@@ -10110,6 +10183,7 @@ QUERIES = {
     "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
     "host_url_sample": q_host_url_sample,
     "autocomplete": q_autocomplete,
+    "kg_mention_offsets": q_kg_mention_offsets,
 }
 
 ORACLES = {
@@ -10364,6 +10438,7 @@ ORACLES = {
     "kg_pred_cooccurrence": SQL_KG_PRED_COOCCURRENCE,
     "host_url_sample": SQL_HOST_URL_SAMPLE,
     "autocomplete": SQL_AUTOCOMPLETE,
+    "kg_mention_offsets": SQL_KG_MENTION_OFFSETS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
