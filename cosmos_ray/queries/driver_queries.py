@@ -5748,6 +5748,47 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_image_phash_dups(sf_dir: str):
+    """Perceptual-hash image near-duplicates — the multimodal mirror of
+    the SimHash text family: a media table is synthesized from
+    documents (one REAL gradient BMP per doc, per-seed slopes so
+    structures differ); docs with doc_id % 50 == 7 carry the doc_id-7
+    pattern shifted +3 in brightness — the classic re-encoded-thumbnail
+    duplicate. aHash is brightness-shift invariant, so exactly those
+    (base, shifted) pairs verify at hamming 0. Rows-only for the driver
+    (binary decode has no SQL form); the exact pair set is pytest-gated
+    (`tests/test_imagehash.py`)."""
+    from cosmos_ray.functions.imagecodec import encode_bmp
+    from cosmos_ray.functions.imagehash import phash_near_dups
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        mids, payloads = [], []
+        for d in ids:
+            seed = d - 7 if d % 50 == 7 else d
+            w = 24 + seed % 16
+            h = 24 + (seed // 5) % 16
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            img = ((i * (3 + seed % 7) + j * (5 + (seed // 7) % 11)
+                    + seed) % 200).astype(np.uint8)
+            if d % 50 == 7:
+                img = (img + 3).astype(np.uint8)
+            mids.append(f"m{d}")
+            payloads.append(encode_bmp(np.repeat(img[:, :, None], 3,
+                                                 axis=2)))
+        return pa.table({
+            "media_id": pa.array(mids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=64)
+    return phash_near_dups(media, max_hamming=6)
+
+
 def q_kg_mention_offsets(sf_dir: str):
     """Span provenance for every extracted fact: the character offsets
     of the subject and object surfaces within their source segment —
@@ -10184,6 +10225,7 @@ QUERIES = {
     "host_url_sample": q_host_url_sample,
     "autocomplete": q_autocomplete,
     "kg_mention_offsets": q_kg_mention_offsets,
+    "image_phash_dups": q_image_phash_dups,
 }
 
 ORACLES = {
