@@ -5748,6 +5748,69 @@ def q_anchor_entity_links(sf_dir: str):
                        Count(alias_name="n_src_hosts")))
 
 
+def q_entity_trend(sf_dir: str):
+    """Entity mention TREND — per (entity, UTC day) mention counts over
+    the crawl timeline: the trending-entities signal a KG-backed search
+    surface maintains (and the temporal slice of the kg_fact_intervals
+    provenance).
+
+    Shape: page timestamps come from a (url, max ts) metadata pass over
+    the INPUT pages (html never read); the pruned linked-mention stream
+    joins that narrow map via `join_or_broadcast` (distributed hash
+    join past the cap); one (entity, day) groupby — entity-vocab x days
+    bounded."""
+    from ray.data.aggregate import Count, Max
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    lk = _built_kg(sf_dir).linked
+    meta = (_pages_ds(sf_dir)
+            .map_batches(lambda t: pa.table({
+                "url": t.column("url"),
+                "ts_us": t.column("warc_ts").cast(pa.int64())}),
+                batch_format="pyarrow")
+            .groupby("url").aggregate(Max("ts_us", alias_name="ts_us")))
+
+    def men(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parts = []
+        for c in ("subj_id", "obj_id"):
+            eid = t.column(c).combine_chunks()
+            ok = pc.not_equal(eid, "")
+            parts.append(pa.table({
+                "url": t.column("url").combine_chunks().filter(ok),
+                "entity_id": eid.filter(ok)}))
+        return pa.concat_tables(parts)
+
+    j = join_or_broadcast(lk.map_batches(men, batch_format="pyarrow"),
+                          meta, key="url", add_cols=["ts_us"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.divide(t.column("ts_us").cast(pa.int64()), 86_400_000_000)
+        return pa.table({
+            "entity_id": t.column("entity_id"),
+            "day_us": pc.multiply(d, 86_400_000_000)})
+
+    return (j.map_batches(day, batch_format="pyarrow")
+            .groupby(["entity_id", "day_us"])
+            .aggregate(Count(alias_name="n_mentions")))
+
+
+SQL_ENTITY_TREND = with_goldens("""
+, men AS (
+  SELECT did, s.canonical_id AS e
+  FROM facts f JOIN surf s ON s.surface = f.subj
+  UNION ALL
+  SELECT did, so.canonical_id
+  FROM facts f JOIN surf so ON so.surface = f.obj)
+SELECT e AS entity_id,
+       CAST(((1700000000000000 + did * 1000000) // 86400000000)
+            * 86400000000 AS BIGINT) AS day_us,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM men GROUP BY 1, 2
+""")
+
+
 def q_image_phash_dups(sf_dir: str):
     """Perceptual-hash image near-duplicates — the multimodal mirror of
     the SimHash text family: a media table is synthesized from
@@ -10226,6 +10289,7 @@ QUERIES = {
     "autocomplete": q_autocomplete,
     "kg_mention_offsets": q_kg_mention_offsets,
     "image_phash_dups": q_image_phash_dups,
+    "entity_trend": q_entity_trend,
 }
 
 ORACLES = {
@@ -10481,6 +10545,7 @@ ORACLES = {
     "host_url_sample": SQL_HOST_URL_SAMPLE,
     "autocomplete": SQL_AUTOCOMPLETE,
     "kg_mention_offsets": SQL_KG_MENTION_OFFSETS,
+    "entity_trend": SQL_ENTITY_TREND,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
