@@ -5796,6 +5796,74 @@ def q_entity_trend(sf_dir: str):
             .aggregate(Count(alias_name="n_mentions")))
 
 
+def q_entity_salience(sf_dir: str):
+    """Per-document entity SALIENCE — tf x idf over linked mentions
+    (the entity-centric ranking feature an entity-aware search index
+    stores per (page, entity); tf-idf transplanted from terms to KB
+    ids). salience = tf * ln(N / df) with N = documents carrying any
+    linked mention.
+
+    Shape: tf is one (url, entity) groupby of the pruned mention
+    stream; df is a second entity-vocab-bounded groupby OVER the tf
+    table (two-stage distinct); N is a single scalar count; df
+    broadcasts back onto tf via `join_or_broadcast`."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import join_or_broadcast
+
+    lk = _built_kg(sf_dir).linked
+
+    def men(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parts = []
+        for c in ("subj_id", "obj_id"):
+            eid = t.column(c).combine_chunks()
+            ok = pc.not_equal(eid, "")
+            parts.append(pa.table({
+                "url": t.column("url").combine_chunks().filter(ok),
+                "entity_id": eid.filter(ok)}))
+        return pa.concat_tables(parts)
+
+    m = lk.map_batches(men, batch_format="pyarrow")
+    tf = (m.groupby(["url", "entity_id"])
+          .aggregate(Count(alias_name="tf")).materialize())
+    df_t = (tf.groupby("entity_id").aggregate(Count(alias_name="df")))
+    n_docs = (tf.groupby("url").aggregate(Count(alias_name="__c"))
+              .count())
+
+    j = join_or_broadcast(tf, df_t, key="entity_id", add_cols=["df"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sal = np.round(tfv * np.log(float(n_docs) / dfv), 6)
+        return pa.table({
+            "url": t.column("url"), "entity_id": t.column("entity_id"),
+            "tf": t.column("tf").cast(pa.int64()),
+            "df": t.column("df").cast(pa.int64()),
+            "salience": pa.array(sal, pa.float64())})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_ENTITY_SALIENCE = with_goldens("""
+, men AS (
+  SELECT f.url, s.canonical_id AS e
+  FROM facts f JOIN surf s ON s.surface = f.subj
+  UNION ALL
+  SELECT f.url, so.canonical_id
+  FROM facts f JOIN surf so ON so.surface = f.obj)
+, tf AS (SELECT url, e, count(*) AS tf FROM men GROUP BY 1, 2)
+, dfx AS (SELECT e, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY e)
+, nn AS (SELECT CAST(count(DISTINCT url) AS BIGINT) AS n FROM men)
+SELECT t.url, t.e AS entity_id, CAST(t.tf AS BIGINT) AS tf, d.df,
+       round(t.tf * ln(CAST(nn.n AS DOUBLE) / d.df), 6) AS salience
+FROM tf t JOIN dfx d ON d.e = t.e CROSS JOIN nn
+""")
+
+
 SQL_ENTITY_TREND = with_goldens("""
 , men AS (
   SELECT did, s.canonical_id AS e
@@ -10290,6 +10358,7 @@ QUERIES = {
     "kg_mention_offsets": q_kg_mention_offsets,
     "image_phash_dups": q_image_phash_dups,
     "entity_trend": q_entity_trend,
+    "entity_salience": q_entity_salience,
 }
 
 ORACLES = {
@@ -10546,6 +10615,7 @@ ORACLES = {
     "autocomplete": SQL_AUTOCOMPLETE,
     "kg_mention_offsets": SQL_KG_MENTION_OFFSETS,
     "entity_trend": SQL_ENTITY_TREND,
+    "entity_salience": SQL_ENTITY_SALIENCE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
