@@ -5796,6 +5796,82 @@ def q_entity_trend(sf_dir: str):
             .aggregate(Count(alias_name="n_mentions")))
 
 
+def q_kg_inverse_preds(sf_dir: str):
+    """Inverse/symmetric predicate detection (the AMIE inverse-rule
+    family `p1(x,y) => p2(y,x)`, incl. p1 = p2 = symmetry): for every
+    ordered predicate pair, the number of distinct canonical pairs
+    whose REVERSED edge carries the other predicate, with CWA
+    confidence n_inv / n_pairs(p1) — the schema-alignment signal that
+    finds 'partnered with' symmetric and owner/owned-by inverses.
+
+    Shape: the adjacency edge set (KB-bounded, never corpus-bounded)
+    self-joins against its reversal on a packed entity-pair key via the
+    native distributed hash join (one-to-many safe — several predicates
+    can share a reversed pair, which rules the first-match broadcast
+    lookup out); pred totals broadcast back onto the |preds|^2-bounded
+    result."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.queries.relational import (_join_partitions,
+                                               join_or_broadcast)
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["src_entity", "pred", "dst_entity"])
+
+    def fwd(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "k": pc.binary_join_element_wise(
+                t.column("src_entity").combine_chunks(),
+                t.column("dst_entity").combine_chunks(), "|"),
+            "pred": t.column("pred")})
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "k": pc.binary_join_element_wise(
+                t.column("dst_entity").combine_chunks(),
+                t.column("src_entity").combine_chunks(), "|"),
+            "pred_inv": t.column("pred")})
+
+    f = adj.map_batches(fwd, batch_format="pyarrow")
+    r = adj.map_batches(rev, batch_format="pyarrow")
+    inv = (f.join(r, join_type="inner",
+                  num_partitions=_join_partitions(), on=("k",))
+           .groupby(["pred", "pred_inv"])
+           .aggregate(Count(alias_name="n_inv")))
+    tot = adj.groupby("pred").aggregate(Count(alias_name="n_pairs"))
+    j = join_or_broadcast(inv, tot, key="pred", add_cols=["n_pairs"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        ni = t.column("n_inv").cast(pa.int64())
+        npr = t.column("n_pairs").cast(pa.int64())
+        conf = pc.round(pc.divide(ni.cast(pa.float64()),
+                                  npr.cast(pa.float64())), ndigits=6)
+        return pa.table({
+            "pred": t.column("pred"), "pred_inv": t.column("pred_inv"),
+            "n_inv": ni, "n_pairs": npr, "confidence": conf})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_KG_INVERSE_PREDS = with_goldens("""
+, ep AS (SELECT DISTINCT ss.canonical_id AS src, so.canonical_id AS dst,
+                f.pred
+         FROM facts f JOIN surf ss ON ss.surface = f.subj
+         JOIN surf so ON so.surface = f.obj)
+, inv AS (SELECT a.pred AS pred, b.pred AS pred_inv,
+                 CAST(count(*) AS BIGINT) AS n_inv
+          FROM ep a JOIN ep b ON b.src = a.dst AND b.dst = a.src
+          GROUP BY 1, 2)
+, tot AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM ep GROUP BY 1)
+SELECT i.pred, i.pred_inv, i.n_inv, t.n_pairs,
+       round(CAST(i.n_inv AS DOUBLE) / t.n_pairs, 6) AS confidence
+FROM inv i JOIN tot t ON t.pred = i.pred
+""")
+
+
 def q_entity_salience(sf_dir: str):
     """Per-document entity SALIENCE — tf x idf over linked mentions
     (the entity-centric ranking feature an entity-aware search index
@@ -10359,6 +10435,7 @@ QUERIES = {
     "image_phash_dups": q_image_phash_dups,
     "entity_trend": q_entity_trend,
     "entity_salience": q_entity_salience,
+    "kg_inverse_preds": q_kg_inverse_preds,
 }
 
 ORACLES = {
@@ -10616,6 +10693,7 @@ ORACLES = {
     "kg_mention_offsets": SQL_KG_MENTION_OFFSETS,
     "entity_trend": SQL_ENTITY_TREND,
     "entity_salience": SQL_ENTITY_SALIENCE,
+    "kg_inverse_preds": SQL_KG_INVERSE_PREDS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
