@@ -1,0 +1,108 @@
+"""End-to-end KB RELEASE: crawl pages -> the validated canonical fact
+table a downstream consumer actually reads, plus a published at-rest
+release directory.
+
+This composes the operators the query layer verifies piecewise into the
+single production build (the web analog of running the reference's full
+ingest then publishing its parquet outputs,
+`htcosmos/make_parquet.py` + `ingest/ingest.py`):
+
+  extract -> link -> fuse (host-vote winner per (subj, pred),
+  `q_kg_fused_facts`) -> canonical endpoint linking -> ontology
+  domain/range validation (`q_kg_type_violations` anti-join) ->
+  released facts + entities + manifest.
+
+The released fact table is oracle-checked END TO END (kb_release ★ —
+one DuckDB query replays the whole composition), the strongest
+correctness statement in the repo: not just each stage, but their
+composition, is value-exact.
+
+Scale shape: every stage reuses the audited primitives — evidence
+rollups are (fact, host)-bounded groupbys, endpoint linking is a
+vectorized vocabulary lookup, validation is a `semi_join_ds` anti-join
+(broadcast key set under the cap, bloom + distributed join past it),
+and the writer publishes partitioned parquet atomically (tmp ->
+rename) with a manifest carrying counts + an order-insensitive
+checksum (`sketch.table_checksum`) so a re-run can verify equality
+without re-reading the release.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def release_facts(sf_dir: str):
+    """The released fact table: fused facts whose endpoints both link
+    to canonical ids and whose canonical (pred, subj, obj) survives
+    domain/range validation. Columns: (subj, pred, obj, subj_id,
+    obj_id, n_mentions, n_hosts)."""
+    from cosmos_ray.queries.driver_queries import (q_kg_fused_facts,
+                                                   q_kg_type_violations)
+    from cosmos_ray.queries.relational import semi_join_ds
+    from cosmos_ray.sources.entity_dict import build_entity_dict, surface_index
+
+    sidx = surface_index(build_entity_dict())
+    surfaces = pa.array(list(sidx.keys()), pa.string())
+    ids = pa.array([cid for cid, _sc in sidx.values()], pa.string())
+
+    def link(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        si = pc.index_in(t.column("subj").combine_chunks(), surfaces)
+        oi = pc.index_in(t.column("obj").combine_chunks(), surfaces)
+        ok = pc.and_(pc.is_valid(si), pc.is_valid(oi))
+        t = t.filter(ok)
+        t = t.append_column("subj_id", pc.take(ids, si.filter(ok)))
+        t = t.append_column("obj_id", pc.take(ids, oi.filter(ok)))
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("pred").combine_chunks(),
+            t.column("subj_id").combine_chunks(),
+            t.column("obj_id").combine_chunks(), "|"))
+
+    keyed = q_kg_fused_facts(sf_dir).map_batches(link,
+                                                 batch_format="pyarrow")
+
+    def vkey(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"k": pc.binary_join_element_wise(
+            t.column("pred").combine_chunks(),
+            t.column("src_entity").combine_chunks(),
+            t.column("dst_entity").combine_chunks(), "|")})
+
+    vkeys = q_kg_type_violations(sf_dir).map_batches(
+        vkey, batch_format="pyarrow")
+    out = semi_join_ds(keyed, vkeys, key_col="k", big_key="k", keep=False)
+    return out.drop_columns(["k"])
+
+
+def write_release(sf_dir: str, out_dir: str) -> dict:
+    """Publish a release directory: facts/ + entities/ partitioned
+    parquet and a manifest.json with row counts and order-insensitive
+    checksums. Atomic: written under a tmp dir, renamed into place —
+    a reader never observes a partial release. Returns the manifest."""
+    from cosmos_ray.functions.sketch import table_checksum
+    from cosmos_ray.queries.driver_queries import q_kg_entities
+
+    tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    facts = release_facts(sf_dir).materialize()
+    entities = q_kg_entities(sf_dir).materialize()
+    facts.write_parquet(os.path.join(tmp, "facts"))
+    entities.write_parquet(os.path.join(tmp, "entities"))
+    manifest = {
+        "facts_rows": facts.count(),
+        "entities_rows": entities.count(),
+        "facts_checksum": table_checksum(
+            facts, ["subj", "pred", "obj"]).to_pandas()["checksum"][0],
+        "entities_checksum": table_checksum(
+            entities, ["canonical_id", "name"]).to_pandas()["checksum"][0],
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, out_dir)
+    return manifest

@@ -5578,6 +5578,72 @@ SELECT subj, pred, obj, n_mentions, n_hosts FROM (
 """)
 
 
+def q_kb_release(sf_dir: str):
+    """The end-to-end KB RELEASE fact table (composed production build:
+    fuse -> canonical link -> ontology validate -> publish; see
+    `pipelines/kb_release.py`). The DuckDB oracle replays the ENTIRE
+    composition in one query — the strongest correctness statement in
+    the repo: the stages compose value-exactly, not just pass
+    piecewise."""
+    from cosmos_ray.pipelines.kb_release import release_facts
+
+    return release_facts(sf_dir)
+
+
+def _sql_kb_release() -> str:
+    from cosmos_ray.queries.oracle_gen import kb_types_values
+
+    return with_goldens(f"""
+, tr AS (SELECT url, subj, pred, obj, count(*) AS m
+         FROM facts GROUP BY 1, 2, 3, 4)
+, ph AS (SELECT subj, pred, obj,
+                regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+                sum(m) AS m
+         FROM tr GROUP BY 1, 2, 3, 4)
+, ev AS (SELECT subj, pred, obj,
+                CAST(sum(m) AS BIGINT) AS n_mentions,
+                CAST(count(*) AS BIGINT) AS n_hosts
+         FROM ph GROUP BY 1, 2, 3)
+, fused AS (SELECT subj, pred, obj, n_mentions, n_hosts FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY subj, pred
+        ORDER BY n_hosts DESC, n_mentions DESC, obj) AS rn
+    FROM ev) WHERE rn = 1)
+, ktypes(canonical_id, typ) AS (VALUES {kb_types_values()})
+, pairs AS (SELECT f.pred, ss.canonical_id AS src, so.canonical_id AS dst
+            FROM facts f JOIN surf ss ON ss.surface = f.subj
+            JOIN surf so ON so.surface = f.obj GROUP BY 1, 2, 3)
+, typed AS (SELECT p.pred, p.src, p.dst,
+                   ts.typ AS subj_type, tt.typ AS obj_type
+            FROM pairs p JOIN ktypes ts ON ts.canonical_id = p.src
+            JOIN ktypes tt ON tt.canonical_id = p.dst)
+, dom AS (SELECT pred, subj_type AS domain_type FROM (
+    SELECT pred, subj_type, count(*) AS n,
+           row_number() OVER (PARTITION BY pred
+                              ORDER BY count(*) DESC, subj_type) AS rn
+    FROM typed GROUP BY pred, subj_type) WHERE rn = 1)
+, rng AS (SELECT pred, obj_type AS range_type FROM (
+    SELECT pred, obj_type, count(*) AS n,
+           row_number() OVER (PARTITION BY pred
+                              ORDER BY count(*) DESC, obj_type) AS rn
+    FROM typed GROUP BY pred, obj_type) WHERE rn = 1)
+, viol AS (SELECT t.pred, t.src, t.dst FROM typed t
+           JOIN dom d ON d.pred = t.pred JOIN rng r ON r.pred = t.pred
+           WHERE t.subj_type <> d.domain_type
+              OR t.obj_type <> r.range_type)
+SELECT f.subj, f.pred, f.obj, ss.canonical_id AS subj_id,
+       so.canonical_id AS obj_id, f.n_mentions, f.n_hosts
+FROM fused f JOIN surf ss ON ss.surface = f.subj
+JOIN surf so ON so.surface = f.obj
+LEFT JOIN viol v ON v.pred = f.pred AND v.src = ss.canonical_id
+                AND v.dst = so.canonical_id
+WHERE v.pred IS NULL
+""")
+
+
+SQL_KB_RELEASE = _sql_kb_release()
+
+
 def q_kg_nil_entities(sf_dir: str):
     """NIL clustering — the entity-linking step for UNLINKABLE mentions
     (reference analog: surfaces below the linker's 0.8 threshold,
@@ -10436,6 +10502,7 @@ QUERIES = {
     "entity_trend": q_entity_trend,
     "entity_salience": q_entity_salience,
     "kg_inverse_preds": q_kg_inverse_preds,
+    "kb_release": q_kb_release,
 }
 
 ORACLES = {
@@ -10694,6 +10761,7 @@ ORACLES = {
     "entity_trend": SQL_ENTITY_TREND,
     "entity_salience": SQL_ENTITY_SALIENCE,
     "kg_inverse_preds": SQL_KG_INVERSE_PREDS,
+    "kb_release": SQL_KB_RELEASE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
