@@ -5590,10 +5590,13 @@ def q_kb_release(sf_dir: str):
     return release_facts(sf_dir)
 
 
-def _sql_kb_release() -> str:
+def _kb_release_ctes() -> str:
+    """Shared CTE chain rebuilding the released fact table in SQL
+    (fuse -> link -> validate); `rel` is the released table. Reused by
+    the kb_release and kg_entity_abstract oracles."""
     from cosmos_ray.queries.oracle_gen import kb_types_values
 
-    return with_goldens(f"""
+    return f"""
 , tr AS (SELECT url, subj, pred, obj, count(*) AS m
          FROM facts GROUP BY 1, 2, 3, 4)
 , ph AS (SELECT subj, pred, obj,
@@ -5631,17 +5634,71 @@ def _sql_kb_release() -> str:
            JOIN dom d ON d.pred = t.pred JOIN rng r ON r.pred = t.pred
            WHERE t.subj_type <> d.domain_type
               OR t.obj_type <> r.range_type)
-SELECT f.subj, f.pred, f.obj, ss.canonical_id AS subj_id,
-       so.canonical_id AS obj_id, f.n_mentions, f.n_hosts
-FROM fused f JOIN surf ss ON ss.surface = f.subj
-JOIN surf so ON so.surface = f.obj
-LEFT JOIN viol v ON v.pred = f.pred AND v.src = ss.canonical_id
-                AND v.dst = so.canonical_id
-WHERE v.pred IS NULL
+, rel AS (
+  SELECT f.subj, f.pred, f.obj, ss.canonical_id AS subj_id,
+         so.canonical_id AS obj_id, f.n_mentions, f.n_hosts
+  FROM fused f JOIN surf ss ON ss.surface = f.subj
+  JOIN surf so ON so.surface = f.obj
+  LEFT JOIN viol v ON v.pred = f.pred AND v.src = ss.canonical_id
+                  AND v.dst = so.canonical_id
+  WHERE v.pred IS NULL)"""
+
+
+SQL_KB_RELEASE = with_goldens(_kb_release_ctes() + """
+SELECT subj, pred, obj, subj_id, obj_id, n_mentions, n_hosts FROM rel
 """)
 
 
-SQL_KB_RELEASE = _sql_kb_release()
+def q_kg_entity_abstract(sf_dir: str):
+    """Entity ABSTRACT generation — the one-line textual card a KB
+    service renders per entity: canonical name plus its top-3 RELEASED
+    facts (strongest corroboration first: n_hosts, n_mentions, then
+    lexical) joined as 'pred obj' clauses. Consumes the validated
+    release table, so the abstract never cites a fused-away or
+    type-violating fact.
+
+    Shape: one (entity)-bucketed assembly over the release table
+    (entity-vocab bounded); the name map is a vocabulary-sized
+    closure."""
+    from cosmos_ray.pipelines.kb_release import release_facts
+    from cosmos_ray.queries.relational import bucketed_group_apply
+    from cosmos_ray.sources.entity_dict import build_entity_dict
+
+    names = {r["canonical_id"]: r["name"]
+             for r in build_entity_dict().to_pylist()}
+    rel = release_facts(sf_dir).select_columns(
+        ["subj_id", "pred", "obj", "n_mentions", "n_hosts"])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_hosts", "n_mentions", "pred", "obj"],
+                          ascending=[False, False, True, True],
+                          kind="stable").head(3)
+        sid = g["subj_id"].iloc[0]
+        clauses = "; ".join(p + " " + o
+                            for p, o in zip(g["pred"], g["obj"]))
+        return pd.DataFrame({
+            "entity_id": [sid],
+            "abstract": [names.get(sid, sid) + " — " + clauses],
+            "n_facts": [np.int64(len(g))]})
+
+    return bucketed_group_apply(rel, ["subj_id"], assemble)
+
+
+SQL_KG_ENTITY_ABSTRACT = with_goldens(_kb_release_ctes() + """
+, ranked AS (SELECT subj_id, pred, obj,
+       row_number() OVER (PARTITION BY subj_id
+                          ORDER BY n_hosts DESC, n_mentions DESC,
+                                   pred, obj) AS rn
+  FROM rel)
+SELECT r.subj_id AS entity_id,
+       k.name || ' — ' ||
+         string_agg(r.pred || ' ' || r.obj, '; ' ORDER BY r.rn)
+         AS abstract,
+       CAST(count(*) AS BIGINT) AS n_facts
+FROM ranked r JOIN kbname k ON k.canonical_id = r.subj_id
+WHERE r.rn <= 3
+GROUP BY r.subj_id, k.name
+""")
 
 
 def q_kg_nil_entities(sf_dir: str):
@@ -10503,6 +10560,7 @@ QUERIES = {
     "entity_salience": q_entity_salience,
     "kg_inverse_preds": q_kg_inverse_preds,
     "kb_release": q_kb_release,
+    "kg_entity_abstract": q_kg_entity_abstract,
 }
 
 ORACLES = {
@@ -10762,6 +10820,7 @@ ORACLES = {
     "entity_salience": SQL_ENTITY_SALIENCE,
     "kg_inverse_preds": SQL_KG_INVERSE_PREDS,
     "kb_release": SQL_KB_RELEASE,
+    "kg_entity_abstract": SQL_KG_ENTITY_ABSTRACT,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
