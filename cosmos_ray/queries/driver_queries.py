@@ -6192,6 +6192,94 @@ FROM facts f JOIN bsrc b USING (did)
 """)
 
 
+def q_kg_measurement_outliers(sf_dir: str):
+    """Robust validation of EXTRACTED measurements — the data-cleaning
+    pass a Cosmos-style system runs over the quantities it parsed out
+    of tables before trusting them (flag per-metric readings more than
+    2 MADs from the median; the extraction-error detector for OCR/parse
+    glitches).
+
+    Shape: cells parse exactly as kg_numeric_facts; the ONLY exchange
+    is the (metric, value) COUNT table (metric vocab x distinct
+    readings, never corpus-sized); the holistic median/MAD finish is
+    model-sized driver work on counts (the mad_outlier_days
+    convention), exact via weighted order statistics."""
+    from ray.data.aggregate import Count as _Count
+
+    from cosmos_ray.queries.relational import collect_small
+    from cosmos_ray.stages import extract
+    from cosmos_ray.stages.tables import extract_table_cells
+
+    pages = _pages_ds(sf_dir)
+    dup_ref = extract.discover_dup_urls(pages)
+    if dup_ref is not None:
+        pages = extract.drop_stale(pages, dup_ref)
+
+    def parse(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("cell_text"),
+                             r"^(?P<metric>[a-z]+) score (?P<val>[0-9]+)$")
+        ok = pc.is_valid(m)
+        return pa.table({
+            "metric": pc.struct_field(m, "metric").filter(ok),
+            "v": pc.struct_field(m, "val").filter(ok).cast(pa.int64())})
+
+    counts = (extract_table_cells(pages)
+              .map_batches(parse, batch_format="pyarrow")
+              .groupby(["metric", "v"]).aggregate(_Count(alias_name="c")))
+    tbl = collect_small(counts, cap_rows=2_000_000)
+    if tbl is None:
+        raise ValueError("(metric, value) count table exceeded the cap")
+
+    def wmedian(v: np.ndarray, c: np.ndarray) -> float:
+        order = np.argsort(v, kind="stable")
+        v, c = np.asarray(v, np.float64)[order], np.asarray(c)[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        if n % 2 == 1:
+            return float(v[np.searchsorted(cum, n // 2 + 1)])
+        lo = float(v[np.searchsorted(cum, n // 2)])
+        hi = float(v[np.searchsorted(cum, n // 2 + 1)])
+        return (lo + hi) / 2.0
+
+    df = tbl.to_pandas()
+    rows = []
+    for metric, g in df.groupby("metric", sort=True):
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        med = wmedian(v, c)
+        dev = np.abs(v.astype(np.float64) - med)
+        mad = wmedian(dev, c)
+        rows.append({
+            "metric": metric, "n": int(c.sum()), "med": med, "mad": mad,
+            "n_outliers": int(c[dev > 2 * mad].sum())})
+    out = pd.DataFrame(rows)
+    return rd.from_arrow(pa.table({
+        "metric": pa.array(out["metric"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "med": pa.array(out["med"], pa.float64()),
+        "mad": pa.array(out["mad"], pa.float64()),
+        "n_outliers": pa.array(out["n_outliers"], pa.int64())}))
+
+
+SQL_KG_MEASUREMENT_OUTLIERS = with_goldens("""
+, mf(metric, which) AS (VALUES ('alpha', 1), ('beta', 2))
+, vals AS (SELECT m.metric,
+                  CASE m.which WHEN 1 THEN b.m1 ELSE b.m2 END AS v
+           FROM bsrc b, mf m WHERE b.ht)
+, stats AS (SELECT metric, CAST(count(*) AS BIGINT) AS n,
+                   median(v) AS med
+            FROM vals GROUP BY metric)
+, madt AS (SELECT v.metric, median(abs(v.v - s.med)) AS mad
+           FROM vals v JOIN stats s USING (metric) GROUP BY v.metric)
+SELECT s.metric, s.n, CAST(s.med AS DOUBLE) AS med,
+       CAST(m.mad AS DOUBLE) AS mad,
+       CAST((SELECT count(*) FROM vals v2
+             WHERE v2.metric = s.metric
+               AND abs(v2.v - s.med) > 2 * m.mad) AS BIGINT) AS n_outliers
+FROM stats s JOIN madt m ON m.metric = s.metric
+""")
+
+
 def q_autocomplete(sf_dir: str):
     """Search-autocomplete prefix index: for every query prefix (lengths
     1..4) the top-k completions ranked by corpus frequency (ties to the
@@ -10561,6 +10649,7 @@ QUERIES = {
     "kg_inverse_preds": q_kg_inverse_preds,
     "kb_release": q_kb_release,
     "kg_entity_abstract": q_kg_entity_abstract,
+    "kg_measurement_outliers": q_kg_measurement_outliers,
 }
 
 ORACLES = {
@@ -10821,6 +10910,7 @@ ORACLES = {
     "kg_inverse_preds": SQL_KG_INVERSE_PREDS,
     "kb_release": SQL_KB_RELEASE,
     "kg_entity_abstract": SQL_KG_ENTITY_ABSTRACT,
+    "kg_measurement_outliers": SQL_KG_MEASUREMENT_OUTLIERS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
