@@ -5212,6 +5212,45 @@ FROM ph GROUP BY 1, 2, 3
 """)
 
 
+def q_kg_fact_sources(sf_dir: str):
+    """Per-fact PROVENANCE list — the citation set a KB serves beside
+    each triple: total distinct source pages plus a deterministic
+    3-url sample (lexicographically smallest, so re-runs cite
+    identically). Complements kg_evidence's counts with the actual
+    links.
+
+    Shape: the triple table is already distinct per (url, fact), so
+    the only exchange is the (fact)-bucketed assembly; the in-bucket
+    finish sorts each fact's url set once and truncates to the
+    sample."""
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    tr = _built_kg(sf_dir).triples.select_columns(
+        ["url", "subj", "pred", "obj"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        urls = np.sort(g["url"].to_numpy())
+        return pd.DataFrame({
+            "subj": [g["subj"].iloc[0]], "pred": [g["pred"].iloc[0]],
+            "obj": [g["obj"].iloc[0]],
+            "n_urls": [np.int64(len(urls))],
+            "sample_urls": [",".join(urls[:3])]})
+
+    return bucketed_group_apply(tr, ["subj", "pred", "obj"], finish)
+
+
+SQL_KG_FACT_SOURCES = with_goldens("""
+, tr AS (SELECT DISTINCT url, subj, pred, obj FROM facts)
+, r AS (SELECT *, row_number() OVER (PARTITION BY subj, pred, obj
+                                     ORDER BY url) AS rn,
+               count(*) OVER (PARTITION BY subj, pred, obj) AS nu
+        FROM tr)
+SELECT subj, pred, obj, CAST(max(nu) AS BIGINT) AS n_urls,
+       string_agg(url, ',' ORDER BY url) AS sample_urls
+FROM r WHERE rn <= 3 GROUP BY subj, pred, obj
+""")
+
+
 def q_kg_fact_intervals(sf_dir: str):
     """Temporal fact provenance: per (subj, pred, obj) the first/last
     crawl timestamp among the pages asserting it plus the page count —
@@ -10650,6 +10689,7 @@ QUERIES = {
     "kb_release": q_kb_release,
     "kg_entity_abstract": q_kg_entity_abstract,
     "kg_measurement_outliers": q_kg_measurement_outliers,
+    "kg_fact_sources": q_kg_fact_sources,
 }
 
 ORACLES = {
@@ -10911,6 +10951,7 @@ ORACLES = {
     "kb_release": SQL_KB_RELEASE,
     "kg_entity_abstract": SQL_KG_ENTITY_ABSTRACT,
     "kg_measurement_outliers": SQL_KG_MEASUREMENT_OUTLIERS,
+    "kg_fact_sources": SQL_KG_FACT_SOURCES,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
