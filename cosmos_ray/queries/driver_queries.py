@@ -5212,6 +5212,45 @@ FROM ph GROUP BY 1, 2, 3
 """)
 
 
+def q_kg_2hop_store(sf_dir: str):
+    """K-hop neighborhood served from the AT-REST adjacency store
+    (`state/graph_store.py`): the adjacency is written once
+    hive-partitioned by src-hash bucket, then a joint directed BFS from
+    the 4 smallest source entities expands two hops reading ONLY the
+    frontier's buckets — partition-pruned graph lookups (the disk
+    analog of a graph service's vertex index). Oracle: the same BFS
+    levels unrolled over the adjacency CTE."""
+    import os
+    import tempfile
+
+    from cosmos_ray.state.graph_store import khop, write_adjacency_store
+
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["src_entity", "pred", "dst_entity"])
+    seeds = [r["src_entity"] for r in
+             adj.groupby("src_entity").count()
+             .sort("src_entity").limit(4).take_all()]
+    store = os.path.join(tempfile.mkdtemp(prefix="gstore_", dir="/tmp"),
+                         "adj")
+    write_adjacency_store(adj, store)
+    return rd.from_arrow(khop(store, seeds, hops=2))
+
+
+SQL_KG_2HOP_STORE = with_goldens(_SQL_ADJ_CTE + """
+, e AS (SELECT DISTINCT src, dst FROM adj)
+, sd AS (SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 4)
+, l0 AS (SELECT seed AS entity FROM sd)
+, l1 AS (SELECT DISTINCT e.dst AS entity FROM l0 JOIN e ON e.src = l0.entity
+         WHERE e.dst NOT IN (SELECT entity FROM l0))
+, l2 AS (SELECT DISTINCT e.dst AS entity FROM l1 JOIN e ON e.src = l1.entity
+         WHERE e.dst NOT IN (SELECT entity FROM l0)
+           AND e.dst NOT IN (SELECT entity FROM l1))
+SELECT entity, CAST(0 AS BIGINT) AS hop FROM l0
+UNION ALL SELECT entity, CAST(1 AS BIGINT) FROM l1
+UNION ALL SELECT entity, CAST(2 AS BIGINT) FROM l2
+""")
+
+
 def q_kg_fact_sources(sf_dir: str):
     """Per-fact PROVENANCE list — the citation set a KB serves beside
     each triple: total distinct source pages plus a deterministic
@@ -10690,6 +10729,7 @@ QUERIES = {
     "kg_entity_abstract": q_kg_entity_abstract,
     "kg_measurement_outliers": q_kg_measurement_outliers,
     "kg_fact_sources": q_kg_fact_sources,
+    "kg_2hop_store": q_kg_2hop_store,
 }
 
 ORACLES = {
@@ -10952,6 +10992,7 @@ ORACLES = {
     "kg_entity_abstract": SQL_KG_ENTITY_ABSTRACT,
     "kg_measurement_outliers": SQL_KG_MEASUREMENT_OUTLIERS,
     "kg_fact_sources": SQL_KG_FACT_SOURCES,
+    "kg_2hop_store": SQL_KG_2HOP_STORE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates

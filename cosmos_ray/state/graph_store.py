@@ -1,0 +1,123 @@
+"""At-rest adjacency store — the GRAPH member of the at-rest layout
+family (`sorted_store` zone maps, `zorder` Morton boxes, `bloom_index`
+point lookups, `similarity.build_ivf_index` cells): the entity
+adjacency written hive-partitioned by a stable hash bucket of
+``src_entity`` (``bucket=K/``), so neighbor reads and k-hop expansions
+``read_parquet`` ONLY the touched buckets — vertex-partitioned edge
+storage, the disk layout a disaggregated graph service uses so a
+lookup never scans the full edge list (reference analog: Cosmos serves
+per-entity neighborhoods from its ES join index,
+`retrieval/elastic_retriever.py:74-90`; here the index is parquet
+partition pruning instead of a search cluster).
+
+Scale shape: the write is one streaming pass (batch-local bucket
+tagging, no exchange beyond the partitioned writer); a k-hop expansion
+reads at most |touched buckets| directories per hop and its frontier
+state is node-bounded (the BFS frontier convention shared with
+`graph.closeness_sampled`). The bucket count is recorded in a manifest
+so readers hash with the writer's modulus.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+N_BUCKETS = 32
+
+
+def _buckets_of(names, num_buckets: int) -> np.ndarray:
+    """Stable bucket per entity id (process-stable pandas siphash — the
+    same hash `bucketed_group_apply` relies on)."""
+    h = pd.util.hash_array(np.asarray(names, dtype=object))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def write_adjacency_store(adj_ds, out_dir: str,
+                          num_buckets: int = N_BUCKETS) -> dict:
+    """Write (src_entity, pred, dst_entity[, weight]) hive-partitioned
+    by src bucket; returns the manifest (also persisted)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["bucket"] = _buckets_of(out["src_entity"].to_numpy(),
+                                    num_buckets)
+        return out
+
+    os.makedirs(out_dir, exist_ok=True)
+    adj_ds.map_batches(tag, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    manifest = {"num_buckets": num_buckets}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _bucket_paths(root: str, buckets) -> list[str]:
+    return [p for b in sorted(set(int(x) for x in buckets))
+            for p in glob.glob(os.path.join(root, f"bucket={b}",
+                                            "*.parquet"))]
+
+
+def neighbors(root: str, entity: str):
+    """Out-neighbors of one entity: opens ONLY its bucket's files."""
+    import pyarrow.compute as pc
+
+    with open(os.path.join(root, "manifest.json")) as f:
+        nb = json.load(f)["num_buckets"]
+    paths = _bucket_paths(root, _buckets_of([entity], nb))
+    if not paths:
+        return rd.from_arrow(pa.table({
+            "pred": pa.array([], pa.string()),
+            "dst_entity": pa.array([], pa.string())}))
+    ds = rd.read_parquet(paths, columns=["src_entity", "pred",
+                                         "dst_entity"])
+    return ds.map_batches(
+        lambda t, e=entity: t.filter(
+            pc.equal(t.column("src_entity"), e))
+        .select(["pred", "dst_entity"]),
+        batch_format="pyarrow")
+
+
+def khop(root: str, seeds: list[str], hops: int = 2) -> pa.Table:
+    """BFS levels from ``seeds`` over the store: (entity, hop) with hop
+    = first-reached distance (0 = seed). Each hop reads ONLY the
+    frontier's buckets; frontier/seen state is node-bounded."""
+    import pyarrow.compute as pc
+
+    with open(os.path.join(root, "manifest.json")) as f:
+        nb = json.load(f)["num_buckets"]
+    seen: dict[str, int] = {s: 0 for s in seeds}
+    frontier = sorted(set(seeds))
+    for h in range(1, hops + 1):
+        paths = _bucket_paths(root, _buckets_of(frontier, nb))
+        if not paths:
+            break
+        fr = frozenset(frontier)
+        ds = rd.read_parquet(paths, columns=["src_entity", "dst_entity"])
+        dsts = (ds.map_batches(
+            lambda t, f=fr: pa.table({"dst_entity": t.column(
+                "dst_entity").filter(pc.is_in(
+                    t.column("src_entity"),
+                    value_set=pa.array(sorted(f), pa.string())))}),
+            batch_format="pyarrow")
+            .groupby("dst_entity").count())
+        nxt = sorted(d for d in
+                     (r["dst_entity"] for r in dsts.take_all())
+                     if d not in seen)
+        for d in nxt:
+            seen[d] = h
+        frontier = nxt
+        if not frontier:
+            break
+    ents = sorted(seen)
+    return pa.table({"entity": pa.array(ents, pa.string()),
+                     "hop": pa.array([seen[e] for e in ents],
+                                     pa.int64())})
