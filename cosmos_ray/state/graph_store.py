@@ -86,10 +86,15 @@ def neighbors(root: str, entity: str):
         batch_format="pyarrow")
 
 
-def khop(root: str, seeds: list[str], hops: int = 2) -> pa.Table:
+def khop(root: str, seeds: list[str], hops: int = 2,
+         max_frontier: int = 1_000_000) -> pa.Table:
     """BFS levels from ``seeds`` over the store: (entity, hop) with hop
     = first-reached distance (0 = seed). Each hop reads ONLY the
-    frontier's buckets; frontier/seen state is node-bounded."""
+    frontier's buckets; frontier/seen state is node-bounded and
+    guarded: a frontier past ``max_frontier`` raises instead of
+    silently pulling an unbounded neighborhood to the driver (the
+    scale-guard convention — service k-hop lookups are degree-bounded;
+    whole-graph traversals belong to `graph.connected_components`)."""
     import pyarrow.compute as pc
 
     with open(os.path.join(root, "manifest.json")) as f:
@@ -109,6 +114,10 @@ def khop(root: str, seeds: list[str], hops: int = 2) -> pa.Table:
                     value_set=pa.array(sorted(f), pa.string())))}),
             batch_format="pyarrow")
             .groupby("dst_entity").count())
+        if dsts.count() > max_frontier:
+            raise ValueError(
+                f"khop frontier exceeds max_frontier={max_frontier}; "
+                "use graph.connected_components for whole-graph reach")
         nxt = sorted(d for d in
                      (r["dst_entity"] for r in dsts.take_all())
                      if d not in seen)

@@ -59,3 +59,11 @@ class TestGraphStore:
         t = khop(root, ["nope"], hops=2)
         assert t.column("entity").to_pylist() == ["nope"]
         assert t.column("hop").to_pylist() == [0]
+
+    def test_khop_frontier_guard(self, tmp_path):
+        import pytest as _pytest
+
+        root = str(tmp_path / "adj")
+        write_adjacency_store(_adj(EDGES), root, num_buckets=4)
+        with _pytest.raises(ValueError, match="max_frontier"):
+            khop(root, ["a"], hops=2, max_frontier=1)
