@@ -1,0 +1,131 @@
+"""WARC source: ingest Common-Crawl-style WARC dumps straight into the
+pages schema (url, warc_ts, html, text, lang) — the crawl-interchange
+format (ISO 28500 / WARC 1.0) the reference-scale corpora actually ship
+as, so a user can point the KG pipeline at raw `*.warc` shards instead
+of pre-converted parquet.
+
+Scale shape: WARC has no record index inside a file, so the FILE is the
+parallelism unit — `read_binary_files` fans one task per shard and the
+parser is a flat_map (1 file -> N response records). Crawl dumps are
+written as many ~1 GiB shards precisely so this layout parallelizes;
+re-shard upstream if handed one giant file. Parsing is sequential
+byte-slicing per record (Content-Length driven — never a regex over
+the whole payload); malformed records are skipped, not raised, matching
+the extract stage's dead-letter posture (the extractor downstream
+quarantines undecodable html itself).
+
+Writer (`write_warc_shard`) exists for round-trip gates and for
+publishing: records are response-type with an HTTP/1.1 envelope, the
+layout real WARC consumers (warcio etc.) expect.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+
+from cosmos_ray.core import schemas
+
+_CRLF = b"\r\n"
+
+
+def _fmt_ts(ts_us: int) -> str:
+    t = _dt.datetime.fromtimestamp(ts_us / 1e6, tz=_dt.timezone.utc)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_ts(s: str) -> int:
+    t = _dt.datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ")
+    return int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def write_warc_shard(url_ts_html: list[tuple[str, int, bytes]]) -> bytes:
+    """Serialize (url, warc_ts_us, html) records into one WARC shard's
+    bytes (response records with an HTTP/1.1 envelope)."""
+    out = []
+    for url, ts_us, html in url_ts_html:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html)
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {_fmt_ts(ts_us)}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + _CRLF
+        )
+        out.append(hdr + http + _CRLF + _CRLF)
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Sequential WARC record walk -> [{url, warc_ts_us, html}] for the
+    response records; anything malformed or non-response is skipped."""
+    rows = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("latin-1").strip().lower()] = \
+                    v.decode("latin-1").strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        payload = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        if not url or not date:
+            continue
+        try:
+            ts_us = _parse_ts(date)
+        except ValueError:
+            continue
+        # strip the HTTP envelope: body starts after its header block
+        body_at = payload.find(b"\r\n\r\n")
+        body = payload[body_at + 4:] if body_at >= 0 else payload
+        rows.append({"url": url, "warc_ts_us": ts_us, "html": body})
+    return rows
+
+
+def read_warc_pages(paths: str | list[str]):
+    """Distributed WARC read -> pages-schema Dataset. One task per
+    shard file (see module docstring for why)."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        for blob in batch.column("bytes").to_pylist():
+            for r in parse_warc_bytes(blob):
+                urls.append(r["url"])
+                tss.append(r["warc_ts_us"])
+                htmls.append(r["html"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array([""] * len(urls), pa.string()),
+                "lang": pa.array([""] * len(urls), pa.string()),
+            },
+            schema=schemas.PAGES,
+        )
+
+    return files.map_batches(explode, batch_format="pyarrow",
+                             batch_size=None)

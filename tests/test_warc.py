@@ -1,0 +1,76 @@
+"""WARC source gates (`sources/warc.py`): byte round-trip and pipeline
+equality with the parquet-path pages."""
+
+import hashlib
+
+import pyarrow.parquet as pq
+
+from cosmos_ray.sources import pages as P
+from cosmos_ray.sources.warc import (parse_warc_bytes, read_warc_pages,
+                                     write_warc_shard)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages_rows():
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    t = P.generate_pages_table(docs)
+    return list(zip(t.column("url").to_pylist(),
+                    [x.value for x in t.column("warc_ts")],
+                    t.column("html").to_pylist()))
+
+
+def _key_set(rows):
+    return {(u, ts, hashlib.md5(h).hexdigest()) for u, ts, h in rows}
+
+
+class TestWarc:
+    def test_roundtrip_bytes(self):
+        rows = _pages_rows()[:50]
+        parsed = parse_warc_bytes(write_warc_shard(rows))
+        got = {(r["url"], r["warc_ts_us"],
+                hashlib.md5(r["html"]).hexdigest()) for r in parsed}
+        assert got == _key_set(rows)
+
+    def test_malformed_records_skipped(self):
+        rows = _pages_rows()[:3]
+        blob = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+                + write_warc_shard(rows[:1])
+                + b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: notanint\r\n\r\n"
+                + write_warc_shard(rows[1:]))
+        parsed = parse_warc_bytes(blob)
+        assert _key_set([(r["url"], r["warc_ts_us"], r["html"])
+                         for r in parsed]) == _key_set(rows)
+
+    def test_distributed_read_and_kg_equality(self, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.pipelines.kg import build_kg
+
+        rows = _pages_rows()
+        paths = []
+        for k in range(3):  # shard like a real crawl dump
+            p = tmp_path / f"shard-{k}.warc"
+            p.write_bytes(write_warc_shard(rows[k::3]))
+            paths.append(str(p))
+        df = read_warc_pages(paths).to_pandas()
+        got = {(u, int(ts), hashlib.md5(h).hexdigest())
+               for u, ts, h in zip(
+                   df["url"],
+                   df["warc_ts"].astype("datetime64[us]").astype("int64"),
+                   df["html"])}
+        assert got == _key_set(rows)
+
+        # the KG built from WARC shards equals the parquet-path build
+        # (triples are lang-free, so the missing lang column is inert)
+        def tri_set(kg):
+            return {(r["url"], r["subj"], r["pred"], r["obj"])
+                    for r in kg.triples.take_all()}
+
+        docs = pq.read_table(f"{SF}/documents.parquet")
+        base = build_kg(rd.from_arrow(P.generate_pages_table(docs)))
+        from_warc = build_kg(read_warc_pages(paths))
+        assert tri_set(from_warc) == tri_set(base)
+        assert from_warc.entities.count() == base.entities.count()
