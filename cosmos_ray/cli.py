@@ -38,7 +38,29 @@ def main(argv: list[str] | None = None) -> int:
                         "checkpointing path")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when starting a fresh local session")
+    p.add_argument("--input-format", choices=("parquet", "warc"),
+                   default="parquet",
+                   help="'warc' reads raw ISO-28500 crawl shards "
+                        "(sources/warc.py; one task per shard) — "
+                        "supported on the --streaming and --update "
+                        "paths, whose readers take a Dataset; the "
+                        "checkpointing path partitions parquet FILES "
+                        "and needs parquet input")
     args = p.parse_args(argv)
+
+    if args.input_format == "warc" and not (args.streaming or args.update):
+        p.error("--input-format warc requires --streaming or --update")
+
+    def _load_pages():
+        import ray.data as rd
+
+        if args.input_format == "warc":
+            from cosmos_ray.sources.warc import read_warc_pages
+
+            pages = read_warc_pages(args.input)
+            return pages, pages.select_columns(["url", "warc_ts"])
+        return (rd.read_parquet(args.input),
+                rd.read_parquet(args.input, columns=["url", "warc_ts"]))
 
     import ray
 
@@ -53,20 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     if args.update:
-        import ray.data as rd
-
         from cosmos_ray.pipelines.incremental import run_kg_update
 
-        pages = rd.read_parquet(args.input)
-        meta = rd.read_parquet(args.input, columns=["url", "warc_ts"])
+        pages, meta = _load_pages()
         summary = run_kg_update(args.output, pages, pages_meta=meta)
     elif args.streaming:
-        import ray.data as rd
-
         from cosmos_ray.pipelines.kg import run_kg_streaming
 
-        pages = rd.read_parquet(args.input)
-        meta = rd.read_parquet(args.input, columns=["url", "warc_ts"])
+        pages, meta = _load_pages()
         summary = run_kg_streaming(pages, args.output, pages_meta=meta)
     else:
         from cosmos_ray.state.manifest import run_partitioned

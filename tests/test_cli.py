@@ -83,3 +83,43 @@ def test_cli_incremental_update(small_pages_file, documents_small, tmp_path):
     assert upd.returncode == 0, upd.stderr[-2000:]
     after = json.loads(upd.stdout.strip().splitlines()[-1])["triples_rows"]
     assert after > before
+
+
+def test_cli_streaming_from_warc(documents_small, tmp_path):
+    """--input-format warc: the streaming build ingests raw ISO-28500
+    shards directly (sources/warc.py)."""
+    from cosmos_ray.sources.pages import generate_pages_table
+    from cosmos_ray.sources.warc import write_warc_shard
+
+    t = generate_pages_table(documents_small.slice(0, 60))
+    rows = list(zip(t.column("url").to_pylist(),
+                    [x.value for x in t.column("warc_ts")],
+                    t.column("html").to_pylist()))
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    for k in range(2):
+        (warc_dir / f"shard-{k}.warc").write_bytes(
+            write_warc_shard(rows[k::2]))
+    out = str(tmp_path / "out_warc")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    res = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", str(warc_dir),
+         "--output", out, "--streaming", "--num-cpus", "2",
+         "--input-format", "warc"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["triples_rows"] > 0
+    assert os.path.isdir(os.path.join(out, "triples"))
+
+
+def test_cli_warc_requires_streaming(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", "x",
+         "--output", str(tmp_path / "o"), "--input-format", "warc"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode != 0
+    assert "requires --streaming" in res.stderr
