@@ -68,6 +68,12 @@ ALLOWED = {
                                       # commit-plane metadata, file-count
                                       # bounded by design (the log itself
                                       # is driver-side JSON)
+    "pipelines/kb_release.py": 2,     # manifest checksums: to_pandas on
+                                      # table_checksum's ONE-ROW result
+                                      # datasets (facts + entities)
+    "state/graph_store.py": 1,        # khop frontier pull — node-bounded
+                                      # and guarded by a raising
+                                      # max_frontier cap (test-gated)
     "functions/temporal.py": 0,
     "functions/validate.py": 0,
     "functions/geometry.py": 0,
