@@ -21,9 +21,10 @@ import pyarrow.compute as pc
 from cosmos_ray.functions.textops import _LANG_CUES, STOPWORDS
 
 
-def _quality_keep(t: pa.Table) -> pa.Table:
-    """Vectorized quality gate (same formula as quality_score_batch's
-    keep flag): >= 10 whitespace tokens and stopword ratio <= 0.5."""
+def _quality_mask(t: pa.Table) -> np.ndarray:
+    """Vectorized quality-gate mask (same formula as
+    quality_score_batch's keep flag): >= 10 whitespace tokens and
+    stopword ratio <= 0.5."""
     toks = pc.split_pattern(t.column("text"), " ")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)
@@ -31,8 +32,11 @@ def _quality_keep(t: pa.Table) -> pa.Table:
     idx = np.repeat(np.arange(len(lens)), lens)
     stops = np.bincount(idx, weights=is_stop.to_numpy(zero_copy_only=False)
                         .astype(np.float64), minlength=len(lens))
-    keep = (lens >= 10) & (stops / np.maximum(lens, 1) <= 0.5)
-    return t.filter(pa.array(keep))
+    return (lens >= 10) & (stops / np.maximum(lens, 1) <= 0.5)
+
+
+def _quality_keep(t: pa.Table) -> pa.Table:
+    return t.filter(pa.array(_quality_mask(t)))
 
 
 class _LangGate:
@@ -44,20 +48,25 @@ class _LangGate:
         self.lang = lang
         self.profiles = {k: tuple(v) for k, v in _LANG_CUES.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].str.lower()
+    def mask(self, texts: pd.Series) -> np.ndarray:
+        """Boolean mask: argmax language == self.lang (first-wins
+        ties, 'und' when all cues miss)."""
+        texts = texts.str.lower()
         lens = texts.str.len().to_numpy().clip(min=1)
-        best_lang = np.full(len(batch), "und", dtype=object)
-        best_score = np.zeros(len(batch))
+        best_lang = np.full(len(texts), "und", dtype=object)
+        best_score = np.zeros(len(texts))
         for lang, cues in self.profiles.items():
-            score = np.zeros(len(batch))
+            score = np.zeros(len(texts))
             for c in cues:
                 score += texts.str.count(c, flags=0).to_numpy()
             score = score / lens
             better = score > best_score
             best_lang[better] = lang
             best_score[better] = score[better]
-        out = batch[best_lang == self.lang].copy()
+        return best_lang == self.lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[self.mask(batch["text"])].copy()
         out["lang_pred"] = self.lang
         return out
 

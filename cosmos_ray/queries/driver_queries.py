@@ -2943,6 +2943,113 @@ QUALIFY row_number() OVER (PARTITION BY source
 SQL_CURATE_DOCS = _sql_curate_docs()
 
 
+def q_curation_funnel(sf_dir: str):
+    """Curation FUNNEL report — the per-source removal accounting every
+    production data pipeline publishes beside its output (how many docs
+    each curation rule dropped: input -> exact-dedup survivors ->
+    quality survivors -> language survivors), using exactly the
+    `pipelines/curate.py` gate semantics so the report audits the real
+    pipeline, not a reimplementation.
+
+    Shape: gate flags compute in ONE text pass that immediately drops
+    text (narrow (doc_id, source, flags) stream); the dedup-winner
+    marker joins via `left_join_or_broadcast` (distributed fallback
+    past the cap); one source-keyed groupby of integer partials."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.functions.dedup import hashed_winner_ids
+    from cosmos_ray.pipelines.curate import _LangGate, _quality_mask
+    from cosmos_ray.queries.relational import left_join_or_broadcast
+
+    docs = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    gate = _LangGate("en")
+
+    def flags(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        q = _quality_mask(t)
+        lm = gate.mask(t.column("text").to_pandas())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "q1": pa.array(q.astype(np.int64)),
+            "ql1": pa.array((q & lm).astype(np.int64))})
+
+    narrow = docs.map_batches(flags, batch_format="pyarrow")
+    winners = hashed_winner_ids(docs, text_col="text", id_col="doc_id")
+    marked = left_join_or_broadcast(
+        narrow,
+        winners.map_batches(lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "w1": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        key="doc_id", add_cols=["w1"], fill=0)
+
+    def products(t: pa.Table) -> pa.Table:
+        w = t.column("w1").to_numpy(zero_copy_only=False)
+        q = t.column("q1").to_numpy(zero_copy_only=False)
+        ql = t.column("ql1").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t.column("source"),
+            "w": pa.array(w), "wq": pa.array(w * q),
+            "wql": pa.array(w * ql)})
+
+    return (marked.map_batches(products, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(alias_name="n_input"),
+                       Sum("w", alias_name="n_after_dedup"),
+                       Sum("wq", alias_name="n_after_quality"),
+                       Sum("wql", alias_name="n_after_lang")))
+
+
+def _sql_curation_funnel(lang: str = "en") -> str:
+    from cosmos_ray.functions.textops import _LANG_CUES
+
+    def count_expr(cue: str) -> str:
+        c = cue.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{c}', ''))) // {len(cue)}"
+
+    langs = list(_LANG_CUES)
+    first_idx = langs.index(lang)
+    score_cols = ",\n       ".join(
+        f"CAST({' + '.join(count_expr(c) for c in cues)} AS DOUBLE) / l"
+        f" AS s_{lg}"
+        for lg, cues in _LANG_CUES.items())
+    mx = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    earlier = " AND ".join(
+        f"s_{langs[j]} < mx" for j in range(first_idx)) or "TRUE"
+    return f"""
+WITH win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+base AS (SELECT doc_id, source, text,
+                doc_id IN (SELECT doc_id FROM win) AS is_win,
+                (len(string_split(text, ' ')) >= 10
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the', 'a', 'and', 'of', 'to')))
+                          AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) <= 0.5)
+                  AS is_q
+         FROM documents),
+scored AS (SELECT doc_id, source, is_win, is_q,
+       {score_cols}
+       FROM (SELECT doc_id, source, is_win, is_q, lower(text) AS t,
+                    greatest(length(lower(text)), 1) AS l FROM base)),
+mxd AS (SELECT *, {mx} AS mx FROM scored),
+fl AS (SELECT source, is_win, is_q,
+              (mx > 0 AND s_{lang} = mx AND {earlier}) AS is_l
+       FROM mxd)
+SELECT source, CAST(count(*) AS BIGINT) AS n_input,
+       CAST(sum(CASE WHEN is_win THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_dedup,
+       CAST(sum(CASE WHEN is_win AND is_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_quality,
+       CAST(sum(CASE WHEN is_win AND is_q AND is_l THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_lang
+FROM fl GROUP BY source
+"""
+
+
+SQL_CURATION_FUNNEL = _sql_curation_funnel()
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing map: each doc's position in the
     concatenated doc_id-ordered token stream and the 512-token sequence
@@ -10730,6 +10837,7 @@ QUERIES = {
     "kg_measurement_outliers": q_kg_measurement_outliers,
     "kg_fact_sources": q_kg_fact_sources,
     "kg_2hop_store": q_kg_2hop_store,
+    "curation_funnel": q_curation_funnel,
 }
 
 ORACLES = {
@@ -10993,6 +11101,7 @@ ORACLES = {
     "kg_measurement_outliers": SQL_KG_MEASUREMENT_OUTLIERS,
     "kg_fact_sources": SQL_KG_FACT_SOURCES,
     "kg_2hop_store": SQL_KG_2HOP_STORE,
+    "curation_funnel": SQL_CURATION_FUNNEL,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
