@@ -2943,6 +2943,101 @@ QUALIFY row_number() OVER (PARTITION BY source
 SQL_CURATE_DOCS = _sql_curate_docs()
 
 
+def q_join_key_overlap(sf_dir: str):
+    """Join-PLANNING cardinality probe: KMV set-operation estimates of
+    the distinct-key overlap between orders.o_custkey and
+    customer.c_custkey — per-side distinct counts, union and
+    intersection all estimated from two 64-value k-min sketches (the
+    sketch a cost-based planner consults before picking broadcast vs
+    shuffle), with the exact overlap beside them. The sketches are
+    DETERMINISTIC md5 k-mins (`sketch.kmv_distinct` convention), so
+    the DuckDB oracle replays the ESTIMATES bit-for-bit.
+
+    Scale shape: each side's sketch comes from per-batch k-min partials
+    (k uint64s per batch cross the exchange; batch-local distinct
+    first); sketch set-algebra is driver work on 128 values; the exact
+    overlap is a two-stage distinct + size-guarded semi-join count."""
+    import hashlib
+
+    from cosmos_ray.queries.relational import semi_join_ds
+
+    K = 64
+
+    def kmin(ds, col: str) -> np.ndarray:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            vals = df[col].drop_duplicates().tolist()
+            hs = np.unique(np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"kmv0:{v}".encode()).digest()[:8],
+                    "little") for v in vals),
+                dtype=np.uint64, count=len(vals)))[:K]
+            return pd.DataFrame({"h": [hs.tolist()]})
+
+        parts = (ds.select_columns([col])
+                 .map_batches(part, batch_format="pandas").take_all())
+        if not parts:
+            return np.array([], np.uint64)
+        allh = np.unique(np.concatenate(
+            [np.asarray(r["h"], np.uint64) for r in parts]))
+        return allh[:K]
+
+    def est(sk: np.ndarray) -> float:
+        if len(sk) < K:
+            return float(len(sk))
+        return round((K - 1) * 2.0 ** 64 / float(sk[K - 1]), 6)
+
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    customer = read(sf_dir, "customer", ["c_custkey"])
+    sa, sb = kmin(orders, "o_custkey"), kmin(customer, "c_custkey")
+    u = np.unique(np.concatenate([sa, sb]))[:K]
+    ea, eb, eu = est(sa), est(sb), est(u)
+    sa_set, sb_set = set(sa.tolist()), set(sb.tolist())
+    both = sum(1 for h in u.tolist() if h in sa_set and h in sb_set)
+    ei = round(both / len(u) * eu, 6) if len(u) else 0.0
+
+    da = orders.groupby("o_custkey").count()
+    exact = semi_join_ds(da, customer, key_col="c_custkey",
+                         big_key="o_custkey").count()
+    return rd.from_arrow(pa.table({
+        "est_a": pa.array([ea], pa.float64()),
+        "est_b": pa.array([eb], pa.float64()),
+        "est_union": pa.array([eu], pa.float64()),
+        "est_intersection": pa.array([ei], pa.float64()),
+        "exact_overlap": pa.array([exact], pa.int64())}))
+
+
+SQL_JOIN_KEY_OVERLAP = """
+WITH da AS (SELECT DISTINCT o_custkey AS v FROM orders),
+db AS (SELECT DISTINCT c_custkey AS v FROM customer),
+ka AS (SELECT md5_number_upper('kmv0:' || v) AS h FROM da
+       ORDER BY h LIMIT 64),
+kb AS (SELECT md5_number_upper('kmv0:' || v) AS h FROM db
+       ORDER BY h LIMIT 64),
+ku AS (SELECT DISTINCT h FROM
+         (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+       ORDER BY h LIMIT 64),
+ea AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(63.0 * 18446744073709551616.0 /
+                         CAST(max(h) AS DOUBLE), 6) END AS e FROM ka),
+eb AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(63.0 * 18446744073709551616.0 /
+                         CAST(max(h) AS DOUBLE), 6) END AS e FROM kb),
+eu AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(63.0 * 18446744073709551616.0 /
+                         CAST(max(h) AS DOUBLE), 6) END AS e FROM ku),
+bi AS (SELECT CAST(count(*) AS DOUBLE) AS nb,
+              (SELECT CAST(count(*) AS DOUBLE) FROM ku) AS nu
+       FROM ku WHERE h IN (SELECT h FROM ka)
+                 AND h IN (SELECT h FROM kb)),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM da JOIN db USING (v))
+SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+       CASE WHEN bi.nu = 0 THEN 0.0
+            ELSE round(bi.nb / bi.nu * eu.e, 6) END AS est_intersection,
+       ex.n AS exact_overlap
+FROM ea, eb, eu, bi, ex
+"""
+
+
 def q_curation_funnel(sf_dir: str):
     """Curation FUNNEL report — the per-source removal accounting every
     production data pipeline publishes beside its output (how many docs
@@ -10838,6 +10933,7 @@ QUERIES = {
     "kg_fact_sources": q_kg_fact_sources,
     "kg_2hop_store": q_kg_2hop_store,
     "curation_funnel": q_curation_funnel,
+    "join_key_overlap": q_join_key_overlap,
 }
 
 ORACLES = {
@@ -11102,6 +11198,7 @@ ORACLES = {
     "kg_fact_sources": SQL_KG_FACT_SOURCES,
     "kg_2hop_store": SQL_KG_2HOP_STORE,
     "curation_funnel": SQL_CURATION_FUNNEL,
+    "join_key_overlap": SQL_JOIN_KEY_OVERLAP,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
