@@ -246,6 +246,36 @@ def build_ivf_index(emb_ds, out_dir: str, n_centroids: int = 16, seed: int = 23)
     return C
 
 
+def append_ivf_index(emb_ds, index_dir: str) -> int:
+    """Fold NEW vectors into an existing at-rest IVF index: assign them
+    with the index's OWN persisted centroids (the quantizer is frozen at
+    build time — the standard IVF maintenance contract) and append
+    uniquely-named files into the same ``cell=K/`` partitions. Existing
+    files are never rewritten, so the append is safe while readers
+    query (the `append_minhash_index` maintenance convention). Returns
+    the number of vectors appended."""
+    import os
+
+    import pyarrow as pa
+
+    assert os.path.exists(os.path.join(index_dir, "centroids.npy")), \
+        "append target must be an existing build_ivf_index directory"
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        V = _as_matrix(batch.column("embedding"))
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(Vn @ cm.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell))
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow") \
+        .materialize()
+    assigned.write_parquet(index_dir, partition_cols=["cell"])
+    return assigned.count()
+
+
 def ivf_query_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
                     nprobe: int = 4):
     """Query-time half: load the (tiny) centroid matrix, pick the

@@ -288,3 +288,44 @@ class TestProductQuantization:
             num += len(want & got)
             den += len(want)
         assert num / den >= 0.45, f"PQ recall {num/den}"
+
+
+def test_ivf_index_append_incremental(tmp_path):
+    """append_ivf_index: new vectors fold into the existing cell layout
+    with the frozen quantizer; queries over the appended index find
+    appended vectors and old files are never rewritten."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.functions.similarity import (append_ivf_index,
+                                                 build_ivf_index,
+                                                 ivf_query_index)
+
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(size=(300, 16))
+
+    def tbl(lo, hi):
+        return pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs[lo:hi]],
+                                  pa.list_(pa.float64()))})
+
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(tbl(0, 200)), idx_dir, n_centroids=8,
+                    seed=3)
+    before = sorted(glob.glob(os.path.join(idx_dir, "cell=*", "*.parquet")))
+    n = append_ivf_index(rd.from_arrow(tbl(200, 300)), idx_dir)
+    assert n == 100
+    after = sorted(glob.glob(os.path.join(idx_dir, "cell=*", "*.parquet")))
+    # append-only: every pre-append file survives untouched
+    assert set(before) <= set(after) and len(after) > len(before)
+
+    # a query AT an appended vector finds it (it lives in its own cell)
+    got = {r["vec_id"] for r in
+           ivf_query_index(idx_dir, vecs[250:251], k=5, nprobe=4)
+           .take_all()}
+    assert 250 in got
