@@ -160,6 +160,8 @@ def _run_bench() -> dict:
         "rolling_median",
         "events_box_scan",
         "fingerprint_lookup",
+        "kb_release",
+        "curation_funnel",
     )
     for name in q_names:
         t0 = time.perf_counter()
