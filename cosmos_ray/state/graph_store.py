@@ -114,12 +114,12 @@ def khop(root: str, seeds: list[str], hops: int = 2,
                     value_set=pa.array(sorted(f), pa.string())))}),
             batch_format="pyarrow")
             .groupby("dst_entity").count())
-        if dsts.count() > max_frontier:
+        rows = dsts.limit(max_frontier + 1).take_all()
+        if len(rows) > max_frontier:
             raise ValueError(
                 f"khop frontier exceeds max_frontier={max_frontier}; "
                 "use graph.connected_components for whole-graph reach")
-        nxt = sorted(d for d in
-                     (r["dst_entity"] for r in dsts.take_all())
+        nxt = sorted(d for d in (r["dst_entity"] for r in rows)
                      if d not in seen)
         for d in nxt:
             seen[d] = h
