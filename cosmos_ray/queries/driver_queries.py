@@ -6174,19 +6174,9 @@ def q_entity_trend(sf_dir: str):
                 batch_format="pyarrow")
             .groupby("url").aggregate(Max("ts_us", alias_name="ts_us")))
 
-    def men(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        parts = []
-        for c in ("subj_id", "obj_id"):
-            eid = t.column(c).combine_chunks()
-            ok = pc.not_equal(eid, "")
-            parts.append(pa.table({
-                "url": t.column("url").combine_chunks().filter(ok),
-                "entity_id": eid.filter(ok)}))
-        return pa.concat_tables(parts)
-
-    j = join_or_broadcast(lk.map_batches(men, batch_format="pyarrow"),
-                          meta, key="url", add_cols=["ts_us"])
+    j = join_or_broadcast(
+        lk.map_batches(_mentions_batch, batch_format="pyarrow"),
+        meta, key="url", add_cols=["ts_us"])
 
     def day(t: pa.Table) -> pa.Table:
         d = pc.divide(t.column("ts_us").cast(pa.int64()), 86_400_000_000)
@@ -6292,18 +6282,7 @@ def q_entity_salience(sf_dir: str):
 
     lk = _built_kg(sf_dir).linked
 
-    def men(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        parts = []
-        for c in ("subj_id", "obj_id"):
-            eid = t.column(c).combine_chunks()
-            ok = pc.not_equal(eid, "")
-            parts.append(pa.table({
-                "url": t.column("url").combine_chunks().filter(ok),
-                "entity_id": eid.filter(ok)}))
-        return pa.concat_tables(parts)
-
-    m = lk.map_batches(men, batch_format="pyarrow")
+    m = lk.map_batches(_mentions_batch, batch_format="pyarrow")
     tf = (m.groupby(["url", "entity_id"])
           .aggregate(Count(alias_name="tf")).materialize())
     df_t = (tf.groupby("entity_id").aggregate(Count(alias_name="df")))
@@ -10591,6 +10570,24 @@ ORDER BY entity
 SQL_KG_CLOSENESS = _sql_kg_closeness()
 
 
+def _mentions_batch(t: pa.Table, with_surface: bool = False) -> pa.Table:
+    """(url, entity_id[, surface]) rows for the LINKED endpoints of a
+    linked-triples batch (subject and object slots; unlinked mentions
+    drop batch-side). Shared by the alias-usage / trend / salience
+    mention streams."""
+    t = t.combine_chunks()
+    parts = []
+    for idc, surfc in (("subj_id", "subj"), ("obj_id", "obj")):
+        eid = t.column(idc).combine_chunks()
+        ok = pc.not_equal(eid, "")
+        cols = {"url": t.column("url").combine_chunks().filter(ok),
+                "entity_id": eid.filter(ok)}
+        if with_surface:
+            cols["surface"] = t.column(surfc).combine_chunks().filter(ok)
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
+
+
 def q_alias_usage(sf_dir: str):
     """Per-entity ALIAS-USAGE statistics: for each canonical entity, how
     often each surface form (canonical name vs alias) appears across the
@@ -10615,19 +10612,8 @@ def q_alias_usage(sf_dir: str):
     names = {r["canonical_id"]: r["name"]
              for r in build_entity_dict().to_pylist()}
 
-    def mentions(t: pa.Table) -> pa.Table:
-        urls = t.column("url").combine_chunks()
-        parts = []
-        for idc, surfc in (("subj_id", "subj"), ("obj_id", "obj")):
-            eid = t.column(idc).combine_chunks()
-            mask = pc.not_equal(eid, "")
-            parts.append(pa.table({
-                "entity_id": eid.filter(mask),
-                "surface": t.column(surfc).combine_chunks().filter(mask),
-                "url": urls.filter(mask)}))
-        return pa.concat_tables(parts)
-
-    per_url = (lk.map_batches(mentions, batch_format="pyarrow")
+    per_url = (lk.map_batches(lambda t: _mentions_batch(t, True),
+                              batch_format="pyarrow")
                .groupby(["entity_id", "surface", "url"])
                .aggregate(Count(alias_name="m")))
     rolled = (per_url.groupby(["entity_id", "surface"])
