@@ -118,3 +118,22 @@ def test_qa_extractor_total(s):
     row = QaExtractor("what scans?")(t).to_pylist()[0]
     if row["answer"] is not None:
         assert s[row["answer_start"]:row["answer_end"]] == row["answer"]
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=2_000_000_000),
+    st.binary(max_size=300)), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_warc_roundtrip_total(rows):
+    """WARC round-trip is exact for ANY payload bytes — including
+    payloads embedding 'WARC/' markers or CRLF-CRLF sequences (the
+    Content-Length walk never scans inside a record's payload)."""
+    from cosmos_ray.sources.warc import parse_warc_bytes, write_warc_shard
+
+    recs = [(u, ts * 1_000_000, b"\r\n\r\nWARC/1.0\r\n" + h)
+            for u, ts, h in rows]
+    parsed = parse_warc_bytes(write_warc_shard(recs))
+    got = [(r["url"], r["warc_ts_us"], r["html"]) for r in parsed]
+    assert got == recs
