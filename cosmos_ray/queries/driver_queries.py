@@ -10499,13 +10499,80 @@ def q_kg_betweenness(sf_dir: str):
     """Sampled-source Brandes betweenness over the entity graph
     (`graph.betweenness_sampled`: exact two-phase Brandes from the 4
     smallest entity ids — forward BFS sigma levels, backward dependency
-    joins, all node-bounded exchanges). Pivot-sampled scores have no
-    closed SQL form, so this query is pytest-gated (exact Brandes
-    reference on known graphs) rather than oracle-checked."""
+    joins, all node-bounded exchanges). Oracle-checked via the unrolled
+    two-phase Brandes SQL replay (`_sql_kg_betweenness`), plus
+    pytest-gated against direct Brandes on known graphs."""
     from cosmos_ray.functions.graph import betweenness_sampled
 
     return betweenness_sampled(_built_kg(sf_dir).adjacency,
                                k_sources=4, max_depth=6, topn=20)
+
+
+def _sql_kg_betweenness(k_sources: int = 4, max_depth: int = 6,
+                        topn: int = 20) -> str:
+    """Unrolled two-phase Brandes replay: forward BFS levels with
+    sigma path counts (one CTE per hop, the closeness frontier
+    pattern), then backward dependency accumulation
+    delta(v) = sum sigma_v / sigma_w * (1 + delta_w) per hop from the
+    deepest level up. Float sums accumulate in different orders than
+    the engine's distributed Sum, but every contribution is the same
+    IEEE expression and the result rounds at 6dp on both sides."""
+    parts = [_SQL_ADJ_CTE, f"""
+, e AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM adj WHERE src <> dst)
+, und AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)
+, sd AS MATERIALIZED (
+    SELECT DISTINCT src AS seed FROM und ORDER BY seed LIMIT {k_sources})
+, l0 AS MATERIALIZED (
+    SELECT seed, seed AS entity, CAST(1 AS DOUBLE) AS sigma FROM sd)
+, seen0 AS MATERIALIZED (SELECT seed, entity FROM l0)
+"""]
+    for i in range(1, max_depth + 1):
+        parts.append(f"""
+, l{i} AS MATERIALIZED (
+    SELECT c.seed, c.entity, sum(c.sigma) AS sigma FROM (
+      SELECT l.seed, u.dst AS entity, l.sigma
+      FROM l{i - 1} l JOIN und u ON u.src = l.entity) c
+    LEFT JOIN seen{i - 1} s ON s.seed = c.seed AND s.entity = c.entity
+    WHERE s.seed IS NULL
+    GROUP BY c.seed, c.entity)
+, seen{i} AS MATERIALIZED (
+    SELECT seed, entity FROM seen{i - 1}
+    UNION ALL SELECT seed, entity FROM l{i})
+""")
+    parts.append(f"""
+, d{max_depth} AS MATERIALIZED (
+    SELECT seed, entity, sigma, CAST(0 AS DOUBLE) AS delta
+    FROM l{max_depth})
+""")
+    for d in range(max_depth, 0, -1):
+        parts.append(f"""
+, d{d - 1} AS MATERIALIZED (
+    SELECT l.seed, l.entity, l.sigma, COALESCE(c.delta, 0) AS delta
+    FROM l{d - 1} l LEFT JOIN (
+      SELECT w.seed, u.src AS entity,
+             sum(lv.sigma / w.sigma * (1 + w.delta)) AS delta
+      FROM d{d} w
+      JOIN und u ON u.dst = w.entity
+      JOIN l{d - 1} lv ON lv.seed = w.seed AND lv.entity = u.src
+      GROUP BY w.seed, u.src) c
+    ON c.seed = l.seed AND c.entity = l.entity)
+""")
+    acc = "\nUNION ALL ".join(
+        f"SELECT entity, delta FROM d{i}"
+        for i in range(1, max_depth + 1))
+    parts.append(f"""
+, acc AS ({acc})
+SELECT entity, round(sum(delta) / 2, 6) AS betweenness
+FROM acc GROUP BY entity
+ORDER BY betweenness DESC, entity LIMIT {topn}
+""")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_BETWEENNESS = _sql_kg_betweenness()
 
 
 def q_kg_closeness(sf_dir: str):
@@ -11097,6 +11164,7 @@ ORACLES = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
     "kg_closeness": SQL_KG_CLOSENESS,
+    "kg_betweenness": SQL_KG_BETWEENNESS,
     "token_dense_rank": SQL_TOKEN_DENSE_RANK,
     "docs_evolved_union": SQL_DOCS_EVOLVED_UNION,
     "docs_time_travel": SQL_DOCS_TIME_TRAVEL,
