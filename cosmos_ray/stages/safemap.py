@@ -39,13 +39,52 @@ def _write_dead(dead_dir: str, ids: list, stage: str, errors: list) -> None:
     os.replace(tmp, final)  # atomic; identical content on re-run
 
 
+class BatchTimeout(Exception):
+    """A (sub)batch exceeded the safemap watchdog budget."""
+
+
+def _with_timeout(fn, timeout_s: float):
+    """Wrap ``fn`` with a SIGALRM watchdog raising `BatchTimeout` —
+    the lossless analog of the reference's 180 s straggler alarm that
+    silently DROPS unfinished futures (`ingest/ingest.py:134-148`):
+    here the timeout feeds the same bisection as a raise, so the slow
+    ROW is isolated and dead-lettered while the rest of the batch
+    flows. Each bisection level gets a fresh budget, so one slow row
+    costs at most timeout * log2(batch) extra wall time. Signals bind
+    only in the worker's main thread (Ray's default for map_batches
+    tasks); elsewhere the watchdog degrades to no-timeout."""
+    import signal
+
+    def run(t):
+        def on_alarm(signum, frame):
+            raise BatchTimeout(f"batch exceeded {timeout_s}s")
+
+        try:
+            old = signal.signal(signal.SIGALRM, on_alarm)
+        except ValueError:  # non-main thread: no watchdog
+            return fn(t)
+        signal.setitimer(signal.ITIMER_REAL, timeout_s)
+        try:
+            return fn(t)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0.0)
+            signal.signal(signal.SIGALRM, old)
+
+    return run
+
+
 def safe_map_batches(ds, fn, dead_dir: str, id_col: str,
-                     stage: str = "udf", batch_size: int | None = None):
+                     stage: str = "udf", batch_size: int | None = None,
+                     timeout_s: float | None = None):
     """-> Dataset of ``fn``'s output over the non-poison rows; poison
     rows land under ``dead_dir`` (read back with `read_dead`). Use a
     fresh ``dead_dir`` per run; on multi-node it must be shared storage
-    (same requirement as `extract_streaming`)."""
+    (same requirement as `extract_streaming`). ``timeout_s`` arms a
+    per-(sub)batch watchdog: rows that hang past the budget are
+    isolated and quarantined exactly like raising rows."""
     os.makedirs(dead_dir, exist_ok=True)
+    if timeout_s is not None:
+        fn = _with_timeout(fn, timeout_s)
 
     def apply(t: pa.Table) -> pa.Table:
         try:

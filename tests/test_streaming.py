@@ -192,3 +192,61 @@ class TestSafeMapBatches:
                              id_col="doc_id").materialize()
         assert len(os.listdir(dead)) == 1
         assert read_dead(dead).count() == 1
+
+
+def _slow_udf():
+    def udf(t):
+        import time
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if pc.any(pc.equal(t.column("v"), 13)).as_py():
+            time.sleep(5.0)  # hung row — far past the watchdog budget
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "doubled": pc.multiply(t.column("v"), 2)})
+
+    return udf
+
+
+class TestSafemapTimeout:
+
+    def test_hung_row_quarantined_rest_flow(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.stages.safemap import read_dead, safe_map_batches
+
+        dead = str(tmp_path / "dead_t")
+        n = 64
+        vals = [13 if i == 21 else i + 1000 for i in range(n)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "v": pa.array(vals, pa.int64())}))
+        out = safe_map_batches(ds, _slow_udf(), dead, id_col="doc_id",
+                               stage="slow", batch_size=32,
+                               timeout_s=0.3).to_pandas()
+        assert len(out) == n - 1
+        assert 21 not in set(out["doc_id"])
+        d = read_dead(dead).to_pandas()
+        assert d["id"].tolist() == ["21"]
+        assert d["error"].str.contains("BatchTimeout").all()
+
+    def test_fast_batches_untouched(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.stages.safemap import safe_map_batches
+
+        dead = str(tmp_path / "dead_t2")
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "v": pa.array(range(1000, 1040), pa.int64())}))
+        out = safe_map_batches(ds, _slow_udf(), dead, id_col="doc_id",
+                               timeout_s=2.0)
+        assert out.count() == 40
+        assert os.listdir(dead) == []
