@@ -1071,6 +1071,74 @@ def _smallest_k_seeds(eb, k: int):
     return seeds, node_type
 
 
+def bfs_tree(edges_ds, max_depth: int = 4,
+             src: str = "src_entity", dst: str = "dst_entity"):
+    """Shortest-path TREE from the smallest node id: (entity, dist,
+    parent) with parent = the lexicographically smallest predecessor on
+    a shortest path — the structure a KB service walks to answer 'how
+    are A and B related?' (path explanation; reference analog: the
+    per-entity neighborhood expansions Cosmos serves from its ES join
+    index, `retrieval/elastic_retriever.py:74-90`).
+
+    Scale shape: the closeness/betweenness frontier convention — each
+    hop is one hash join of the node-bounded undirected edge table
+    against the frontier, an anti-join against the seen set, and a
+    Min(parent) groupby; no driver pull at any size."""
+    from ray.data.aggregate import Min as _Min
+
+    from cosmos_ray.queries.relational import drop_empty_blocks
+
+    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    eb = _undirected_expanded(edges_ds, src, dst)
+    seeds, node_type = _smallest_k_seeds(eb, 1)
+    if not seeds:
+        return rd.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+            "parent": pa.array([], pa.string())}))
+    root = seeds[0]
+    levels = [rd.from_arrow(pa.table({
+        "entity": pa.array([root], node_type),
+        "dist": pa.array([0], pa.int64()),
+        "parent": pa.array([None], node_type)})).materialize()]
+    seen = levels[0].select_columns(["entity"])
+    for d in range(1, max_depth + 1):
+        cand = drop_empty_blocks(
+            eb.join(levels[-1].select_columns(["entity"]),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("src",), right_on=("entity",))
+            .map_batches(lambda t: pa.table({
+                "entity": t.column("dst"),
+                "parent": t.column("src")}), batch_format="pyarrow"))
+        fresh = drop_empty_blocks(
+            cand.join(
+                seen.map_batches(lambda t: pa.table({
+                    "__e": t.column("entity"),
+                    "__v": pa.array(np.ones(len(t), np.int64))}),
+                    batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("entity",), right_on=("__e",))
+            .map_batches(lambda t: t.filter(
+                pc.is_null(t.column("__v")))
+                .select(["entity", "parent"]), batch_format="pyarrow"))
+        lvl = drop_empty_blocks(
+            fresh.groupby("entity")
+            .aggregate(_Min("parent", alias_name="parent"))
+            .map_batches(lambda t, dd=d: t.append_column(
+                "dist", pa.array(np.full(len(t), dd, np.int64))),
+                batch_format="pyarrow")).materialize()
+        if not lvl.count():
+            break
+        levels.append(lvl.select_columns(["entity", "dist", "parent"])
+                      .materialize())
+        seen = drop_empty_blocks(
+            seen.union(lvl.select_columns(["entity"]))).materialize()
+    acc = levels[0]
+    for lv in levels[1:]:
+        acc = acc.union(lv)
+    return acc
+
+
 def betweenness_sampled(edges_ds, k_sources: int = 4, max_depth: int = 6,
                         src: str = "src_entity", dst: str = "dst_entity",
                         topn: int = 20, round_to: int = 6):

@@ -10575,6 +10575,51 @@ ORDER BY betweenness DESC, entity LIMIT {topn}
 SQL_KG_BETWEENNESS = _sql_kg_betweenness()
 
 
+def q_kg_bfs_tree(sf_dir: str):
+    """Shortest-path TREE from the smallest entity — dist plus the
+    lexicographically smallest shortest-path predecessor per node
+    (`graph.bfs_tree`): the structure a KB's 'how are A and B related?'
+    path explanation walks. Oracle: closeness-style unrolled BFS with a
+    min(parent) per level."""
+    from cosmos_ray.functions.graph import bfs_tree
+
+    return bfs_tree(_built_kg(sf_dir).adjacency, max_depth=4)
+
+
+def _sql_kg_bfs_tree(max_depth: int = 4) -> str:
+    parts = [_SQL_ADJ_CTE, """
+, e AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM adj WHERE src <> dst)
+, und AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)
+, rt AS MATERIALIZED (SELECT min(src) AS root FROM und)
+, l0 AS MATERIALIZED (
+    SELECT root AS entity, CAST(NULL AS VARCHAR) AS parent FROM rt)
+, seen0 AS MATERIALIZED (SELECT entity FROM l0)
+"""]
+    for i in range(1, max_depth + 1):
+        parts.append(f"""
+, l{i} AS MATERIALIZED (
+    SELECT c.entity, min(c.parent) AS parent FROM (
+      SELECT u.dst AS entity, u.src AS parent
+      FROM l{i - 1} l JOIN und u ON u.src = l.entity) c
+    LEFT JOIN seen{i - 1} s ON s.entity = c.entity
+    WHERE s.entity IS NULL
+    GROUP BY c.entity)
+, seen{i} AS MATERIALIZED (
+    SELECT entity FROM seen{i - 1} UNION ALL SELECT entity FROM l{i})
+""")
+    acc = "\nUNION ALL ".join(
+        f"SELECT entity, CAST({i} AS BIGINT) AS dist, parent FROM l{i}"
+        for i in range(0, max_depth + 1))
+    parts.append(f"\n{acc}\n")
+    return with_goldens("".join(parts))
+
+
+SQL_KG_BFS_TREE = _sql_kg_bfs_tree()
+
+
 def q_kg_closeness(sf_dir: str):
     """Sampled harmonic closeness centrality from the 4 smallest entity
     ids (`graph.closeness_sampled`: one composite-key (seed, entity) BFS
@@ -10987,6 +11032,7 @@ QUERIES = {
     "kg_2hop_store": q_kg_2hop_store,
     "curation_funnel": q_curation_funnel,
     "join_key_overlap": q_join_key_overlap,
+    "kg_bfs_tree": q_kg_bfs_tree,
 }
 
 ORACLES = {
@@ -11253,6 +11299,7 @@ ORACLES = {
     "kg_2hop_store": SQL_KG_2HOP_STORE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "join_key_overlap": SQL_JOIN_KEY_OVERLAP,
+    "kg_bfs_tree": SQL_KG_BFS_TREE,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
