@@ -10360,6 +10360,93 @@ LIMIT 20
 """)
 
 
+def q_kg_rule_infer(sf_dir: str):
+    """Rule-based KB COMPLETION — apply the TOP mined Horn rule
+    (deterministic (confidence, support, preds) order from
+    kg_rule_mining) to INFER the missing head edges: body pairs
+    p1(x,y) AND p2(y,z) whose head p3(x,z) is absent become new
+    candidate facts carrying the rule's confidence — the inference step
+    AMIE-style completion runs after mining (Galárraga et al., WWW'13
+    §7).
+
+    Shape: the rule itself is ONE driver row; the body instantiation is
+    one mid-keyed hash join of the two pred-filtered edge slices
+    (wedge fan-out, degree-bounded skew) and the head check is a
+    composite-key ANTI `semi_join_ds` (broadcast key set under the cap,
+    distributed past it)."""
+    from cosmos_ray.queries.relational import (_join_partitions,
+                                               semi_join_ds)
+
+    rule = q_kg_rule_mining(sf_dir).limit(1).take_all()[0]
+    p1, p2, p3 = rule["p1"], rule["p2"], rule["p3"]
+    conf = round(float(rule["confidence"]), 6)
+    adj = _built_kg(sf_dir).adjacency.select_columns(
+        ["src_entity", "pred", "dst_entity"])
+
+    def slice_pred(p, out_src, out_dst):
+        return adj.map_batches(
+            lambda t, pp=p, a=out_src, b=out_dst: pa.table({
+                a: t.column("src_entity"),
+                b: t.column("dst_entity")}).filter(
+                    pc.equal(t.column("pred"), pp)),
+            batch_format="pyarrow")
+
+    e1 = slice_pred(p1, "a", "mid")
+    e2 = slice_pred(p2, "mid2", "c")
+    cand = (e1.join(e2, join_type="inner",
+                    num_partitions=_join_partitions(),
+                    on=("mid",), right_on=("mid2",))
+            .groupby(["a", "c"]).count().drop_columns(["count()"]))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column("k", pc.binary_join_element_wise(
+            t.column("a").combine_chunks(),
+            t.column("c").combine_chunks(), "\x1f"))
+
+    heads = slice_pred(p3, "a", "c").map_batches(
+        keyed, batch_format="pyarrow").select_columns(["k"])
+    inferred = semi_join_ds(cand.map_batches(keyed,
+                                             batch_format="pyarrow"),
+                            heads, key_col="k", big_key="k", keep=False)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src_entity": t.column("a"),
+            "pred": pa.array([p3] * n, pa.string()),
+            "dst_entity": t.column("c"),
+            "confidence": pa.array(np.full(n, conf, np.float64))})
+
+    return inferred.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_KG_RULE_INFER = with_goldens(_SQL_EDG_CTE + """
+, body AS (SELECT DISTINCT e1.src AS a, e1.pred AS p1,
+                           e2.pred AS p2, e2.dst AS c
+           FROM edg e1 JOIN edg e2 ON e2.src = e1.dst)
+, nb AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_body
+         FROM body GROUP BY 1, 2)
+, sup AS (SELECT b.p1, b.p2, h.pred AS p3,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM body b JOIN edg h ON h.src = b.a AND h.dst = b.c
+          GROUP BY 1, 2, 3)
+, top1 AS (SELECT s.p1, s.p2, s.p3,
+                  CAST(s.support AS DOUBLE) / nb.n_body AS confidence
+           FROM sup s JOIN nb USING (p1, p2)
+           ORDER BY confidence DESC, support DESC, p1, p2, p3 LIMIT 1)
+, cand AS (SELECT DISTINCT e1.src AS a, e2.dst AS c, t.p3, t.confidence
+           FROM top1 t
+           JOIN edg e1 ON e1.pred = t.p1
+           JOIN edg e2 ON e2.src = e1.dst AND e2.pred = t.p2)
+SELECT c.a AS src_entity, c.p3 AS pred, c.c AS dst_entity,
+       round(c.confidence, 6) AS confidence
+FROM cand c
+LEFT JOIN edg h ON h.src = c.a AND h.dst = c.c AND h.pred = c.p3
+WHERE h.src IS NULL
+""")
+
+
 def q_kg_entity_types(sf_dir: str):
     """Predicate-profile type induction: each entity typed by the
     predicate it most often appears as SUBJECT of (argmax over summed
@@ -11033,6 +11120,7 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "join_key_overlap": q_join_key_overlap,
     "kg_bfs_tree": q_kg_bfs_tree,
+    "kg_rule_infer": q_kg_rule_infer,
 }
 
 ORACLES = {
@@ -11300,6 +11388,7 @@ ORACLES = {
     "curation_funnel": SQL_CURATION_FUNNEL,
     "join_key_overlap": SQL_JOIN_KEY_OVERLAP,
     "kg_bfs_tree": SQL_KG_BFS_TREE,
+    "kg_rule_infer": SQL_KG_RULE_INFER,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
