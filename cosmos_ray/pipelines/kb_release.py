@@ -80,6 +80,29 @@ def release_facts(sf_dir: str):
     return out.drop_columns(["k"])
 
 
+def publish_release_versioned(sf_dir: str, table_dir: str) -> dict:
+    """Publish the released fact table into the Delta-style VERSIONED
+    store (`state/versioned.py`) as one overwrite commit — release
+    management at rest: every publish is an immutable KB version, so
+    consumers time-travel between releases (`read_snapshot(v)`), roll
+    back a bad one (`rollback`), and diff two releases by fact key
+    (`version_diff`). Each fact carries a stable ``fact_id``
+    (subj|pred|obj) for the diff's key column. Returns the commit
+    record."""
+    from cosmos_ray.state.versioned import commit_overwrite
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column("fact_id", pc.binary_join_element_wise(
+            t.column("subj").combine_chunks(),
+            t.column("pred").combine_chunks(),
+            t.column("obj").combine_chunks(), "\x1f"))
+
+    facts = release_facts(sf_dir).map_batches(keyed,
+                                              batch_format="pyarrow")
+    return commit_overwrite(table_dir, facts, op="kb_release")
+
+
 def write_release(sf_dir: str, out_dir: str) -> dict:
     """Publish a release directory: facts/ + entities/ partitioned
     parquet and a manifest.json with row counts and order-insensitive
