@@ -7510,6 +7510,36 @@ FROM mxd
 SQL_LANGID = _sql_langid()
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier CONFUSION MATRIX — the labeled ``lang`` column vs the
+    langid prediction per document: the per-class error breakdown that
+    completes the eval family beside P/R/F1 (kg_eval_prf) and AP
+    (kg_eval_ap); what a model owner reads before adjusting cue
+    profiles.
+
+    Shape: scoring is the langid actor-pool pass; labels join via
+    `join_or_broadcast` on the pruned (doc_id, lang) stream; one
+    (label, pred) groupby — |langs|^2 bounded."""
+    from ray.data.aggregate import Count
+
+    from cosmos_ray.functions.textops import language_id
+
+    preds = language_id(read(sf_dir, "documents", ["doc_id", "text"]))
+    labels = read(sf_dir, "documents", ["doc_id", "lang"])
+    j = join_or_broadcast(preds.select_columns(["doc_id", "lang_pred"]),
+                          labels, key="doc_id", add_cols=["lang"])
+    return (j.groupby(["lang", "lang_pred"])
+            .aggregate(Count(alias_name="n")))
+
+
+SQL_LANG_CONFUSION = f"""
+WITH pred AS ({SQL_LANGID})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def q_minhash_clusters(sf_dir: str):
     from cosmos_ray.functions.dedup import minhash_dedup
 
@@ -11121,6 +11151,7 @@ QUERIES = {
     "join_key_overlap": q_join_key_overlap,
     "kg_bfs_tree": q_kg_bfs_tree,
     "kg_rule_infer": q_kg_rule_infer,
+    "lang_confusion": q_lang_confusion,
 }
 
 ORACLES = {
@@ -11389,6 +11420,7 @@ ORACLES = {
     "join_key_overlap": SQL_JOIN_KEY_OVERLAP,
     "kg_bfs_tree": SQL_KG_BFS_TREE,
     "kg_rule_infer": SQL_KG_RULE_INFER,
+    "lang_confusion": SQL_LANG_CONFUSION,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
