@@ -7540,6 +7540,53 @@ GROUP BY 1, 2
 """
 
 
+def q_lang_kappa(sf_dir: str):
+    """Cohen's KAPPA between the labeled ``lang`` column and the langid
+    prediction — chance-corrected agreement over the confusion matrix
+    (po - pe) / (1 - pe), the standard scalar beside the matrix itself.
+
+    Shape: the langs^2-bounded confusion counts collect under the
+    driver guard (`collect_small`); kappa is integer-exact arithmetic
+    divided once in float64."""
+    from cosmos_ray.queries.relational import collect_small
+
+    counts = collect_small(q_lang_confusion(sf_dir), cap_rows=100_000)
+    if counts is None:
+        raise ValueError("confusion matrix exceeded the driver cap")
+    df = counts.to_pandas()
+    n = int(df["n"].sum())
+    po = int(df.loc[df["lang"] == df["lang_pred"], "n"].sum())
+    row = df.groupby("lang")["n"].sum()
+    col = df.groupby("lang_pred")["n"].sum()
+    classes = sorted(set(row.index) | set(col.index))
+    pe_num = sum(int(row.get(c, 0)) * int(col.get(c, 0)) for c in classes)
+    kappa = round((po * n - pe_num) / float(n * n - pe_num), 6)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "po": pa.array([round(po / n, 6)], pa.float64()),
+        "pe": pa.array([round(pe_num / (n * n), 6)], pa.float64()),
+        "kappa": pa.array([kappa], pa.float64())}))
+
+
+SQL_LANG_KAPPA = f"""
+WITH pred AS ({SQL_LANGID})
+, cm AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2)
+, tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cm)
+, po AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS po FROM cm
+         WHERE lang = lang_pred)
+, pe AS (SELECT CAST(coalesce(sum(r.rn * c.cn), 0) AS BIGINT) AS pe_num
+         FROM (SELECT lang AS cls, sum(n) AS rn FROM cm GROUP BY 1) r
+         JOIN (SELECT lang_pred AS cls, sum(n) AS cn FROM cm
+               GROUP BY 1) c USING (cls))
+SELECT tot.n, round(CAST(po.po AS DOUBLE) / tot.n, 6) AS po,
+       round(CAST(pe.pe_num AS DOUBLE) / (tot.n * tot.n), 6) AS pe,
+       round((po.po * tot.n - pe.pe_num)
+             / CAST(tot.n * tot.n - pe.pe_num AS DOUBLE), 6) AS kappa
+FROM tot, po, pe
+"""
+
+
 def q_minhash_clusters(sf_dir: str):
     from cosmos_ray.functions.dedup import minhash_dedup
 
@@ -11152,6 +11199,7 @@ QUERIES = {
     "kg_bfs_tree": q_kg_bfs_tree,
     "kg_rule_infer": q_kg_rule_infer,
     "lang_confusion": q_lang_confusion,
+    "lang_kappa": q_lang_kappa,
 }
 
 ORACLES = {
@@ -11421,6 +11469,7 @@ ORACLES = {
     "kg_bfs_tree": SQL_KG_BFS_TREE,
     "kg_rule_infer": SQL_KG_RULE_INFER,
     "lang_confusion": SQL_LANG_CONFUSION,
+    "lang_kappa": SQL_LANG_KAPPA,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
