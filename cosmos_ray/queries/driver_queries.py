@@ -6597,6 +6597,58 @@ SELECT prefix, term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
 """
 
 
+def q_host_politeness(sf_dir: str):
+    """Crawl POLITENESS audit — per host the fetch count, the minimum
+    inter-fetch gap and the median gap (seconds can be negative-free
+    since gaps are sorted-ts diffs): the compliance report a crawl
+    operator keeps to prove rate limits were honored.
+
+    Shape: a (host, ts) metadata pass (html never read), then one
+    host-bucketed finish (`bucketed_group_apply`) with a vectorized
+    sort+diff — the sessionize posture."""
+    pages = _pages_ds(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t.column("url"), r"https?://(?P<h>[^/]+)/")
+        return pa.table({
+            "host": pc.struct_field(host, "h"),
+            "ts_us": t.column("warc_ts").cast(pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy())
+        d = np.diff(ts)
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_fetches": [np.int64(len(ts))],
+            "min_gap_us": [np.int64(d.min()) if len(d) else None],
+            "p50_gap_us": [float(np.median(d)) if len(d) else None]})
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    return bucketed_group_apply(
+        pages.map_batches(prep, batch_format="pyarrow"),
+        ["host"], finish)
+
+
+SQL_HOST_POLITENESS = """
+WITH p AS (
+  SELECT 'web' || (doc_id % 20) || '.example.org' AS host,
+         CAST(1700000000000000 + doc_id * 1000000 AS BIGINT) AS ts
+  FROM documents
+  UNION ALL
+  SELECT 'web' || (doc_id % 20) || '.example.org',
+         CAST(1700000000000000 + doc_id * 1000000 - 3600000000 AS BIGINT)
+  FROM documents WHERE doc_id % 50 = 7)
+, g AS (SELECT host,
+               ts - lag(ts) OVER (PARTITION BY host ORDER BY ts) AS d
+        FROM p)
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(min(d) AS BIGINT) AS min_gap_us,
+       CAST(median(d) AS DOUBLE) AS p50_gap_us
+FROM g GROUP BY host
+"""
+
+
 def q_host_url_sample(sf_dir: str):
     """Consistent per-host URL sampling: the k urls with the smallest
     md5 digests per host — hash-rank sampling, so re-crawls sample the
@@ -11200,6 +11252,7 @@ QUERIES = {
     "kg_rule_infer": q_kg_rule_infer,
     "lang_confusion": q_lang_confusion,
     "lang_kappa": q_lang_kappa,
+    "host_politeness": q_host_politeness,
 }
 
 ORACLES = {
@@ -11470,6 +11523,7 @@ ORACLES = {
     "kg_rule_infer": SQL_KG_RULE_INFER,
     "lang_confusion": SQL_LANG_CONFUSION,
     "lang_kappa": SQL_LANG_KAPPA,
+    "host_politeness": SQL_HOST_POLITENESS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
