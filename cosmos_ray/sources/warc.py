@@ -110,8 +110,14 @@ def read_warc_pages(paths: str | list[str]):
     files = rd.read_binary_files(paths)
 
     def explode(batch: pa.Table) -> pa.Table:
+        import gzip
+
         urls, tss, htmls = [], [], []
         for blob in batch.column("bytes").to_pylist():
+            if blob[:2] == b"\x1f\x8b":  # .warc.gz shard (the Common
+                # Crawl shipping format); member-concatenated gzip
+                # decompresses transparently with stdlib gzip
+                blob = gzip.decompress(blob)
             for r in parse_warc_bytes(blob):
                 urls.append(r["url"])
                 tss.append(r["warc_ts_us"])

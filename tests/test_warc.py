@@ -74,3 +74,23 @@ class TestWarc:
         from_warc = build_kg(read_warc_pages(paths))
         assert tri_set(from_warc) == tri_set(base)
         assert from_warc.entities.count() == base.entities.count()
+
+    def test_gzip_shards(self, tmp_path):
+        """.warc.gz shards (the Common Crawl shipping format) read
+        transparently — including multi-member concatenated gzip."""
+        import gzip
+
+        from cosmos_ray.sources.warc import read_warc_pages
+
+        rows = _pages_rows()[:20]
+        p = tmp_path / "shard.warc.gz"
+        # two gzip members concatenated, as real dumps are
+        p.write_bytes(gzip.compress(write_warc_shard(rows[:10]))
+                      + gzip.compress(write_warc_shard(rows[10:])))
+        df = read_warc_pages(str(p)).to_pandas()
+        got = {(u, int(ts), hashlib.md5(h).hexdigest())
+               for u, ts, h in zip(
+                   df["url"],
+                   df["warc_ts"].astype("datetime64[us]").astype("int64"),
+                   df["html"])}
+        assert got == _key_set(rows)
