@@ -71,6 +71,34 @@ def quality_score_batch(t: pa.Table) -> pa.Table:
 _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def compression_ratio_batch(t: pa.Table, level: int = 6) -> pa.Table:
+    """Per-doc zlib COMPRESSION RATIO (compressed/raw bytes) — the
+    Gopher-style repetitiveness signal (Rae et al. 2021 use exactly
+    this: highly compressible text is boilerplate/templating, nearly
+    incompressible text is noise). Deterministic for a fixed zlib
+    level, so the pytest golden recomputes it bit-exactly; no SQL
+    analog exists (DuckDB has no compress scalar), so the query is
+    rows-only by design. The per-doc compress call is the unavoidable
+    per-string kernel (C-speed zlib), same posture as md5 hashing."""
+    import zlib
+
+    texts = t.column("text").to_pylist()
+    ratios = []
+    for s in texts:
+        b = s.encode("utf-8")
+        ratios.append(
+            round(len(zlib.compress(b, level)) / max(len(b), 1), 6))
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "compression_ratio": pa.array(ratios, pa.float64())})
+
+
+def compression_ratios(docs_ds, level: int = 6):
+    return docs_ds.map_batches(
+        lambda t, lv=level: compression_ratio_batch(t, lv),
+        batch_format="pyarrow")
+
+
 def regex_token_count_batch(t: pa.Table) -> pa.Table:
     """doc_id, n_regex_tokens using the BPE-ish pre-tokenizer regex —
     vectorized via pyarrow extract_regex? count via split is wrong; use

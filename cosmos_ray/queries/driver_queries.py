@@ -6597,6 +6597,17 @@ SELECT prefix, term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
 """
 
 
+def q_compression_quality(sf_dir: str):
+    """Gopher-style zlib compression-ratio quality signal per document
+    (`textops.compression_ratios`) — rows-only by design (no SQL
+    compress scalar); the exact values are pytest-golden-gated
+    (`test_textops`)."""
+    from cosmos_ray.functions.textops import compression_ratios
+
+    return compression_ratios(read(sf_dir, "documents",
+                                   ["doc_id", "text"]))
+
+
 def q_host_politeness(sf_dir: str):
     """Crawl POLITENESS audit — per host the fetch count, the minimum
     inter-fetch gap and the median gap (seconds can be negative-free
@@ -11253,6 +11264,7 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "lang_kappa": q_lang_kappa,
     "host_politeness": q_host_politeness,
+    "compression_quality": q_compression_quality,
 }
 
 ORACLES = {

@@ -213,3 +213,36 @@ class TestLlrKeyness:
                         k=3, min_count=1).to_pandas()
         assert list(a["token"]) == list(b["token"])
         assert len(a) == 3
+
+
+class TestCompressionRatio:
+    def test_exact_golden_and_ordering(self, documents_small):
+        import zlib
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.textops import compression_ratios
+
+        docs = documents_small.slice(0, 40).select(["doc_id", "text"])
+        out = {r["doc_id"]: r["compression_ratio"] for r in
+               compression_ratios(rd.from_arrow(docs)).take_all()}
+        for did, text in zip(docs.column("doc_id").to_pylist(),
+                             docs.column("text").to_pylist()):
+            b = text.encode("utf-8")
+            want = round(len(zlib.compress(b, 6)) / max(len(b), 1), 6)
+            assert out[did] == want
+
+    def test_repetitive_compresses_harder(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from cosmos_ray.functions.textops import compression_ratios
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["spam " * 400,
+                                        " ".join(f"w{i}^{i * 7 % 91}"
+                                                 for i in range(400))])})
+        out = {r["doc_id"]: r["compression_ratio"] for r in
+               compression_ratios(rd.from_arrow(t)).take_all()}
+        assert out[1] < 0.05 < out[2]
