@@ -97,9 +97,40 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             continue
         # strip the HTTP envelope: body starts after its header block
         body_at = payload.find(b"\r\n\r\n")
-        body = payload[body_at + 4:] if body_at >= 0 else payload
+        if body_at >= 0:
+            http_hdr = payload[:body_at].lower()
+            body = payload[body_at + 4:]
+            if b"transfer-encoding: chunked" in http_hdr:
+                body = _dechunk(body)
+        else:
+            body = payload
         rows.append({"url": url, "warc_ts_us": ts_us, "html": body})
     return rows
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked body (real crawls store responses
+    as-captured, chunk framing included). Malformed framing returns
+    the remaining bytes as-is — the extract stage's dead-letter path
+    owns undecodable html."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            out.append(body[pos:])
+            break
+        size_tok = body[pos:nl].split(b";")[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            out.append(body[pos:])
+            break
+        if n == 0:
+            break
+        out.append(body[nl + 2:nl + 2 + n])
+        pos = nl + 2 + n + 2  # skip chunk payload + trailing CRLF
+    return b"".join(out)
 
 
 def read_warc_pages(paths: str | list[str]):

@@ -94,3 +94,23 @@ class TestWarc:
                    df["warc_ts"].astype("datetime64[us]").astype("int64"),
                    df["html"])}
         assert got == _key_set(rows)
+
+    def test_chunked_transfer_encoding_dechunked(self):
+        """Responses captured with Transfer-Encoding: chunked decode to
+        the logical body (real crawls store the wire framing)."""
+        from cosmos_ray.sources.warc import parse_warc_bytes
+
+        body = b"<html>hello chunked world</html>"
+        chunked = (b"d\r\n" + body[:13] + b"\r\n"
+                   + format(len(body) - 13, "x").encode() + b"\r\n"
+                   + body[13:] + b"\r\n0\r\n\r\n")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x.example/a\r\n"
+               b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+               + f"Content-Length: {len(http)}\r\n\r\n".encode()
+               + http + b"\r\n\r\n")
+        parsed = parse_warc_bytes(rec)
+        assert len(parsed) == 1
+        assert parsed[0]["html"] == body
