@@ -177,3 +177,19 @@ def test_corpus_links_match_planted_facts(pages_small, golden_small, ray_session
     did = int(u.rsplit("/", 1)[1])
     row = got[got["url"] == u].iloc[0]
     assert row["href"] == _link_href(did, int(row["link_idx"]))
+
+
+def test_jsonl_gz_reads_natively(tmp_path, documents_small):
+    """.jsonl.gz dumps read transparently (arrow decompresses by
+    extension) — the compressed interchange path beside .warc.gz."""
+    import gzip
+    import json
+
+    from cosmos_ray.sources.text_formats import read_jsonl_docs
+
+    rows = documents_small.slice(0, 30).select(["doc_id", "text"]).to_pylist()
+    p = tmp_path / "dump.jsonl.gz"
+    p.write_bytes(gzip.compress(
+        "\n".join(json.dumps(r) for r in rows).encode()))
+    got = read_jsonl_docs(str(p)).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == sorted(r["doc_id"] for r in rows)
