@@ -6597,6 +6597,56 @@ SELECT prefix, term, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
 """
 
 
+def q_template_clusters(sf_dir: str):
+    """DOM TEMPLATE clustering — pages grouped by the md5 of their tag
+    SEQUENCE (structure-level fingerprint, complementing the text-level
+    `kg_boilerplate`): the template-detection signal a crawler uses to
+    recognize sites generated from one CMS layout. -> (template_hash,
+    n_pages, n_hosts) for templates shared by >= 2 pages.
+
+    Shape: per-url tag-string assembly is one url-bucketed pass
+    (segments per url are page-bounded); afterwards only (hash, host)
+    rows exchange — template-vocab bounded."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.queries.relational import bucketed_group_apply
+
+    segs = _built_kg(sf_dir).segments.select_columns(
+        ["url", "seg_id", "tag"])
+
+    def fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seg_id", kind="stable")
+        sig = ",".join(g["tag"])
+        return pd.DataFrame({
+            "template_hash": [hashlib.md5(sig.encode()).hexdigest()],
+            "host": [g["url"].iloc[0].split("/")[2]]})
+
+    per_url = bucketed_group_apply(segs, ["url"], fp)
+    per_host = (per_url.groupby(["template_hash", "host"])
+                .aggregate(Count(alias_name="n")))
+    out = (per_host.groupby("template_hash")
+           .aggregate(Sum("n", alias_name="n_pages"),
+                      Count(alias_name="n_hosts")))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_pages"), 2)),
+        batch_format="pyarrow")
+
+
+SQL_TEMPLATE_CLUSTERS = with_goldens("""
+, sig AS (SELECT url, split_part(url, '/', 3) AS host,
+                 md5(string_agg(tag, ',' ORDER BY seg_id))
+                   AS template_hash
+          FROM blocks GROUP BY url)
+, ph AS (SELECT template_hash, host, count(*) AS n
+         FROM sig GROUP BY 1, 2)
+SELECT template_hash, CAST(sum(n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM ph GROUP BY 1 HAVING sum(n) >= 2
+""")
+
+
 def q_compression_quality(sf_dir: str):
     """Gopher-style zlib compression-ratio quality signal per document
     (`textops.compression_ratios`) — rows-only by design (no SQL
@@ -11265,6 +11315,7 @@ QUERIES = {
     "lang_kappa": q_lang_kappa,
     "host_politeness": q_host_politeness,
     "compression_quality": q_compression_quality,
+    "template_clusters": q_template_clusters,
 }
 
 ORACLES = {
@@ -11536,6 +11587,7 @@ ORACLES = {
     "lang_confusion": SQL_LANG_CONFUSION,
     "lang_kappa": SQL_LANG_KAPPA,
     "host_politeness": SQL_HOST_POLITENESS,
+    "template_clusters": SQL_TEMPLATE_CLUSTERS,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
