@@ -5981,6 +5981,78 @@ GROUP BY r.subj_id, k.name
 """)
 
 
+def q_release_validation(sf_dir: str):
+    """dbt-style CONTRACT TESTS over the published KB release: per rule
+    the violation count (must be 0 in a healthy release) — uniqueness
+    of (subj, pred), canonical-id well-formedness on both endpoints,
+    evidence sanity (n_hosts >= 1, n_mentions >= n_hosts). The
+    validation suite a release pipeline runs before promoting the
+    artifact (the data-quality analog of `functions/validate.py` on the
+    relational side).
+
+    Shape: one vectorized check pass over the release stream emitting
+    int indicator partials; (subj, pred) uniqueness is a two-stage
+    groupby; output is rule-vocabulary sized."""
+    from ray.data.aggregate import Count, Sum
+
+    from cosmos_ray.pipelines.kb_release import release_facts
+
+    rel = release_facts(sf_dir).materialize()
+
+    def checks(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        bad_subj = pc.invert(pc.match_substring_regex(
+            t.column("subj_id"), r"^E[0-9]{4}$"))
+        bad_obj = pc.invert(pc.match_substring_regex(
+            t.column("obj_id"), r"^E[0-9]{4}$"))
+        nh = t.column("n_hosts").cast(pa.int64())
+        nm = t.column("n_mentions").cast(pa.int64())
+        return pa.table({
+            "bad_subj_id": bad_subj.cast(pa.int64()),
+            "bad_obj_id": bad_obj.cast(pa.int64()),
+            "bad_hosts": pc.less(nh, 1).cast(pa.int64()),
+            "bad_evidence": pc.less(nm, nh).cast(pa.int64())})
+
+    sums = (rel.map_batches(checks, batch_format="pyarrow")
+            .sum(["bad_subj_id", "bad_obj_id", "bad_hosts",
+                  "bad_evidence"]))
+    dup_sp = (rel.groupby(["subj", "pred"])
+              .aggregate(Count(alias_name="__n"))
+              .map_batches(lambda t: pa.table({
+                  "d": pc.greater(t.column("__n"), 1).cast(pa.int64())}),
+                  batch_format="pyarrow")
+              .sum("d"))
+    rules = ["duplicate_subj_pred", "bad_subj_id", "bad_obj_id",
+             "bad_hosts", "bad_evidence"]
+    viol = [int(dup_sp), int(sums["sum(bad_subj_id)"]),
+            int(sums["sum(bad_obj_id)"]), int(sums["sum(bad_hosts)"]),
+            int(sums["sum(bad_evidence)"])]
+    return rd.from_arrow(pa.table({
+        "rule": pa.array(rules, pa.string()),
+        "violations": pa.array(viol, pa.int64())}))
+
+
+SQL_RELEASE_VALIDATION = with_goldens(_kb_release_ctes() + """
+, dup AS (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS v
+          FROM (SELECT subj, pred, count(*) AS n FROM rel GROUP BY 1, 2))
+, flags AS (SELECT
+    CAST(sum(CASE WHEN NOT regexp_matches(subj_id, '^E[0-9]{4}$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS bs,
+    CAST(sum(CASE WHEN NOT regexp_matches(obj_id, '^E[0-9]{4}$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS bo,
+    CAST(sum(CASE WHEN n_hosts < 1 THEN 1 ELSE 0 END) AS BIGINT) AS bh,
+    CAST(sum(CASE WHEN n_mentions < n_hosts THEN 1 ELSE 0 END) AS BIGINT)
+      AS be
+  FROM rel)
+SELECT 'duplicate_subj_pred' AS rule, dup.v AS violations FROM dup
+UNION ALL SELECT 'bad_subj_id', coalesce(bs, 0) FROM flags
+UNION ALL SELECT 'bad_obj_id', coalesce(bo, 0) FROM flags
+UNION ALL SELECT 'bad_hosts', coalesce(bh, 0) FROM flags
+UNION ALL SELECT 'bad_evidence', coalesce(be, 0) FROM flags
+""")
+
+
 def q_kg_nil_entities(sf_dir: str):
     """NIL clustering — the entity-linking step for UNLINKABLE mentions
     (reference analog: surfaces below the linker's 0.8 threshold,
@@ -11316,6 +11388,7 @@ QUERIES = {
     "host_politeness": q_host_politeness,
     "compression_quality": q_compression_quality,
     "template_clusters": q_template_clusters,
+    "release_validation": q_release_validation,
 }
 
 ORACLES = {
@@ -11588,6 +11661,7 @@ ORACLES = {
     "lang_kappa": SQL_LANG_KAPPA,
     "host_politeness": SQL_HOST_POLITENESS,
     "template_clusters": SQL_TEMPLATE_CLUSTERS,
+    "release_validation": SQL_RELEASE_VALIDATION,
     # word_vectors, embed_docs, ivf_topk: genuinely non-SQL (SVD model
     # state / float accumulation order / seeded approximate index);
     # exact pytest goldens hold those gates
