@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Driver-mirror correctness sweep: every queries() entry at sf0.01
+vs its oracle_sql() via DuckDB (rows / columns / values), rows-only
+check otherwise. Mirrors the driver's CORRECTNESS gate."""
+import json
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+import ray
+
+ray.init(address="local", num_cpus=32, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+
+DataContext.get_current().enable_progress_bars = False
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+sys.path.insert(0, "/root/repo")
+from cosmos_ray.queries.driver_queries import ORACLES, QUERIES
+
+
+def oracle(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def eq(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+results = {}
+names = sorted(QUERIES)
+only = sys.argv[1:] if len(sys.argv) > 1 else None
+for name in names:
+    if only and name not in only:
+        continue
+    t0 = time.time()
+    try:
+        res = QUERIES[name](SF)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if name not in ORACLES:
+            results[name] = {"ok": len(df) >= 0, "rows": len(df),
+                             "mode": "rows_only", "s": round(time.time() - t0, 1)}
+            print(name, results[name], flush=True)
+            continue
+        got = norm(df)
+        want = norm(oracle(ORACLES[name]))
+        ok = list(got.columns) == list(want.columns) and len(got) == len(want)
+        bad = 0
+        if ok:
+            # list-typed columns can't be compared this way; rows-only
+            try:
+                for col in got.columns:
+                    for x, y in zip(got[col].tolist(), want[col].tolist()):
+                        if not eq(x, y):
+                            bad += 1
+            except Exception:
+                bad = -1
+        results[name] = {"ok": ok and bad == 0, "rows": len(got),
+                         "oracle_rows": len(want), "mismatches": bad,
+                         "s": round(time.time() - t0, 1)}
+    except Exception as e:
+        results[name] = {"ok": False, "error": repr(e)[:200],
+                         "s": round(time.time() - t0, 1)}
+    print(name, results[name], flush=True)
+
+fails = {k: v for k, v in results.items() if not v["ok"]}
+print(json.dumps({"total": len(results), "failed": len(fails),
+                  "fails": fails}))
+ray.shutdown()
