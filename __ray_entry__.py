@@ -9,8 +9,12 @@ The driver initialises Ray BEFORE importing this module; nothing here
   triples → link → canonicalize, returns the deduped triples Dataset.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2 + training-data ops), each over ``sf_dir`` tables.
-- ``oracle_sql()``: DuckDB equivalents for the SQL-expressible subset;
-  KG-pipeline / langid / sketch queries are rows-only by design.
+- ``oracle_sql()``: value-exact DuckDB equivalents for 266 of the 278
+  queries (the whole kg_* family replays via `queries/oracle_gen.py`,
+  including unrolled Brandes betweenness and the composed kb_release);
+  the 12 rows-only queries have SVD / seeded-approximate / iterative /
+  binary-decode semantics SQL cannot replay and carry exact pytest
+  goldens instead.
 """
 
 from __future__ import annotations
