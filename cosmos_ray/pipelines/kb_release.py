@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 import pyarrow as pa
@@ -112,20 +113,39 @@ def write_release(sf_dir: str, out_dir: str) -> dict:
     from cosmos_ray.queries.driver_queries import q_kg_entities
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
-    facts = release_facts(sf_dir).materialize()
-    entities = q_kg_entities(sf_dir).materialize()
-    facts.write_parquet(os.path.join(tmp, "facts"))
-    entities.write_parquet(os.path.join(tmp, "entities"))
-    manifest = {
-        "facts_rows": facts.count(),
-        "entities_rows": entities.count(),
-        "facts_checksum": table_checksum(
-            facts, ["subj", "pred", "obj"]).to_pandas()["checksum"][0],
-        "entities_checksum": table_checksum(
-            entities, ["canonical_id", "name"]).to_pandas()["checksum"][0],
-    }
-    with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    os.replace(tmp, out_dir)
-    return manifest
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        facts = release_facts(sf_dir).materialize()
+        entities = q_kg_entities(sf_dir).materialize()
+        facts.write_parquet(os.path.join(tmp, "facts"))
+        entities.write_parquet(os.path.join(tmp, "entities"))
+        manifest = {
+            "facts_rows": facts.count(),
+            "entities_rows": entities.count(),
+            "facts_checksum": table_checksum(
+                facts, ["subj", "pred", "obj"]).to_pandas()["checksum"][0],
+            "entities_checksum": table_checksum(
+                entities,
+                ["canonical_id", "name"]).to_pandas()["checksum"][0],
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        # Republish support: os.replace cannot swap onto a non-empty
+        # directory, so move the previous release aside first, swap the
+        # new one in, then drop the old — a reader sees either the old
+        # or the new complete release, never a partial one.
+        old = None
+        if os.path.isdir(out_dir):
+            old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
+            os.replace(out_dir, old)
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:
+            if old is not None:
+                os.replace(old, out_dir)  # restore the prior release
+            raise
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+        return manifest
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

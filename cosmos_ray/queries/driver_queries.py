@@ -6024,9 +6024,14 @@ def q_release_validation(sf_dir: str):
               .sum("d"))
     rules = ["duplicate_subj_pred", "bad_subj_id", "bad_obj_id",
              "bad_hosts", "bad_evidence"]
-    viol = [int(dup_sp), int(sums["sum(bad_subj_id)"]),
-            int(sums["sum(bad_obj_id)"]), int(sums["sum(bad_hosts)"]),
-            int(sums["sum(bad_evidence)"])]
+    # Dataset.sum() is None on an empty release — an empty (but valid)
+    # release reports zero violations, not a TypeError.
+    sums = sums or {}
+    viol = [int(dup_sp or 0),
+            int(sums.get("sum(bad_subj_id)") or 0),
+            int(sums.get("sum(bad_obj_id)") or 0),
+            int(sums.get("sum(bad_hosts)") or 0),
+            int(sums.get("sum(bad_evidence)") or 0)]
     return rd.from_arrow(pa.table({
         "rule": pa.array(rules, pa.string()),
         "violations": pa.array(viol, pa.int64())}))

@@ -98,14 +98,30 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         # strip the HTTP envelope: body starts after its header block
         body_at = payload.find(b"\r\n\r\n")
         if body_at >= 0:
-            http_hdr = payload[:body_at].lower()
             body = payload[body_at + 4:]
-            if b"transfer-encoding: chunked" in http_hdr:
+            if _is_chunked(payload[:body_at]):
                 body = _dechunk(body)
         else:
             body = payload
         rows.append({"url": url, "warc_ts_us": ts_us, "html": body})
     return rows
+
+
+def _is_chunked(http_hdr: bytes) -> bool:
+    """True when the HTTP header block declares chunked transfer
+    coding.  Parses header LINES (name ':' value, both sides
+    whitespace-stripped, case-insensitive) rather than matching one
+    fixed spacing — real captures carry 'Transfer-Encoding:chunked'
+    and padded variants too.  Per RFC 7230 the coding list is
+    comma-separated with chunked last; any 'chunked' member means the
+    framing bytes are present."""
+    for line in http_hdr.split(_CRLF):
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"transfer-encoding":
+            if any(tok.strip().lower() == b"chunked"
+                   for tok in v.split(b",")):
+                return True
+    return False
 
 
 def _dechunk(body: bytes) -> bytes:

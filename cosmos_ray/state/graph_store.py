@@ -21,6 +21,7 @@ so readers hash with the writer's modulus.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 
@@ -32,12 +33,36 @@ import ray.data as rd
 
 N_BUCKETS = 32
 
+# At-rest bucket hash: the repo's md5 upper-64 little-endian convention
+# (functions/sketch.py) — library-version-independent, unlike
+# pd.util.hash_array, so a store written today prunes correctly under
+# any future pandas.  The manifest records this identifier and readers
+# verify it before pruning.
+HASH_ID = "md5-upper64-le"
+
 
 def _buckets_of(names, num_buckets: int) -> np.ndarray:
-    """Stable bucket per entity id (process-stable pandas siphash — the
-    same hash `bucketed_group_apply` relies on)."""
-    h = pd.util.hash_array(np.asarray(names, dtype=object))
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+    """Stable bucket per entity id (md5 upper-64, little-endian — the
+    durable at-rest convention).  Hashes each DISTINCT name once;
+    adjacency batches repeat src entities heavily."""
+    arr = np.asarray(names, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:8],
+                        "little") % num_buckets for v in uniq),
+        dtype=np.int64, count=len(uniq))
+    return hs[inv]
+
+
+def _read_manifest(root: str) -> dict:
+    with open(os.path.join(root, "manifest.json")) as f:
+        manifest = json.load(f)
+    got = manifest.get("hash", HASH_ID)
+    if got != HASH_ID:
+        raise ValueError(
+            f"adjacency store at {root} was bucketed with hash '{got}' "
+            f"but this reader uses '{HASH_ID}'; rebuild the store")
+    return manifest
 
 
 def write_adjacency_store(adj_ds, out_dir: str,
@@ -54,7 +79,7 @@ def write_adjacency_store(adj_ds, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     adj_ds.map_batches(tag, batch_format="pandas").write_parquet(
         out_dir, partition_cols=["bucket"])
-    manifest = {"num_buckets": num_buckets}
+    manifest = {"num_buckets": num_buckets, "hash": HASH_ID}
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -70,8 +95,7 @@ def neighbors(root: str, entity: str):
     """Out-neighbors of one entity: opens ONLY its bucket's files."""
     import pyarrow.compute as pc
 
-    with open(os.path.join(root, "manifest.json")) as f:
-        nb = json.load(f)["num_buckets"]
+    nb = _read_manifest(root)["num_buckets"]
     paths = _bucket_paths(root, _buckets_of([entity], nb))
     if not paths:
         return rd.from_arrow(pa.table({
@@ -97,8 +121,7 @@ def khop(root: str, seeds: list[str], hops: int = 2,
     whole-graph traversals belong to `graph.connected_components`)."""
     import pyarrow.compute as pc
 
-    with open(os.path.join(root, "manifest.json")) as f:
-        nb = json.load(f)["num_buckets"]
+    nb = _read_manifest(root)["num_buckets"]
     seen: dict[str, int] = {s: 0 for s in seeds}
     frontier = sorted(set(seeds))
     for h in range(1, hops + 1):

@@ -67,3 +67,34 @@ class TestGraphStore:
         write_adjacency_store(_adj(EDGES), root, num_buckets=4)
         with _pytest.raises(ValueError, match="max_frontier"):
             khop(root, ["a"], hops=2, max_frontier=1)
+
+
+class TestManifestHash:
+    def test_manifest_records_hash_id(self, tmp_path):
+        from cosmos_ray.state.graph_store import HASH_ID
+        import json
+
+        root = str(tmp_path / "adj")
+        m = write_adjacency_store(_adj(EDGES), root, num_buckets=4)
+        assert m["hash"] == HASH_ID
+        with open(os.path.join(root, "manifest.json")) as f:
+            assert json.load(f)["hash"] == HASH_ID
+
+    def test_reader_rejects_foreign_hash(self, tmp_path):
+        """A store bucketed under a different hash must raise, not
+        silently prune to the wrong buckets."""
+        import json
+
+        import pytest
+
+        root = str(tmp_path / "adj")
+        write_adjacency_store(_adj(EDGES), root, num_buckets=4)
+        with open(os.path.join(root, "manifest.json")) as f:
+            m = json.load(f)
+        m["hash"] = "pandas-siphash"
+        with open(os.path.join(root, "manifest.json"), "w") as f:
+            json.dump(m, f)
+        with pytest.raises(ValueError, match="bucketed with hash"):
+            neighbors(root, "a")
+        with pytest.raises(ValueError, match="bucketed with hash"):
+            khop(root, ["a"], hops=1)

@@ -74,3 +74,47 @@ class TestVersionedRelease:
         assert list(changes.values()).count("delete") == 1
         assert changes[v1.iloc[0]["fact_id"]] == "delete"
         assert changes[v2df.iloc[0]["fact_id"]] == "update"
+
+
+class TestRepublish:
+    def test_write_release_republish_same_dir(self, tmp_path):
+        """Re-publishing onto an existing release swaps it atomically
+        (os.replace onto a non-empty dir would raise) and leaves no
+        tmp/old turds behind."""
+        out = str(tmp_path / "release")
+        m1 = write_release(SF, out)
+        m2 = write_release(SF, out)  # republish onto the same path
+        assert m2 == m1
+        with open(os.path.join(out, "manifest.json")) as f:
+            assert json.load(f) == m2
+        leftovers = [p for p in os.listdir(tmp_path)
+                     if p.startswith("release.tmp-")
+                     or p.startswith("release.old-")]
+        assert leftovers == []
+
+
+class TestEmptyReleaseValidation:
+    def test_release_validation_empty_release(self, monkeypatch):
+        """An empty (but valid) release reports zero violations per
+        rule instead of raising on int(None) aggregates."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        import cosmos_ray.pipelines.kb_release as kbr
+        from cosmos_ray.queries.driver_queries import q_release_validation
+
+        empty = pa.table({
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+            "subj_id": pa.array([], pa.string()),
+            "obj_id": pa.array([], pa.string()),
+            "n_mentions": pa.array([], pa.int64()),
+            "n_hosts": pa.array([], pa.int64()),
+        })
+        monkeypatch.setattr(kbr, "release_facts",
+                            lambda sf: rd.from_arrow(empty))
+        df = q_release_validation(SF).to_pandas()
+        assert len(df) == 5
+        assert (df["violations"] == 0).all()

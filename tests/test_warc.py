@@ -114,3 +114,43 @@ class TestWarc:
         parsed = parse_warc_bytes(rec)
         assert len(parsed) == 1
         assert parsed[0]["html"] == body
+
+    def test_chunked_te_header_spacing_variants(self):
+        """'Transfer-Encoding:chunked' (no space / padded / mixed-case
+        / coding-list) all trigger dechunking — the header VALUE is
+        parsed, not one fixed byte spacing."""
+        from cosmos_ray.sources.warc import parse_warc_bytes
+
+        body = b"<html>spacing</html>"
+        chunked = (format(len(body), "x").encode() + b"\r\n" + body
+                   + b"\r\n0\r\n\r\n")
+        for te_line in (b"Transfer-Encoding:chunked",
+                        b"transfer-encoding:  chunked  ",
+                        b"TRANSFER-ENCODING:\tChunked",
+                        b"Transfer-Encoding: gzip, chunked"):
+            http = (b"HTTP/1.1 200 OK\r\n" + te_line + b"\r\n\r\n"
+                    + chunked)
+            rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                   b"WARC-Target-URI: https://x.example/sp\r\n"
+                   b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+                   + f"Content-Length: {len(http)}\r\n\r\n".encode()
+                   + http + b"\r\n\r\n")
+            parsed = parse_warc_bytes(rec)
+            assert len(parsed) == 1, te_line
+            assert parsed[0]["html"] == body, te_line
+
+    def test_content_encoding_chunked_value_not_matched(self):
+        """A DIFFERENT header whose value happens to contain 'chunked'
+        must not trigger dechunking."""
+        from cosmos_ray.sources.warc import parse_warc_bytes
+
+        body = b"5\r\nplain-looking body"
+        http = (b"HTTP/1.1 200 OK\r\nX-Note: chunked\r\n\r\n" + body)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x.example/nc\r\n"
+               b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+               + f"Content-Length: {len(http)}\r\n\r\n".encode()
+               + http + b"\r\n\r\n")
+        parsed = parse_warc_bytes(rec)
+        assert len(parsed) == 1
+        assert parsed[0]["html"] == body
