@@ -5373,30 +5373,46 @@ def q_kg_evidence(sf_dir: str):
     computes before trusting a triple: total mentions, distinct source
     pages and distinct source HOSTS per (subj, pred, obj) (cross-site
     corroboration is the standard spam/mirror defense). Shape: host
-    parsed with one vectorized regex, then two bounded groupbys —
-    (fact, host) partials first, fact rollup second — so the exchange
-    never exceeds distinct (fact, host) pairs."""
-    from ray.data.aggregate import Count, Sum
+    parsed with one vectorized regex, per-batch (fact, host) partial
+    combine, then ONE single-key bucket exchange (a fact's rows all
+    land in one bucket) finished by a vectorized two-level pandas
+    rollup — never a multi-key Ray aggregate (each of those costs ~5 s
+    of fixed per-execution overhead, see `bucketed_bulk_apply`)."""
+    from cosmos_ray.queries.relational import bucketed_bulk_apply
 
     tr = _built_kg(sf_dir).triples
 
-    def prep(t: pa.Table) -> pa.Table:
-        host = pc.extract_regex(t.column("url"),
-                                r"https?://(?P<host>[^/]+)/")
-        return pa.table({
-            "subj": t.column("subj"), "pred": t.column("pred"),
-            "obj": t.column("obj"),
-            "host": pc.struct_field(host, "host"),
-            "m": t.column("n_mentions").cast(pa.int64())})
+    return bucketed_bulk_apply(
+        tr.map_batches(_evidence_partial, batch_format="pyarrow"),
+        ["subj", "pred", "obj"], _evidence_finish)
 
-    per_host = (tr.map_batches(prep, batch_format="pyarrow")
-                .groupby(["subj", "pred", "obj", "host"])
-                .aggregate(Sum("m", alias_name="m"),
-                           Count(alias_name="n_urls")))
-    return (per_host.groupby(["subj", "pred", "obj"])
-            .aggregate(Sum("m", alias_name="n_mentions"),
-                       Sum("n_urls", alias_name="n_urls"),
-                       Count(alias_name="n_hosts")))
+
+def _evidence_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (subj, pred, obj, host) combine: m = mention sum,
+    u = url count (triples are per-(url, fact) unique upstream, so row
+    count = distinct-url count; partials merge by summing both)."""
+    host = pc.extract_regex(t.column("url"), r"https?://(?P<host>[^/]+)/")
+    df = pd.DataFrame({
+        "subj": t.column("subj").to_pandas(),
+        "pred": t.column("pred").to_pandas(),
+        "obj": t.column("obj").to_pandas(),
+        "host": pc.struct_field(host, "host").to_pandas(),
+        "m": t.column("n_mentions").cast(pa.int64()).to_pandas()})
+    p = (df.groupby(["subj", "pred", "obj", "host"], sort=False,
+                    as_index=False).agg(m=("m", "sum"), u=("m", "size")))
+    return pa.Table.from_pandas(p, preserve_index=False)
+
+
+def _evidence_finish(b: pd.DataFrame) -> pd.DataFrame:
+    """Whole-bucket finish: merge (fact, host) partials, then roll up
+    to per-fact (n_mentions, n_urls, n_hosts)."""
+    ph = (b.groupby(["subj", "pred", "obj", "host"], sort=False,
+                    as_index=False).agg(m=("m", "sum"),
+                                        n_urls=("u", "sum")))
+    return (ph.groupby(["subj", "pred", "obj"], sort=False,
+                       as_index=False)
+            .agg(n_mentions=("m", "sum"), n_urls=("n_urls", "sum"),
+                 n_hosts=("m", "size")))
 
 
 SQL_KG_EVIDENCE = with_goldens("""
@@ -5812,30 +5828,25 @@ def q_kg_fused_facts(sf_dir: str):
     one-iteration, host-vote special case of TruthFinder-style fusion
     (Yin et al. 2008) that stays SQL-replayable.
 
-    Shape: reuses the kg_evidence aggregation ((fact, host) partials,
-    fact rollup), then a per-batch argmax combiner + (subj, pred)
-    bucketed finish — at most one candidate row per (batch, group)
-    crosses the final exchange."""
-    from cosmos_ray.queries.relational import bucketed_group_apply
+    Shape: the SAME per-batch (fact, host) partial combine as
+    kg_evidence, but bucketed on (subj, pred) — a (subj, pred) group's
+    every (obj, host) partial lands in one bucket, so the whole
+    evidence rollup AND the argmax finish happen vectorized inside ONE
+    single-key exchange (vs the former evidence-then-argmax chain of
+    three all-to-alls)."""
+    from cosmos_ray.queries.relational import bucketed_bulk_apply
 
-    ev = q_kg_evidence(sf_dir)  # (subj, pred, obj, n_mentions, n_urls, n_hosts)
+    tr = _built_kg(sf_dir).triples
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(
-            ["n_hosts", "n_mentions", "obj"],
-            ascending=[False, False, True], kind="stable")
-        return pa.Table.from_pandas(
-            df.drop_duplicates(subset=["subj", "pred"], keep="first"),
-            preserve_index=False).replace_schema_metadata(None)
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_hosts", "n_mentions", "obj"],
-                          ascending=[False, False, True], kind="stable")
-        top = g.drop_duplicates(subset=["subj", "pred"], keep="first")
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ev = _evidence_finish(b)
+        ev = ev.sort_values(["n_hosts", "n_mentions", "obj"],
+                            ascending=[False, False, True], kind="stable")
+        top = ev.drop_duplicates(subset=["subj", "pred"], keep="first")
         return top[["subj", "pred", "obj", "n_mentions", "n_hosts"]]
 
-    return bucketed_group_apply(
-        ev.map_batches(partial, batch_format="pyarrow"),
+    return bucketed_bulk_apply(
+        tr.map_batches(_evidence_partial, batch_format="pyarrow"),
         ["subj", "pred"], finish)
 
 

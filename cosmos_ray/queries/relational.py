@@ -624,6 +624,36 @@ def bucketed_group_apply(ds, keys: list[str], fn, num_buckets: int = 64):
     )
 
 
+def bucketed_bulk_apply(ds, keys: list[str], fn, num_buckets: int = 64):
+    """One single-key exchange for a multi-key rollup: rows are
+    hash-partitioned on ``keys`` into ``num_buckets`` coarse buckets
+    (every true group lands wholly in one bucket) and ``fn`` receives
+    each WHOLE bucket DataFrame — it must do its own vectorized
+    ``groupby(keys)`` and may only emit per-true-group results.
+
+    Why this exists: Ray 2.49's MULTI-key ``groupby().aggregate()``
+    costs ~5 s of fixed overhead per execution at any size (measured:
+    4-key aggregate over 24 k rows = 4.9 s vs 0.4 s for 1-key), so a
+    two-level rollup pays ~10 s before touching data. This shape pays
+    ONE cheap single-key sort exchange and keeps the combine/finish
+    fully vectorized — same co-location guarantee, same results."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
+
+
 def self_join_pairs(ds, keys: list[str], id_col: str, payload_cols: list[str] | None = None,
                     num_buckets: int = 64, max_group: int = 64):
     """Candidate pairs (id_a < id_b) of rows sharing ``keys`` — the LSH
