@@ -9,7 +9,7 @@ The driver initialises Ray BEFORE importing this module; nothing here
   triples → link → canonicalize, returns the deduped triples Dataset.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2 + training-data ops), each over ``sf_dir`` tables.
-- ``oracle_sql()``: value-exact DuckDB equivalents for 266 of the 278
+- ``oracle_sql()``: value-exact DuckDB equivalents for 267 of the 279
   queries (the whole kg_* family replays via `queries/oracle_gen.py`,
   including unrolled Brandes betweenness and the composed kb_release);
   the 12 rows-only queries have SVD / seeded-approximate / iterative /

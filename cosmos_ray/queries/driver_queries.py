@@ -936,6 +936,73 @@ def q_pca_embed(sf_dir: str):
     return pca_transform(ds, model)
 
 
+_PCA_Q_SCALE = 1048576.0  # 2^20 — quantization step for the moments oracle
+
+
+def q_pca_moments(sf_dir: str):
+    """The DISTRIBUTED half of PCA, oracle-checked: the scatter-matrix
+    moments (n, Σq_i, Σ q_i·q_j for i<=j) that `stats.pca_fit` reduces
+    before its driver-side eigh — same (dim + dim²)-per-batch partial
+    shape, same associative merge — computed over the deterministic
+    integer quantization q = floor(x·2^20 + 0.5) of each float32
+    coordinate so the accumulation is EXACT integer arithmetic DuckDB
+    replays bit-identically (the `hash_embed_long` trick). eigh itself
+    stays under the pytest numpy replay; with this, pca_embed's only
+    unverified-by-SQL piece is the model-sized driver eigendecomposition.
+
+    Output is dim-bounded (dim·(dim+1)/2 = 2080 rows at dim=64) at any
+    corpus size; each batch contributes one dim²-int partial."""
+    ds = read(sf_dir, "embeddings", ["embedding"])
+    dim = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        Q = np.floor(X * _PCA_Q_SCALE + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(Q)], pa.int64()),
+            "s": pa.array([Q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "ss": pa.array([(Q.T @ Q).ravel().tolist()],
+                           pa.list_(pa.int64()))})
+
+    n = 0
+    s = np.zeros(dim, dtype=np.int64)
+    ss = np.zeros((dim, dim), dtype=np.int64)
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        n += int(np.sum(b.column("n").to_numpy(zero_copy_only=False)))
+        for row in b.column("s").to_pylist():
+            s += np.asarray(row, dtype=np.int64)
+        for row in b.column("ss").to_pylist():
+            ss += np.asarray(row, dtype=np.int64).reshape(dim, dim)
+    iu, ju = np.triu_indices(dim)
+    return pa.table({
+        "i": pa.array(iu.astype(np.int64)),
+        "j": pa.array(ju.astype(np.int64)),
+        "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+        "s_i": pa.array(s[iu]), "s_j": pa.array(s[ju]),
+        "sxx": pa.array(ss[iu, ju])})
+
+
+SQL_PCA_MOMENTS = """
+WITH e AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0 + 0.5)
+              AS BIGINT) AS q,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+  FROM embeddings
+), s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM e GROUP BY i),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+SELECT a.i AS i, b.i AS j, (SELECT n FROM n) AS n,
+       sa.s AS s_i, sb.s AS s_j,
+       CAST(sum(a.q * b.q) AS BIGINT) AS sxx
+FROM e a
+JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+JOIN s sa ON sa.i = a.i
+JOIN s sb ON sb.i = b.i
+GROUP BY a.i, b.i, sa.s, sb.s
+"""
+
+
 def q_events_range_scan(sf_dir: str):
     """Time-slice scan over SORTED at-rest storage with zone-map
     pruning (`state.sorted_store`): events written once in ts order,
@@ -11147,6 +11214,7 @@ QUERIES = {
     "dedup_report": q_dedup_report,
     "gap_quantiles": q_gap_quantiles,
     "pca_embed": q_pca_embed,
+    "pca_moments": q_pca_moments,
     "top_customers": q_top_customers,
     "top_customers_page2": q_top_customers_page2,
     "phrase_search": q_phrase_search,
@@ -11464,6 +11532,7 @@ _DRIVER_PREFIX = [
     "dedup_best_rep",
     "simhash_pairs",
     "contamination",
+    "pca_moments",
     "subdoc_dedup",
     "host_link_graph",
     "host_pagerank",
@@ -11489,6 +11558,7 @@ ORACLES = {
     "jw_part_pairs": SQL_JW_PART_PAIRS,
     "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
     "hash_embed_long": SQL_HASH_EMBED_LONG,
+    "pca_moments": SQL_PCA_MOMENTS,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "value_trend": SQL_VALUE_TREND,
     "order_zscores": SQL_ORDER_ZSCORES,

@@ -127,6 +127,30 @@ class TestDistributedPCA:
                                atol=1e-9)
 
 
+def test_pca_moments_numpy_replay(ray_session):
+    """pca_moments (the ★ oracle for PCA's distributed half) must equal
+    the plain numpy replay of the quantized scatter accumulation —
+    integer-exact, partition-count-independent."""
+    from cosmos_ray.queries.driver_queries import q_pca_moments
+
+    got = q_pca_moments("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+
+    X = np.asarray(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        .column("embedding").to_pylist(), dtype=np.float64)
+    Q = np.floor(X * 1048576.0 + 0.5).astype(np.int64)
+    s = Q.sum(axis=0)
+    ss = Q.T @ Q
+    iu, ju = np.triu_indices(X.shape[1])
+    assert len(got) == len(iu)
+    g = got.sort_values(["i", "j"]).reset_index(drop=True)
+    assert (g["n"] == len(X)).all()
+    assert (g["s_i"].to_numpy() == s[iu]).all()
+    assert (g["s_j"].to_numpy() == s[ju]).all()
+    assert (g["sxx"].to_numpy() == ss[iu, ju]).all()
+
+
 def test_hash_embed_weights_normalize_to_embedder(documents_small):
     """The oracle-checked long-form weights, l2-normalized per doc, must
     equal HashingEmbedder's embedding exactly — tying embed_docs
