@@ -1700,24 +1700,35 @@ SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 def q_ngram_jaccard_adjacent(sf_dir: str):
     """Exact 3-gram Jaccard between each (doc_id, doc_id+1) pair — the
     n-gram-similarity operator with a DuckDB oracle (raw string shingles
-    on both sides). Shape: per-batch shingle sets, one shifted hash
-    self-join, vectorized set math per pair; no driver pull."""
-    from cosmos_ray.queries.relational import _join_partitions
+    on the SQL side; hashed shingles here — the dedup family's
+    token-hash combine (`functions/dedup._shingle_hashes`), identical
+    Jaccard statistics at ~2^-64 collision odds). Shape: vectorized
+    per-doc shingle hashing (cached token md5s + one numpy combine),
+    sorted-unique uint64 sets riding the shifted self-join as binary
+    blobs (arrow joins reject list payloads), numpy intersect per pair;
+    no driver pull, no per-doc string-set building."""
+    from cosmos_ray.functions.dedup import _SH_COEF, _TOKEN_HASHES
+    from cosmos_ray.queries.relational import join_or_broadcast
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def shingles(t: pa.Table) -> pa.Table:
-        # arrow hash joins reject list-typed payload columns, so the
-        # shingle set rides the join as one \x1f-separated string
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        sh = []
-        for x in texts:
-            w = x.split(" ")
-            sh.append("\x1f".join(sorted({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})))
+        blobs = []
+        for x in t.column("text").to_pylist():
+            w = (x or "").split(" ")  # oracle splits on single space
+            n = len(w)
+            if n < 3:
+                blobs.append(b"")  # <3 tokens: empty shingle set
+                continue
+            th = _TOKEN_HASHES.hashes(w)
+            with np.errstate(over="ignore"):
+                acc = (th[: n - 2] * _SH_COEF[0]
+                       + th[1: n - 1] * _SH_COEF[1]
+                       + th[2:] * _SH_COEF[2])
+            blobs.append(np.unique(acc).tobytes())
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "sh": pa.array(sh, pa.string())}
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "sh": pa.array(blobs, pa.binary())}
         )
 
     a = docs.map_batches(shingles, batch_format="pyarrow")
@@ -1728,8 +1739,11 @@ def q_ngram_jaccard_adjacent(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = a.join(b, join_type="inner", num_partitions=_join_partitions(),
-               on=("doc_id",), right_on=("prev_id",))
+    # guarded-broadcast tier (hash-join degrade past the cap): the
+    # shifted side is (id, blob) rows, so under the cap the corpus side
+    # never moves and no hash-shuffle actors spin up
+    j = join_or_broadcast(a, b, key="prev_id", add_cols=["sh_b"],
+                          big_key="doc_id")
 
     def jac(t: pa.Table) -> pa.Table:
         import math
@@ -1738,14 +1752,15 @@ def q_ngram_jaccard_adjacent(sf_dir: str):
         sb = t.column("sh_b").to_pylist()
         out = []
         for x, y in zip(sa, sb):
-            xs = set(x.split("\x1f")) if x else set()
-            ys = set(y.split("\x1f")) if y else set()
-            u = len(xs | ys)
+            xs = np.frombuffer(x, dtype=np.uint64)
+            ys = np.frombuffer(y, dtype=np.uint64)
+            inter = np.intersect1d(xs, ys, assume_unique=True).size
+            u = xs.size + ys.size - inter
             # DuckDB round() is half-away-from-zero; python round is
             # half-even (they diverge on exact ties like 1/128).
             # Both-empty (docs under 3 tokens) is NULL on both sides —
             # the oracle's 0/0 via NULLIF, None here.
-            out.append(math.floor(len(xs & ys) / u * 1e6 + 0.5) / 1e6 if u else None)
+            out.append(math.floor(inter / u * 1e6 + 0.5) / 1e6 if u else None)
         return pa.table(
             {
                 "doc_a": t.column("doc_id"),
