@@ -168,12 +168,14 @@ def build_kg_streaming(
             pages_meta if pages_meta is not None else pages
         )
         if dup_ref is not None:
-            pages = extract.drop_stale(pages, dup_ref)
+            pages = extract.dedup_latest_pages(pages, dup_ref)
     # the exchange-free per-url triple dedup is valid only when at most
     # one row per url reaches extraction, which the dup plan guarantees
-    # (drop_stale keeps the max-ts row, first occurrence on ties within a
-    # batch). With dedup_input=False or the degenerate-corpus keep_latest
-    # fallback, fall back to the globally-grouped dedup_triples.
+    # exactly: non-tied losers are filtered batch-locally, max-ts TIES get
+    # one deterministic winner via resolve_tied (min md5(html)) in a
+    # single map_groups group. With dedup_input=False or the
+    # degenerate-corpus keep_latest fallback, fall back to the
+    # globally-grouped dedup_triples.
     urllocal_ok = dedup_input and dup_ref is not None
     _phase("dup_plan", _t0)
 

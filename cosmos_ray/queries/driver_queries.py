@@ -6642,7 +6642,7 @@ def q_kg_measurement_outliers(sf_dir: str):
     pages = _pages_ds(sf_dir)
     dup_ref = extract.discover_dup_urls(pages)
     if dup_ref is not None:
-        pages = extract.drop_stale(pages, dup_ref)
+        pages = extract.dedup_latest_pages(pages, dup_ref)
 
     def parse(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t.column("cell_text"),
@@ -7539,7 +7539,7 @@ def q_kg_tables_cells(sf_dir: str):
     pages = _pages_ds(sf_dir)
     dup_ref = extract.discover_dup_urls(pages)
     if dup_ref is not None:
-        pages = extract.drop_stale(pages, dup_ref)
+        pages = extract.dedup_latest_pages(pages, dup_ref)
     return extract_table_cells(pages)
 
 
@@ -7576,7 +7576,7 @@ def q_kg_numeric_facts(sf_dir: str):
     pages = _pages_ds(sf_dir)
     dup_ref = extract.discover_dup_urls(pages)
     if dup_ref is not None:
-        pages = extract.drop_stale(pages, dup_ref)
+        pages = extract.dedup_latest_pages(pages, dup_ref)
 
     def parse(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t.column("cell_text"),

@@ -336,18 +336,55 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
     return sorted_t.filter(pa.array(keep))
 
 
+def _reduce_dup_partials(t: pa.Table) -> pa.Table:
+    """Reduce (url, max_ts, n, n_at_max) partials to one row per url:
+    the GLOBAL max_ts, total row count, and how many rows sit AT that
+    global max (>1 means the url is tied and needs exact resolution).
+    Vectorized: sort by (url, max_ts desc) then segment reductions."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "max_ts": pa.array([], t.column("max_ts").type),
+             "n": pa.array([], pa.int64()),
+             "n_at_max": pa.array([], pa.int64())})
+    order = pc.sort_indices(
+        t, sort_keys=[("url", "ascending"), ("max_ts", "descending")])
+    s = t.take(order)
+    urls = np.asarray(s.column("url").to_pylist(), dtype=object)
+    first = np.ones(len(urls), dtype=bool)
+    first[1:] = urls[1:] != urls[:-1]
+    idx = np.flatnonzero(first)
+    tss = s.column("max_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = s.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_at = s.column("n_at_max").to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.cumsum(first) - 1
+    gmax = tss[idx]  # segment head = per-url global max (sorted desc)
+    at_global = tss == gmax[seg]
+    return pa.table({
+        "url": pa.array(urls[idx], pa.string()),
+        "max_ts": s.column("max_ts").take(pa.array(idx)),
+        "n": pa.array(np.add.reduceat(n, idx), pa.int64()),
+        "n_at_max": pa.array(
+            np.add.reduceat(np.where(at_global, n_at, 0), idx), pa.int64()),
+    })
+
+
 def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
     """Metadata-only duplicate discovery: shuffle ONLY (url, warc_ts) —
-    pruned at the read for parquet sources — and return a broadcast map
-    {url: max_warc_ts} for just the urls that appear more than once.
+    pruned at the read for parquet sources — and return a broadcast plan
+    ``{"ts": {url: max_warc_ts}, "tied": frozenset(urls)}`` covering just
+    the urls that appear more than once; ``tied`` is the subset with MORE
+    THAN ONE row at the max ts (needs ``resolve_tied`` for an exact,
+    partition-independent winner).
 
     Rationale (100 TB): duplicate crawls of a url are a small fraction of
     rows; a full keep-latest shuffle moves every payload byte, while this
     plan moves two tiny columns and then filters losers BEFORE the html
     is ever parsed. Falls back to the full-shuffle path (``keep_latest``)
-    if the dup-url set exceeds ``cap`` (degenerate corpus).
-    Assumes duplicate rows of a url carry distinct warc_ts (ties would
-    keep both; resolve upstream or use keep_latest())."""
+    if the dup-url set exceeds ``cap`` (degenerate corpus)."""
     import numpy as np
 
     import ray
@@ -357,8 +394,21 @@ def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
     meta = pages.select_columns(["url", "warc_ts"])
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["url"]).aggregate([("warc_ts", "max"), ([], "count_all")])
-        return g.rename_columns(["url", "max_ts", "n"])
+        g = t.group_by(["url", "warc_ts"]).aggregate([([], "count_all")])
+        order = pc.sort_indices(
+            g, sort_keys=[("url", "ascending"), ("warc_ts", "descending")])
+        s = g.take(order)
+        urls = np.asarray(s.column("url").to_pylist(), dtype=object)
+        first = np.ones(len(urls), dtype=bool)
+        first[1:] = urls[1:] != urls[:-1]
+        idx = np.flatnonzero(first)
+        cnt = s.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "url": pa.array(urls[idx], pa.string()),
+            "max_ts": s.column("warc_ts").take(pa.array(idx)),
+            "n": pa.array(np.add.reduceat(cnt, idx), pa.int64()),
+            "n_at_max": pa.array(cnt[idx], pa.int64()),
+        })
 
     # one parallel pass emits per-batch (url, max_ts, n) partials; the
     # final reduce streams to the driver (bounded by unique urls in the
@@ -379,39 +429,99 @@ def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
             overflow = True
             break
     if overflow:
-        from cosmos_ray.stages.canonicalize import bucketed_agg
+        from cosmos_ray.stages.canonicalize import _add_bucket
 
-        agg = bucketed_agg(
-            part_ds, ["url"], [("max_ts", "max"), ("n", "sum")],
-            ["ts_max", "n_total"], num_buckets=64, coalesce=32,
+        bucketed = part_ds.map_batches(
+            lambda t: _add_bucket(t, ["url"], 64), batch_format="pyarrow"
+        ).repartition(32)
+        agg = bucketed.groupby("__bucket").map_groups(
+            lambda t: _reduce_dup_partials(t.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
         )
         dup_rows = agg.map_batches(
-            lambda t: t.filter(pc.greater(t.column("n_total"), pa.scalar(1))),
+            lambda t: t.filter(pc.greater(t.column("n"), pa.scalar(1))),
             batch_format="pyarrow",
         ).take_all()
     else:
         full = pa.concat_tables(batches) if batches else None
         if full is None or full.num_rows == 0:
-            return ray.put({})
-        g = full.group_by(["url"]).aggregate([("max_ts", "max"), ("n", "sum")])
-        g = g.rename_columns(["url", "ts_max", "n_total"])
-        dup_rows = g.filter(pc.greater(g.column("n_total"), pa.scalar(1))).to_pylist()
+            return ray.put({"ts": {}, "tied": frozenset()})
+        g = _reduce_dup_partials(full)
+        dup_rows = g.filter(pc.greater(g.column("n"), pa.scalar(1))).to_pylist()
     if len(dup_rows) > cap:
         return None  # caller should use the full-shuffle keep_latest
-    dups = {r["url"]: r["ts_max"] for r in dup_rows}
-    return ray.put(dups)
+    dups = {r["url"]: r["max_ts"] for r in dup_rows}
+    tied = frozenset(r["url"] for r in dup_rows if r["n_at_max"] > 1)
+    return ray.put({"ts": dups, "tied": tied})
 
 
-def drop_stale(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
-    """Filter duplicate-crawl losers using the broadcast dup map — runs
+def resolve_tied(pages: "ray.data.Dataset", dup_ref):
+    """Exact winners for urls TIED at their max warc_ts: one row per tied
+    url, picked by min md5(html) (stable-first among byte-identical
+    rows) inside a single ``map_groups`` group — deterministic regardless
+    of batch or partition boundaries. Returns None when the plan has no
+    ties. Only the tied rows flow past the filter; when the source is
+    parquet, pass a predicate-pushdown read (url ∈ tied) as ``pages`` so
+    the scan itself is pruned."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    plan = ray.get(dup_ref)
+    if not plan["tied"]:
+        return None
+
+    def only_tied(t: pa.Table) -> pa.Table:
+        p = ray.get(dup_ref)
+        tied, ts_map = p["tied"], p["ts"]
+        urls = t.column("url").to_pylist()
+        tss = t.column("warc_ts").cast(pa.int64()).to_pylist()
+        keep = [u in tied and ts == _ts_us(ts_map[u])
+                for u, ts in zip(urls, tss)]
+        return t.filter(pa.array(keep))
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x if x is not None else b"").hexdigest()
+             for x in t.column("html").to_pylist()]
+        tt = t.append_column("__h", pa.array(h, pa.string()))
+        order = pc.sort_indices(
+            tt, sort_keys=[("url", "ascending"), ("__h", "ascending")])
+        s = tt.take(order)
+        urls = np.asarray(s.column("url").to_pylist(), dtype=object)
+        first = np.ones(len(urls), dtype=bool)
+        first[1:] = urls[1:] != urls[:-1]
+        return s.filter(pa.array(first)).drop_columns(["__h"])
+
+    cand = pages.map_batches(only_tied, batch_format="pyarrow")
+    return cand.groupby("url").map_groups(pick, batch_format="pyarrow")
+
+
+def dedup_latest_pages(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
+    """Exact keep-latest-per-url over ``pages`` given a dup plan:
+    non-tied losers are filtered batch-locally (``drop_stale``); tied
+    urls — a rare metadata edge — get an exact, deterministic winner via
+    ``resolve_tied`` (costs one extra filtered scan ONLY when ties
+    exist). Output: at most one row per url, independent of partitioning."""
+    cleaned = drop_stale(pages, dup_ref, tied="exclude")
+    winners = resolve_tied(pages, dup_ref)
+    return cleaned if winners is None else cleaned.union(winners)
+
+
+def drop_stale(pages: "ray.data.Dataset", dup_ref, tied: str = "first") -> "ray.data.Dataset":
+    """Filter duplicate-crawl losers using the broadcast dup plan — runs
     BEFORE extraction so stale html is never parsed. Rows tied at the
-    max warc_ts keep only the FIRST occurrence within a batch (so the
-    downstream url-locality invariant sees at most one winner per url
-    per batch; ties spanning batches must be resolved upstream)."""
+    max warc_ts follow ``tied``: ``"first"`` keeps the first occurrence
+    within a batch (legacy; exact only when a url's ties share a batch),
+    ``"exclude"`` drops ALL tied-url rows so the caller resolves them
+    exactly via ``resolve_tied`` (see ``dedup_latest_pages``)."""
     import ray
 
     def fn(t: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
+        plan = ray.get(dup_ref)
+        dups, tied_set = plan["ts"], plan["tied"]
         if not dups:
             return t
         urls = t.column("url").to_pylist()
@@ -421,6 +531,12 @@ def drop_stale(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
         for u, ts in zip(urls, tss):
             if u not in dups:
                 keep.append(True)
+            elif u in tied_set:
+                keep.append(
+                    tied == "first" and ts == _ts_us(dups[u]) and u not in seen
+                )
+                if keep[-1]:
+                    seen.add(u)
             elif ts == _ts_us(dups[u]) and u not in seen:
                 seen.add(u)
                 keep.append(True)

@@ -102,22 +102,60 @@ def _global_dup_plan(files: list[str], out_dir: str):
     plan_path = os.path.join(out_dir, "_dup_plan.parquet")
     if os.path.exists(plan_path):
         tbl = pq.read_table(plan_path)
-        dups = dict(zip(tbl.column("url").to_pylist(),
-                        tbl.column("ts_max_us").to_pylist()))
-        return ray.put(dups)
+        urls = tbl.column("url").to_pylist()
+        dups = dict(zip(urls, tbl.column("ts_max_us").to_pylist()))
+        tied = frozenset(
+            u for u, t in zip(urls, tbl.column("tied").to_pylist()) if t
+        ) if "tied" in tbl.column_names else frozenset()
+        return ray.put({"ts": dups, "tied": tied})
     meta = rd.read_parquet(files, columns=["url", "warc_ts"])
     ref = discover_dup_urls(meta)
     if ref is None:
         return None
-    dups = {u: _ts_us(t) for u, t in ray.get(ref).items()}
+    plan = ray.get(ref)
+    dups = {u: _ts_us(t) for u, t in plan["ts"].items()}
     tmp = plan_path + f".tmp{os.getpid()}"
     pq.write_table(
         pa.table({"url": pa.array(list(dups), pa.string()),
-                  "ts_max_us": pa.array(list(dups.values()), pa.int64())}),
+                  "ts_max_us": pa.array(list(dups.values()), pa.int64()),
+                  "tied": pa.array([u in plan["tied"] for u in dups],
+                                   pa.bool_())}),
         tmp,
     )
     os.replace(tmp, plan_path)  # atomic; safe under crash/re-run
-    return ray.put(dups)
+    return ray.put({"ts": dups, "tied": plan["tied"]})
+
+
+def _tie_winners(files: list[str], out_dir: str, dup_ref) -> "pa.Table | None":
+    """Exact winner rows for urls tied at their max warc_ts, computed
+    ONCE per run from a predicate-pushdown read over only the tied urls
+    (tiny by construction — a metadata edge) and persisted to
+    ``out_dir/_tie_winners.parquet`` so resume reuses them. Winner rule:
+    min md5(html) at the max ts (see ``extract.resolve_tied``) —
+    deterministic regardless of file/partition boundaries."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from cosmos_ray.stages.extract import resolve_tied
+
+    plan = ray.get(dup_ref)
+    if not plan["tied"]:
+        return None
+    win_path = os.path.join(out_dir, "_tie_winners.parquet")
+    if os.path.exists(win_path):
+        return pq.read_table(win_path)
+    cand = rd.read_parquet(
+        files, filter=pc.field("url").isin(list(plan["tied"])))
+    winners = resolve_tied(cand, dup_ref)
+    tbl = pa.Table.from_pylist(
+        winners.take_all(), schema=winners.schema().base_schema)
+    tmp = win_path + f".tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, win_path)
+    return tbl
 
 
 def run_partitioned(
@@ -149,10 +187,16 @@ def run_partitioned(
     # a dup plan over cap, falls back to url-hash row filtering.
     by_files = len(files) >= num_partitions
     dup_ref = None
+    winners = None
     if by_files and dedup_input:
         dup_ref = _global_dup_plan(files, out_dir)
         if dup_ref is None:
             by_files = False
+        else:
+            # urls tied at their max ts span partitions; exclude them
+            # from every partition's stream and route each one's single
+            # deterministic winner to its url-hash partition.
+            winners = _tie_winners(files, out_dir, dup_ref)
     ran = []
     for k in range(num_partitions):
         if k in done:
@@ -164,7 +208,14 @@ def run_partitioned(
             part_files = files[k::num_partitions]
             part_pages = rd.read_parquet(part_files)
             if dup_ref is not None:
-                part_pages = drop_stale(part_pages, dup_ref)
+                part_pages = drop_stale(part_pages, dup_ref, tied="exclude")
+            if winners is not None:
+                mine = partition_of(
+                    winners.column("url").to_pylist(), num_partitions
+                ) == k
+                if mine.any():
+                    part_pages = part_pages.union(
+                        rd.from_arrow(winners.filter(pa.array(mine))))
             n_input_files = len(part_files)
         else:
             pages = rd.read_parquet(files)

@@ -58,25 +58,36 @@ def test_streaming_nodedup_matches_checkpointing(pages_small):
 
 
 def test_drop_stale_breaks_ts_ties(pages_small):
-    """Two crawls of one url with IDENTICAL warc_ts: drop_stale keeps
-    only the first occurrence (within a batch) so the urllocal invariant
-    sees one winner."""
+    """Two crawls of one url with IDENTICAL warc_ts: the plan marks the
+    url TIED and dedup_latest_pages keeps exactly one deterministic
+    winner (min md5(html)) regardless of batch boundaries."""
+    import hashlib
+
     import ray
 
+    from cosmos_ray.stages.extract import dedup_latest_pages
+
+    htmls = [b"<p>first</p>", b"<p>second</p>"]
     t = pa.table(
         {
             "url": ["http://tie.example/x"] * 2,
             "warc_ts": pa.array([1_700_000_000_000_000] * 2, pa.timestamp("us")),
-            "html": [b"<p>first</p>", b"<p>second</p>"],
+            "html": htmls,
             "text": ["", ""],
             "lang": ["en", "en"],
         }
     )
     ref = discover_dup_urls(rd.from_arrow(t))
-    assert ref is not None and ray.get(ref)
-    kept = drop_stale(rd.from_arrow(t), ref).take_all()
+    assert ref is not None
+    plan = ray.get(ref)
+    assert plan["ts"] and plan["tied"] == {"http://tie.example/x"}
+    kept = dedup_latest_pages(rd.from_arrow(t), ref).take_all()
     assert len(kept) == 1
-    assert kept[0]["html"] == b"<p>first</p>"
+    want = min(htmls, key=lambda h: hashlib.md5(h).hexdigest())
+    assert kept[0]["html"] == want
+    # legacy batch-local policy still keeps exactly one within a batch
+    kept_first = drop_stale(rd.from_arrow(t), ref, tied="first").take_all()
+    assert len(kept_first) == 1
 
 
 def test_sparse_dedup_plan(pages_small):
@@ -85,7 +96,7 @@ def test_sparse_dedup_plan(pages_small):
     pages = rd.from_arrow(pages_small)
     dup_ref = discover_dup_urls(pages)
     assert dup_ref is not None
-    dups = ray.get(dup_ref)
+    dups = ray.get(dup_ref)["ts"]
     # planted duplicates: every url occurring twice, mapped to its max ts
     urls = pages_small.column("url").to_pylist()
     from collections import Counter
