@@ -4746,7 +4746,7 @@ SELECT subj, pred, obj, count(*) AS weight FROM m GROUP BY subj, pred, obj
 # the full-width outputs stay covered by exact pytest goldens.
 # --------------------------------------------------------------------------
 
-from cosmos_ray.queries.oracle_gen import with_goldens
+from cosmos_ray.queries.oracle_gen import layout_ctes, with_goldens
 
 
 _KG_CACHE: dict = {}
@@ -7364,30 +7364,40 @@ FROM b3 GROUP BY url, sid
 
 
 def q_kg_captions(sf_dir: str):
-    """Caption↔object association over classified segments (J2): one row
-    per Table Caption with its greedily matched Table segment."""
+    """Caption↔object association over classified segments (J2) plus the
+    J1 feathered text pooling: one row per Table Caption with its
+    greedily matched Table segment and the 150-px-feathered
+    nearby-line text (2-D — the pooling window respects the two-column
+    layout on two-column pages)."""
     from cosmos_ray.stages.aggregate import associate_captions
 
     return associate_captions(_built_kg(sf_dir).segments).select_columns(
         ["url", "page_num", "caption_seg_id", "caption_text",
-         "object_seg_id", "object_text"]
+         "object_seg_id", "object_text", "nearby_text"]
     )
 
 
 # greedy nearest-centroid claiming, reproduced as a recursive CTE over
 # caption rank r per (url, page): rank r claims the nearest object not in
-# the claimed list. All coordinates are integer-valued (layout parity note
-# in oracle_gen.py), so the DOUBLE distances equal the engine's.
-SQL_KG_CAPTIONS = with_goldens("""
-, geom AS (
-  SELECT url, seg_id, CAST(seg_id // 12 AS INT) AS page, text, cls,
-         (72.0 + least(72.0 + 6.0 * length(text), 1848.0)) / 2.0 AS cx,
-         72.0 + (seg_id % 12) * 148.0 + 12.0 AS cy
-  FROM blocks),
+# the claimed list; geometry from the layout replay (oracle_gen.layout_ctes
+# — two-column pages included). All coordinates are integer-valued
+# (layout parity note in oracle_gen.py), so the DOUBLE distances equal the
+# engine's. nearby_text replays `geometry.spatial_join_text`: page lines
+# whose boxes intersect the caption box expanded by 150 px, in
+# (y2, x1, seg) order.
+SQL_KG_CAPTIONS = with_goldens(f"""
+, {layout_ctes()},
  caps AS (SELECT *, CAST(row_number() OVER (PARTITION BY url, page ORDER BY seg_id)
                          AS INT) - 1 AS r
-          FROM geom WHERE cls = 'Table Caption'),
- objs AS (SELECT url, page, seg_id, text, cx, cy FROM geom WHERE cls = 'Table'),
+          FROM lay WHERE cls = 'Table Caption'),
+ nearby AS (
+   SELECT c.url, c.seg_id AS cseg,
+          string_agg(l.text, ' ' ORDER BY l.y2, l.x1, l.seg_id) AS nearby_text
+   FROM caps c JOIN lay l ON l.url = c.url AND l.page = c.page
+     AND c.x1 - 150.0 < l.x2 AND l.x1 < c.x2 + 150.0
+     AND c.y1 - 150.0 < l.y2 AND l.y1 < c.y2 + 150.0
+   GROUP BY c.url, c.seg_id),
+ objs AS (SELECT url, page, seg_id, text, cx, cy FROM lay WHERE cls = 'Table'),
  assoc AS (
    SELECT c.url, c.page, c.r, c.seg_id AS caption_seg_id, c.text AS caption_text,
           o.seg_id AS object_seg_id, o.text AS object_text,
@@ -7411,9 +7421,10 @@ SQL_KG_CAPTIONS = with_goldens("""
       ORDER BY (o.cx - c.cx) * (o.cx - c.cx) + (o.cy - c.cy) * (o.cy - c.cy), o.seg_id
       LIMIT 1) o ON TRUE
  )
-SELECT url, page AS page_num, caption_seg_id, caption_text,
-       CAST(object_seg_id AS INT) AS object_seg_id, object_text
-FROM assoc
+SELECT a.url, a.page AS page_num, a.caption_seg_id, a.caption_text,
+       CAST(a.object_seg_id AS INT) AS object_seg_id, a.object_text,
+       coalesce(n.nearby_text, '') AS nearby_text
+FROM assoc a LEFT JOIN nearby n ON n.url = a.url AND n.cseg = a.caption_seg_id
 """, recursive=True)
 
 
@@ -7693,14 +7704,14 @@ def q_kg_equations(sf_dir: str):
     )
 
 
-SQL_KG_EQUATIONS = with_goldens(r"""
-, geomq AS (SELECT url, seg_id, text, cls,
-            CAST(seg_id // 12 AS INT) AS page,
-            (seg_id // 12) * 1920.0 + 72.0 + (seg_id % 12) * 148.0 + 12.0 AS mid
-     FROM blocks),
+SQL_KG_EQUATIONS = with_goldens(f"""
+, {layout_ctes()},
+ geomq AS (SELECT url, seg_id, text, cls, page,
+            page * 1920.0 + cy AS mid
+     FROM lay),
  eqs AS (SELECT * FROM geomq WHERE cls = 'Equation'),
  labs AS (SELECT * FROM geomq WHERE cls != 'Equation'
-          AND regexp_full_match(trim(text), '[\(ð][1-9A-Z]+\.?[0-9A-Za-z]*[\)Þ]'))
+          AND regexp_full_match(trim(text), '[\\(ð][1-9A-Z]+\\.?[0-9A-Za-z]*[\\)Þ]'))
 SELECT e.url, e.page AS equation_page, l.text AS label, e.text AS content
 FROM eqs e LEFT JOIN LATERAL (
    SELECT text FROM labs l WHERE l.url = e.url AND abs(l.mid - e.mid) <= 300.0

@@ -179,6 +179,46 @@ blocks AS (
 )"""
 
 
+@lru_cache(maxsize=1)
+def layout_ctes() -> str:
+    """SQL replay of the synthetic layout (`stages/segment.py`):
+    ``lay`` = blocks + page/pos + the two-column draw
+    (``_h(did, 97+page) % 3 == 0`` vetoed when a td-run or a pre+label
+    pair would straddle the column break / page edge) + integer-valued
+    box coordinates (x1, y1, x2, y2) and centroid (cx, cy). Splice after
+    ``golden_ctes()``; single-column pages keep the original
+    72 + pos*148 stack, two-column pages place pos 0-5 / 6-11 at
+    x1 = 72 / 1032 with a 296-px row pitch."""
+    draw = _H("97 + b.seg_id // 12")
+    return f"""
+lveto AS (
+  SELECT url, seg_id // 12 AS pg,
+         (bool_or(seg_id % 12 = 5 AND tag = 'td')
+          AND bool_or(seg_id % 12 = 6 AND tag = 'td'))
+         OR bool_or(seg_id % 12 = 11 AND tag = 'td')
+         OR bool_or(seg_id % 12 = 5 AND tag = 'pre')
+         OR bool_or(seg_id % 12 = 11 AND tag = 'pre') AS veto
+  FROM blocks GROUP BY url, seg_id // 12),
+lgeo AS (
+  SELECT b.*, CAST(b.seg_id // 12 AS INT) AS page, b.seg_id % 12 AS pos,
+         (({draw}) % 3 = 0) AND NOT v.veto AS twocol
+  FROM blocks b JOIN lveto v ON v.url = b.url AND v.pg = b.seg_id // 12),
+lgeo2 AS (
+  SELECT *,
+    CASE WHEN twocol THEN 72.0 + (pos // 6) * 960.0 ELSE 72.0 END AS x1,
+    CASE WHEN twocol THEN 72.0 + (pos % 6) * 296.0
+         ELSE 72.0 + pos * 148.0 END AS y1
+  FROM lgeo),
+lay AS (
+  SELECT *, least(x1 + 6.0 * length(text),
+                  CASE WHEN twocol THEN x1 + 816.0 ELSE 1848.0 END) AS x2,
+         y1 + 24.0 AS y2,
+         (x1 + least(x1 + 6.0 * length(text),
+                     CASE WHEN twocol THEN x1 + 816.0 ELSE 1848.0 END)) / 2.0 AS cx,
+         y1 + 12.0 AS cy
+  FROM lgeo2)"""
+
+
 def with_goldens(body: str, recursive: bool = False) -> str:
     """Wrap a query body (which may reference facts/blocks/kb/surf/kbname
     and define further CTEs via a leading ', name AS (...)') in the shared

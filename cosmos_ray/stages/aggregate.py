@@ -157,7 +157,7 @@ def aggregate_documents(segments_ds, num_buckets: int = 64):
         df = t.drop_columns(["__bucket"]).to_pandas()
         rows = []
         for url, g in df.groupby("url", sort=False):
-            g = _reading_order(g)
+            g = _reading_order(g, DEFAULT_COLUMN_SPLIT)
             rows.append(
                 {
                     "url": url,

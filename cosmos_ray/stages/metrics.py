@@ -34,13 +34,26 @@ def golden_annotations(golden_segments: pa.Table) -> pa.Table:
     """Golden (url, seg_id, cls, text) rows -> annotation boxes using the
     same deterministic layout as the explode stage (single source of
     truth: ``segment.synthetic_bboxes``)."""
-    from cosmos_ray.stages.segment import _BLOCKS_PER_PAGE, synthetic_bboxes
+    from cosmos_ray.stages.segment import (
+        _BLOCKS_PER_PAGE,
+        did_of_url,
+        layout_twocol_mask,
+        synthetic_bboxes,
+    )
 
     seg_id = np.asarray(golden_segments.column("seg_id").to_pylist(), dtype=np.int32)
     lens = np.asarray(
         [len(t) for t in golden_segments.column("text").to_pylist()], dtype=np.float32
     )
-    boxes = synthetic_bboxes(seg_id, lens)
+    dids = np.asarray(
+        [did_of_url(u) for u in golden_segments.column("url").to_pylist()],
+        dtype=np.int64,
+    )
+    tag_list = golden_segments.column("tag").to_pylist()
+    td = np.asarray([t == "td" for t in tag_list], dtype=bool)
+    pre = np.asarray([t == "pre" for t in tag_list], dtype=bool)
+    twocol = layout_twocol_mask(dids, seg_id.astype(np.int64), td, pre)
+    boxes = synthetic_bboxes(seg_id, lens, twocol)
     return pa.table(
         {
             "url": golden_segments.column("url"),

@@ -74,17 +74,148 @@ SEGMENTS_UNCLASSIFIED = pa.schema(
 )
 
 
-def synthetic_bboxes(seg_id: np.ndarray, text_lens: np.ndarray) -> np.ndarray:
-    """(N,) seg ids + text lengths -> (N, 4) float32 layout boxes: the
-    deterministic 1920-px synthetic page layout (vertical stack, width
-    proportional to text length). Single source of truth shared by the
-    explode stage and the golden annotations in ``stages/metrics.py``."""
-    line_in_page = (seg_id % _BLOCKS_PER_PAGE).astype(np.float32)
-    y1 = (72.0 + line_in_page * (_PAGE_H - 144.0) / _BLOCKS_PER_PAGE).astype(np.float32)
+# two-column layout constants: a deterministic ~1/3 of pages render as
+# two 816-px columns split at x=960 — the reference's golden documents
+# are two-column by default (`cosmos_service/test/src/annotations/
+# annotations_base.py:16-133`), so the synthetic corpus plants the same
+# layout class. All coordinates stay integer-valued float32 (SQL-parity
+# invariant, see queries/oracle_gen.py).
+_COL_SPLIT_X = 960.0
+_COL_W = 816.0          # column text width cap (x2 <= x1 + 816 < split)
+_TWOCOL_ROWS = 6        # 12 blocks -> 2 columns x 6 rows
+_TWOCOL_PITCH = 296.0   # 2x the single-column 148-px line pitch
+_LAYOUT_DRAW_K = 97     # layout draw key (clear of the fact keys 10..62)
+_H_MOD = 1048573        # pages._h modulus (generator parity)
+
+_DID_RE = re.compile(r"/p/(\d+)")
+
+
+def did_of_url(url: str) -> int:
+    """Stable per-document integer for the layout draw: the trailing
+    ``/p/<id>`` of corpus urls (the generator's doc id — what the SQL
+    oracles key their ``_H`` draws on); byte-sum fallback for foreign
+    urls (the draw only needs determinism, not any particular value)."""
+    m = _DID_RE.search(url)
+    if m is not None:
+        return int(m.group(1))
+    return sum(url.encode()) % _H_MOD
+
+
+def layout_twocol_mask(dids: np.ndarray, seg_id: np.ndarray,
+                       td_mask: np.ndarray,
+                       pre_mask: np.ndarray | None = None) -> np.ndarray:
+    """Per-row bool: does this row's page render two-column?
+
+    Draw: ``pages._h(did, 97 + page) % 3 == 0`` (~1/3 of pages,
+    SQL-replayable integer arithmetic). VETOED for pages where an
+    unbreakable float would straddle the column break or the page edge —
+    real typesetting never splits a table across columns, and a display
+    equation keeps its label line adjacent:
+
+    - td at pos 5 AND pos 6 (table-cell run crosses the break), or
+      td at pos 11 (run could depend on cross-page adjacency);
+    - pre at pos 5 (its label at pos 6 would land in the other column)
+      or pre at pos 11 (label on the next page leaves the 300-px
+      midline window once this page reflows).
+
+    The veto also preserves the page-context demotion rule's no-op
+    invariant on the synthetic corpus (every td keeps a same-column td
+    neighbor)."""
+    page = (seg_id // _BLOCKS_PER_PAGE).astype(np.int64)
+    pos = (seg_id % _BLOCKS_PER_PAGE).astype(np.int64)
+    did = dids.astype(np.int64)
+    k = _LAYOUT_DRAW_K + page
+    h = (did * 1000003 + k * 10007 + did * k * 7919 + 12345) % _H_MOD
+    draw = (h % 3) == 0
+    key = did * (1 << 22) + page
+    uk, ginv = np.unique(key, return_inverse=True)
+
+    def flag(mask: np.ndarray) -> np.ndarray:
+        f = np.zeros(len(uk), dtype=bool)
+        np.logical_or.at(f, ginv[mask], True)
+        return f
+
+    td = np.asarray(td_mask, dtype=bool)
+    last = _BLOCKS_PER_PAGE - 1
+    veto = (flag(td & (pos == 5)) & flag(td & (pos == 6))) | flag(td & (pos == last))
+    if pre_mask is not None:
+        pre = np.asarray(pre_mask, dtype=bool)
+        veto |= flag(pre & ((pos == 5) | (pos == last)))
+    return draw & ~veto[ginv]
+
+
+def synthetic_bboxes(seg_id: np.ndarray, text_lens: np.ndarray,
+                     twocol: np.ndarray | None = None) -> np.ndarray:
+    """(N,) seg ids + text lengths (+ per-row two-column page flag) ->
+    (N, 4) float32 layout boxes: the deterministic 1920-px synthetic
+    page layout. Single-column pages stack 12 lines at 148-px pitch;
+    two-column pages place positions 0-5 in the left column and 6-11 in
+    the right (x1 = 72 / 1032, 296-px row pitch) — reading order is
+    column-major, so a plain (page, y, x) sort interleaves the columns
+    and only the column-aware order (x // 960 bin first) reconstructs
+    it. Single source of truth shared by the explode stage and the
+    golden annotations in ``stages/metrics.py``."""
+    pos = (seg_id % _BLOCKS_PER_PAGE).astype(np.float32)
+    if twocol is None:
+        twocol = np.zeros(len(seg_id), dtype=bool)
+    y1 = np.where(
+        twocol,
+        72.0 + (pos % _TWOCOL_ROWS) * _TWOCOL_PITCH,
+        72.0 + pos * ((_PAGE_H - 144.0) / _BLOCKS_PER_PAGE),
+    ).astype(np.float32)
     y2 = y1 + np.float32(_LINE_H)
-    x1 = np.full(len(seg_id), _X0, np.float32)
-    x2 = np.minimum(_X0 + 6.0 * text_lens, 1848.0).astype(np.float32)
+    x1 = np.where(
+        twocol, _X0 + (pos // _TWOCOL_ROWS) * _COL_SPLIT_X, _X0
+    ).astype(np.float32)
+    x2 = np.minimum(
+        x1 + 6.0 * text_lens, np.where(twocol, x1 + _COL_W, 1848.0)
+    ).astype(np.float32)
     return np.stack([x1, y1, x2, y2], axis=1)
+
+
+def _lonely_table_demotions(gy1: np.ndarray, gy2: np.ndarray,
+                            gx1: np.ndarray, gx2: np.ndarray,
+                            table_like: np.ndarray,
+                            tab_idx: np.ndarray) -> np.ndarray:
+    """Exact demotion set for the lonely-table rule, vectorized: a Table
+    row with >=1 expanded-overlap neighbor but none of class Table /
+    Table Caption. Inputs must be SORTED by gy1 with per-url-group y
+    offsets already applied (so y windows never cross groups); x is raw
+    page space. Neighbor = expanded boxes overlap in BOTH axes — the
+    two-column layout makes the x check load-bearing (the old prefix-sum
+    shortcut assumed single-column pages, where x always overlaps).
+    Matches the exact per-group path including the _MAX_NEIGHBORS
+    nearest-by-center cap (refined row-wise only for the rare rows where
+    the cap binds). Returns indices (in the sorted frame) to demote."""
+    if len(tab_idx) == 0:
+        return tab_idx
+    E2 = 2.0 * _CTX_EXPAND
+    n = len(gy1)
+    gy2max = np.maximum.accumulate(gy2)
+    up = np.searchsorted(gy1, gy2[tab_idx] + E2, side="left")
+    dn = np.searchsorted(gy2max, gy1[tab_idx] - E2, side="right")
+    W = int((up - dn).max())
+    if W <= 0:
+        return np.empty(0, dtype=np.int64)
+    cols = dn[:, None] + np.arange(W)[None, :]
+    valid = cols < up[:, None]
+    cols = np.minimum(cols, n - 1)
+    ti = tab_idx[:, None]
+    xok = (gx1[cols] < gx2[ti] + E2) & (gx1[ti] < gx2[cols] + E2)
+    yok = (gy2[cols] > gy1[ti] - E2) & (gy1[cols] < gy2[ti] + E2)
+    nb = valid & (cols != ti) & xok & yok
+    cnt = nb.sum(axis=1)
+    has_tab = (nb & table_like[cols]).any(axis=1)
+    demote = (cnt >= 1) & ~has_tab
+    over = np.flatnonzero(cnt > _MAX_NEIGHBORS)
+    if len(over):
+        centers = (gy1 + gy2) / 2.0
+        for oi in over:
+            js = cols[oi][nb[oi]]
+            near = js[np.argsort(np.abs(centers[js] - centers[tab_idx[oi]]),
+                                 kind="stable")[:_MAX_NEIGHBORS]]
+            demote[oi] = not table_like[near].any()
+    return tab_idx[demote]
 
 
 def explode_segments(batch: pa.Table) -> pa.Table:
@@ -115,7 +246,13 @@ def explode_segments(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float32)
-    boxes = synthetic_bboxes(seg_id, lens)
+    pdids = np.array([did_of_url(u) for u in batch.column("url").to_pylist()],
+                     dtype=np.int64)  # one parse per PARENT row, not per block
+    td_mask = pc.equal(tags, pa.scalar("td")).to_numpy(zero_copy_only=False)
+    pre_mask = pc.equal(tags, pa.scalar("pre")).to_numpy(zero_copy_only=False)
+    twocol = layout_twocol_mask(pdids[parent_idx], seg_id.astype(np.int64),
+                                td_mask, pre_mask)
+    boxes = synthetic_bboxes(seg_id, lens, twocol)
     bbox = pa.FixedSizeListArray.from_arrays(
         pa.array(boxes.reshape(-1), pa.float32()), 4
     )
@@ -316,13 +453,17 @@ class SegmentClassifier:
             cls_arr, value_set=pa.array(["Table", "Table Caption"])
         ).to_numpy(zero_copy_only=False)
         tab_idx = np.flatnonzero(tab)
-        gy2max = np.maximum.accumulate(gy2)
-        up = np.searchsorted(gy1, gy2[tab_idx] + E2, side="left")
-        dn = np.searchsorted(gy2max, gy1[tab_idx] - E2, side="right")
-        pre = np.concatenate([[0], np.cumsum(table_like)])
-        n_tab = pre[up] - pre[dn] - 1  # minus self
-        win = up - dn - 1
-        demote = tab_idx[(win >= 1) & (n_tab == 0)]
+        if len(tab_idx) == 0:
+            return cls_arr, score_arr
+        # two-column pages break y monotonicity within a group — sort
+        # (group offsets keep the global sort equal to per-group sorts)
+        order = np.argsort(gy1, kind="stable")
+        dem_sorted = _lonely_table_demotions(
+            gy1[order], gy2[order], xy[:, 0][order], xy[:, 2][order],
+            table_like[order],
+            np.flatnonzero(tab[order]),
+        )
+        demote = order[dem_sorted]
         if len(demote) == 0:
             return cls_arr, score_arr
         mask = np.zeros(n, dtype=bool)
@@ -375,29 +516,24 @@ class SegmentClassifier:
         E2 = 2.0 * _CTX_EXPAND
 
         if neighbors_out is None:
-            # Fast rules-only path: ONE global searchsorted pass. Rows
-            # arrive grouped by url in reading order (explode invariant),
-            # so adding a per-group offset larger than any page stack
-            # makes y globally monotone and neighbor windows contiguous.
-            # The y-window stands for the neighborhood here (x-overlap is
-            # implied by the single-column layout; the exact-IoU path
-            # below is used for feature emission); the running-max lower
-            # bound is conservative, which can only KEEP a table cell,
-            # never wrongly demote one.
+            # Fast rules-only path: ONE global sorted pass. Per-group y
+            # offsets keep neighbor windows inside one url; the shared
+            # windowed-matrix helper applies the exact expanded-overlap
+            # test in BOTH axes (two-column pages made the x check
+            # load-bearing and broke the old y-monotone assumption).
             gidx = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
             offset = float(ay2.max()) + E2 + 1.0
             gy1 = ay1 + gidx * offset
             gy2 = ay2 + gidx * offset
             table_like = (base_cls == "Table") | (base_cls == "Table Caption")
-            tab_idx = np.flatnonzero(base_cls == "Table")
-            if len(tab_idx):
-                gy2max = np.maximum.accumulate(gy2)
-                up = np.searchsorted(gy1, gy2[tab_idx] + E2, side="left")
-                dn = np.searchsorted(gy2max, gy1[tab_idx] - E2, side="right")
-                pre = np.concatenate([[0], np.cumsum(table_like)])
-                n_tab = pre[up] - pre[dn] - 1  # minus self
-                win = up - dn - 1
-                for gi in tab_idx[(win >= 1) & (n_tab == 0)]:
+            tab = base_cls == "Table"
+            if tab.any():
+                order = np.argsort(gy1, kind="stable")
+                dem_sorted = _lonely_table_demotions(
+                    gy1[order], gy2[order], ax1[order], ax2[order],
+                    table_like[order], np.flatnonzero(tab[order]),
+                )
+                for gi in order[dem_sorted]:
                     cls_col[gi], score_col[gi] = "Body Text", 0.3
             other_idx = np.flatnonzero(base_cls == "Other")
             if len(other_idx) == 0:

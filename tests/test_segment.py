@@ -126,3 +126,61 @@ def test_explode_is_batch_shape_stable():
     out = explode_segments(empty)
     assert out.num_rows == 0
     assert "seg_id" in out.schema.names
+
+
+def test_two_column_layout_invariants(documents_small):
+    """The synthetic corpus plants two-column pages (>=20%, VERDICT r3
+    #3): plain (page, y, x) ordering provably scrambles reading order on
+    them, while the column-aware (page, x-bin, y) order reconstructs the
+    golden segment order exactly; unbreakable floats (td runs, pre+label
+    pairs) never straddle the column break."""
+    import numpy as np
+
+    from cosmos_ray.sources.pages import golden_corpus
+    from cosmos_ray.stages.segment import (
+        did_of_url,
+        layout_twocol_mask,
+        synthetic_bboxes,
+    )
+
+    segs = golden_corpus(documents_small)["segments"]
+    seg_id = np.array(segs.column("seg_id").to_pylist(), np.int64)
+    urls = segs.column("url").to_pylist()
+    tags = segs.column("tag").to_pylist()
+    dids = np.array([did_of_url(u) for u in urls], np.int64)
+    td = np.array([t == "td" for t in tags])
+    pre = np.array([t == "pre" for t in tags])
+    tc = layout_twocol_mask(dids, seg_id, td, pre)
+
+    page_key = dids * (1 << 22) + seg_id // 12
+    uk, inv = np.unique(page_key, return_inverse=True)
+    page_tc = np.zeros(len(uk), bool)
+    page_tc[inv[tc]] = True
+    assert page_tc.mean() >= 0.20, "fewer than 20% two-column pages"
+
+    lens = np.array([len(t) for t in segs.column("text").to_pylist()],
+                    np.float32)
+    bb = synthetic_bboxes(seg_id.astype(np.int32), lens, tc)
+    # no float straddles the break: two-col td/pre rows never sit at the
+    # column boundary without a same-column same-tag neighbor (checked
+    # structurally: td at pos 5+6 or td/pre at pos 11 forces single-col)
+    pos = seg_id % 12
+    assert not (tc & (td | pre) & (pos == 11)).any()
+
+    import collections
+    by_url = collections.defaultdict(list)
+    for i, u in enumerate(urls):
+        by_url[u].append(i)
+    broken_plain = 0
+    for u, idxs in by_url.items():
+        idxs = sorted(idxs, key=lambda i: seg_id[i])
+        page = seg_id[idxs] // 12
+        y1 = bb[idxs, 1]
+        x1 = bb[idxs, 0]
+        plain = np.lexsort((x1, y1, page))
+        aware = np.lexsort((x1, y1, (x1 // 960.0).astype(np.int64), page))
+        # column-aware order ALWAYS reconstructs the golden seg order
+        assert list(aware) == list(range(len(idxs))), u
+        if list(plain) != list(range(len(idxs))):
+            broken_plain += 1
+    assert broken_plain > 0, "plain (page,y,x) never broke — layout inert"
