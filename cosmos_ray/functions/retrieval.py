@@ -461,3 +461,164 @@ def append_text_index(new_docs_ds, index_dir: str,
         json.dump(merged, f)
     os.replace(tmp, meta_path)
     return merged
+
+
+# ----------------------------------------------------- boolean composition
+
+class _BoolNode:
+    """Parsed query_string node: ('term', w) | ('phrase', [w..]) |
+    ('not', c) | ('and', [c..]) | ('or', [c..])."""
+
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind, val):
+        self.kind, self.val = kind, val
+
+
+def parse_boolean_query(query: str) -> _BoolNode:
+    """Recursive-descent parser for the ES ``query_string`` boolean
+    subset (`elastic_retriever.py:228-342`): AND / OR / NOT (case
+    sensitive operators), parentheses, double-quoted phrases; adjacent
+    clauses without an operator default to AND (ES
+    ``default_operator=AND`` — the reference passes explicit operators).
+
+    Grammar:  or := and (OR and)* ; and := unary ((AND)? unary)* ;
+              unary := NOT unary | '(' or ')' | '"w .."' | term
+    """
+    import re as _re
+
+    toks = _re.findall(r'"[^"]*"|\(|\)|[^\s()]+', query)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def p_or():
+        parts = [p_and()]
+        while peek() == "OR":
+            take()
+            parts.append(p_and())
+        return parts[0] if len(parts) == 1 else _BoolNode("or", parts)
+
+    def p_and():
+        parts = [p_unary()]
+        while peek() is not None and peek() not in (")", "OR"):
+            if peek() == "AND":
+                take()
+            parts.append(p_unary())
+        return parts[0] if len(parts) == 1 else _BoolNode("and", parts)
+
+    def p_unary():
+        t = peek()
+        if t == "NOT":
+            take()
+            return _BoolNode("not", p_unary())
+        if t == "(":
+            take()
+            node = p_or()
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in {query!r}")
+            return node
+        t = take()
+        if t is None or t in ("AND", "OR", ")"):
+            raise ValueError(f"dangling operator in {query!r}")
+        if t.startswith('"'):
+            words = t.strip('"').lower().split()
+            if not words:
+                raise ValueError(f"empty phrase in {query!r}")
+            return _BoolNode("phrase", words)
+        return _BoolNode("term", t.lower())
+
+    node = p_or()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing tokens in {query!r}")
+    return node
+
+
+def positive_terms(node: _BoolNode, negated: bool = False) -> set[str]:
+    """Unigram terms NOT under a NOT — the ranking vocabulary (phrase
+    words included; a negated clause can only exclude, never score)."""
+    if node.kind == "term":
+        return set() if negated else {node.val}
+    if node.kind == "phrase":
+        return set() if negated else set(node.val)
+    if node.kind == "not":
+        return positive_terms(node.val, not negated)
+    out: set[str] = set()
+    for c in node.val:
+        out |= positive_terms(c, negated)
+    return out
+
+
+def boolean_query_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2,
+                       b: float = 0.75, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Boolean-composed ranked retrieval (the ES ``query_string``
+    analog): docs matching the AND/OR/NOT tree, ranked by BM25 over the
+    query's positive unigram terms (fixed sorted-term float-sum order —
+    SQL-oracle parity like ``bm25_topk``), ties by ``id_col``.
+
+    Matching semantics (whitespace tokenizer, lowercased):
+    - term: token equality anywhere in the document;
+    - "quoted phrase": consecutive-token match (substring of
+      ' '+text+' ' with space-bounded ends);
+    - NOT / AND / OR compose per-document booleans.
+
+    Scale shape: identical to ``bm25_topk`` — one combiner stats pass
+    (one row per batch) + one vectorized match-and-score pass into the
+    distributed top-k; the boolean tree evaluates as numpy masks, no
+    extra passes regardless of tree size."""
+    tree = parse_boolean_query(query)
+    terms = sorted(positive_terms(tree))
+    stats = _corpus_stats(docs_ds, terms, text_col)
+    n, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    idf = {t: math.log(1.0 + (n - stats["df"][t] + 0.5) / (stats["df"][t] + 0.5))
+           for t in terms}
+
+    def matches(node: _BoolNode, flat, parents, nrows, padded) -> np.ndarray:
+        if node.kind == "term":
+            m = pc.equal(flat, pa.scalar(node.val)).to_numpy(zero_copy_only=False)
+            out = np.zeros(nrows, dtype=bool)
+            out[parents[m]] = True
+            return out
+        if node.kind == "phrase":
+            needle = " " + " ".join(node.val) + " "
+            return pc.match_substring(
+                padded, pattern=needle).to_numpy(zero_copy_only=False)
+        if node.kind == "not":
+            return ~matches(node.val, flat, parents, nrows, padded)
+        parts = [matches(c, flat, parents, nrows, padded) for c in node.val]
+        return np.logical_and.reduce(parts) if node.kind == "and" \
+            else np.logical_or.reduce(parts)
+
+    def score(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t.column(text_col))
+        toks = pc.split_pattern(lower, " ")
+        dl = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        flat = pc.list_flatten(toks)
+        parents = np.repeat(np.arange(t.num_rows), dl)
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), lower, pa.scalar(" "), pa.scalar(""))
+        hit = matches(tree, flat, parents, t.num_rows, padded)
+        denom_base = k1 * (1.0 - b + b * (dl / avgdl))
+        total = np.zeros(t.num_rows, dtype=np.float64)
+        for term in terms:  # fixed order: float-sum parity with the oracle
+            m = pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[m], minlength=t.num_rows).astype(np.float64)
+            total = total + idf[term] * (tf / (tf + denom_base))
+        rounded = np.floor(total * 1e6 + 0.5) / 1e6
+        out = pa.table({
+            id_col: t.column(id_col),
+            "bm25": pa.array(rounded, pa.float64()),
+        })
+        return out.filter(pa.array(hit))
+
+    scored = docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return topk(scored, [("bm25", True), (id_col, False)], k)

@@ -2433,6 +2433,77 @@ def q_bm25_index_docs(sf_dir: str):
     return bm25_query_index(idx, "spark data processing", k=10)
 
 
+_BOOLEAN_QUERY = '(spark OR flink) AND "hash join" AND NOT slow'
+
+
+def q_boolean_query(sf_dir: str):
+    """Boolean query composition over the retrieval primitives — the ES
+    ``query_string`` analog (`elastic_retriever.py:228-342`): AND/OR/NOT
+    tree with a quoted phrase, matches ranked by BM25 over the positive
+    terms. One stats combiner pass + one vectorized match-and-score pass
+    (the boolean tree costs no extra passes)."""
+    from cosmos_ray.functions.retrieval import boolean_query_topk
+
+    return boolean_query_topk(read(sf_dir, "documents", ["doc_id", "text"]),
+                              _BOOLEAN_QUERY, k=10)
+
+
+def _sql_boolean_query(query: str, limit: int = 10) -> str:
+    """Replay of ``boolean_query_topk``: the SAME parser builds the
+    match condition (list_contains / space-bounded phrase / NOT / AND /
+    OR) and the BM25 scoring reuses the fixed-order float-sum form of
+    ``_sql_bm25`` over the positive terms."""
+    from cosmos_ray.functions.retrieval import (
+        parse_boolean_query,
+        positive_terms,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def cond(node) -> str:
+        if node.kind == "term":
+            return f"list_contains(toks, '{esc(node.val)}')"
+        if node.kind == "phrase":
+            return f"contains(pt, ' {esc(' '.join(node.val))} ')"
+        if node.kind == "not":
+            return f"(NOT {cond(node.val)})"
+        op = " AND " if node.kind == "and" else " OR "
+        return "(" + op.join(cond(c) for c in node.val) + ")"
+
+    tree = parse_boolean_query(query)
+    terms = sorted(positive_terms(tree))
+    k1, b = 1.2, 0.75
+    tf_exprs = [
+        f"CAST(len(list_filter(toks, x -> x = '{esc(t)}')) AS DOUBLE)"
+        for t in terms
+    ]
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{esc(t)}') THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = " + ".join(
+        f"ln(1.0 + (st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5))"
+        f" * ({tf_exprs[i]} / ({tf_exprs[i]} + {k1} * (1.0 - {b} + {b} *"
+        f" (CAST(len(toks) AS DOUBLE) / st.avgdl))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt,
+                  string_split(lower(text), ' ') AS toks FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+              {df_cols}
+       FROM d)
+SELECT doc_id,
+       floor(({contribs}) * 1e6 + 0.5) / 1e6 AS bm25
+FROM d, st
+WHERE {cond(tree)}
+ORDER BY bm25 DESC, doc_id LIMIT {limit}
+"""
+
+
 def q_snippets(sf_dir: str):
     """Matched-context snippets (ES highlighting analog,
     `retrieval.snippet_extract`): +/-5 tokens around the earliest first
@@ -11294,6 +11365,7 @@ QUERIES = {
     "event_attribution": q_event_attribution,
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
+    "boolean_query": q_boolean_query,
     "bm25_index_docs": q_bm25_index_docs,
     "snippets": q_snippets,
     "mixture_weights": q_mixture_weights,
@@ -11693,6 +11765,7 @@ ORACLES = {
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
+    "boolean_query": _sql_boolean_query(_BOOLEAN_QUERY, 10),
     "bm25_index_docs": SQL_BM25_DOCS,
     "snippets": SQL_SNIPPETS,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,

@@ -512,3 +512,51 @@ class TestAppendTextIndex:
              .sort_values("doc_id").reset_index(drop=True))
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         assert a["bm25"].tolist() == b["bm25"].tolist()  # bitwise
+
+
+class TestBooleanQuery:
+    """Boolean query_string composition (ES analog): AND/OR/NOT trees,
+    quoted phrases, BM25 ranking over positive terms."""
+
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "spark hash join fast",        # match
+                "flink hash join slow",        # excluded by NOT slow
+                "spark data hash joins",       # phrase boundary: no
+                "flink sort merge hash join",  # match via OR flink
+                "rehash join spark hash join", # leading boundary ok
+                "spark hash",                  # no phrase
+            ],
+        }))
+
+    def test_boolean_semantics_and_ranking(self):
+        from cosmos_ray.functions.retrieval import boolean_query_topk
+
+        got = boolean_query_topk(
+            self._ds(), '(spark OR flink) AND "hash join" AND NOT slow', k=10
+        ).take_all()
+        ids = [r["doc_id"] for r in got]
+        assert set(ids) == {1, 4, 5}
+        # scores descending, ties by doc_id
+        scores = [r["bm25"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_parser_rejects_malformed(self):
+        import pytest
+
+        from cosmos_ray.functions.retrieval import parse_boolean_query
+
+        for bad in ["(a OR b", "AND a", "a OR", 'a ""']:
+            with pytest.raises(ValueError):
+                parse_boolean_query(bad)
+
+    def test_default_operator_is_and(self):
+        from cosmos_ray.functions.retrieval import boolean_query_topk
+
+        got = boolean_query_topk(self._ds(), "spark fast", k=10).take_all()
+        assert [r["doc_id"] for r in got] == [1]
