@@ -1,12 +1,14 @@
 """Pure-numpy image codecs without PIL/cv2 (absent in this container):
-uncompressed BMP 24-bit BI_RGB and binary PPM/PGM, plus REAL PNG
+uncompressed BMP 24-bit BI_RGB and binary PPM/PGM, REAL PNG
 (ISO 15948) via stdlib zlib — 8-bit gray/RGB/RGBA encode (filter 0)
-and decode of all five standard scanline filters. Only JPEG remains
-stubbed behind the declared ``NotImplementedError`` (no DCT codec
-here). Reference analog: the page/region PNG payloads the reference
-crops and ships (`ingest/ingest.py:245-332`); the web analog treats
-media as opaque binary columns and decodes in actor-pool
-``map_batches`` stages.
+and decode of all five standard scanline filters — and REAL baseline
+sequential JPEG (ITU-T T.81): numpy DCT/IDCT + Huffman encode/decode,
+4:4:4 sampling, in-file tables (progressive / subsampled scans raise
+the declared NotImplementedError). Reference analog: the page/region
+PNG payloads the reference crops and ships (`ingest/ingest.py:245-332`)
+and the JPG recompression (`htcosmos/make_parquet.py:786-806`); the
+web analog treats media as opaque binary columns and decodes in
+actor-pool ``map_batches`` stages.
 
 BMP/PPM paths and the PNG None/Sub/Up defilters are vectorized
 (``np.frombuffer`` + stride reshape / mod-256 cumsum); only the
@@ -105,20 +107,22 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode: BMP ('BM'), binary netpbm ('P5'/'P6') and PNG
-    (8-bit gray/RGB/RGBA, stdlib-zlib inflate + full defilter) are
-    decoded for real; anything else (JPEG — no DCT codec in this
-    container) raises NotImplementedError for the caller's
-    fake/dead-letter policy."""
+    """Sniff-and-decode: BMP ('BM'), binary netpbm ('P5'/'P6'), PNG
+    (8-bit gray/RGB/RGBA, stdlib-zlib inflate + full defilter) and
+    baseline JPEG (pure-numpy Huffman + IDCT; progressive/subsampled
+    variants raise the declared NotImplementedError) decode natively;
+    unknown magics raise for the caller's fake/dead-letter policy."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no JPEG codec in this environment "
-        f"(magic={payload[:4]!r}); BMP/PPM/PGM/PNG decode natively")
+        f"unknown image magic {payload[:4]!r}; "
+        "BMP/PPM/PGM/PNG/baseline-JPEG decode natively")
 
 
 # ------------------------------------------------------------------ PNG
@@ -237,3 +241,449 @@ def decode_png(payload: bytes) -> np.ndarray:
                          np.uint8).reshape(h, 1 + stride)
     out = _defilter(scan, h, stride, ch)
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+# ----------------------------------------------------------------- JPEG
+# Baseline sequential DCT JPEG (ITU-T T.81): real encode + decode with
+# stdlib + numpy only. Encoder: level shift -> 8x8 float64 DCT-II ->
+# Annex-K luminance/chrominance quantization -> zigzag -> differential
+# DC + run-length AC -> canonical flat-length Huffman tables (valid
+# baseline tables, carried in DHT as the spec requires — any conforming
+# reader decodes them); 4:4:4 sampling, edge blocks padded by
+# replication. Decoder: reads DQT/DHT/SOF0/DRI from the stream (so it
+# decodes external baseline files too), supports 1- and 3-component
+# 4:4:4 scans and restart markers; progressive / subsampled files raise
+# the declared NotImplementedError. Rounding is pinned to
+# floor(x + 0.5) on both sides so flat 8x8 tiles reconstruct EXACTLY:
+# recon = clip(floor(round_half_up(8*(v-128)/qDC) * qDC / 8 + 128.5)),
+# the integer identity the media_jpeg_features oracle replays in SQL.
+# Reference analog: the page images the reference recompresses to JPG
+# (`htcosmos/make_parquet.py:786-806`).
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K.1 example quantization tables (the de-facto
+# quality-50 tables every libjpeg derivative scales from)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    t = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    t[0, :] *= 1.0 / np.sqrt(2.0)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) with an epsilon far above DCT float noise
+    (~1e-13) but far below a quantization step: exact-half boundaries
+    (e.g. a flat tile whose DC/q is mathematically 17.5) round UP
+    deterministically, matching the exact rational arithmetic the SQL
+    oracle replays — without it, 17.5 computed as 17.499999999999996
+    flips the rounded DC per float noise."""
+    return np.floor(x + 0.5 + 1e-8)
+
+
+class _FlatHuff:
+    """Canonical Huffman table with ALL symbols at one code length —
+    valid baseline-JPEG tables (<= 16-bit, all-ones code unused) that
+    sidestep transcribing the 162-entry Annex-K code books; the tables
+    ride in DHT so any conforming decoder (including ours) reads them."""
+
+    def __init__(self, symbols: list[int], length: int) -> None:
+        assert len(symbols) < (1 << length)  # leave the all-ones code free
+        self.length = length
+        self.code = {s: (i, length) for i, s in enumerate(symbols)}
+        self.bits = [0] * 16
+        self.bits[length - 1] = len(symbols)
+        self.symbols = list(symbols)
+
+
+_DC_HUFF = _FlatHuff(list(range(12)), 4)
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_HUFF = _FlatHuff(_AC_SYMBOLS, 8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_plane_block(w: "_BitWriter", zz: np.ndarray, prev_dc: int,
+                        dc_huff: "_FlatHuff", ac_huff: "_FlatHuff") -> int:
+    diff = int(zz[0]) - prev_dc
+    size, code = _magnitude(diff)
+    c, ln = dc_huff.code[size]
+    w.put(c, ln)
+    if size:
+        w.put(code, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            if run == 16:
+                c, ln = ac_huff.code[0xF0]
+                w.put(c, ln)
+                run = 0
+            continue
+        size, code = _magnitude(v)
+        c, ln = ac_huff.code[(run << 4) | size]
+        w.put(c, ln)
+        w.put(code, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_huff.code[0x00]  # EOB
+        w.put(c, ln)
+    return int(zz[0])
+
+
+def _dht_segment(tc: int, th: int, huff: "_FlatHuff") -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(huff.bits) + bytes(huff.symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(table[_ZIGZAG[i]]) for i in range(64))
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """(H, W) uint8 gray or (H, W, 3) uint8 RGB -> baseline sequential
+    JPEG bytes (4:4:4, Annex-K quantization, in-file Huffman tables)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (H, W) gray or (H, W, 3) RGB")
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [_QT_LUMA]
+        qsel = [0]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [_QT_LUMA, _QT_CHROMA]
+        qsel = [0, 1, 1]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    writer = _BitWriter()
+    prev_dc = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                if blk.shape != (8, 8):  # replicate-pad edge blocks
+                    blk = np.pad(blk, ((0, 8 - blk.shape[0]),
+                                       (0, 8 - blk.shape[1])), mode="edge")
+                coef = _DCT_T @ (blk - 128.0) @ _DCT_T.T
+                q = qts[qsel[ci]].reshape(8, 8).astype(np.float64)
+                zz = _round_half_up(coef / q).astype(np.int64).reshape(64)[_ZIGZAG]
+                prev_dc[ci] = _encode_plane_block(
+                    writer, zz, prev_dc[ci], _DC_HUFF, _AC_HUFF)
+    scan = writer.flush()
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"       # APP0
+    out += _dqt_segment(0, _QT_LUMA)
+    if not gray:
+        out += _dqt_segment(1, _QT_CHROMA)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qsel[ci]])         # 4:4:4 sampling
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_HUFF)
+    out += _dht_segment(1, 0, _AC_HUFF)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])                   # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])                           # full spectral, no approx
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += scan
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _HuffDecode:
+    """Canonical table from DHT (bits, symbols) -> (code,len) lookup."""
+
+    def __init__(self, bits: list[int], symbols: list[int]) -> None:
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lut[(ln, code)] = symbols[k]
+                k += 1
+                code += 1
+            code <<= 1
+
+    def read(self, r: "_BitReader") -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | r.bit()
+            sym = self.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG bytes -> (H, W) or (H, W, 3) uint8.
+    Reads DQT/DHT/SOF0/DRI from the stream (external baseline files
+    decode too); 1- or 3-component 4:4:4 only — progressive (SOF2) or
+    subsampled scans raise NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecode] = {}
+    ac_tabs: dict[int, _HuffDecode] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    h = w = 0
+    restart_interval = 0
+    scan_bytes = None
+    scan_sel: list[tuple[int, int, int]] = []  # (comp idx, dc tab, ac tab)
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                off += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
+                    off += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
+                    off += 128
+                dez = np.zeros(64, np.int64)
+                dez[_ZIGZAG] = tbl
+                qt[tq] = dez.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                syms = list(body[off + 17:off + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecode(bits, syms)
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline shapes)
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, samp, tq))
+            if any(s != 0x11 for _, s, _ in comps):
+                raise NotImplementedError(
+                    "only 4:4:4 (no chroma subsampling) JPEG supported")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan_sel = []
+            cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si:3 + 2 * si]
+                scan_sel.append((cid_to_idx[cid], tt >> 4, tt & 0xF))
+            # collect scan bytes up to the next real marker, unstuffing
+            scan = bytearray()
+            p = pos
+            while p < len(payload):
+                b = payload[p]
+                if b == 0xFF:
+                    nxt = payload[p + 1]
+                    if nxt == 0x00:
+                        scan.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RST: reset handled below
+                        scan.append(0xFF)
+                        scan.append(nxt)
+                        p += 2
+                        continue
+                    break
+                scan.append(b)
+                p += 1
+            scan_bytes = bytes(scan)
+            pos = p
+            break
+        # APPn / COM / others: skipped via the length field
+    if scan_bytes is None or not comps or not h or not w:
+        raise ValueError("incomplete JPEG stream")
+
+    # entropy-decode MCUs (4:4:4 -> one block per component per MCU)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
+    # split at restart markers; each segment resets DC predictors
+    segments = []
+    if restart_interval:
+        cur = bytearray()
+        i = 0
+        while i < len(scan_bytes):
+            if scan_bytes[i] == 0xFF and i + 1 < len(scan_bytes) \
+                    and 0xD0 <= scan_bytes[i + 1] <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            cur.append(scan_bytes[i])
+            i += 1
+        segments.append(bytes(cur))
+    else:
+        # unstuff only (RSTs absent); scan_bytes kept raw above
+        segments = [scan_bytes]
+    mcu = 0
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    prev_dc = [0] * len(comps)
+    total_mcus = bh * bw
+    while mcu < total_mcus:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            reader = _BitReader(segments[seg_i])
+            prev_dc = [0] * len(comps)
+        by, bx = divmod(mcu, bw)
+        for (ci, tdc, tac) in scan_sel:
+            zz = np.zeros(64, np.int64)
+            size = dc_tabs[tdc].read(reader)
+            diff = _extend(reader.bits(size), size) if size else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = ac_tabs[tac].read(reader)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, sz = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflow")
+                zz[k] = _extend(reader.bits(sz), sz)
+                k += 1
+            dez = np.zeros(64, np.float64)
+            dez[_ZIGZAG] = zz
+            coef = dez.reshape(8, 8) * qt[comps[ci][2]].astype(np.float64)
+            blk = _DCT_T.T @ coef @ _DCT_T + 128.0
+            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+        mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        return np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)

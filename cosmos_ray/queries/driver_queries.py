@@ -451,6 +451,82 @@ FROM documents
 """
 
 
+def q_media_jpeg_features(sf_dir: str):
+    """End-to-end BASELINE JPEG decode, oracle-checked (finishes S8 —
+    reference recompresses page images to JPG,
+    `htcosmos/make_parquet.py:786-806`): one real 16x16 grayscale JPEG
+    per doc built from four flat 8x8 tiles whose values are doc_id
+    arithmetic, pushed through encode (DCT+Huffman) and the `DecodeImage`
+    actor pool. Flat tiles make the lossy DCT path EXACTLY replayable:
+    recon(v) = min(floor((v-128)/2 + 0.5)*2 + 128, 255) with the Annex-K
+    DC quantizer 16 — the SQL oracle computes the same sum of tile
+    reconstructions. Proves zigzag/Huffman/DC-diff/IDCT end to end."""
+    import numpy as np
+
+    from cosmos_ray.functions.imagecodec import encode_jpeg
+    from cosmos_ray.stages import multimodal
+
+    docs = read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            img = np.zeros((16, 16), np.uint8)
+            for ti in range(4):
+                v = (d * 7 + ti * 31) % 256
+                by, bx = divmod(ti, 2)
+                img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+            payloads.append(encode_jpeg(img))
+        return pa.table({
+            "media_id": pa.array([f"j{d}" for d in ids], pa.string()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/jpeg"] * len(ids), pa.string()),
+            "meta": pa.array(["{}"] * len(ids), pa.string()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    feats = multimodal.decode_images(media, fake=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # sum of the four tile reconstructions (feature[0] = mean/255
+        # over the 256 px; x4 tiles of 64 px -> exact integer)
+        s4 = pa.array(
+            [int(round(f[0] * 255.0 * 4)) for f in t.column("feature").to_pylist()],
+            pa.int64())
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "width": t.column("width").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "channels": t.column("channels").cast(pa.int64()),
+            "tile_sum": s4,
+        })
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+# recon(v) replays the pinned JPEG rounding chain for a flat tile:
+# DC = 8*(v-128); quant 16 -> floor(DC/16 + 0.5); dequant*16/8 + 128;
+# final pixel floor(x + 0.5) is already integer; clip to [0, 255].
+_SQL_JPEG_RECON = ("least(greatest(CAST(floor((v - 128.0) / 2.0 + 0.5) * 2"
+                   " + 128 AS BIGINT), 0), 255)")
+
+SQL_MEDIA_JPEG_FEATURES = f"""
+WITH tiles AS (
+  SELECT doc_id, unnest(range(0, 4)) AS ti FROM documents
+), vals AS (
+  SELECT doc_id, (doc_id * 7 + ti * 31) % 256 AS v FROM tiles
+)
+SELECT 'j' || doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(sum({_SQL_JPEG_RECON}) AS BIGINT) AS tile_sum
+FROM vals GROUP BY doc_id
+"""
+
+
 def q_media_audio_features(sf_dir: str):
     """End-to-end audio decode, oracle-checked (the WAV sibling of
     media_image_features): one real 16-bit PCM WAV per document —
@@ -11303,6 +11379,7 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "profile_docs": q_profile_docs,
     "media_image_features": q_media_image_features,
+    "media_jpeg_features": q_media_jpeg_features,
     "media_audio_features": q_media_audio_features,
     "media_video_features": q_media_video_features,
     "twap_value": q_twap_value,
@@ -11706,6 +11783,7 @@ ORACLES = {
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "profile_docs": SQL_PROFILE_DOCS,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
+    "media_jpeg_features": SQL_MEDIA_JPEG_FEATURES,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "twap_value": SQL_TWAP_VALUE,

@@ -58,9 +58,9 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 class DecodeImage:
     """Actor-pool image decode + feature pooling.
 
-    Uncompressed payloads (BMP 24-bit, binary PPM/PGM) decode FOR REAL
-    via the pure-numpy codecs in `functions/imagecodec.py`; compressed
-    formats (JPEG/PNG — no codec in this container) raise unless
+    BMP 24-bit, binary PPM/PGM, PNG (zlib) and baseline JPEG all decode
+    FOR REAL via the pure-numpy codecs in `functions/imagecodec.py`;
+    unknown magics (GIF/WebP/progressive JPEG...) raise unless
     ``fake=True`` substitutes the deterministic stand-in. Use small
     ``batch_size`` (wide binary rows) and ``num_cpus>=1`` per actor.
     """
@@ -89,6 +89,8 @@ class DecodeImage:
         o_w, o_h, o_c, o_f = [], [], [], []
         for p in payloads:
             img = self.decode(p)
+            if img.ndim == 2:  # grayscale codecs return (H, W)
+                img = img[..., None]
             o_h.append(img.shape[0])
             o_w.append(img.shape[1])
             o_c.append(img.shape[2])

@@ -184,13 +184,17 @@ class TestRealCodecs:
                 img.astype(np.float32).mean(axis=(0, 1)) / 255.0, 8)
             assert np.allclose(r["feature"], want, atol=1e-6)
 
-    def test_compressed_magic_still_raises(self):
+    def test_unknown_magic_still_raises(self):
         import pytest as _pytest
 
         from cosmos_ray.functions import imagecodec as ic
 
         with _pytest.raises(NotImplementedError):
-            ic.decode_image(b"\xff\xd8\xff\xe0jpeg")  # JPEG magic
+            ic.decode_image(b"GIF89a....")  # no GIF codec
+        # truncated JPEG magic now reaches the real decoder and fails
+        # loudly as a malformed stream, not as a missing codec
+        with _pytest.raises(ValueError):
+            ic.decode_image(b"\xff\xd8\xff\xe0jpeg")
 
     def test_truncated_png_raises(self):
         import pytest as _pytest
@@ -441,3 +445,84 @@ class TestPngCodec:
                decode_images(media, fake=False).take_all()}
         for i, m in enumerate(imgs):
             assert out[f"p{i}"]["height"] == m.shape[0]
+
+
+class TestJpegCodec:
+    """Baseline JPEG (ITU-T T.81) encode/decode — pure numpy + stdlib."""
+
+    def test_flat_tile_exact_reconstruction(self):
+        """Flat 8x8 tiles replay exactly through DCT+quant+Huffman:
+        recon(v) = clip(floor((v-128)/2 + 0.5)*2 + 128) with the Annex-K
+        DC quantizer 16 — including the mathematically-exact-half
+        boundary (v=163 -> 164)."""
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        vals = [0, 7, 77, 128, 163, 201, 255]
+        img = np.zeros((8, 8 * len(vals)), np.uint8)
+        for i, v in enumerate(vals):
+            img[:, i * 8:(i + 1) * 8] = v
+        dec = ic.decode_jpeg(ic.encode_jpeg(img))
+        for i, v in enumerate(vals):
+            want = min(max(int(np.floor((v - 128) / 2 + 0.5) * 2 + 128), 0), 255)
+            tile = dec[:, i * 8:(i + 1) * 8]
+            assert (tile == want).all(), (v, want, np.unique(tile))
+
+    def test_roundtrip_smooth_gray_and_rgb(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        g = (np.sin(yy / 10.0) * 40 + np.cos(xx / 9.0) * 40 + 128).astype(np.uint8)
+        dg = ic.decode_jpeg(ic.encode_jpeg(g))
+        assert dg.shape == g.shape
+        assert np.abs(dg.astype(int) - g.astype(int)).mean() < 3.0
+        rgb = np.stack([g, g[::-1], g[:, ::-1]], -1).astype(np.uint8)
+        dr = ic.decode_jpeg(ic.encode_jpeg(rgb))
+        assert dr.shape == rgb.shape
+        assert np.abs(dr.astype(int) - rgb.astype(int)).mean() < 4.0
+
+    def test_non_multiple_of_8_dims_and_noise(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (33, 41, 3), np.uint8)
+        dec = ic.decode_jpeg(ic.encode_jpeg(img))
+        assert dec.shape == img.shape  # SOF dims honored, pad cropped
+
+    def test_spec_gates(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        payload = ic.encode_jpeg(np.full((8, 8), 5, np.uint8))
+        # progressive SOF2 rejected
+        prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with _pytest.raises(NotImplementedError):
+            ic.decode_jpeg(prog)
+        # 4:2:0 subsampling rejected (declared gate)
+        i = payload.index(b"\xff\xc0")
+        ln = struct.unpack_from(">H", payload, i + 2)[0]
+        body = bytearray(payload[i + 4:i + 2 + ln])
+        body[7] = 0x22  # sampling factor of component 1
+        sub = payload[:i + 4] + bytes(body) + payload[i + 2 + ln:]
+        with _pytest.raises(NotImplementedError):
+            ic.decode_jpeg(sub)
+        with _pytest.raises(ValueError):
+            ic.decode_jpeg(b"\xff\xd8\xff\xd9")  # no frame
+
+    def test_decode_image_sniffs_jpeg(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        img = np.full((16, 16), 42, np.uint8)
+        out = ic.decode_image(ic.encode_jpeg(img))
+        assert out.shape == (16, 16) and (out == 42).all()
