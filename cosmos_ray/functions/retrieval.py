@@ -532,6 +532,10 @@ def parse_boolean_query(query: str) -> _BoolNode:
             if not words:
                 raise ValueError(f"empty phrase in {query!r}")
             return _BoolNode("phrase", words)
+        m = _re.fullmatch(r"(.+?)~(\d?)", t)
+        if m:  # ES fuzziness: term~ (dist 1) or term~N
+            return _BoolNode(
+                "fuzzy", (m.group(1).lower(), int(m.group(2) or 1)))
         return _BoolNode("term", t.lower())
 
     node = p_or()
@@ -547,6 +551,8 @@ def positive_terms(node: _BoolNode, negated: bool = False) -> set[str]:
         return set() if negated else {node.val}
     if node.kind == "phrase":
         return set() if negated else set(node.val)
+    if node.kind == "fuzzy":
+        return set()  # match-only: the expansion set is data-dependent
     if node.kind == "not":
         return positive_terms(node.val, not negated)
     out: set[str] = set()
@@ -567,6 +573,9 @@ def boolean_query_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2,
     - term: token equality anywhere in the document;
     - "quoted phrase": consecutive-token match (substring of
       ' '+text+' ' with space-bounded ends);
+    - term~N: fuzzy match, any token within N edits (ES fuzziness;
+      match-only — the expansion set is data-dependent so it does not
+      join the BM25 vocabulary);
     - NOT / AND / OR compose per-document booleans.
 
     Scale shape: identical to ``bm25_topk`` — one combiner stats pass
@@ -590,6 +599,12 @@ def boolean_query_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2,
             needle = " " + " ".join(node.val) + " "
             return pc.match_substring(
                 padded, pattern=needle).to_numpy(zero_copy_only=False)
+        if node.kind == "fuzzy":
+            fterm, fdist = node.val
+            m = _fuzzy_matched_tokens(flat, fterm, fdist)
+            out = np.zeros(nrows, dtype=bool)
+            out[parents[m]] = True
+            return out
         if node.kind == "not":
             return ~matches(node.val, flat, parents, nrows, padded)
         parts = [matches(c, flat, parents, nrows, padded) for c in node.val]
@@ -622,3 +637,57 @@ def boolean_query_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2,
         score, batch_format="pyarrow"
     )
     return topk(scored, [("bm25", True), (id_col, False)], k)
+
+
+# --------------------------------------------------------------- fuzzy
+
+def _fuzzy_matched_tokens(flat: "pa.Array", term: str, max_dist: int) -> np.ndarray:
+    """Boolean mask over ``flat`` tokens: Levenshtein(token, term) <=
+    max_dist. Vectorized: distances run once over the batch's DISTINCT
+    tokens (length-banded candidates only) and broadcast back — the DP
+    cost is bounded by per-batch vocabulary, not token count."""
+    from cosmos_ray.functions.linkage import levenshtein_batch
+
+    uniq = pc.unique(flat)
+    uvals = uniq.to_pylist()
+    lens = np.array([len(u) if u is not None else -1 for u in uvals])
+    cand = np.flatnonzero(np.abs(lens - len(term)) <= max_dist)
+    ok_tokens = set()
+    if len(cand):
+        cvals = [uvals[i] for i in cand]
+        d = levenshtein_batch(cvals, [term] * len(cvals))
+        ok_tokens = {cvals[i] for i in np.flatnonzero(d <= max_dist)}
+    if not ok_tokens:
+        return np.zeros(len(flat), dtype=bool)
+    return pc.is_in(
+        flat, value_set=pa.array(sorted(ok_tokens), pa.string())
+    ).to_numpy(zero_copy_only=False)
+
+
+def fuzzy_search(docs_ds, term: str, max_dist: int = 1, k: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """ES fuzzy-match analog (`elastic_retriever.py` fuzziness): top-k
+    docs by the count of tokens within ``max_dist`` edits of ``term``
+    (integer tf — exactly SQL-replayable via DuckDB's levenshtein()),
+    ties by ``id_col``. ONE streaming pass: per batch the DP runs over
+    the batch's distinct length-banded tokens only; no exchange beyond
+    the top-k."""
+    term = term.lower()
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        flat = pc.list_flatten(toks)
+        parents = np.repeat(np.arange(t.num_rows), dl)
+        m = _fuzzy_matched_tokens(flat, term, max_dist)
+        tf = np.bincount(parents[m], minlength=t.num_rows).astype(np.int64)
+        out = pa.table({
+            id_col: t.column(id_col),
+            "tf": pa.array(tf, pa.int64()),
+        })
+        return out.filter(pa.array(tf > 0))
+
+    scored = docs_ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return topk(scored, [("tf", True), (id_col, False)], k)

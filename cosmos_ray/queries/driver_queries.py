@@ -2542,6 +2542,10 @@ def _sql_boolean_query(query: str, limit: int = 10) -> str:
             return f"list_contains(toks, '{esc(node.val)}')"
         if node.kind == "phrase":
             return f"contains(pt, ' {esc(' '.join(node.val))} ')"
+        if node.kind == "fuzzy":
+            ft, fd = node.val
+            return (f"len(list_filter(toks, x -> levenshtein(x, '{esc(ft)}')"
+                    f" <= {fd})) > 0")
         if node.kind == "not":
             return f"(NOT {cond(node.val)})"
         op = " AND " if node.kind == "and" else " OR "
@@ -2578,6 +2582,40 @@ FROM d, st
 WHERE {cond(tree)}
 ORDER BY bm25 DESC, doc_id LIMIT {limit}
 """
+
+
+
+
+def q_fuzzy_search(sf_dir: str):
+    """ES fuzzy-match analog: docs ranked by the count of tokens within
+    1 edit of the (misspelled) term 'spak' — integer tf, replayed via
+    DuckDB's levenshtein()."""
+    from cosmos_ray.functions.retrieval import fuzzy_search
+
+    return fuzzy_search(read(sf_dir, "documents", ["doc_id", "text"]),
+                        "spak", max_dist=1, k=10)
+
+
+SQL_FUZZY_SEARCH = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+h AS (SELECT doc_id,
+             len(list_filter(toks, x -> levenshtein(x, 'spak') <= 1)) AS tf
+      FROM d)
+SELECT doc_id, tf FROM h WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 10
+"""
+
+
+_BOOLEAN_FUZZY_QUERY = '(spak~1 OR flink) AND "hash join" AND NOT slow AND data'
+
+
+def q_boolean_fuzzy(sf_dir: str):
+    """query_string composition with a FUZZY leaf (term~N): the typo
+    spak~1 matches spark; ranking stays BM25 over the exact positive
+    terms (fuzzy leaves are match-only)."""
+    from cosmos_ray.functions.retrieval import boolean_query_topk
+
+    return boolean_query_topk(read(sf_dir, "documents", ["doc_id", "text"]),
+                              _BOOLEAN_FUZZY_QUERY, k=10)
 
 
 def q_snippets(sf_dir: str):
@@ -11443,6 +11481,8 @@ QUERIES = {
     "error_burst": q_error_burst,
     "bm25_docs": q_bm25_docs,
     "boolean_query": q_boolean_query,
+    "boolean_fuzzy": q_boolean_fuzzy,
+    "fuzzy_search": q_fuzzy_search,
     "bm25_index_docs": q_bm25_index_docs,
     "snippets": q_snippets,
     "mixture_weights": q_mixture_weights,
@@ -11844,6 +11884,8 @@ ORACLES = {
     "error_burst": SQL_ERROR_BURST,
     "bm25_docs": SQL_BM25_DOCS,
     "boolean_query": _sql_boolean_query(_BOOLEAN_QUERY, 10),
+    "boolean_fuzzy": _sql_boolean_query(_BOOLEAN_FUZZY_QUERY, 10),
+    "fuzzy_search": SQL_FUZZY_SEARCH,
     "bm25_index_docs": SQL_BM25_DOCS,
     "snippets": SQL_SNIPPETS,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,

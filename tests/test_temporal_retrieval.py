@@ -560,3 +560,24 @@ class TestBooleanQuery:
 
         got = boolean_query_topk(self._ds(), "spark fast", k=10).take_all()
         assert [r["doc_id"] for r in got] == [1]
+
+    def test_fuzzy_leaf_and_standalone(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from cosmos_ray.functions.retrieval import (
+            boolean_query_topk,
+            fuzzy_search,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["spark hash join", "spak hash join", "scan hash join"],
+        }))
+        # spak~1 matches spark (1 sub? no — spak->spark is 1 insert) and
+        # spak itself; scan is 2 edits away
+        got = boolean_query_topk(ds, 'spak~1 AND "hash join"', k=10).take_all()
+        assert {r["doc_id"] for r in got} == {1, 2}
+        hits = fuzzy_search(ds, "spak", max_dist=1, k=10).take_all()
+        assert [r["doc_id"] for r in hits] == [1, 2]
+        assert all(r["tf"] == 1 for r in hits)
