@@ -1,0 +1,172 @@
+"""Durable job queue — the batch analog of the reference's processing
+service queue.
+
+Reference analog: `cosmos_service/src/routers/process.py:40-73` accepts
+a document job, caches by content hash (57-60), and polls status;
+`work_queue.py:15-29` re-enqueues OOM-killed jobs at a reduced batch
+size. An HTTP server is out of scope for a batch engine, but the
+LIFECYCLE is not: this module gives the same contract over shared
+POSIX storage so any number of `ray job submit`-style workers can
+cooperate.
+
+Design (single directory, crash-safe, multi-worker):
+
+- a job is a JSON file; its id is the md5 of its canonical params
+  (content-keyed: re-submitting identical work returns the existing
+  job — the reference's whole-job cache);
+- state = which subdirectory the file lives in (``queued/ running/
+  done/ failed``); ALL transitions are atomic ``os.rename`` of that
+  file, so two workers can never lease the same job (exactly one
+  rename wins; the loser gets FileNotFoundError and moves on);
+- failure re-enqueues with ``batch_size`` halved (the OOM-retry
+  analog) until ``max_attempts``, then parks the job in ``failed/``
+  with the error chain;
+- results (row counts, wall time, output path) ride in the job file;
+  ``status()`` is one small-file read — the polling surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+_STATES = ("queued", "running", "done", "failed")
+
+
+class JobQueue:
+    def __init__(self, root: str, max_attempts: int = 3) -> None:
+        self.root = root
+        self.max_attempts = max_attempts
+        for s in _STATES:
+            os.makedirs(os.path.join(root, s), exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _path(self, state: str, job_id: str) -> str:
+        return os.path.join(self.root, state, job_id + ".json")
+
+    def _find(self, job_id: str) -> tuple[str, str] | None:
+        for s in _STATES:
+            p = self._path(s, job_id)
+            if os.path.exists(p):
+                return s, p
+        return None
+
+    def _write(self, path: str, rec: dict) -> None:
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)
+
+    # ------------------------------------------------------------- API
+    def submit(self, params: dict) -> str:
+        """Content-keyed submit: identical params -> the SAME job id,
+        whatever state it is in (the reference's content-hash job
+        cache); new work lands in ``queued/``."""
+        canon = json.dumps(params, sort_keys=True)
+        job_id = hashlib.md5(canon.encode()).hexdigest()
+        if self._find(job_id) is not None:
+            return job_id
+        self._write(self._path("queued", job_id), {
+            "job_id": job_id, "params": params, "attempt": 0,
+            "submitted_at": time.time(), "errors": []})
+        return job_id
+
+    def status(self, job_id: str) -> dict:
+        """One small-file read: {state, attempt, result?, errors}."""
+        found = self._find(job_id)
+        if found is None:
+            return {"state": "unknown", "job_id": job_id}
+        state, path = found
+        with open(path) as f:
+            rec = json.load(f)
+        rec["state"] = state
+        return rec
+
+    def list_jobs(self) -> dict[str, list[str]]:
+        return {s: sorted(f[:-5] for f in os.listdir(os.path.join(self.root, s))
+                          if f.endswith(".json"))
+                for s in _STATES}
+
+    def retry_failed(self, job_id: str) -> bool:
+        """Move a parked failed job back to queued with a fresh attempt
+        budget (operator-initiated retry; error history kept)."""
+        src = self._path("failed", job_id)
+        if not os.path.exists(src):
+            return False
+        with open(src) as f:
+            rec = json.load(f)
+        rec["attempt"] = 0
+        self._write(self._path("queued", job_id), rec)
+        os.remove(src)
+        return True
+
+    def _lease(self) -> dict | None:
+        """Atomically move the oldest queued job to running/ — exactly
+        one concurrent worker wins each job (rename either succeeds or
+        raises; no lock files, no partial states)."""
+        qdir = os.path.join(self.root, "queued")
+
+        def mtime(f: str) -> float:
+            try:
+                return os.path.getmtime(os.path.join(qdir, f))
+            except FileNotFoundError:
+                return float("inf")  # just leased by a racing worker
+
+        names = sorted(
+            (f for f in os.listdir(qdir) if f.endswith(".json")), key=mtime)
+        for name in names:
+            src = os.path.join(qdir, name)
+            dst = self._path("running", name[:-5])
+            try:
+                os.rename(src, dst)
+            except FileNotFoundError:
+                continue  # another worker won this job
+            with open(dst) as f:
+                return json.load(f)
+        return None
+
+    def run_next(self, worker) -> dict | None:
+        """Lease one queued job and run ``worker(params, attempt)``.
+
+        Success -> done/ with the worker's result dict. Exception ->
+        the OOM-retry analog: halve ``params['batch_size']`` (if
+        present, floor 1) and re-enqueue, until ``max_attempts`` parks
+        it in failed/ with the error chain. Returns the final status
+        dict, or None when the queue is empty."""
+        rec = self._lease()
+        if rec is None:
+            return None
+        job_id = rec["job_id"]
+        running = self._path("running", job_id)
+        try:
+            result = worker(dict(rec["params"]), rec["attempt"])
+        except Exception as e:  # noqa: BLE001 - the queue must survive any job
+            rec["errors"].append(f"{type(e).__name__}: {e}")
+            rec["attempt"] += 1
+            if rec["attempt"] >= self.max_attempts:
+                self._write(self._path("failed", job_id), rec)
+            else:
+                if isinstance(rec["params"].get("batch_size"), int):
+                    rec["params"]["batch_size"] = max(
+                        1, rec["params"]["batch_size"] // 2)
+                self._write(self._path("queued", job_id), rec)
+            os.remove(running)
+            return self.status(job_id)
+        rec["result"] = result
+        rec["finished_at"] = time.time()
+        self._write(self._path("done", job_id), rec)
+        os.remove(running)
+        return self.status(job_id)
+
+    def drain(self, worker, max_jobs: int | None = None) -> list[dict]:
+        """Run queued jobs (including retries) until the queue is empty
+        or ``max_jobs`` executions have happened."""
+        out = []
+        while max_jobs is None or len(out) < max_jobs:
+            st = self.run_next(worker)
+            if st is None:
+                break
+            out.append(st)
+        return out
