@@ -21,8 +21,15 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="cosmos_ray KG-construction job driver")
-    p.add_argument("--input", required=True, help="pages parquet file/dir")
-    p.add_argument("--output", required=True, help="output root (tables + manifest)")
+    p.add_argument("--input", default=None, help="pages parquet file/dir")
+    p.add_argument("--output", default=None, help="output root (tables + manifest)")
+    p.add_argument("--queue", default=None, metavar="DIR",
+                   help="submit this job to the durable queue at DIR "
+                        "instead of running it (state/jobqueue.py — the "
+                        "service-queue analog); prints the job id")
+    p.add_argument("--drain-queue", default=None, metavar="DIR",
+                   help="run queued jobs from DIR until empty (a worker "
+                        "loop; failures re-enqueue per queue policy)")
     p.add_argument("--partitions", type=int, default=16, help="url-hash partitions")
     p.add_argument("--streaming", action="store_true",
                    help="single-pass graph-only run (no per-partition checkpoints)")
@@ -50,6 +57,44 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.input_format == "warc" and not (args.streaming or args.update):
         p.error("--input-format warc requires --streaming or --update")
+    if args.drain_queue is None and not (args.input and args.output):
+        p.error("--input and --output are required (except with --drain-queue)")
+
+    if args.queue:
+        from cosmos_ray.state.jobqueue import JobQueue
+
+        q = JobQueue(args.queue)
+        job_id = q.submit({
+            "input": args.input, "output": args.output,
+            "partitions": args.partitions, "streaming": args.streaming,
+            "update": args.update, "input_format": args.input_format,
+        })
+        print(json.dumps({"job_id": job_id, **q.status(job_id)}))
+        return 0
+    if args.drain_queue:
+        from cosmos_ray.state.jobqueue import JobQueue
+
+        q = JobQueue(args.drain_queue)
+
+        def worker(params: dict, attempt: int) -> dict:
+            argv2 = ["--input", params["input"], "--output", params["output"],
+                     "--partitions", str(params.get("partitions", 16)),
+                     "--input-format", params.get("input_format", "parquet")]
+            if params.get("streaming"):
+                argv2.append("--streaming")
+            if params.get("update"):
+                argv2.append("--update")
+            if args.num_cpus:
+                argv2 += ["--num-cpus", str(args.num_cpus)]
+            rc = main(argv2)
+            if rc != 0:
+                raise RuntimeError(f"job exited {rc}")
+            return {"ok": True, "attempt": attempt}
+
+        results = q.drain(worker)
+        print(json.dumps({"ran": len(results),
+                          "states": [r["state"] for r in results]}))
+        return 0
 
     def _load_pages():
         import ray.data as rd

@@ -123,3 +123,30 @@ def test_cli_warc_requires_streaming(tmp_path):
     )
     assert res.returncode != 0
     assert "requires --streaming" in res.stderr
+
+
+def test_cli_queue_submit_and_drain(small_pages_file, tmp_path):
+    """The service-queue surface: submit a job via --queue, run it via
+    --drain-queue, poll its durable status file."""
+    out = str(tmp_path / "qout")
+    qdir = str(tmp_path / "queue")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    sub = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", small_pages_file,
+         "--output", out, "--streaming", "--queue", qdir],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo", env=env)
+    assert sub.returncode == 0, sub.stderr[-2000:]
+    job = json.loads(sub.stdout.strip().splitlines()[-1])
+    assert job["state"] == "queued"
+    drain = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--drain-queue", qdir,
+         "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env)
+    assert drain.returncode == 0, drain.stderr[-2000:]
+    summary = json.loads(drain.stdout.strip().splitlines()[-1])
+    assert summary["ran"] == 1 and summary["states"] == ["done"]
+    assert os.path.isdir(os.path.join(out, "triples"))
+
+    from cosmos_ray.state.jobqueue import JobQueue
+
+    assert JobQueue(qdir).status(job["job_id"])["state"] == "done"

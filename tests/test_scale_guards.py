@@ -27,6 +27,9 @@ ALLOWED = {
                                       # one-row-per-batch partials
     # bounded driver reduces (model-sized / one row per batch):
     "stages/extract.py": 1,           # capped dup plan (5M guard + fallback)
+    "state/manifest.py": 1,           # _tie_winners: one row per TIED url —
+                                      # a rare metadata edge bounded by the
+                                      # dup-plan cap; persisted for resume
     "state/compact.py": 1,            # one row per compaction group
     "functions/classify.py": 1,       # (label, token) model table
     "functions/textops.py": 1,        # vocabulary df table
