@@ -11748,6 +11748,9 @@ _DRIVER_PREFIX = [
     "simhash_pairs",
     "contamination",
     "pca_moments",
+    "boolean_query",
+    "media_jpeg_features",
+    "fuzzy_search",
     "subdoc_dedup",
     "host_link_graph",
     "host_pagerank",
