@@ -7523,6 +7523,73 @@ GROUP BY href
 SQL_CRAWL_FRONTIER = _sql_crawl_frontier()
 
 
+def q_kg_layout_pages(sf_dir: str):
+    """Layout census over the CLASSIFIED segments: per url, page count
+    and how many pages the engine detects as two-column — detected from
+    GEOMETRY (any segment whose x1 sits past the 960-px column split),
+    not from the generator's draw; the oracle replays the draw + veto
+    arithmetic independently, so a layout bug on either side breaks the
+    hash. One vectorized pass + a url-keyed combiner reduce."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    segs = _built_kg(sf_dir).segments
+
+    def per_page(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bb = t.column("bbox")
+        flat = bb.combine_chunks() if isinstance(bb, pa.ChunkedArray) else bb
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.chunk(0)
+        x1 = flat.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)[:, 0]
+        urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+        page = t.column("page_num").to_numpy(zero_copy_only=False).astype(np.int64)
+        # block-local combiner: one row per (url, page) with the 2-col flag
+        key = np.array([f"{u}\x1f{p}" for u, p in zip(urls, page)], dtype=object)
+        uk, idx = np.unique(key, return_index=True)
+        twocol = np.zeros(len(uk), dtype=bool)
+        inv = {k: i for i, k in enumerate(uk)}
+        right = x1 >= 960.0
+        for k, r in zip(key[right], right[right]):
+            twocol[inv[k]] = True
+        return pa.table({
+            "url": pa.array([k.split("\x1f")[0] for k in uk], pa.string()),
+            "page": pa.array([int(k.split("\x1f")[1]) for k in uk], pa.int64()),
+            "twocol": pa.array(twocol.astype(np.int64), pa.int64()),
+        })
+
+    pages = segs.select_columns(["url", "page_num", "bbox"]).map_batches(
+        per_page, batch_format="pyarrow")
+    # pages of one url stay within one block (explode invariant), so the
+    # groupby moves one row per page, already combined
+    g = pages.groupby("url").aggregate(
+        _Max("page", alias_name="maxp"), _Sum("twocol", alias_name="n_twocol"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "n_pages": pc.add(t.column("maxp"), pa.scalar(1)).cast(pa.int64()),
+            "n_twocol": t.column("n_twocol").cast(pa.int64()),
+        })
+
+    return g.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_KG_LAYOUT_PAGES = with_goldens(f"""
+, {layout_ctes()},
+ pg AS (SELECT url, page,
+               -- observable form: a RIGHT-column block exists (a drawn
+               -- two-col page whose blocks all fit the left column is
+               -- geometrically indistinguishable from single-column)
+               max(CASE WHEN twocol AND pos >= 6 THEN 1 ELSE 0 END) AS tc
+        FROM lay GROUP BY url, page)
+SELECT url, CAST(max(page) + 1 AS BIGINT) AS n_pages,
+       CAST(sum(tc) AS BIGINT) AS n_twocol
+FROM pg GROUP BY url
+""")
+
+
 def q_kg_sections(sf_dir: str):
     """Sections aggregation over classified segments (reference
     `aggregate_sections`, G1)."""
@@ -11553,6 +11620,7 @@ QUERIES = {
     "kg_2hop": q_kg_2hop,
     "kg_crawl_diff": q_kg_crawl_diff,
     "kg_sections": q_kg_sections,
+    "kg_layout_pages": q_kg_layout_pages,
     "entity_pmi": q_entity_pmi,
     "kg_dead_letter": q_kg_dead_letter,
     "host_stats": q_host_stats,
@@ -11703,6 +11771,7 @@ _DRIVER_PREFIX = [
     "kg_nil_entities",
     "kg_mention_offsets",
     "kg_sections",
+    "kg_layout_pages",
     "kg_captions",
     "kg_equations",
     "kg_table_context",
@@ -11724,7 +11793,6 @@ _DRIVER_PREFIX = [
     "kg_numeric_facts",
     "kg_measurement_outliers",
     "kb_release",
-    "kg_entity_abstract",
     "release_validation",
     "curation_funnel",
     "curate_docs",
@@ -11745,13 +11813,10 @@ _DRIVER_PREFIX = [
     "crawl_dedup_index",
     "dedup_exact",
     "dedup_best_rep",
-    "simhash_pairs",
-    "contamination",
     "pca_moments",
     "boolean_query",
     "media_jpeg_features",
     "fuzzy_search",
-    "subdoc_dedup",
     "host_link_graph",
     "host_pagerank",
     "anchor_entity_links",
@@ -11993,6 +12058,7 @@ ORACLES = {
     "kg_2hop": SQL_KG_2HOP,
     "kg_crawl_diff": SQL_KG_CRAWL_DIFF,
     "kg_sections": SQL_KG_SECTIONS,
+    "kg_layout_pages": SQL_KG_LAYOUT_PAGES,
     "entity_pmi": SQL_ENTITY_PMI,
     "kg_dead_letter": SQL_KG_DEAD_LETTER,
     "host_stats": SQL_HOST_STATS,
