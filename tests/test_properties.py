@@ -137,3 +137,66 @@ def test_warc_roundtrip_total(rows):
     parsed = parse_warc_bytes(write_warc_shard(recs))
     got = [(r["url"], r["warc_ts_us"], r["html"]) for r in parsed]
     assert got == recs
+
+
+# ---------------------------------------------------- boolean query_string
+
+_VOCAB = ["aa", "bb", "cc", "dd"]
+
+_tree = st.deferred(lambda: st.one_of(
+    st.sampled_from(_VOCAB).map(lambda t: ("term", t)),
+    st.tuples(st.sampled_from(_VOCAB), st.sampled_from(_VOCAB)).map(
+        lambda p: ("phrase", list(p))),
+    st.tuples(st.just("not"), _tree),
+    st.tuples(st.sampled_from(["and", "or"]), _tree, _tree),
+))
+
+
+def _render(node) -> str:
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "phrase":
+        return '"' + " ".join(node[1]) + '"'
+    if kind == "not":
+        return f"NOT ({_render(node[1])})"
+    return f"({_render(node[1])} {kind.upper()} {_render(node[2])})"
+
+
+def _ref_match(node, toks: list[str]) -> bool:
+    kind = node[0]
+    if kind == "term":
+        return node[1] in toks
+    if kind == "phrase":
+        w = node[1]
+        return any(toks[i:i + len(w)] == w for i in range(len(toks)))
+    if kind == "not":
+        return not _ref_match(node[1], toks)
+    a, b = _ref_match(node[1], toks), _ref_match(node[2], toks)
+    return (a and b) if kind == "and" else (a or b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tree=_tree,
+    docs=st.lists(st.lists(st.sampled_from(_VOCAB + ["zz"]),
+                            min_size=1, max_size=8),
+                  min_size=1, max_size=12),
+)
+def test_boolean_query_matches_reference_evaluator(ray_session, tree, docs):
+    """The vectorized tree matcher (arrow token masks + numpy logic)
+    agrees with a plain recursive evaluator on arbitrary trees/corpora —
+    parser round-trip included (fully parenthesized rendering)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmos_ray.functions.retrieval import boolean_query_topk
+
+    t = pa.table({
+        "doc_id": list(range(len(docs))),
+        "text": [" ".join(d) for d in docs],
+    })
+    got = boolean_query_topk(rd.from_arrow(t), _render(tree),
+                             k=len(docs) + 1).take_all()
+    want = {i for i, d in enumerate(docs) if _ref_match(tree, d)}
+    assert {r["doc_id"] for r in got} == want
