@@ -4952,6 +4952,12 @@ def _built_kg(sf_dir: str):
 
 
 def _pages_ds(sf_dir: str):
+    """HARNESS-ONLY pages synthesis: the driver's sf dirs ship a
+    documents table, not pages, so the oracle queries regenerate pages
+    driver-side. This is a correctness surface over ≤sf0.1 inputs — the
+    BENCH/production path reads SHARDED pages parquet via
+    `rd.read_parquet` (bench.py `_prepare_pages`); do not reuse this
+    helper for at-scale inputs."""
     import pyarrow.parquet as pq
 
     from cosmos_ray.sources.pages import generate_pages_table
