@@ -320,7 +320,15 @@ def split_dead_letter(extracted: "ray.data.Dataset"):
 def _batch_local_latest(t: pa.Table) -> pa.Table:
     """Keep only the max-ts row per url within one table — vectorized
     Arrow sort + numpy adjacent-duplicate mask. Used both as the
-    pre-shuffle combiner and as the in-bucket reducer of keep_latest."""
+    pre-shuffle combiner and as the in-bucket reducer of keep_latest.
+
+    Rows TIED at the max ts pick the min-content-hash winner (md5 of
+    ``html`` when present, else of the extracted ``text`` — keep_latest
+    runs post-extraction where html is already dropped): deterministic
+    regardless of arrival order, the same rule as ``resolve_tied`` on
+    the metadata-plan path. The hash is computed ONLY for tied rows."""
+    import hashlib
+
     import numpy as np
     import pyarrow.compute as pc
 
@@ -331,8 +339,31 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
     )
     sorted_t = t.take(order)
     urls = np.asarray(sorted_t.column("url").to_pylist(), dtype=object)
-    keep = np.ones(len(urls), dtype=bool)
-    keep[1:] = urls[1:] != urls[:-1]
+    first = np.ones(len(urls), dtype=bool)
+    first[1:] = urls[1:] != urls[:-1]
+    tss = sorted_t.column("warc_ts").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    # rows tying the head of their url group (sorted ts-desc => ties
+    # with the head are contiguous right after it)
+    idx = np.arange(len(urls))
+    head = np.maximum.accumulate(np.where(first, idx, 0))
+    tied = (~first) & (tss == tss[head])
+    if not tied.any():
+        return sorted_t.filter(pa.array(first))
+    keep = first.copy()
+    col = "html" if "html" in sorted_t.column_names else "text"
+    vals = sorted_t.column(col).to_pylist()
+
+    def h(i: int) -> str:
+        v = vals[i]
+        b = v if isinstance(v, bytes) else (v or "").encode()
+        return hashlib.md5(b).hexdigest()
+
+    for hstart in np.unique(head[tied]):
+        group = [int(hstart)] + list(idx[(head == hstart) & tied])
+        winner = min(group, key=lambda i: (h(i), i))
+        keep[group] = False
+        keep[winner] = True
     return sorted_t.filter(pa.array(keep))
 
 

@@ -261,3 +261,31 @@ class TestSafemapTimeout:
                                timeout_s=2.0)
         assert out.count() == 40
         assert os.listdir(dead) == []
+
+
+def test_keep_latest_ties_deterministic_content_hash():
+    """The full-shuffle keep_latest path picks the SAME min-md5 winner
+    for max-ts ties regardless of row arrival order (consistent with
+    resolve_tied on the metadata-plan path)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from cosmos_ray.stages.extract import _batch_local_latest
+
+    rows = [
+        {"url": "u", "warc_ts": 5, "text": "bravo"},
+        {"url": "u", "warc_ts": 5, "text": "alpha"},
+        {"url": "u", "warc_ts": 3, "text": "older"},
+        {"url": "v", "warc_ts": 9, "text": "only"},
+    ]
+    want = min(["bravo", "alpha"], key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    for perm in (rows, rows[::-1], [rows[1], rows[0], rows[3], rows[2]]):
+        t = pa.table({
+            "url": [r["url"] for r in perm],
+            "warc_ts": pa.array([r["warc_ts"] for r in perm], pa.timestamp("us")),
+            "text": [r["text"] for r in perm],
+        })
+        out = _batch_local_latest(t).to_pylist()
+        got = {r["url"]: r["text"] for r in out}
+        assert got == {"u": want, "v": "only"}, perm
