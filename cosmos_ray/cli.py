@@ -68,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             "input": args.input, "output": args.output,
             "partitions": args.partitions, "streaming": args.streaming,
             "update": args.update, "input_format": args.input_format,
+            "aggregations": args.aggregations,
         })
         print(json.dumps({"job_id": job_id, **q.status(job_id)}))
         return 0
@@ -84,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
                 argv2.append("--streaming")
             if params.get("update"):
                 argv2.append("--update")
+            if params.get("aggregations"):
+                argv2 += ["--aggregations", params["aggregations"]]
             if args.num_cpus:
                 argv2 += ["--num-cpus", str(args.num_cpus)]
             rc = main(argv2)

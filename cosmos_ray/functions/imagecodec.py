@@ -594,18 +594,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tt = body[1 + 2 * si:3 + 2 * si]
                 scan_sel.append((cid_to_idx[cid], tt >> 4, tt & 0xF))
-            # collect scan bytes up to the next real marker, unstuffing
+            # collect RAW scan bytes (stuffing intact) up to the next
+            # real marker — RST boundaries must be found in the RAW
+            # stream, where FF 00 is unambiguous; a literal 0xFF
+            # entropy byte followed by a 0xD0-D7 data byte would fake
+            # an RST if the data were unstuffed first
             scan = bytearray()
             p = pos
             while p < len(payload):
                 b = payload[p]
                 if b == 0xFF:
                     nxt = payload[p + 1]
-                    if nxt == 0x00:
-                        scan.append(0xFF)
-                        p += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:  # RST: reset handled below
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                         scan.append(0xFF)
                         scan.append(nxt)
                         p += 2
@@ -623,24 +623,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # entropy-decode MCUs (4:4:4 -> one block per component per MCU)
     bh, bw = (h + 7) // 8, (w + 7) // 8
     planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
-    # split at restart markers; each segment resets DC predictors
-    segments = []
-    if restart_interval:
-        cur = bytearray()
-        i = 0
-        while i < len(scan_bytes):
-            if scan_bytes[i] == 0xFF and i + 1 < len(scan_bytes) \
-                    and 0xD0 <= scan_bytes[i + 1] <= 0xD7:
-                segments.append(bytes(cur))
+    # split at restart markers ON THE RAW STREAM (where FF 00 stuffing
+    # is still visible and cannot be confused with an RST), then
+    # unstuff each segment; each segment resets DC predictors
+    raw_segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_bytes):
+        b = scan_bytes[i]
+        if b == 0xFF and i + 1 < len(scan_bytes):
+            nxt = scan_bytes[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                raw_segments.append(bytes(cur))
                 cur = bytearray()
                 i += 2
                 continue
-            cur.append(scan_bytes[i])
-            i += 1
-        segments.append(bytes(cur))
-    else:
-        # unstuff only (RSTs absent); scan_bytes kept raw above
-        segments = [scan_bytes]
+            cur.append(b)
+            cur.append(nxt)  # FF 00 stuffing pair, kept for unstuff
+            i += 2
+            continue
+        cur.append(b)
+        i += 1
+    raw_segments.append(bytes(cur))
+    segments = [seg.replace(b"\xff\x00", b"\xff") for seg in raw_segments]
     mcu = 0
     seg_i = 0
     reader = _BitReader(segments[0])

@@ -113,6 +113,14 @@ def write_release(sf_dir: str, out_dir: str) -> dict:
     from cosmos_ray.queries.driver_queries import q_kg_entities
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    old = f"{out_dir}.old"
+    # crash recovery from a prior republish: POSIX has no atomic
+    # directory swap, so a writer killed between "move old aside" and
+    # "move new in" leaves out_dir missing with the release parked at
+    # the DETERMINISTIC .old name — restore it before publishing anew.
+    if not os.path.isdir(out_dir) and os.path.isdir(old):
+        os.replace(old, out_dir)
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover of a success
     try:
         os.makedirs(tmp, exist_ok=True)
         facts = release_facts(sf_dir).materialize()
@@ -131,20 +139,24 @@ def write_release(sf_dir: str, out_dir: str) -> dict:
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         # Republish support: os.replace cannot swap onto a non-empty
-        # directory, so move the previous release aside first, swap the
-        # new one in, then drop the old — a reader sees either the old
-        # or the new complete release, never a partial one.
-        old = None
+        # directory, so move the previous release aside (deterministic
+        # .old name), swap the new one in, then drop the old. A reader
+        # sees either complete release EXCEPT in the microscopic window
+        # between the two renames (no atomic dir swap on POSIX); a
+        # crash there is self-healing — the recovery block above
+        # restores .old on the next publish, or an operator renames
+        # `<out_dir>.old` back by hand.
+        have_old = False
         if os.path.isdir(out_dir):
-            old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
             os.replace(out_dir, old)
+            have_old = True
         try:
             os.replace(tmp, out_dir)
         except OSError:
-            if old is not None:
+            if have_old:
                 os.replace(old, out_dir)  # restore the prior release
             raise
-        if old is not None:
+        if have_old:
             shutil.rmtree(old, ignore_errors=True)
         return manifest
     finally:

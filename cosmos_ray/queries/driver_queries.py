@@ -1033,6 +1033,7 @@ def q_pca_moments(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        X = X.reshape(-1, dim)  # keep 2-D on a zero-row block
         Q = np.floor(X * _PCA_Q_SCALE + 0.5).astype(np.int64)
         return pa.table({
             "n": pa.array([len(Q)], pa.int64()),
@@ -7551,17 +7552,16 @@ def q_kg_layout_pages(sf_dir: str):
         x1 = flat.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)[:, 0]
         urls = np.asarray(t.column("url").to_pylist(), dtype=object)
         page = t.column("page_num").to_numpy(zero_copy_only=False).astype(np.int64)
-        # block-local combiner: one row per (url, page) with the 2-col flag
-        key = np.array([f"{u}\x1f{p}" for u, p in zip(urls, page)], dtype=object)
-        uk, idx = np.unique(key, return_index=True)
+        # block-local combiner, fully vectorized: one row per
+        # (url, page) with the right-column-block flag
+        ucodes, uinv = np.unique(urls, return_inverse=True)
+        key = uinv.astype(np.int64) * (1 << 22) + page
+        uk, kinv = np.unique(key, return_inverse=True)
         twocol = np.zeros(len(uk), dtype=bool)
-        inv = {k: i for i, k in enumerate(uk)}
-        right = x1 >= 960.0
-        for k, r in zip(key[right], right[right]):
-            twocol[inv[k]] = True
+        np.logical_or.at(twocol, kinv[x1 >= 960.0], True)
         return pa.table({
-            "url": pa.array([k.split("\x1f")[0] for k in uk], pa.string()),
-            "page": pa.array([int(k.split("\x1f")[1]) for k in uk], pa.int64()),
+            "url": pa.array(ucodes[(uk >> 22)], pa.string()),
+            "page": pa.array(uk & ((1 << 22) - 1), pa.int64()),
             "twocol": pa.array(twocol.astype(np.int64), pa.int64()),
         })
 

@@ -352,7 +352,12 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
         return sorted_t.filter(pa.array(first))
     keep = first.copy()
     col = "html" if "html" in sorted_t.column_names else "text"
-    vals = sorted_t.column(col).to_pylist()
+    # materialize ONLY the contending rows' payloads (heads of tied
+    # groups + their tied followers), not the whole column
+    contend = np.flatnonzero(tied | np.isin(idx, head[tied]))
+    vals = dict(zip(
+        contend.tolist(),
+        sorted_t.column(col).take(pa.array(contend)).to_pylist()))
 
     def h(i: int) -> str:
         v = vals[i]
@@ -425,21 +430,17 @@ def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
     meta = pages.select_columns(["url", "warc_ts"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # per-batch (url, ts) counts reshaped into the partial schema,
+        # then the SAME segment reducer that merges partials globally
+        # (one vectorized-groupby implementation, not two)
         g = t.group_by(["url", "warc_ts"]).aggregate([([], "count_all")])
-        order = pc.sort_indices(
-            g, sort_keys=[("url", "ascending"), ("warc_ts", "descending")])
-        s = g.take(order)
-        urls = np.asarray(s.column("url").to_pylist(), dtype=object)
-        first = np.ones(len(urls), dtype=bool)
-        first[1:] = urls[1:] != urls[:-1]
-        idx = np.flatnonzero(first)
-        cnt = s.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "url": pa.array(urls[idx], pa.string()),
-            "max_ts": s.column("warc_ts").take(pa.array(idx)),
-            "n": pa.array(np.add.reduceat(cnt, idx), pa.int64()),
-            "n_at_max": pa.array(cnt[idx], pa.int64()),
-        })
+        cnt = g.column("count_all").cast(pa.int64())
+        return _reduce_dup_partials(pa.table({
+            "url": g.column("url"),
+            "max_ts": g.column("warc_ts"),
+            "n": cnt,
+            "n_at_max": cnt,
+        }))
 
     # one parallel pass emits per-batch (url, max_ts, n) partials; the
     # final reduce streams to the driver (bounded by unique urls in the

@@ -57,11 +57,15 @@ def _buckets_of(names, num_buckets: int) -> np.ndarray:
 def _read_manifest(root: str) -> dict:
     with open(os.path.join(root, "manifest.json")) as f:
         manifest = json.load(f)
-    got = manifest.get("hash", HASH_ID)
+    got = manifest.get("hash")
     if got != HASH_ID:
+        # a MISSING key means a legacy store bucketed by the old
+        # pandas-siphash writer — pruning it with the md5 convention
+        # would silently return wrong neighbor sets, so reject it too
         raise ValueError(
-            f"adjacency store at {root} was bucketed with hash '{got}' "
-            f"but this reader uses '{HASH_ID}'; rebuild the store")
+            f"adjacency store at {root} was bucketed with hash "
+            f"'{got or 'pre-md5 legacy (no hash key)'}' but this reader "
+            f"uses '{HASH_ID}'; rebuild the store")
     return manifest
 
 

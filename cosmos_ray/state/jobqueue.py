@@ -146,23 +146,75 @@ class JobQueue:
             rec["errors"].append(f"{type(e).__name__}: {e}")
             rec["attempt"] += 1
             if rec["attempt"] >= self.max_attempts:
-                self._write(self._path("failed", job_id), rec)
+                dst = self._path("failed", job_id)
             else:
                 if isinstance(rec["params"].get("batch_size"), int):
                     rec["params"]["batch_size"] = max(
                         1, rec["params"]["batch_size"] // 2)
-                self._write(self._path("queued", job_id), rec)
-            os.remove(running)
+                dst = self._path("queued", job_id)
+            # update the LEASED file in place, then one atomic rename —
+            # the job is leasable only after its record is current, and
+            # this worker's lease is never deletable by another worker
+            self._write(running, rec)
+            os.replace(running, dst)
             return self.status(job_id)
         rec["result"] = result
         rec["finished_at"] = time.time()
-        self._write(self._path("done", job_id), rec)
-        os.remove(running)
+        self._write(running, rec)
+        os.replace(running, self._path("done", job_id))
         return self.status(job_id)
 
-    def drain(self, worker, max_jobs: int | None = None) -> list[dict]:
+    def reclaim_stale(self, max_lease_s: float) -> list[str]:
+        """Re-enqueue running/ jobs whose lease file is older than
+        ``max_lease_s`` — the recovery path for a worker that died
+        without an exception (OOM-kill, SIGKILL; `except Exception`
+        cannot fire there). Counts as a failed attempt so a job whose
+        work itself OOM-kills the worker still walks the halved-batch
+        ladder into failed/ instead of looping forever."""
+        out: list[str] = []
+        rdir = os.path.join(self.root, "running")
+        now = time.time()
+        for name in os.listdir(rdir):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(rdir, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except FileNotFoundError:
+                continue
+            if age < max_lease_s:
+                continue
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            rec["errors"].append(f"lease expired after {int(age)}s")
+            rec["attempt"] += 1
+            if rec["attempt"] >= self.max_attempts:
+                dst = self._path("failed", rec["job_id"])
+            else:
+                if isinstance(rec["params"].get("batch_size"), int):
+                    rec["params"]["batch_size"] = max(
+                        1, rec["params"]["batch_size"] // 2)
+                dst = self._path("queued", rec["job_id"])
+            self._write(path, rec)
+            try:
+                os.replace(path, dst)
+            except FileNotFoundError:
+                continue  # racing reclaimer won
+            out.append(rec["job_id"])
+        return out
+
+    def drain(self, worker, max_jobs: int | None = None,
+              reclaim_after_s: float | None = None) -> list[dict]:
         """Run queued jobs (including retries) until the queue is empty
-        or ``max_jobs`` executions have happened."""
+        or ``max_jobs`` executions have happened. ``reclaim_after_s``
+        first re-enqueues leases older than that age (set it ABOVE the
+        longest legitimate job runtime — a too-short lease double-runs
+        a still-working job, the standard lease-timeout tradeoff)."""
+        if reclaim_after_s is not None:
+            self.reclaim_stale(reclaim_after_s)
         out = []
         while max_jobs is None or len(out) < max_jobs:
             st = self.run_next(worker)

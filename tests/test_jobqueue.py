@@ -82,3 +82,36 @@ def test_lease_is_exclusive_under_racing_workers(tmp_path):
         list(pool.map(lambda q: q.drain(worker), [q1, q2]))
     assert len(runs) == 20 and len(set(runs)) == 20
     assert sorted(q1.list_jobs()["done"]) == sorted(ids)
+
+
+def test_reclaim_stale_lease_walks_retry_ladder(tmp_path):
+    """A worker killed without an exception (OOM-kill) leaves its lease
+    in running/; reclaim_stale re-enqueues it as a failed attempt with
+    the halved batch size, and repeated reclaims park it in failed/."""
+    import os
+    import time
+
+    q = JobQueue(str(tmp_path / "q"), max_attempts=2)
+    jid = q.submit({"input": "x", "batch_size": 64})
+
+    # simulate the kill: lease the job and never finish it
+    rec = q._lease()
+    assert rec["job_id"] == jid
+    lease = q._path("running", jid)
+    old = time.time() - 3600
+    os.utime(lease, (old, old))
+
+    assert q.reclaim_stale(600) == [jid]
+    st = q.status(jid)
+    assert st["state"] == "queued" and st["attempt"] == 1
+    assert st["params"]["batch_size"] == 32
+    assert "lease expired" in st["errors"][0]
+
+    rec = q._lease()
+    os.utime(q._path("running", jid), (old, old))
+    assert q.reclaim_stale(600) == [jid]
+    assert q.status(jid)["state"] == "failed"
+    # young leases are left alone
+    jid2 = q.submit({"input": "y"})
+    q._lease()
+    assert q.reclaim_stale(600) == []

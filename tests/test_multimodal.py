@@ -526,3 +526,35 @@ class TestJpegCodec:
         img = np.full((16, 16), 42, np.uint8)
         out = ic.decode_image(ic.encode_jpeg(img))
         assert out.shape == (16, 16) and (out == 42).all()
+
+    def test_restart_marker_decode(self):
+        """Hand-spliced DRI stream: two flat MCUs encoded independently
+        and joined with an RST0 marker decode to the same pixels as the
+        plain single-scan encoding (DC predictors reset per segment,
+        boundaries found in the RAW stuffed stream)."""
+        import struct
+
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        left = np.full((8, 8), 40, np.uint8)
+        right = np.full((8, 8), 200, np.uint8)
+        img = np.concatenate([left, right], axis=1)  # 8 x 16, 2 MCUs
+
+        def scan_of(payload: bytes) -> bytes:
+            i = payload.index(b"\xff\xda")
+            ln = struct.unpack_from(">H", payload, i + 2)[0]
+            return payload[i + 2 + ln:-2]  # between SOS body and EOI
+
+        full = ic.encode_jpeg(img)
+        s0 = scan_of(ic.encode_jpeg(left))
+        s1 = scan_of(ic.encode_jpeg(right))
+        i = full.index(b"\xff\xda")
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # interval = 1 MCU
+        spliced = full[:i] + dri + full[i:i + 2 +
+                                        struct.unpack_from(">H", full, i + 2)[0]] \
+            + s0 + b"\xff\xd0" + s1 + b"\xff\xd9"
+        dec = ic.decode_jpeg(spliced)
+        assert np.array_equal(dec, ic.decode_jpeg(full))
+        assert (dec[:, :8] == dec[0, 0]).all() and (dec[:, 8:] == dec[0, 8]).all()
