@@ -9,12 +9,13 @@ The driver initialises Ray BEFORE importing this module; nothing here
   triples → link → canonicalize, returns the deduped triples Dataset.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2 + training-data ops), each over ``sf_dir`` tables.
-- ``oracle_sql()``: value-exact DuckDB equivalents for 267 of the 279
+- ``oracle_sql()``: value-exact DuckDB equivalents for 272 of the 284
   queries (the whole kg_* family replays via `queries/oracle_gen.py`,
-  including unrolled Brandes betweenness and the composed kb_release);
-  the 12 rows-only queries have SVD / seeded-approximate / iterative /
-  binary-decode semantics SQL cannot replay and carry exact pytest
-  goldens instead.
+  including unrolled Brandes betweenness, the composed kb_release, the
+  two-column layout geometry (`oracle_gen.layout_ctes`) and the
+  baseline-JPEG flat-tile reconstruction); the 12 rows-only queries
+  have SVD / seeded-approximate / iterative / binary-decode semantics
+  SQL cannot replay and carry exact pytest goldens instead.
 """
 
 from __future__ import annotations
