@@ -206,6 +206,28 @@ class JobQueue:
             out.append(rec["job_id"])
         return out
 
+    def expire(self, max_age_s: float) -> list[str]:
+        """Delete finished (done/failed) job records older than
+        ``max_age_s`` — the reference's 24h cron expiry
+        (`cosmos_service/src/scheduler.py:9-35`). Frees the
+        content-keyed id so identical params can be resubmitted as new
+        work. Queued/running jobs are never expired."""
+        out: list[str] = []
+        now = time.time()
+        for state in ("done", "failed"):
+            sdir = os.path.join(self.root, state)
+            for name in os.listdir(sdir):
+                if not name.endswith(".json"):
+                    continue
+                path = os.path.join(sdir, name)
+                try:
+                    if now - os.path.getmtime(path) >= max_age_s:
+                        os.remove(path)
+                        out.append(name[:-5])
+                except FileNotFoundError:
+                    continue
+        return out
+
     def drain(self, worker, max_jobs: int | None = None,
               reclaim_after_s: float | None = None) -> list[dict]:
         """Run queued jobs (including retries) until the queue is empty

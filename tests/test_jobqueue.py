@@ -115,3 +115,23 @@ def test_reclaim_stale_lease_walks_retry_ladder(tmp_path):
     jid2 = q.submit({"input": "y"})
     q._lease()
     assert q.reclaim_stale(600) == []
+
+
+def test_expire_frees_content_key_for_resubmit(tmp_path):
+    import os
+    import time
+
+    q = JobQueue(str(tmp_path / "q"))
+    jid = q.submit({"input": "x"})
+    q.run_next(lambda p, a: {"ok": True})
+    assert q.status(jid)["state"] == "done"
+    # fresh results are kept
+    assert q.expire(3600) == []
+    done = q._path("done", jid)
+    old = time.time() - 7200
+    os.utime(done, (old, old))
+    assert q.expire(3600) == [jid]
+    assert q.status(jid)["state"] == "unknown"
+    # the content key is free again: same params -> a NEW queued job
+    assert q.submit({"input": "x"}) == jid
+    assert q.status(jid)["state"] == "queued"
