@@ -182,3 +182,108 @@ def read_warc_pages(paths: str | list[str]):
 
     return files.map_batches(explode, batch_format="pyarrow",
                              batch_size=None)
+
+
+# ------------------------------------------------------------- revisits
+
+def write_warc_revisit(url: str, ts_us: int, refers_to_url: str,
+                       refers_to_ts_us: int, digest: str) -> bytes:
+    """Serialize one WARC 1.0 `revisit` record (identical-payload-digest
+    profile): the crawler's own statement that this fetch matched an
+    earlier capture byte-for-byte."""
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+        b"identical-payload-digest\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {_fmt_ts(ts_us)}\r\n".encode()
+        + f"WARC-Refers-To-Target-URI: {refers_to_url}\r\n".encode()
+        + f"WARC-Refers-To-Date: {_fmt_ts(refers_to_ts_us)}\r\n".encode()
+        + f"WARC-Payload-Digest: {digest}\r\n".encode()
+        + b"Content-Length: 0\r\n"
+        + _CRLF
+    )
+    return hdr + _CRLF + _CRLF
+
+
+def parse_warc_revisits(data: bytes) -> list[dict]:
+    """Sequential walk -> the `revisit` records: (url, warc_ts_us,
+    refers_to_url, refers_to_ts_us, digest). Same skip-malformed
+    posture as `parse_warc_bytes`."""
+    rows = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("latin-1").strip().lower()] = \
+                    v.decode("latin-1").strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        pos = hdr_end + 4 + clen
+        if headers.get("warc-type") != "revisit":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        ref_url = headers.get("warc-refers-to-target-uri")
+        ref_date = headers.get("warc-refers-to-date")
+        if not url or not date:
+            continue
+        try:
+            ts_us = _parse_ts(date)
+            ref_ts = _parse_ts(ref_date) if ref_date else None
+        except ValueError:
+            continue
+        rows.append({
+            "url": url, "warc_ts_us": ts_us,
+            "refers_to_url": ref_url, "refers_to_ts_us": ref_ts,
+            "digest": headers.get("warc-payload-digest"),
+        })
+    return rows
+
+
+def read_warc_revisits(paths: str | list[str]):
+    """Distributed read of the `revisit` records — the crawl's own
+    duplicate declarations. Feed these to crawl-diff / dedup accounting
+    (a revisit means the url re-fetched IDENTICAL content: it renews the
+    capture's timestamp without shipping payload bytes — exactly the
+    metadata row the keep-latest dup plan wants). One task per shard."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import gzip
+
+        cols: dict[str, list] = {k: [] for k in (
+            "url", "warc_ts_us", "refers_to_url", "refers_to_ts_us",
+            "digest")}
+        for blob in batch.column("bytes").to_pylist():
+            if blob[:2] == b"\x1f\x8b":
+                blob = gzip.decompress(blob)
+            for r in parse_warc_revisits(blob):
+                for k in cols:
+                    cols[k].append(r[k])
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts_us"], pa.timestamp("us")),
+            "refers_to_url": pa.array(cols["refers_to_url"], pa.string()),
+            "refers_to_ts": pa.array(cols["refers_to_ts_us"],
+                                     pa.timestamp("us")),
+            "digest": pa.array(cols["digest"], pa.string()),
+        })
+
+    return files.map_batches(explode, batch_format="pyarrow",
+                             batch_size=None)

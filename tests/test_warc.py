@@ -154,3 +154,41 @@ class TestWarc:
         parsed = parse_warc_bytes(rec)
         assert len(parsed) == 1
         assert parsed[0]["html"] == body
+
+
+class TestRevisits:
+    """WARC `revisit` records: the crawl's own duplicate declarations
+    (identical-payload-digest profile) read as a metadata Dataset."""
+
+    def test_roundtrip_and_interleaving(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from cosmos_ray.sources.warc import (
+            parse_warc_bytes,
+            read_warc_pages,
+            read_warc_revisits,
+            write_warc_revisit,
+            write_warc_shard,
+        )
+
+        shard = write_warc_shard([
+            ("http://a/1", 1_000_000, b"<p>one</p>"),
+            ("http://a/2", 3_000_000, b"<p>two</p>"),
+        ])
+        shard += write_warc_revisit(
+            "http://a/1", 5_000_000, "http://a/1", 1_000_000, "sha1:XYZ")
+        p = tmp_path / "shard.warc"
+        p.write_bytes(shard)
+
+        # response stream ignores revisits; revisit stream ignores responses
+        pages = read_warc_pages(str(p)).take_all()
+        assert {r["url"] for r in pages} == {"http://a/1", "http://a/2"}
+        revs = read_warc_revisits(str(p)).take_all()
+        assert len(revs) == 1
+        r = revs[0]
+        assert (r["url"], r["refers_to_url"], r["digest"]) == (
+            "http://a/1", "http://a/1", "sha1:XYZ")
+        assert r["warc_ts"].timestamp() == 5.0
+        assert r["refers_to_ts"].timestamp() == 1.0
+        # zero-length revisit bodies never leak into the response parse
+        assert all(rr["html"] for rr in parse_warc_bytes(shard))
