@@ -604,6 +604,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             while p < len(payload):
                 b = payload[p]
                 if b == 0xFF:
+                    if p + 1 >= len(payload):
+                        raise ValueError("JPEG scan data truncated")
                     nxt = payload[p + 1]
                     if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                         scan.append(0xFF)
@@ -654,6 +656,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while mcu < total_mcus:
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError(
+                    "JPEG scan data truncated (missing restart segment)")
             reader = _BitReader(segments[seg_i])
             prev_dc = [0] * len(comps)
         by, bx = divmod(mcu, bw)

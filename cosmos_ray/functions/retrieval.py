@@ -63,7 +63,10 @@ def bm25_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
     -> (doc_id, bm25) with bm25 rounded to 6dp."""
     terms = sorted(set(query.lower().split()))
     stats = _corpus_stats(docs_ds, terms, text_col)
-    n, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    # empty corpus: nothing to score — avgdl only divides per-doc terms,
+    # so any value yields the same (empty) top-k
+    n = stats["n_docs"]
+    avgdl = stats["sum_dl"] / n if n else 1.0
     idf = {t: math.log(1.0 + (n - stats["df"][t] + 0.5) / (stats["df"][t] + 0.5))
            for t in terms}
 
@@ -585,7 +588,9 @@ def boolean_query_topk(docs_ds, query: str, k: int = 10, k1: float = 1.2,
     tree = parse_boolean_query(query)
     terms = sorted(positive_terms(tree))
     stats = _corpus_stats(docs_ds, terms, text_col)
-    n, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    # empty corpus: nothing to score (see bm25_topk)
+    n = stats["n_docs"]
+    avgdl = stats["sum_dl"] / n if n else 1.0
     idf = {t: math.log(1.0 + (n - stats["df"][t] + 0.5) / (stats["df"][t] + 0.5))
            for t in terms}
 

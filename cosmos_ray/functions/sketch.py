@@ -278,28 +278,36 @@ def cms_estimate(grid: np.ndarray, values) -> np.ndarray:
                            axis=1), axis=1)
 
 
+def checksum_partial(t: pa.Table, cols: list[str]) -> int:
+    """One batch's XOR-of-row-hashes partial: per row, the md5
+    (upper-64, little-endian — DuckDB ``md5_number_upper`` parity) of
+    the ':'-joined column values. XOR merge is associative and
+    commutative, so block/batch order never matters. Shared by
+    `table_checksum` and the fused release writer
+    (`pipelines/kb_release.py`) so both produce identical checksums."""
+    import hashlib
+
+    arrs = [t.column(c).cast(pa.string()).to_pylist() for c in cols]
+    x = 0
+    for vals in zip(*arrs):
+        x ^= int.from_bytes(
+            hashlib.md5(":".join(vals).encode("utf-8")).digest()[:8],
+            "little")
+    return x
+
+
 def table_checksum(ds, cols: list[str]):
     """Order-insensitive content checksum of a table — the cheap
     corpus-equality probe for verifying a migration / rerun / resume
-    produced byte-identical data without moving it: per row, the md5
-    (upper-64, little-endian — DuckDB ``md5_number_upper`` parity) of
-    the ':'-joined column values; per batch, XOR + count partials (one
-    row per batch crosses the exchange); the XOR merge is associative
-    and commutative, so block order never matters. -> one-row Dataset
-    (checksum hex string, n_rows)."""
-    import hashlib
-
+    produced byte-identical data without moving it: per batch, XOR +
+    count partials (one row per batch crosses the exchange; see
+    `checksum_partial`). -> one-row Dataset (checksum hex string,
+    n_rows)."""
     import ray.data as rd
 
     def partial(t: pa.Table) -> pa.Table:
-        arrs = [t.column(c).cast(pa.string()).to_pylist() for c in cols]
-        x = np.uint64(0)
-        for vals in zip(*arrs):
-            h = int.from_bytes(
-                hashlib.md5(":".join(vals).encode("utf-8")).digest()[:8],
-                "little")
-            x ^= np.uint64(h)
-        return pa.table({"x": pa.array([int(x)], pa.uint64()),
+        return pa.table({"x": pa.array([checksum_partial(t, cols)],
+                                       pa.uint64()),
                          "n": pa.array([t.num_rows], pa.int64())})
 
     parts = ds.select_columns(cols).map_batches(

@@ -104,16 +104,85 @@ def publish_release_versioned(sf_dir: str, table_dir: str) -> dict:
     return commit_overwrite(table_dir, facts, op="kb_release")
 
 
+def _sink_with_checksum(ds, part_dir: str, checksum_cols: list[str]) -> dict:
+    """ONE streaming execution per table: each batch is written as a
+    content-keyed atomic parquet shard (tmp + rename — identical bytes
+    on lineage re-execution, the `extract_streaming` dead-letter
+    pattern) AND contributes an XOR checksum/count partial; only the
+    one-row-per-batch partials cross back to the driver. Replaces the
+    former materialize + write_parquet + count + table_checksum chain
+    (four dataset executions) with one."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from cosmos_ray.functions.sketch import checksum_partial
+
+    os.makedirs(part_dir, exist_ok=True)
+
+    def write_and_sum(t: pa.Table) -> pa.Table:
+        x = checksum_partial(t, checksum_cols)
+        if t.num_rows:
+            # content key: checksum + rows + first-row digest — stable
+            # across re-executions of the same block, collision-safe
+            first = ":".join(
+                str(t.column(c)[0].as_py()) for c in checksum_cols)
+            key = hashlib.md5(
+                f"{x:016x}|{t.num_rows}|{first}".encode()).hexdigest()[:16]
+            final = os.path.join(part_dir, f"part_{key}.parquet")
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, final)
+        return pa.table({"x": pa.array([x], pa.uint64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(write_and_sum, batch_format="pyarrow").take_all()
+    x = 0
+    n = 0
+    for r in parts:
+        x ^= int(r["x"])
+        n += int(r["n"])
+    if n == 0:  # degenerate empty release: still publish a readable dir
+        ds.write_parquet(part_dir)
+    return {"rows": n, "checksum": format(x, "x")}
+
+
 def write_release(sf_dir: str, out_dir: str) -> dict:
     """Publish a release directory: facts/ + entities/ partitioned
     parquet and a manifest.json with row counts and order-insensitive
     checksums. Atomic: written under a tmp dir, renamed into place —
     a reader never observes a partial release. Returns the manifest."""
-    from cosmos_ray.functions.sketch import table_checksum
     from cosmos_ray.queries.driver_queries import q_kg_entities
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     old = f"{out_dir}.old"
+    # Single-publisher lock: the deterministic .old name + the rmtree
+    # below assume ONE writer — a second concurrent publisher could
+    # delete the first's just-parked rollback copy mid-swap. O_EXCL
+    # sentinel with pid; a dead owner's stale lock is reclaimed.
+    lock = f"{out_dir}.lock"
+    os.makedirs(os.path.dirname(os.path.abspath(out_dir)), exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            with open(lock) as lf:
+                owner = int(lf.read().strip() or "0")
+            os.kill(owner, 0)  # raises if the owner is gone
+            alive = True
+        except (OSError, ValueError):
+            alive = False
+        if alive:
+            raise RuntimeError(
+                f"release publish already in progress (lock {lock})")
+        try:
+            os.replace(lock, lock + ".stale")  # reclaim atomically
+            os.remove(lock + ".stale")
+        except FileNotFoundError:
+            pass  # a racing reclaimer already removed it
+        return write_release(sf_dir, out_dir)
     # crash recovery from a prior republish: POSIX has no atomic
     # directory swap, so a writer killed between "move old aside" and
     # "move new in" leaves out_dir missing with the release parked at
@@ -123,18 +192,20 @@ def write_release(sf_dir: str, out_dir: str) -> dict:
     shutil.rmtree(old, ignore_errors=True)  # stale leftover of a success
     try:
         os.makedirs(tmp, exist_ok=True)
-        facts = release_facts(sf_dir).materialize()
-        entities = q_kg_entities(sf_dir).materialize()
-        facts.write_parquet(os.path.join(tmp, "facts"))
-        entities.write_parquet(os.path.join(tmp, "entities"))
+        # one fused write+checksum+count execution per table (no
+        # intermediate materialize; each table's batches stream straight
+        # into content-keyed shards)
+        f = _sink_with_checksum(release_facts(sf_dir),
+                                os.path.join(tmp, "facts"),
+                                ["subj", "pred", "obj"])
+        e = _sink_with_checksum(q_kg_entities(sf_dir),
+                                os.path.join(tmp, "entities"),
+                                ["canonical_id", "name"])
         manifest = {
-            "facts_rows": facts.count(),
-            "entities_rows": entities.count(),
-            "facts_checksum": table_checksum(
-                facts, ["subj", "pred", "obj"]).to_pandas()["checksum"][0],
-            "entities_checksum": table_checksum(
-                entities,
-                ["canonical_id", "name"]).to_pandas()["checksum"][0],
+            "facts_rows": f["rows"],
+            "entities_rows": e["rows"],
+            "facts_checksum": f["checksum"],
+            "entities_checksum": e["checksum"],
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
@@ -161,3 +232,7 @@ def write_release(sf_dir: str, out_dir: str) -> dict:
         return manifest
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass

@@ -5664,17 +5664,23 @@ def q_kg_evidence(sf_dir: str):
 def _evidence_partial(t: pa.Table) -> pa.Table:
     """Per-batch (subj, pred, obj, host) combine: m = mention sum,
     u = url count (triples are per-(url, fact) unique upstream, so row
-    count = distinct-url count; partials merge by summing both)."""
+    count = distinct-url count; partials merge by summing both).
+    Arrow-native end to end — `Table.group_by` keeps the hottest
+    rollup in kb_release/kg_evidence off the pandas round-trip
+    (single-threaded: the Ray task is the parallelism unit)."""
     host = pc.extract_regex(t.column("url"), r"https?://(?P<host>[^/]+)/")
-    df = pd.DataFrame({
-        "subj": t.column("subj").to_pandas(),
-        "pred": t.column("pred").to_pandas(),
-        "obj": t.column("obj").to_pandas(),
-        "host": pc.struct_field(host, "host").to_pandas(),
-        "m": t.column("n_mentions").cast(pa.int64()).to_pandas()})
-    p = (df.groupby(["subj", "pred", "obj", "host"], sort=False,
-                    as_index=False).agg(m=("m", "sum"), u=("m", "size")))
-    return pa.Table.from_pandas(p, preserve_index=False)
+    tt = pa.table({
+        "subj": t.column("subj"),
+        "pred": t.column("pred"),
+        "obj": t.column("obj"),
+        "host": pc.struct_field(host, "host"),
+        "m": t.column("n_mentions").cast(pa.int64())})
+    g = tt.group_by(["subj", "pred", "obj", "host"],
+                    use_threads=False).aggregate(
+        [("m", "sum"), ("m", "count")])
+    return g.rename_columns(
+        ["m" if c == "m_sum" else "u" if c == "m_count" else c
+         for c in g.column_names])
 
 
 def _evidence_finish(b: pd.DataFrame) -> pd.DataFrame:

@@ -322,11 +322,20 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
     Arrow sort + numpy adjacent-duplicate mask. Used both as the
     pre-shuffle combiner and as the in-bucket reducer of keep_latest.
 
-    Rows TIED at the max ts pick the min-content-hash winner (md5 of
-    ``html`` when present, else of the extracted ``text`` — keep_latest
-    runs post-extraction where html is already dropped): deterministic
-    regardless of arrival order, the same rule as ``resolve_tied`` on
-    the metadata-plan path. The hash is computed ONLY for tied rows."""
+    Rows TIED at the max ts pick the min-content-hash winner:
+    ``content_md5`` when such a column exists (the exact seam — carry a
+    hash of the original bytes if both paths must agree
+    post-extraction), else md5 of ``html`` when present, else of the
+    extracted ``text`` (keep_latest runs post-extraction where html is
+    already dropped). Deterministic regardless of arrival order. NOTE:
+    the text-based fallback coincides with ``resolve_tied``'s
+    min-md5(html) rule only PRE-extraction or when tied rows are
+    byte-identical in html; tied rows with differing html that extract
+    to differing text may pick a different (still deterministic)
+    winner than the metadata-dup-plan path. The flagship pipelines
+    never mix the two paths on the same input, so the divergence is
+    per-path determinism, not nondeterminism. The hash is computed
+    ONLY for tied rows."""
     import hashlib
 
     import numpy as np
@@ -351,7 +360,9 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
     if not tied.any():
         return sorted_t.filter(pa.array(first))
     keep = first.copy()
-    col = "html" if "html" in sorted_t.column_names else "text"
+    names = sorted_t.column_names
+    col = ("content_md5" if "content_md5" in names
+           else "html" if "html" in names else "text")
     # materialize ONLY the contending rows' payloads (heads of tied
     # groups + their tied followers), not the whole column
     contend = np.flatnonzero(tied | np.isin(idx, head[tied]))
@@ -361,6 +372,8 @@ def _batch_local_latest(t: pa.Table) -> pa.Table:
 
     def h(i: int) -> str:
         v = vals[i]
+        if col == "content_md5":  # already a hash — order by its value
+            return v or ""
         b = v if isinstance(v, bytes) else (v or "").encode()
         return hashlib.md5(b).hexdigest()
 

@@ -152,16 +152,32 @@ class JobQueue:
                     rec["params"]["batch_size"] = max(
                         1, rec["params"]["batch_size"] // 2)
                 dst = self._path("queued", job_id)
-            # update the LEASED file in place, then one atomic rename —
-            # the job is leasable only after its record is current, and
-            # this worker's lease is never deletable by another worker
-            self._write(running, rec)
-            os.replace(running, dst)
-            return self.status(job_id)
+            return self._publish(running, rec, dst, job_id)
         rec["result"] = result
         rec["finished_at"] = time.time()
-        self._write(running, rec)
-        os.replace(running, self._path("done", job_id))
+        return self._publish(running, rec, self._path("done", job_id), job_id)
+
+    def _publish(self, running: str, rec: dict, dst: str,
+                 job_id: str) -> dict:
+        """Claim the lease for publishing with one atomic rename, THEN
+        write the final record and rename it into its destination state.
+
+        If a reclaimer re-enqueued this worker's expired lease while the
+        job was still executing, the rename-aside raises
+        FileNotFoundError — the lease is LOST: discard the result
+        instead of writing it (a plain final _write would recreate the
+        running/ file and leave the same job_id in two state dirs). A
+        crash between claim and final rename leaves a ``.pub`` orphan
+        that ``reclaim_stale`` recovers."""
+        pub = running + ".pub"
+        try:
+            os.rename(running, pub)
+        except FileNotFoundError:
+            st = self.status(job_id)
+            st["lease_lost"] = True
+            return st
+        self._write(pub, rec)
+        os.replace(pub, dst)
         return self.status(job_id)
 
     def reclaim_stale(self, max_lease_s: float) -> list[str]:
@@ -174,6 +190,30 @@ class JobQueue:
         out: list[str] = []
         rdir = os.path.join(self.root, "running")
         now = time.time()
+        # recover orphaned publish claims first: a worker that crashed
+        # between its rename-aside and the final rename leaves
+        # <id>.json.pub. If the record carries a result the work DID
+        # finish — publish it; otherwise it walks the retry ladder below
+        # (renamed back to a plain lease, aged like any stale lease).
+        for name in os.listdir(rdir):
+            if not name.endswith(".json.pub"):
+                continue
+            path = os.path.join(rdir, name)
+            try:
+                if now - os.path.getmtime(path) < max_lease_s:
+                    continue
+                with open(path) as f:
+                    rec = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            try:
+                if "result" in rec:
+                    os.replace(path, self._path("done", rec["job_id"]))
+                    out.append(rec["job_id"])
+                else:
+                    os.replace(path, os.path.join(rdir, name[:-4]))
+            except FileNotFoundError:
+                continue  # racing reclaimer won
         for name in os.listdir(rdir):
             if not name.endswith(".json"):
                 continue
