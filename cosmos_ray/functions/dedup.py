@@ -889,6 +889,176 @@ def subdoc_dedup(docs_ds, window: int = 16, modulus: int = 64,
     return bucketed_group_apply(docs_tagged.union(spans_tagged), [id_col], rewrite)
 
 
+# ------------------------------------- exact substring dedup (sub-chunk)
+
+# two 31-bit prime fields + a fixed base: a window's combined key is
+# ~62 bits of polynomial hash plus a 63-bit 3-char sample discriminator
+# (~125 bits effective — spurious merges need a simultaneous collision
+# in three independent fields; at 10^12-doc scale expected collisions
+# are << 1, and any collision costs at most one L-char span)
+_ESD_P1 = 2147483629
+_ESD_P2 = 2147483587
+_ESD_B = 1000003
+_ESD_POWS: dict = {}
+
+
+def _esd_pows(p: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Powers of the base and of its inverse mod p, grown on demand and
+    cached per worker process (lengths track the longest doc seen)."""
+    pows, invs = _ESD_POWS.get(p, (np.array([1], np.int64),
+                                   np.array([1], np.int64)))
+    if len(pows) < n:
+        inv_b = pow(_ESD_B, p - 2, p)
+        ps, iv = [int(pows[-1])], [int(invs[-1])]
+        for _ in range(n - len(pows)):
+            ps.append(ps[-1] * _ESD_B % p)
+            iv.append(iv[-1] * inv_b % p)
+        pows = np.concatenate([pows[:-1], np.array(ps, np.int64)])
+        invs = np.concatenate([invs[:-1], np.array(iv, np.int64)])
+        _ESD_POWS[p] = (pows, invs)
+    return pows[:n], invs[:n]
+
+
+def _esd_window_keys(codes: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """All L-length window keys of one doc, vectorized. ``codes`` is the
+    doc's unicode code points (uint32). Returns (key uint64, disc int64)
+    arrays of length n - L + 1: key packs two independent 31-bit
+    polynomial window hashes; disc samples the window's first / middle /
+    last code points (21 bits each).
+
+    Arithmetic bounds: terms s[j]*B^j are reduced mod p (< 2^31) BEFORE
+    the prefix cumsum, so the int64 cumsum is exact for docs < 2^32
+    chars; the final (diff * invB^i) products stay < 2^62."""
+    n = len(codes)
+    m = n - L + 1
+    c = codes.astype(np.int64)
+    ws = []
+    for p in (_ESD_P1, _ESD_P2):
+        pows, invs = _esd_pows(p, n)
+        f = (c * pows) % p
+        q = np.concatenate([np.zeros(1, np.int64), np.cumsum(f)]) % p
+        d = (q[L:] - q[:m]) % p
+        ws.append((d * invs[:m]) % p)
+    key = ws[0].astype(np.uint64) * np.uint64(_ESD_P2) + ws[1].astype(np.uint64)
+    disc = ((c[:m] << 42) | (c[L // 2:L // 2 + m] << 21) | c[L - 1:])
+    return key, disc
+
+
+def exact_substring_dedup(docs_ds, min_len: int = 40,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT substring dedup at character granularity — the full Lee et
+    al. 2022 ExactSubstr semantics that `subdoc_dedup` approximates at
+    CDC-chunk granularity: a position is REMOVED iff it is covered by
+    some ``min_len``-char window whose content also occurs at a smaller
+    (doc_id, pos) anywhere in the corpus. The union of removed windows
+    is exactly the union of all maximal duplicated spans of length >=
+    ``min_len`` (minus their canonical first occurrence) — duplicated
+    spans are caught wherever they fall, including straddling any
+    chunking boundary. -> (doc_id, dedup_text, n_spans, chars_removed),
+    one row per input doc.
+
+    Scale shape (vs Lee et al.'s monolithic suffix array): no corpus
+    concatenation anywhere — the winner election moves only fixed-width
+    digests, (key:8B, disc:8B, packed:8B) per char position, through
+    ONE coarse-bucketed exchange (`bucketed_bulk_apply` — every
+    identical window lands in one bucket); lost positions (duplicated
+    text only) flow into a doc_id-bucketed interval-merge rewrite where
+    each doc's text crosses the exchange exactly once (the
+    `subdoc_dedup` rewrite pattern). The 24 B/char digest exchange is
+    the price of per-position exactness; corpora that tolerate chunk
+    granularity should prefer `subdoc_dedup` (24 B per ~1 KB chunk).
+    Packing assumption (as `subdoc_dedup`): doc_id < 2^31, pos < 2^32,
+    docs < 2^32 chars. Window identity is 2x31-bit rolling hash + a
+    3-char sample (~125 bits, see `_ESD_P1` note) — collision-free in
+    any practical corpus, deterministic across runs."""
+    from cosmos_ray.queries.relational import (bucketed_bulk_apply,
+                                               bucketed_group_apply)
+
+    L = int(min_len)
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        keys, discs, packs = [], [], []
+        for did, text in zip(ids, texts):
+            if text is None or len(text) < L:
+                continue
+            codes = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+            k, d = _esd_window_keys(codes, L)
+            keys.append(k)
+            discs.append(d)
+            packs.append(np.int64(did) << np.int64(32)
+                         | np.arange(len(k), dtype=np.int64))
+        if not keys:
+            return pa.table({"key": pa.array([], pa.uint64()),
+                             "disc": pa.array([], pa.int64()),
+                             "packed": pa.array([], pa.int64())})
+        return pa.table({"key": pa.array(np.concatenate(keys)),
+                         "disc": pa.array(np.concatenate(discs)),
+                         "packed": pa.array(np.concatenate(packs))})
+
+    occ = docs_ds.select_columns([id_col, text_col]).map_batches(
+        windows, batch_format="pyarrow")
+
+    def lost(b: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket: per (key, disc) group every packed position
+        except the minimum loses. Vectorized via sort + first-mask."""
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        b = b.sort_values(["key", "disc", "packed"], kind="stable")
+        k = b["key"].to_numpy()
+        d = b["disc"].to_numpy()
+        first = np.ones(len(b), dtype=bool)
+        first[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        lostp = b["packed"].to_numpy()[~first]
+        return pd.DataFrame({
+            id_col: (lostp >> 32).astype(np.int64),
+            "pos": (lostp & np.int64(0xFFFFFFFF)).astype(np.int64)})
+
+    lost_ds = bucketed_bulk_apply(occ, ["key", "disc"], lost)
+
+    docs_tagged = docs_ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            text_col: t.column(text_col),
+            "pos": pa.nulls(len(t), pa.int64())}), batch_format="pyarrow")
+    lost_tagged = lost_ds.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            text_col: pa.nulls(len(t), pa.string()),
+            "pos": t.column("pos")}), batch_format="pyarrow")
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        doc = int(g[id_col].iloc[0])
+        text = g.loc[g[text_col].notna(), text_col].iloc[0]
+        starts = np.sort(g.loc[g["pos"].notna(), "pos"]
+                         .to_numpy(dtype=np.int64))
+        if not len(starts):
+            return pd.DataFrame({id_col: [doc], "dedup_text": [text],
+                                 "n_spans": [0], "chars_removed": [0]})
+        # merge the fixed-length lost windows into maximal spans:
+        # starts are sorted, so a new span begins where the gap to the
+        # previous start exceeds L (adjacent/overlapping windows merge)
+        brk = np.nonzero(np.diff(starts) > L)[0] + 1
+        span_starts = starts[np.concatenate([[0], brk])]
+        span_ends = np.concatenate([starts[brk - 1], starts[-1:]]) + L
+        kept, prev = [], 0
+        for s, e in zip(span_starts.tolist(), span_ends.tolist()):
+            kept.append(text[prev:s])
+            prev = e
+        kept.append(text[prev:])
+        removed = int((span_ends - span_starts).sum())
+        return pd.DataFrame({
+            id_col: [doc],
+            "dedup_text": ["".join(kept)],
+            "n_spans": [len(span_starts)],
+            "chars_removed": [removed]})
+
+    return bucketed_group_apply(docs_tagged.union(lost_tagged),
+                                [id_col], rewrite)
+
+
 # ---------------------------------------------------- semantic dedup
 
 def semantic_dedup(emb_ds, n_clusters: int = 16, threshold: float = 0.95,

@@ -1765,6 +1765,72 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_exact_substring_dedup(sf_dir: str):
+    """EXACT substring dedup at character granularity (Lee et al. 2022
+    ExactSubstr, full semantics — not the CDC-chunk approximation of
+    `subdoc_dedup`): every position covered by a 40-char window whose
+    content occurs at a smaller (doc_id, pos) anywhere in the corpus is
+    removed; duplicated spans are caught wherever they fall, including
+    straddling any chunk boundary (`dedup.exact_substring_dedup`)."""
+    from cosmos_ray.functions.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(read(sf_dir, "documents",
+                                      ["doc_id", "text"]))
+
+
+_ESD_L = 40
+
+SQL_EXACT_SUBSTRING_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INT), {_ESD_L}) AS win
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {_ESD_L} + 1)) AS i
+        FROM documents WHERE length(text) >= {_ESD_L})),
+g AS (SELECT win, min(doc_id * 4294967296 + (i - 1)) AS winner
+      FROM w GROUP BY win),
+lost AS (
+  SELECT w.doc_id, w.i - 1 AS pos
+  FROM w JOIN g ON g.win = w.win
+  WHERE w.doc_id * 4294967296 + (w.i - 1) <> g.winner),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > {_ESD_L} THEN 1 ELSE 0 END AS brk
+  FROM lost),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {_ESD_L} AS e
+  FROM isl2 GROUP BY doc_id, island),
+segs AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+           AS keep_from
+  FROM spans),
+agg AS (
+  SELECT sg.doc_id,
+         string_agg(substr(d.text, CAST(sg.keep_from + 1 AS INT),
+                           CAST(sg.s - sg.keep_from AS INT)), ''
+                    ORDER BY sg.s) AS head_part,
+         max(sg.e) AS last_e,
+         count(*)::BIGINT AS n_spans,
+         sum(sg.e - sg.s)::BIGINT AS chars_removed
+  FROM segs sg JOIN documents d USING (doc_id)
+  GROUP BY sg.doc_id)
+SELECT d.doc_id,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            ELSE a.head_part || substr(d.text, CAST(a.last_e + 1 AS INT))
+       END AS dedup_text,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.chars_removed, 0)::BIGINT AS chars_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_fingerprints(sf_dir: str):
     from cosmos_ray.functions.textops import fingerprints
 
@@ -11526,6 +11592,7 @@ QUERIES = {
     "rolling_fp": q_rolling_fp,
     "cdc_chunks": q_cdc_chunks,
     "subdoc_dedup": q_subdoc_dedup,
+    "exact_substring_dedup": q_exact_substring_dedup,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
@@ -12089,6 +12156,7 @@ ORACLES = {
     "rolling_fp": SQL_ROLLING_FP,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "subdoc_dedup": SQL_SUBDOC_DEDUP,
+    "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
     "rerank_windows": SQL_RERANK_WINDOWS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "canonical_urls": SQL_CANONICAL_URLS,

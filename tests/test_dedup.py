@@ -390,3 +390,109 @@ def test_minhash_index_append_extends_coverage(tmp_path, planted_corpus):
                threshold=0.7).take_all()}
     assert (a_rows[0]["doc_id"] + 70000, a_rows[0]["doc_id"]) in got
     assert (b_rows[0]["doc_id"] + 70000, b_rows[0]["doc_id"]) in got
+
+
+# ------------------------------------- exact substring dedup (sub-chunk)
+
+def _brute_esd(rows, L=40):
+    """Brute-force reference for exact_substring_dedup: window content ->
+    min (doc_id, pos); a position is removed iff covered by a lost
+    window. -> {doc_id: (dedup_text, n_spans, chars_removed)}."""
+    best = {}
+    for r in rows:
+        t, d = r["text"], r["doc_id"]
+        for i in range(len(t) - L + 1):
+            w = t[i:i + L]
+            if w not in best or (d, i) < best[w]:
+                best[w] = (d, i)
+    out = {}
+    for r in rows:
+        t, d = r["text"], r["doc_id"]
+        removed = set()
+        for i in range(len(t) - L + 1):
+            if best[t[i:i + L]] != (d, i):
+                removed.update(range(i, i + L))
+        kept = "".join(ch for j, ch in enumerate(t) if j not in removed)
+        spans, prev = 0, -2
+        for j in sorted(removed):
+            if j != prev + 1:
+                spans += 1
+            prev = j
+        out[d] = (kept, spans, len(removed))
+    return out
+
+
+def _esd_run(rows, L=40):
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    return {r["doc_id"]: (r["dedup_text"], r["n_spans"], r["chars_removed"])
+            for r in dedup.exact_substring_dedup(ds, min_len=L).take_all()}
+
+
+def test_exact_substring_dedup_straddles_chunk_boundaries():
+    """The motivating case CDC-chunk dedup misses: a 120-char span shared
+    between docs at DIFFERENT offsets (so it straddles whatever chunk
+    boundaries either doc produces) is removed from the later doc,
+    wherever it falls — and the result matches brute force exactly."""
+    span = "the quick brown fox jumps over the lazy dog again and again " \
+           "while the band plays on through the night watch " + "x" * 12
+    assert len(span) >= 120
+    # non-self-repeating filler (a constant run would legitimately
+    # self-dedup its own repeated 40-char windows)
+    filler = "".join(f"q{i % 97}m" for i in range(40))  # 131+ distinct chars
+    rows = [
+        {"doc_id": 1, "text": "A" * 7 + span + "B" * 13},
+        {"doc_id": 2, "text": filler + span + "D" * 3},
+        {"doc_id": 3, "text": "totally unrelated content here that shares"
+                              " nothing long enough with the others 12345"},
+    ]
+    got = _esd_run(rows)
+    assert got == _brute_esd(rows)
+    # the span is gone from doc 2 but intact in doc 1 (canonical)
+    assert span in got[1][0]
+    assert span not in got[2][0]
+    assert got[2][0].startswith(filler) and got[2][0].endswith("D" * 3)
+
+
+def test_exact_substring_dedup_matches_bruteforce_fuzz():
+    """Randomized gate over a tiny alphabet (forces natural repeats,
+    overlaps, self-repeats and near-misses): engine == brute force on
+    every doc, for two window lengths."""
+    rng = np.random.default_rng(4242)
+    for L in (12, 40):
+        rows = []
+        for d in range(24):
+            n = int(rng.integers(0, 160))
+            rows.append({"doc_id": d,
+                         "text": "".join(rng.choice(list("abc "), n))})
+        # plant a few exact cross-doc copies of varying offsets
+        for k, (src, dst) in enumerate([(0, 18), (3, 19), (5, 20)]):
+            t = rows[src]["text"]
+            if len(t) >= L:
+                rows[dst]["text"] = (rows[dst]["text"][:k * 3] + t
+                                     + rows[dst]["text"][k * 3:])
+        assert _esd_run(rows, L) == _brute_esd(rows, L)
+
+
+def test_exact_substring_dedup_exact_copy_and_self_repeat():
+    t = "zyx" * 40  # 120 chars, heavy self-overlap
+    rows = [{"doc_id": 5, "text": t}, {"doc_id": 9, "text": t},
+            {"doc_id": 11, "text": "short"}, {"doc_id": 12, "text": ""}]
+    got = _esd_run(rows)
+    brute = _brute_esd(rows)
+    assert got == brute
+    # the later exact copy is erased entirely
+    assert got[9][0] == "" and got[9][2] == len(t)
+    # self-repeat: doc 5 keeps only the non-redundant prefix region
+    assert 0 < len(got[5][0]) < len(t)
+    # short and empty docs are identity
+    assert got[11] == ("short", 0, 0) and got[12] == ("", 0, 0)
+
+
+def test_exact_substring_dedup_unicode():
+    span = ("héllo wörld — ünïcode 中文测试 " * 4) + "tail padding here!"
+    assert len(span) >= 40
+    rows = [{"doc_id": 1, "text": "prefix! " + span},
+            {"doc_id": 2, "text": span + " ßuffix"}]
+    got = _esd_run(rows)
+    assert got == _brute_esd(rows)
+    assert got[2][2] > 0  # the shared span was found across docs
