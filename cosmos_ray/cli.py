@@ -19,6 +19,27 @@ import json
 import sys
 
 
+def _queue_worker(params: dict, attempt: int,
+                  num_cpus: int | None = None) -> dict:
+    """Run one queued job's params as a CLI invocation (shared by
+    --drain-queue and the HTTP service's in-process workers)."""
+    argv2 = ["--input", params["input"], "--output", params["output"],
+             "--partitions", str(params.get("partitions", 16)),
+             "--input-format", params.get("input_format", "parquet")]
+    if params.get("streaming"):
+        argv2.append("--streaming")
+    if params.get("update"):
+        argv2.append("--update")
+    if params.get("aggregations"):
+        argv2 += ["--aggregations", params["aggregations"]]
+    if num_cpus:
+        argv2 += ["--num-cpus", str(num_cpus)]
+    rc = main(argv2)
+    if rc != 0:
+        raise RuntimeError(f"job exited {rc}")
+    return {"ok": True, "attempt": attempt}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="cosmos_ray KG-construction job driver")
     p.add_argument("--input", default=None, help="pages parquet file/dir")
@@ -30,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drain-queue", default=None, metavar="DIR",
                    help="run queued jobs from DIR until empty (a worker "
                         "loop; failures re-enqueue per queue policy)")
+    p.add_argument("--serve", default=None, metavar="DIR",
+                   help="serve the HTTP job service over the queue at "
+                        "DIR (service/app.py — POST /process/, GET "
+                        "status/result; the cosmos_service analog); "
+                        "drains in-process with --serve-workers threads")
+    p.add_argument("--serve-port", type=int, default=8765)
+    p.add_argument("--serve-workers", type=int, default=1)
     p.add_argument("--partitions", type=int, default=16, help="url-hash partitions")
     p.add_argument("--streaming", action="store_true",
                    help="single-pass graph-only run (no per-partition checkpoints)")
@@ -57,8 +85,34 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.input_format == "warc" and not (args.streaming or args.update):
         p.error("--input-format warc requires --streaming or --update")
-    if args.drain_queue is None and not (args.input and args.output):
-        p.error("--input and --output are required (except with --drain-queue)")
+    if (args.drain_queue is None and args.serve is None
+            and not (args.input and args.output)):
+        p.error("--input and --output are required "
+                "(except with --drain-queue / --serve)")
+
+    if args.serve:
+        from cosmos_ray.service.app import JobService
+        from cosmos_ray.state.jobqueue import JobQueue
+
+        def serve_worker(params: dict, attempt: int) -> dict:
+            return _queue_worker(params, attempt, args.num_cpus)
+
+        svc = JobService(JobQueue(args.serve), serve_worker,
+                         workers=args.serve_workers,
+                         reclaim_after_s=3600.0,
+                         expire_after_s=24 * 3600.0, tick_s=60.0)
+        host, port = svc.start(port=args.serve_port)
+        print(json.dumps({"serving": f"http://{host}:{port}",
+                          "queue": args.serve}), flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            pass
+        finally:
+            svc.stop()
+        return 0
 
     if args.queue:
         from cosmos_ray.state.jobqueue import JobQueue
@@ -78,21 +132,7 @@ def main(argv: list[str] | None = None) -> int:
         q = JobQueue(args.drain_queue)
 
         def worker(params: dict, attempt: int) -> dict:
-            argv2 = ["--input", params["input"], "--output", params["output"],
-                     "--partitions", str(params.get("partitions", 16)),
-                     "--input-format", params.get("input_format", "parquet")]
-            if params.get("streaming"):
-                argv2.append("--streaming")
-            if params.get("update"):
-                argv2.append("--update")
-            if params.get("aggregations"):
-                argv2 += ["--aggregations", params["aggregations"]]
-            if args.num_cpus:
-                argv2 += ["--num-cpus", str(args.num_cpus)]
-            rc = main(argv2)
-            if rc != 0:
-                raise RuntimeError(f"job exited {rc}")
-            return {"ok": True, "attempt": attempt}
+            return _queue_worker(params, attempt, args.num_cpus)
 
         results = q.drain(worker)
         print(json.dumps({"ran": len(results),

@@ -73,6 +73,20 @@ class JobQueue:
             "submitted_at": time.time(), "errors": []})
         return job_id
 
+    def submit_cached(self, params: dict) -> dict:
+        """`submit` plus the reference service's cache semantics
+        (`cosmos_service/src/routers/process.py:57-60`): report whether
+        the content-keyed job already existed. -> {job_id, state,
+        cached}."""
+        canon = json.dumps(params, sort_keys=True)
+        job_id = hashlib.md5(canon.encode()).hexdigest()
+        cached = self._find(job_id) is not None
+        if not cached:
+            job_id = self.submit(params)
+        st = self._find(job_id)
+        return {"job_id": job_id, "cached": cached,
+                "state": st[0] if st else "queued"}
+
     def status(self, job_id: str) -> dict:
         """One small-file read: {state, attempt, result?, errors}."""
         found = self._find(job_id)

@@ -150,3 +150,59 @@ def test_cli_queue_submit_and_drain(small_pages_file, tmp_path):
     from cosmos_ray.state.jobqueue import JobQueue
 
     assert JobQueue(qdir).status(job["job_id"])["state"] == "done"
+
+
+def test_cli_serve_http_job_lifecycle(small_pages_file, tmp_path):
+    """The HTTP service surface end-to-end (cosmos_service analog):
+    start `--serve` in a fresh process, POST a streaming job over HTTP,
+    poll status to completion, fetch the result manifest, and verify
+    the output tables landed on disk."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    out = str(tmp_path / "sout")
+    qdir = str(tmp_path / "squeue")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cosmos_ray.cli", "--serve", qdir,
+         "--serve-port", "0", "--num-cpus", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo", env=env)
+    try:
+        line = proc.stdout.readline()
+        base = json.loads(line)["serving"]
+
+        def req(method, url, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(url, data=data, method=method)
+            if data is not None:
+                r.add_header("Content-Type", "application/json")
+            try:
+                with urllib.request.urlopen(r, timeout=10) as resp:
+                    return resp.status, json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, sub = req("POST", f"{base}/process/", {
+            "input": small_pages_file, "output": out, "streaming": True})
+        assert code == 201, sub
+        jid = sub["job_id"]
+        deadline = time.time() + 240
+        st = {}
+        while time.time() < deadline:
+            code, st = req("GET", f"{base}/process/{jid}/status")
+            if st.get("state") in ("done", "failed"):
+                break
+            time.sleep(0.5)
+        assert st.get("state") == "done", st
+        code, res = req("GET", f"{base}/process/{jid}/result")
+        assert code == 200 and res["result"]["ok"] is True
+        assert os.path.isdir(os.path.join(out, "triples"))
+        # identical params over HTTP -> cache hit on the same job
+        code, sub2 = req("POST", f"{base}/process/", {
+            "input": small_pages_file, "output": out, "streaming": True})
+        assert code == 200 and sub2["cached"] and sub2["job_id"] == jid
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
