@@ -3,8 +3,9 @@ uncompressed BMP 24-bit BI_RGB and binary PPM/PGM, REAL PNG
 (ISO 15948) via stdlib zlib — 8-bit gray/RGB/RGBA encode (filter 0)
 and decode of all five standard scanline filters — and REAL baseline
 sequential JPEG (ITU-T T.81): numpy DCT/IDCT + Huffman encode/decode,
-4:4:4 sampling, in-file tables (progressive / subsampled scans raise
-the declared NotImplementedError). Reference analog: the page/region
+4:4:4 and 4:2:0 sampling (encode both; decode any 1-2 factor combo
+with replicate chroma upsample), in-file tables (progressive scans
+raise the declared NotImplementedError). Reference analog: the page/region
 PNG payloads the reference crops and ships (`ingest/ingest.py:245-332`)
 and the JPG recompression (`htcosmos/make_parquet.py:786-806`); the
 web analog treats media as opaque binary columns and decodes in
@@ -109,7 +110,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff-and-decode: BMP ('BM'), binary netpbm ('P5'/'P6'), PNG
     (8-bit gray/RGB/RGBA, stdlib-zlib inflate + full defilter) and
-    baseline JPEG (pure-numpy Huffman + IDCT; progressive/subsampled
+    baseline JPEG incl. 4:2:0 (pure-numpy Huffman + IDCT; progressive
     variants raise the declared NotImplementedError) decode natively;
     unknown magics raise for the caller's fake/dead-letter policy."""
     if payload[:2] == b"BM":
@@ -407,14 +408,36 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
+def _jpeg_block(writer: "_BitWriter", plane: np.ndarray, by: int, bx: int,
+                qt: np.ndarray, prev_dc: int) -> int:
+    """Quantize-and-entropy-code one 8x8 block at block coords (by, bx)
+    of ``plane`` (edge blocks replicate-pad); returns the new DC."""
+    blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+    if blk.shape != (8, 8):
+        blk = np.pad(blk, ((0, 8 - blk.shape[0]),
+                           (0, 8 - blk.shape[1])), mode="edge")
+    coef = _DCT_T @ (blk - 128.0) @ _DCT_T.T
+    q = qt.reshape(8, 8).astype(np.float64)
+    zz = _round_half_up(coef / q).astype(np.int64).reshape(64)[_ZIGZAG]
+    return _encode_plane_block(writer, zz, prev_dc, _DC_HUFF, _AC_HUFF)
+
+
+def encode_jpeg(img: np.ndarray, subsample: str = "444") -> bytes:
     """(H, W) uint8 gray or (H, W, 3) uint8 RGB -> baseline sequential
-    JPEG bytes (4:4:4, Annex-K quantization, in-file Huffman tables)."""
+    JPEG bytes (Annex-K quantization, in-file Huffman tables).
+    ``subsample``: '444' (one block per component per MCU) or '420'
+    (color only — the dominant wild-JPEG format and the reference's own
+    recompression target, `htcosmos/make_parquet.py:786-806`: Y at full
+    resolution, Cb/Cr 2x2 box-mean downsampled, 16x16-pixel MCUs of
+    4 Y + 1 Cb + 1 Cr blocks)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("encode_jpeg expects (H, W) gray or (H, W, 3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     h, w = img.shape[:2]
+    sub420 = subsample == "420" and not gray
     if gray:
         planes = [img.astype(np.float64)]
         qts = [_QT_LUMA]
@@ -428,21 +451,39 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         planes = [y, cb, cr]
         qts = [_QT_LUMA, _QT_CHROMA]
         qsel = [0, 1, 1]
-    bh, bw = (h + 7) // 8, (w + 7) // 8
     writer = _BitWriter()
     prev_dc = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                if blk.shape != (8, 8):  # replicate-pad edge blocks
-                    blk = np.pad(blk, ((0, 8 - blk.shape[0]),
-                                       (0, 8 - blk.shape[1])), mode="edge")
-                coef = _DCT_T @ (blk - 128.0) @ _DCT_T.T
-                q = qts[qsel[ci]].reshape(8, 8).astype(np.float64)
-                zz = _round_half_up(coef / q).astype(np.int64).reshape(64)[_ZIGZAG]
-                prev_dc[ci] = _encode_plane_block(
-                    writer, zz, prev_dc[ci], _DC_HUFF, _AC_HUFF)
+    if sub420:
+        # pad everything to whole 16x16 MCUs (edge replication), then
+        # 2x2 box-mean the chroma planes
+        h2 = -(-h // 16) * 16
+        w2 = -(-w // 16) * 16
+
+        def pad(p):
+            return np.pad(p, ((0, h2 - h), (0, w2 - w)), mode="edge")
+
+        yp = pad(planes[0])
+        sub = []
+        for p in planes[1:]:
+            p = pad(p)
+            sub.append(p.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3)))
+        for my in range(h2 // 16):
+            for mx in range(w2 // 16):
+                for bv in range(2):          # 4 Y blocks, raster order
+                    for bhh in range(2):
+                        prev_dc[0] = _jpeg_block(
+                            writer, yp, my * 2 + bv, mx * 2 + bhh,
+                            qts[0], prev_dc[0])
+                for ci, p in enumerate(sub, start=1):   # 1 Cb + 1 Cr
+                    prev_dc[ci] = _jpeg_block(
+                        writer, p, my, mx, qts[1], prev_dc[ci])
+    else:
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, plane in enumerate(planes):
+                    prev_dc[ci] = _jpeg_block(
+                        writer, plane, by, bx, qts[qsel[ci]], prev_dc[ci])
     scan = writer.flush()
 
     out = bytearray(b"\xff\xd8")                       # SOI
@@ -454,7 +495,8 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qsel[ci]])         # 4:4:4 sampling
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, qsel[ci]])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_HUFF)
     out += _dht_segment(1, 0, _AC_HUFF)
@@ -525,8 +567,10 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG bytes -> (H, W) or (H, W, 3) uint8.
     Reads DQT/DHT/SOF0/DRI from the stream (external baseline files
-    decode too); 1- or 3-component 4:4:4 only — progressive (SOF2) or
-    subsampled scans raise NotImplementedError."""
+    decode too); 1- or 3-component with sampling factors 1-2 (4:4:4,
+    4:2:2, 4:4:0 and the dominant wild format 4:2:0 — subsampled chroma
+    is replicate-upsampled); progressive (SOF2) scans raise
+    NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -578,9 +622,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, samp, tq))
-            if any(s != 0x11 for _, s, _ in comps):
+            if any((s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
+                   for _, s, _ in comps):
                 raise NotImplementedError(
-                    "only 4:4:4 (no chroma subsampling) JPEG supported")
+                    "only sampling factors 1-2 supported (4:4:4 / 4:2:2 /"
+                    " 4:4:0 / 4:2:0)")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -622,9 +668,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if scan_bytes is None or not comps or not h or not w:
         raise ValueError("incomplete JPEG stream")
 
-    # entropy-decode MCUs (4:4:4 -> one block per component per MCU)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
+    # entropy-decode MCUs. Interleaved scans (ncomp > 1) tile the image
+    # in Hmax*8 x Vmax*8 MCUs; each component contributes Hi x Vi
+    # raster-ordered blocks per MCU (T.81 A.2.3). A single-component
+    # scan is NON-interleaved: one data unit per MCU over the
+    # component's own block grid (T.81 A.2.2), whatever its declared
+    # sampling factors.
+    if len(scan_sel) == 1:
+        hs = [1] * len(comps)
+        vs = [1] * len(comps)
+    else:
+        hs = [(s >> 4) for _, s, _ in comps]
+        vs = [(s & 0xF) for _, s, _ in comps]
+    hmax, vmax = max(hs), max(vs)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcy * vi * 8, mcx * hi * 8), np.float64)
+              for hi, vi in zip(hs, vs)]
     # split at restart markers ON THE RAW STREAM (where FF 00 stuffing
     # is still visible and cannot be confused with an RST), then
     # unstuff each segment; each segment resets DC predictors
@@ -652,7 +712,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     seg_i = 0
     reader = _BitReader(segments[0])
     prev_dc = [0] * len(comps)
-    total_mcus = bh * bw
+    total_mcus = mcx * mcy
     while mcu < total_mcus:
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_i += 1
@@ -661,34 +721,52 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "JPEG scan data truncated (missing restart segment)")
             reader = _BitReader(segments[seg_i])
             prev_dc = [0] * len(comps)
-        by, bx = divmod(mcu, bw)
+        my, mx = divmod(mcu, mcx)
         for (ci, tdc, tac) in scan_sel:
-            zz = np.zeros(64, np.int64)
-            size = dc_tabs[tdc].read(reader)
-            diff = _extend(reader.bits(size), size) if size else 0
-            prev_dc[ci] += diff
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = ac_tabs[tac].read(reader)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, sz = rs >> 4, rs & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run overflow")
-                zz[k] = _extend(reader.bits(sz), sz)
-                k += 1
-            dez = np.zeros(64, np.float64)
-            dez[_ZIGZAG] = zz
-            coef = dez.reshape(8, 8) * qt[comps[ci][2]].astype(np.float64)
-            blk = _DCT_T.T @ coef @ _DCT_T + 128.0
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+            for bv in range(vs[ci]):
+                for bhh in range(hs[ci]):
+                    zz = np.zeros(64, np.int64)
+                    size = dc_tabs[tdc].read(reader)
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac_tabs[tac].read(reader)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, sz = rs >> 4, rs & 0xF
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        zz[k] = _extend(reader.bits(sz), sz)
+                        k += 1
+                    dez = np.zeros(64, np.float64)
+                    dez[_ZIGZAG] = zz
+                    coef = dez.reshape(8, 8) * qt[comps[ci][2]].astype(
+                        np.float64)
+                    blk = _DCT_T.T @ coef @ _DCT_T + 128.0
+                    py = (my * vs[ci] + bv) * 8
+                    px = (mx * hs[ci] + bhh) * 8
+                    planes[ci][py:py + 8, px:px + 8] = blk
         mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # crop each component to its OWN dims, replicate-upsample subsampled
+    # chroma to full resolution (pixel (y, x) reads component sample
+    # (y * Vi // Vmax, x * Hi // Hmax)), then crop to the image
+    full = []
+    for ci, p in enumerate(planes):
+        ch = -(-h * vs[ci] // vmax)  # ceil(h * Vi / Vmax)
+        cw = -(-w * hs[ci] // hmax)
+        p = p[:ch, :cw]
+        if vs[ci] != vmax:
+            p = np.repeat(p, vmax // vs[ci], axis=0)
+        if hs[ci] != hmax:
+            p = np.repeat(p, hmax // hs[ci], axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if len(comps) == 1:
         return np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

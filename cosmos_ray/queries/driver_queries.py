@@ -454,13 +454,20 @@ FROM documents
 def q_media_jpeg_features(sf_dir: str):
     """End-to-end BASELINE JPEG decode, oracle-checked (finishes S8 —
     reference recompresses page images to JPG,
-    `htcosmos/make_parquet.py:786-806`): one real 16x16 grayscale JPEG
-    per doc built from four flat 8x8 tiles whose values are doc_id
-    arithmetic, pushed through encode (DCT+Huffman) and the `DecodeImage`
-    actor pool. Flat tiles make the lossy DCT path EXACTLY replayable:
-    recon(v) = min(floor((v-128)/2 + 0.5)*2 + 128, 255) with the Annex-K
-    DC quantizer 16 — the SQL oracle computes the same sum of tile
-    reconstructions. Proves zigzag/Huffman/DC-diff/IDCT end to end."""
+    `htcosmos/make_parquet.py:786-806`): per doc, (a) one real 16x16
+    grayscale 4:4:4 JPEG and (b) one real 16x16 color 4:2:0 JPEG (the
+    dominant wild format: 4 Y + 1 Cb + 1 Cr blocks per MCU, chroma
+    replicate-upsampled on decode), both built from four flat 8x8 tiles
+    whose values are doc_id arithmetic, pushed through encode
+    (DCT+Huffman) and the `DecodeImage` actor pool. Flat tiles make the
+    lossy DCT path EXACTLY replayable: recon(v) = min(floor((v-128)/2 +
+    0.5)*2 + 128, 255) with the Annex-K DC quantizer 16. The color
+    payload uses GRAY tiles (r=g=b=v): Y == v bit-for-bit through the
+    RGB->YCbCr weights, Cb/Cr are flat 128 whose subsampled blocks
+    quantize to exactly zero — so every decoded channel equals the same
+    recon(v) and the SQL oracle replays the full 4:2:0 interleave/
+    upsample path with the SAME formula. Proves zigzag/Huffman/DC-diff/
+    IDCT plus MCU interleave + chroma upsample end to end."""
     import numpy as np
 
     from cosmos_ray.functions.imagecodec import encode_jpeg
@@ -470,20 +477,28 @@ def q_media_jpeg_features(sf_dir: str):
 
     def to_media(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        payloads = []
+        mids, payloads = [], []
         for d in ids:
             img = np.zeros((16, 16), np.uint8)
             for ti in range(4):
                 v = (d * 7 + ti * 31) % 256
                 by, bx = divmod(ti, 2)
                 img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+            mids.append(f"j{d}")
             payloads.append(encode_jpeg(img))
+            col = np.zeros((16, 16, 3), np.uint8)
+            for ti in range(4):
+                v = (d * 7 + ti * 31 + 13) % 256
+                by, bx = divmod(ti, 2)
+                col[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+            mids.append(f"jc{d}")
+            payloads.append(encode_jpeg(col, subsample="420"))
         return pa.table({
-            "media_id": pa.array([f"j{d}" for d in ids], pa.string()),
-            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "media_id": pa.array(mids, pa.string()),
+            "kind": pa.array(["image"] * len(mids), pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["image/jpeg"] * len(ids), pa.string()),
-            "meta": pa.array(["{}"] * len(ids), pa.string()),
+            "mime": pa.array(["image/jpeg"] * len(mids), pa.string()),
+            "meta": pa.array(["{}"] * len(mids), pa.string()),
         })
 
     media = docs.map_batches(to_media, batch_format="pyarrow", batch_size=256)
@@ -517,6 +532,8 @@ WITH tiles AS (
   SELECT doc_id, unnest(range(0, 4)) AS ti FROM documents
 ), vals AS (
   SELECT doc_id, (doc_id * 7 + ti * 31) % 256 AS v FROM tiles
+), cvals AS (
+  SELECT doc_id, (doc_id * 7 + ti * 31 + 13) % 256 AS v FROM tiles
 )
 SELECT 'j' || doc_id AS media_id,
        CAST(16 AS BIGINT) AS width,
@@ -524,6 +541,16 @@ SELECT 'j' || doc_id AS media_id,
        CAST(1 AS BIGINT) AS channels,
        CAST(sum({_SQL_JPEG_RECON}) AS BIGINT) AS tile_sum
 FROM vals GROUP BY doc_id
+UNION ALL
+-- the 4:2:0 color payloads: gray tiles (r=g=b=v) give Y == v, flat-128
+-- chroma quantizes to zero and upsamples back to exactly 128, so every
+-- channel reconstructs to the SAME recon(v) the gray formula replays
+SELECT 'jc' || doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(sum({_SQL_JPEG_RECON}) AS BIGINT) AS tile_sum
+FROM cvals GROUP BY doc_id
 """
 
 

@@ -507,14 +507,19 @@ class TestJpegCodec:
         prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
         with _pytest.raises(NotImplementedError):
             ic.decode_jpeg(prog)
-        # 4:2:0 subsampling rejected (declared gate)
+        # sampling factors > 2 rejected (declared gate); factor 2 on a
+        # single-component frame decodes (non-interleaved scan ignores
+        # the declared sampling, T.81 A.2.2)
         i = payload.index(b"\xff\xc0")
         ln = struct.unpack_from(">H", payload, i + 2)[0]
         body = bytearray(payload[i + 4:i + 2 + ln])
-        body[7] = 0x22  # sampling factor of component 1
+        body[7] = 0x33  # sampling factor of component 1
         sub = payload[:i + 4] + bytes(body) + payload[i + 2 + ln:]
         with _pytest.raises(NotImplementedError):
             ic.decode_jpeg(sub)
+        body[7] = 0x22
+        sub2 = payload[:i + 4] + bytes(body) + payload[i + 2 + ln:]
+        assert (ic.decode_jpeg(sub2) == ic.decode_jpeg(payload)).all()
         with _pytest.raises(ValueError):
             ic.decode_jpeg(b"\xff\xd8\xff\xd9")  # no frame
 
@@ -558,3 +563,95 @@ class TestJpegCodec:
         dec = ic.decode_jpeg(spliced)
         assert np.array_equal(dec, ic.decode_jpeg(full))
         assert (dec[:, :8] == dec[0, 0]).all() and (dec[:, 8:] == dec[0, 8]).all()
+
+
+class TestJpeg420:
+    """4:2:0 subsampled baseline JPEG (round-4 verdict item #5): encode
+    emits the 4Y+Cb+Cr MCU interleave, decode replicate-upsamples the
+    chroma; flat regions reconstruct EXACTLY per the pinned quantizer
+    formulas."""
+
+    @staticmethod
+    def _recon(v, q):
+        import math
+        return min(max(int(math.floor(8.0 * (v - 128.0) / q + 0.5)
+                           * q / 8.0 + 128.0 + 0.5), 0), 255)
+
+    def test_flat_color_roundtrip_exact(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        img = np.full((16, 16, 3), [200, 80, 40], np.uint8)
+        d420 = ic.decode_jpeg(ic.encode_jpeg(img, subsample="420"))
+        d444 = ic.decode_jpeg(ic.encode_jpeg(img))
+        assert d420.shape == (16, 16, 3)
+        # a flat image survives either sampling identically (chroma
+        # 2x2 mean of a constant is the constant)
+        assert (d420 == d444).all()
+        assert len(np.unique(d420.reshape(-1, 3), axis=0)) == 1
+
+    def test_two_mcu_alignment_no_chroma_bleed(self):
+        """Left/right flat halves with different chroma: the upsampled
+        chroma must not bleed across the MCU boundary — every decoded
+        half stays perfectly flat."""
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        img = np.zeros((16, 32, 3), np.uint8)
+        img[:, :16] = [220, 60, 60]
+        img[:, 16:] = [60, 60, 220]
+        dec = ic.decode_jpeg(ic.encode_jpeg(img, subsample="420"))
+        assert len(np.unique(dec[:, :16].reshape(-1, 3), axis=0)) == 1
+        assert len(np.unique(dec[:, 16:].reshape(-1, 3), axis=0)) == 1
+        assert not (dec[0, 0] == dec[0, 31]).all()
+
+    def test_gray_tiles_match_gray_formula(self):
+        """r=g=b tiles: Y == v exactly, chroma flat 128 quantizes to
+        zero — every channel equals the 4:4:4 grayscale reconstruction
+        formula (the media_jpeg_features oracle contract)."""
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        vals = [37, 201, 128, 255]
+        for ti, v in enumerate(vals):
+            by, bx = divmod(ti, 2)
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+        dec = ic.decode_jpeg(ic.encode_jpeg(img, subsample="420"))
+        for ti, v in enumerate(vals):
+            by, bx = divmod(ti, 2)
+            tile = dec[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            assert (tile == self._recon(v, 16)).all(), (ti, v)
+
+    def test_odd_dims_and_bounded_loss(self):
+        """Non-MCU-multiple dims decode at the SOF size; 4:2:0 loss on
+        a smooth gradient stays within a few chroma quantization steps
+        of the 4:4:4 decode."""
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        yy, xx = np.mgrid[0:33, 0:29]
+        img = np.stack([(yy * 3 + xx * 2) % 256, (yy * 2 + 40) % 256,
+                        (xx * 5 + 10) % 256], -1).astype(np.uint8)
+        d420 = ic.decode_jpeg(ic.encode_jpeg(img, subsample="420"))
+        d444 = ic.decode_jpeg(ic.encode_jpeg(img, subsample="444"))
+        assert d420.shape == img.shape
+        assert np.max(np.abs(d420.astype(int) - d444.astype(int))) <= 24
+
+    def test_420_rejected_for_gray_and_bad_mode(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        gray = np.full((8, 8), 7, np.uint8)
+        # gray + '420' falls back to the single-component path (no
+        # chroma to subsample) and stays decodable
+        assert (ic.decode_jpeg(ic.encode_jpeg(gray, subsample="420"))
+                == ic.decode_jpeg(ic.encode_jpeg(gray))).all()
+        with _pytest.raises(ValueError):
+            ic.encode_jpeg(gray, subsample="422")
