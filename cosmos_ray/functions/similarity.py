@@ -305,7 +305,8 @@ def ivf_query_index(index_dir: str, query_vecs: np.ndarray, k: int = 10,
     return brute_force_topk(ds, query_vecs, k=k)
 
 
-def kmeans_fit(emb_ds, k: int = 8, iters: int = 10, seed: int = 7):
+def kmeans_fit(emb_ds, k: int = 8, iters: int = 10, seed: int = 7,
+               replayable: bool = False):
     """Full-corpus distributed Lloyd's k-means -> (assignments Dataset
     (vec_id, cluster), centroids ndarray (k, dim)).
 
@@ -318,21 +319,38 @@ def kmeans_fit(emb_ds, k: int = 8, iters: int = 10, seed: int = 7):
     (`_seeded_centroids` denormalized to raw space is skipped — raw
     Euclidean Lloyd's re-inits from the seeded uniform sample directly).
     Empty clusters keep their previous centroid. Assignment ties break
-    to the lowest cluster index (np.argmin)."""
+    to the lowest cluster index (np.argmin).
+
+    ``replayable=True`` pins a SQL-replayable configuration (the
+    `centroid_assign` trick applied per Lloyd iteration): init =
+    embeddings of vec_id 0..k-1 (cluster id == seed vec_id), centroids
+    rounded to 6dp after every update, assignment by FULL squared
+    distance rounded to 6dp (ties -> lowest cluster) — every iteration
+    then computes over identical values in the engine and in a DuckDB
+    unrolled-CTE oracle. Same exchanges, same semantics; use the
+    default mode when oracle parity is not required."""
     import ray.data as rd
 
     from cosmos_ray.queries.relational import seeded_sample
 
-    sample = seeded_sample(emb_ds, max(k * 32, 256), seed=seed).to_pandas()
-    X0 = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    C = X0[rng.choice(len(X0), size=min(k, len(X0)), replace=False)].copy()
+    if replayable:
+        first = emb_ds.filter(expr=f"vec_id < {k}").to_pandas()
+        first = first.sort_values("vec_id")
+        C = np.asarray(first["embedding"].tolist(), dtype=np.float64).copy()
+    else:
+        sample = seeded_sample(emb_ds, max(k * 32, 256), seed=seed).to_pandas()
+        X0 = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        C = X0[rng.choice(len(X0), size=min(k, len(X0)), replace=False)].copy()
 
     def assign_partials(t: pa.Table, _c_ref) -> pa.Table:
         C = ray.get(_c_ref)
         X = _as_matrix(t.column("embedding"))
-        # argmin ||x-c||^2 = argmin (||c||^2 - 2 c.x); row-wise exact
-        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        if replayable:
+            d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        else:
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 c.x); row-wise exact
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         a = np.argmin(d, axis=1)
         rows = {"cluster": [], "n": [], "s": []}
         for c in range(len(C)):
@@ -355,17 +373,27 @@ def kmeans_fit(emb_ds, k: int = 8, iters: int = 10, seed: int = 7):
             lambda t, _r=c_ref: assign_partials(t, _r), batch_format="pyarrow")
         for b in part.iter_batches(batch_format="pyarrow"):
             cl = b.column("cluster").to_numpy(zero_copy_only=False)
-            counts[cl] += b.column("n").to_numpy(zero_copy_only=False)
-            sums[cl] += np.asarray(b.column("s").to_pylist(), dtype=np.float64)
+            # np.add.at, NOT +=: one iter_batches batch can coalesce
+            # several task outputs, so `cl` carries duplicate cluster
+            # indices — fancy-indexed += silently drops all but one
+            np.add.at(counts, cl,
+                      b.column("n").to_numpy(zero_copy_only=False))
+            np.add.at(sums, cl,
+                      np.asarray(b.column("s").to_pylist(), dtype=np.float64))
         nz = counts > 0
         C[nz] = sums[nz] / counts[nz, None]
+        if replayable:
+            C = np.round(C, 6)
 
     c_ref = ray.put(C)
 
     def final_assign(t: pa.Table, _r=c_ref) -> pa.Table:
         C = ray.get(_r)
         X = _as_matrix(t.column("embedding"))
-        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        if replayable:
+            d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        else:
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         return pa.table({
             "vec_id": t.column("vec_id"),
             "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),

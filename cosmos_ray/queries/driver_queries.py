@@ -3632,14 +3632,62 @@ SELECT DISTINCT doc_id FROM sh WHERE g IN (SELECT g FROM b)
 
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
-    (`similarity.kmeans_fit`) -> (vec_id, cluster). Iterative float
-    model fitting — no SQL oracle (like word_vectors/ivf_topk); exact
-    numpy-replay parity is pytest-gated in test_similarity."""
+    (`similarity.kmeans_fit`, replayable configuration) -> (vec_id,
+    cluster). ORACLE-EXACT since round 5 (was rows-only): with
+    deterministic first-k init, 6dp-rounded centroids after every
+    update and 6dp-rounded full squared distances at assignment (ties
+    -> lowest cluster), each of the 5 Lloyd iterations computes over
+    identical values in the engine and in the unrolled-CTE DuckDB
+    oracle — the `centroid_assign` trick applied iteratively. The
+    default (sampled-init, matmul-distance) mode stays pytest-gated in
+    test_similarity."""
     from cosmos_ray.functions.similarity import kmeans_fit
 
     assigns, _ = kmeans_fit(read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                            k=8, iters=5)
+                            k=8, iters=5, replayable=True)
     return assigns
+
+
+def _sql_embedding_kmeans(k: int = 8, iters: int = 5) -> str:
+    """Unrolled Lloyd's in SQL: assignment (6dp distances, ties ->
+    lowest cluster) + centroid update (6dp means, empty clusters keep
+    the previous centroid) per iteration, mirroring
+    `kmeans_fit(replayable=True)` value-for-value."""
+    parts = [f"""
+WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                    AS dim
+           FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, dim, v AS m
+       FROM x WHERE vec_id < {k})"""]
+    for i in range(iters):
+        parts.append(f"""
+, a{i} AS (
+  SELECT x.vec_id, c.cluster,
+         round(sum((x.v - c.m) * (x.v - c.m)), 6) AS dist
+  FROM x JOIN c{i} c ON c.dim = x.dim GROUP BY 1, 2),
+asg{i} AS (
+  SELECT vec_id, cluster FROM a{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cluster) = 1),
+cn{i} AS (
+  SELECT a.cluster, x.dim, round(avg(x.v), 6) AS m
+  FROM asg{i} a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2),
+c{i + 1} AS (
+  SELECT p.cluster, p.dim, coalesce(n.m, p.m) AS m
+  FROM c{i} p LEFT JOIN cn{i} n
+    ON n.cluster = p.cluster AND n.dim = p.dim)""")
+    parts.append(f"""
+, af AS (
+  SELECT x.vec_id, c.cluster,
+         round(sum((x.v - c.m) * (x.v - c.m)), 6) AS dist
+  FROM x JOIN c{iters} c ON c.dim = x.dim GROUP BY 1, 2)
+SELECT vec_id, cluster FROM af
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1""")
+    return "".join(parts)
+
+
+SQL_EMBEDDING_KMEANS = _sql_embedding_kmeans()
 
 
 def q_semantic_dedup(sf_dir: str):
@@ -6805,8 +6853,17 @@ def q_image_phash_dups(sf_dir: str):
     structures differ); docs with doc_id % 50 == 7 carry the doc_id-7
     pattern shifted +3 in brightness — the classic re-encoded-thumbnail
     duplicate. aHash is brightness-shift invariant, so exactly those
-    (base, shifted) pairs verify at hamming 0. Rows-only for the driver
-    (binary decode has no SQL form); the exact pair set is pytest-gated
+    (base, shifted) pairs verify at hamming 0.
+
+    ORACLE-EXACT since round 5 (was rows-only): BMP decode is lossless
+    and the planted pattern is integer arithmetic, so the whole chain —
+    pixels, aHash cell sums (dims are multiples of 8, so cells bin by
+    plain integer division and share one pixel count; bit = cell >
+    grid-mean replayed EXACTLY as 64*cell_sum > total_sum in BIGINT),
+    MSB-first bit packing into 4x16-bit LSH bands, the band self-join
+    with its 64-member deterministic truncation, and XOR-popcount
+    verification — replays in SQL. The operator's pair semantics are
+    additionally pytest-gated on planted images
     (`tests/test_imagehash.py`)."""
     from cosmos_ray.functions.imagecodec import encode_bmp
     from cosmos_ray.functions.imagehash import phash_near_dups
@@ -6818,8 +6875,8 @@ def q_image_phash_dups(sf_dir: str):
         mids, payloads = [], []
         for d in ids:
             seed = d - 7 if d % 50 == 7 else d
-            w = 24 + seed % 16
-            h = 24 + (seed // 5) % 16
+            w = 8 * (3 + seed % 3)
+            h = 8 * (3 + (seed // 5) % 3)
             i = np.arange(h, dtype=np.int64)[:, None]
             j = np.arange(w, dtype=np.int64)[None, :]
             img = ((i * (3 + seed % 7) + j * (5 + (seed // 7) % 11)
@@ -6837,6 +6894,63 @@ def q_image_phash_dups(sf_dir: str):
     media = docs.map_batches(to_media, batch_format="pyarrow",
                              batch_size=64)
     return phash_near_dups(media, max_hamming=6)
+
+
+SQL_IMAGE_PHASH_DUPS = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 7 THEN doc_id - 7 ELSE doc_id END AS seed,
+         CASE WHEN doc_id % 50 = 7 THEN 3 ELSE 0 END AS shift
+  FROM documents),
+geo AS (
+  SELECT doc_id, seed, shift,
+         8 * (3 + seed % 3) AS w, 8 * (3 + (seed // 5) % 3) AS h,
+         3 + seed % 7 AS ai, 5 + (seed // 7) % 11 AS aj
+  FROM dims),
+px AS (
+  SELECT g.doc_id,
+         ((i.i * g.ai + j.j * g.aj + g.seed) % 200 + g.shift) AS v,
+         (i.i // (g.h // 8)) * 8 + (j.j // (g.w // 8)) AS k
+  FROM geo g
+  JOIN (SELECT unnest(range(0, 40)) AS i) i ON i.i < g.h
+  JOIN (SELECT unnest(range(0, 40)) AS j) j ON j.j < g.w),
+cells AS (SELECT doc_id, k, sum(v) AS s FROM px GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(s) AS ts FROM cells GROUP BY 1),
+bits AS (
+  -- dims are multiples of 8 => every cell has the same pixel count, so
+  -- cell_mean > grid_mean  <=>  64 * cell_sum > total_sum  (exact ints)
+  SELECT c.doc_id, c.k,
+         CASE WHEN 64 * c.s > t.ts THEN 1 ELSE 0 END AS b
+  FROM cells c JOIN tot t USING (doc_id)),
+bands AS (
+  -- MSB-first packing puts cell k at uint64 bit 63-k; engine band B is
+  -- bits [16B, 16B+16) => band_id = 3 - k//16, weight 2^(15 - k%16)
+  SELECT doc_id, 3 - (k // 16) AS band_id,
+         CAST(sum(b * (CAST(1 AS BIGINT) << CAST(15 - (k % 16) AS INT)))
+              AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2),
+members AS (
+  -- the engine's deterministic degenerate-bucket truncation: keep the
+  -- 64 lexicographically-smallest media ids per (band, value) bucket
+  SELECT band_id, band_val, doc_id, 'm' || doc_id AS mid
+  FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_val
+                             ORDER BY 'm' || doc_id) <= 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM members a JOIN members b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.mid < b.mid),
+ham AS (
+  SELECT c.da, c.db,
+         CAST(sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.da
+  JOIN bits y ON y.doc_id = c.db AND y.k = x.k
+  GROUP BY 1, 2)
+SELECT 'm' || da AS media_id_a, 'm' || db AS media_id_b, hamming
+FROM ham WHERE hamming <= 6
+"""
 
 
 def q_kg_mention_offsets(sf_dir: str):
@@ -12001,6 +12115,8 @@ ORACLES = {
     "profile_docs": SQL_PROFILE_DOCS,
     "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
     "media_jpeg_features": SQL_MEDIA_JPEG_FEATURES,
+    "image_phash_dups": SQL_IMAGE_PHASH_DUPS,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
     "media_video_features": SQL_MEDIA_VIDEO_FEATURES,
     "twap_value": SQL_TWAP_VALUE,
