@@ -61,17 +61,28 @@ def build_kg(
     classifier_concurrency: int | tuple | None = None,
     linker_concurrency: int | tuple | None = None,
     extract_batch_size: int = 256,
+    stage_mode: str = "actors",
 ) -> KgDatasets:
+    """``stage_mode="actors"`` (default) runs the classifier/linker as
+    actor pools — the shape for model-heavy state (GPU weights,
+    embedding indexes). ``"tasks"`` runs them TASK-FUSED (plain
+    functions with per-process cached state — the `build_kg_streaming`
+    stage shape, parity-gated): identical results, no pool spin-up
+    latency; right for the lightweight deterministic stand-ins."""
     import ray as _ray
 
-    # size actor pools to the cluster unless the caller pinned them
-    # (capped: pool spin-up is ~1s/actor of latency; the classifier is
-    # vectorized so a modest pool saturates before the extract stage does)
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    if classifier_concurrency is None:
-        classifier_concurrency = (max(2, min(8, ncpu // 2)), max(2, ncpu))
-    if linker_concurrency is None:
-        linker_concurrency = (2, max(2, ncpu // 2))
+    if stage_mode == "tasks":
+        classifier_concurrency = linker_concurrency = None
+    else:
+        # size actor pools to the cluster unless the caller pinned them
+        # (capped: pool spin-up is ~1s/actor of latency; the classifier is
+        # vectorized so a modest pool saturates before the extract stage
+        # does)
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        if classifier_concurrency is None:
+            classifier_concurrency = (max(2, min(8, ncpu // 2)), max(2, ncpu))
+        if linker_concurrency is None:
+            linker_concurrency = (2, max(2, ncpu // 2))
     kb_table = kb_table if kb_table is not None else build_entity_dict()
     kb_ref = link.broadcast_kb(kb_table)
 
@@ -80,7 +91,10 @@ def build_kg(
     extracted = extract.extract(pages, batch_size=extract_batch_size).materialize()
     ok, dead = extract.split_dead_letter(extracted)
     if dedup_input:
-        ok = extract.keep_latest(ok)
+        # metadata dup plan + batch-local filters (same winners as the
+        # full-shuffle keep_latest, ~none of its exchange cost; falls
+        # back to keep_latest past the plan's broadcast cap)
+        ok = extract.keep_latest_planned(ok)
     ok = ok.materialize()  # branch point: documents | segments
 
     documents = ok.drop_columns(["blocks"])

@@ -5087,9 +5087,19 @@ def _built_kg(sf_dir: str):
     the life of the Ray session."""
     kg = _KG_CACHE.get(sf_dir)
     if kg is None:
+        from dataclasses import replace
+
         from cosmos_ray.pipelines.kg import build_kg
 
-        kg = _KG_CACHE[sf_dir] = build_kg(_pages_ds(sf_dir))
+        # task-fused stages: identical results to the actor-pool mode
+        # (parity-gated), without per-query pool spin-up latency
+        kg = build_kg(_pages_ds(sf_dir), stage_mode="tasks")
+        # pin the two most-consumed derived tables: ~20 kg_* queries read
+        # triples/adjacency, and each un-pinned consumer would re-run the
+        # canonicalization exchange from `linked`
+        kg = replace(kg, triples=kg.triples.materialize(),
+                     adjacency=kg.adjacency.materialize())
+        _KG_CACHE[sf_dir] = kg
     return kg
 
 
@@ -5105,7 +5115,13 @@ def _pages_ds(sf_dir: str):
     from cosmos_ray.sources.pages import generate_pages_table
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet")
-    return rd.from_arrow(generate_pages_table(docs))
+    tbl = generate_pages_table(docs)
+    # many blocks, not one: blocks are the unit of task parallelism for
+    # every downstream stage (a single from_arrow block would serialize
+    # extract/segment/link into one task each)
+    chunk = 128
+    slices = [tbl.slice(off, chunk) for off in range(0, tbl.num_rows, chunk)]
+    return rd.from_arrow(slices or [tbl])
 
 
 def q_kg_triples(sf_dir: str):

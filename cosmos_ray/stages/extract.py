@@ -500,10 +500,12 @@ def discover_dup_urls(pages: "ray.data.Dataset", cap: int = 2_000_000):
     return ray.put({"ts": dups, "tied": tied})
 
 
-def resolve_tied(pages: "ray.data.Dataset", dup_ref):
+def resolve_tied(pages: "ray.data.Dataset", dup_ref, col: str = "html"):
     """Exact winners for urls TIED at their max warc_ts: one row per tied
-    url, picked by min md5(html) (stable-first among byte-identical
-    rows) inside a single ``map_groups`` group — deterministic regardless
+    url, picked by min md5 of ``col`` (``html`` pre-extraction; pass
+    ``text`` for post-extraction rows — the same fallback rule as
+    ``_batch_local_latest``; stable-first among byte-identical rows)
+    inside a single ``map_groups`` group — deterministic regardless
     of batch or partition boundaries. Returns None when the plan has no
     ties. Only the tied rows flow past the filter; when the source is
     parquet, pass a predicate-pushdown read (url ∈ tied) as ``pages`` so
@@ -529,8 +531,10 @@ def resolve_tied(pages: "ray.data.Dataset", dup_ref):
         return t.filter(pa.array(keep))
 
     def pick(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(x if x is not None else b"").hexdigest()
-             for x in t.column("html").to_pylist()]
+        h = [hashlib.md5(
+                (x if isinstance(x, bytes) else (x or "").encode())
+                if x is not None else b"").hexdigest()
+             for x in t.column(col).to_pylist()]
         tt = t.append_column("__h", pa.array(h, pa.string()))
         order = pc.sort_indices(
             tt, sort_keys=[("url", "ascending"), ("__h", "ascending")])
@@ -542,6 +546,25 @@ def resolve_tied(pages: "ray.data.Dataset", dup_ref):
 
     cand = pages.map_batches(only_tied, batch_format="pyarrow")
     return cand.groupby("url").map_groups(pick, batch_format="pyarrow")
+
+
+def keep_latest_planned(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact keep-latest over POST-EXTRACTION rows via the metadata dup
+    plan: the same winners as ``keep_latest`` (min-md5(text) among
+    max-ts ties, the `_batch_local_latest` fallback rule) for the cost
+    of one (url, warc_ts) metadata pass plus batch-local filters —
+    instead of keep_latest's full payload exchange. Ties cost one extra
+    filtered scan only when they exist. Falls back to ``keep_latest``
+    when the duplicate-url set exceeds the broadcast cap (degenerate
+    corpus). Intended for the checkpointing/query path where
+    ``extracted`` is already materialized (the streaming path dedups
+    BEFORE extraction via ``dedup_latest_pages``)."""
+    dup_ref = discover_dup_urls(extracted)
+    if dup_ref is None:
+        return keep_latest(extracted)
+    cleaned = drop_stale(extracted, dup_ref, tied="exclude")
+    winners = resolve_tied(extracted, dup_ref, col="text")
+    return cleaned if winners is None else cleaned.union(winners)
 
 
 def dedup_latest_pages(pages: "ray.data.Dataset", dup_ref) -> "ray.data.Dataset":
@@ -677,5 +700,7 @@ def keep_latest(extracted: "ray.data.Dataset", num_buckets: int = 256) -> "ray.d
         return _batch_local_latest(t.drop_columns(["__bucket"]))
 
     pre = extracted.map_batches(_batch_local_latest, batch_format="pyarrow")
-    bucketed = pre.map_batches(add_bucket, batch_format="pyarrow").repartition(64)
+    bucketed = pre.map_batches(add_bucket, batch_format="pyarrow")
+    # no repartition before the groupby: groupby is itself the exchange,
+    # and a second repartition doubled the shuffle fixed cost
     return bucketed.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")
