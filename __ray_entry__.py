@@ -9,13 +9,15 @@ The driver initialises Ray BEFORE importing this module; nothing here
   triples → link → canonicalize, returns the deduped triples Dataset.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2 + training-data ops), each over ``sf_dir`` tables.
-- ``oracle_sql()``: value-exact DuckDB equivalents for 272 of the 284
+- ``oracle_sql()``: value-exact DuckDB equivalents for 275 of the 285
   queries (the whole kg_* family replays via `queries/oracle_gen.py`,
-  including unrolled Brandes betweenness, the composed kb_release, the
-  two-column layout geometry (`oracle_gen.layout_ctes`) and the
-  baseline-JPEG flat-tile reconstruction); the 12 rows-only queries
-  have SVD / seeded-approximate / iterative / binary-decode semantics
-  SQL cannot replay and carry exact pytest goldens instead.
+  including unrolled Brandes betweenness and unrolled replayable Lloyd
+  k-means, the composed kb_release, the two-column layout geometry
+  (`oracle_gen.layout_ctes`), the baseline + 4:2:0 JPEG flat-tile
+  reconstruction, the full aHash/band-LSH image near-dup chain and the
+  exact-substring dedup window/island replay); the 10 rows-only
+  queries have SVD / seeded-approximate / iterative / binary-decode
+  semantics SQL cannot replay and carry exact pytest goldens instead.
 """
 
 from __future__ import annotations

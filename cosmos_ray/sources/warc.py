@@ -287,3 +287,147 @@ def read_warc_revisits(paths: str | list[str]):
 
     return files.map_batches(explode, batch_format="pyarrow",
                              batch_size=None)
+
+
+def discover_revisit_winners(revisits, cap: int = 2_000_000):
+    """Metadata plan from the crawl's own duplicate declarations: per
+    url, the LATEST revisit record (max ``warc_ts``; ties -> max
+    ``(refers_to_ts, refers_to_url)``) as a broadcast map
+    ``{url: (rev_ts_us, refers_to_url, refers_to_ts_us)}``.
+
+    Scale shape: revisit records can be a large fraction of a crawl, but
+    they are METADATA rows (no payload) — each batch reduces to one row
+    per url before anything moves, and the partial fold streams to the
+    driver under ``cap`` distinct revisited urls (past it, returns None
+    and the caller falls back to payload-side keep-latest; the dup-plan
+    overflow tier in `extract.discover_dup_urls` shows the distributed
+    shape to add if a corpus ever exceeds it)."""
+    import ray
+
+    from cosmos_ray.stages.extract import _ts_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "url": t.column("url").to_pylist(),
+            "ts": [_ts_us(x) for x in t.column("warc_ts").to_pylist()],
+            "ru": t.column("refers_to_url").to_pylist(),
+            "rt": [_ts_us(x) for x in t.column("refers_to_ts").to_pylist()],
+        })
+        df = df.sort_values(["url", "ts", "rt", "ru"]).drop_duplicates(
+            "url", keep="last")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    best: dict[str, tuple[int, str, int]] = {}
+    n = 0
+    for b in (revisits.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for r in b.to_pylist():
+            cur = best.get(r["url"])
+            cand = (r["ts"], r["rt"], r["ru"])
+            if cur is None or cand > (cur[0], cur[2], cur[1]):
+                best[r["url"]] = (r["ts"], r["ru"], r["rt"])
+        n = len(best)
+        if n > cap:
+            return None
+    return ray.put(best)
+
+
+def effective_latest_pages(pages, revisits):
+    """Keep-latest-per-url honoring WARC ``revisit`` records — the
+    crawl's own duplicate declarations folded into the dedup decision:
+    a revisit at t3 declaring "identical to the capture at t1" RENEWS
+    the t1 content, so a url whose latest capture is a revisit keeps
+    the REFERRED response row (not the max-ts response), with
+    ``effective_ts`` = the renewing revisit's timestamp. Urls without a
+    winning revisit keep plain keep-latest semantics (max warc_ts, ties
+    by min md5(html) — `extract.dedup_latest_pages`).
+
+    Declared edge: a revisit whose referred capture is absent from the
+    response set drops its url from the effective view — the latest
+    capture asserts content this shard set does not carry.
+
+    Shape: two metadata-only plans (responses' (url, warc_ts) and the
+    reduced revisit map) + batch-local filters; referred rows resolve
+    through `resolve_tied`'s exact min-md5 pick, so multiple rows at
+    the referred timestamp stay deterministic. Payload bytes never
+    enter an exchange."""
+    import ray
+
+    from cosmos_ray.stages import extract as ex
+
+    rev_ref = discover_revisit_winners(revisits)
+    dup_ref = ex.discover_dup_urls(pages)
+    if rev_ref is None or dup_ref is None:
+        # degenerate corpus: fall back to the payload-side exact path
+        return ex.keep_latest(pages) if dup_ref is None else \
+            ex.dedup_latest_pages(pages, dup_ref)
+    rev = ray.get(rev_ref)
+    plan = ray.get(dup_ref)
+    ts_map = dict(plan["ts"])
+    tied = set(plan["tied"])
+    # response max-ts for exactly the revisited urls (the dup plan only
+    # covers urls with >1 response row; a single-response url still
+    # needs its ts to reject STALE revisits). Metadata-only, pruned to
+    # the revisited-url set, per-batch partial max + driver fold.
+    rev_urls = frozenset(rev)
+    rev_urls_ref = ray.put(rev_urls)
+
+    def resp_max_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        wanted = ray.get(rev_urls_ref)
+        urls = t.column("url").to_pylist()
+        keep = [u in wanted for u in urls]
+        tt = t.filter(pa.array(keep))
+        if tt.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "mx": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "url": tt.column("url").to_pylist(),
+            "mx": [ex._ts_us(x) for x in tt.column("warc_ts").to_pylist()]})
+        g = df.groupby("url", as_index=False)["mx"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    resp_max: dict[str, int] = {}
+    for b in (pages.select_columns(["url", "warc_ts"])
+              .map_batches(resp_max_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for r in b.to_pylist():
+            if r["mx"] > resp_max.get(r["url"], -1):
+                resp_max[r["url"]] = r["mx"]
+
+    eff_ts: dict[str, int] = {}
+    for url, (rts, r_url, r_ts) in rev.items():
+        base_max = resp_max.get(url)
+        if base_max is None:
+            continue  # no response rows at all for this url
+        if rts <= base_max:
+            continue  # a newer RESPONSE exists; the revisit is stale
+        if r_url != url:
+            # cross-url revisit: the referred row lives under another
+            # url key; keeping it under this url would duplicate that
+            # row. Treat like plain keep-latest for this url.
+            continue
+        # the revisit wins: want exactly the referred capture; route
+        # through the tied set so resolve_tied makes the exact pick
+        # (and absent referred captures drop out, per the docstring)
+        ts_map[url] = r_ts
+        tied.add(url)
+        eff_ts[url] = rts
+    new_ref = ray.put({"ts": ts_map, "tied": frozenset(tied)})
+    cleaned = ex.drop_stale(pages, dup_ref=new_ref, tied="exclude")
+    winners = ex.resolve_tied(pages, new_ref)
+    out = cleaned if winners is None else cleaned.union(winners)
+    eff_ref = ray.put(eff_ts)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        m = ray.get(eff_ref)
+        urls = t.column("url").to_pylist()
+        base = [ex._ts_us(x) for x in t.column("warc_ts").to_pylist()]
+        eff = [m.get(u, b) for u, b in zip(urls, base)]
+        return t.append_column(
+            "effective_ts", pa.array(eff, pa.int64()).cast(pa.timestamp("us")))
+
+    return out.map_batches(stamp, batch_format="pyarrow")

@@ -192,3 +192,123 @@ class TestRevisits:
         assert r["refers_to_ts"].timestamp() == 1.0
         # zero-length revisit bodies never leak into the response parse
         assert all(rr["html"] for rr in parse_warc_bytes(shard))
+
+
+class TestEffectiveLatest:
+    """Revisit-aware keep-latest (`effective_latest_pages`): the crawl's
+    own duplicate declarations fold into the dedup decision — a newer
+    revisit renews OLD content instead of letting a stale max-ts
+    response win."""
+
+    @staticmethod
+    def _pages(rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }))
+
+    @staticmethod
+    def _revisits(rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "refers_to_url": pa.array([r[2] for r in rows], pa.string()),
+            "refers_to_ts": pa.array([r[3] for r in rows],
+                                     pa.timestamp("us")),
+            "digest": pa.array(["sha1:X"] * len(rows), pa.string()),
+        }))
+
+    def test_interplay_with_keep_latest(self, ray_session):
+        from cosmos_ray.sources.warc import effective_latest_pages
+
+        pages = self._pages([
+            ("u://a", 1_000_000, b"<p>a-old</p>"),
+            ("u://a", 2_000_000, b"<p>a-new</p>"),
+            ("u://b", 1_000_000, b"<p>b-old</p>"),
+            ("u://b", 2_000_000, b"<p>b-new</p>"),
+            ("u://c", 1_000_000, b"<p>c-only</p>"),
+            ("u://d", 1_000_000, b"<p>d-only</p>"),
+            ("u://e", 1_000_000, b"<p>e-only</p>"),
+        ])
+        revisits = self._revisits([
+            # a: revisit at t3 renews the t1 capture -> a-old wins
+            ("u://a", 3_000_000, "u://a", 1_000_000),
+            # c: STALE revisit (older than the only response) -> ignored
+            ("u://c", 500_000, "u://c", 200_000),
+            # d: revisit renews d's own single row -> kept, ts renewed
+            ("u://d", 4_000_000, "u://d", 1_000_000),
+            # e: revisit refers to an ABSENT capture -> url drops
+            ("u://e", 9_000_000, "u://e", 777_000),
+        ])
+        out = {r["url"]: r
+               for r in effective_latest_pages(pages, revisits).take_all()}
+        assert set(out) == {"u://a", "u://b", "u://c", "u://d"}
+        # a: the revisit redirected the winner to the OLD capture
+        assert out["u://a"]["html"] == b"<p>a-old</p>"
+        assert out["u://a"]["effective_ts"].timestamp() == 3.0
+        # b: no revisit -> plain keep-latest
+        assert out["u://b"]["html"] == b"<p>b-new</p>"
+        assert out["u://b"]["effective_ts"].timestamp() == 2.0
+        # c: stale revisit ignored
+        assert out["u://c"]["html"] == b"<p>c-only</p>"
+        assert out["u://c"]["effective_ts"].timestamp() == 1.0
+        # d: single row kept with the renewed timestamp
+        assert out["u://d"]["effective_ts"].timestamp() == 4.0
+
+    def test_latest_revisit_wins_and_ties_deterministic(self, ray_session):
+        from cosmos_ray.sources.warc import effective_latest_pages
+
+        pages = self._pages([
+            ("u://t", 1_000_000, b"<p>v1</p>"),
+            ("u://t", 2_000_000, b"<p>v2</p>"),
+            ("u://t", 3_000_000, b"<p>v3</p>"),
+        ])
+        # two revisits; the LATEST (t5 -> v2) decides
+        revisits = self._revisits([
+            ("u://t", 4_000_000, "u://t", 1_000_000),
+            ("u://t", 5_000_000, "u://t", 2_000_000),
+        ])
+        out = effective_latest_pages(pages, revisits).take_all()
+        assert len(out) == 1
+        assert out[0]["html"] == b"<p>v2</p>"
+        assert out[0]["effective_ts"].timestamp() == 5.0
+
+    def test_warc_end_to_end(self, ray_session, tmp_path):
+        """Full file path: responses + revisits in one WARC shard ->
+        effective view -> extraction still byte-exact on the winner."""
+        import ray.data as rd
+
+        from cosmos_ray.sources.warc import (
+            effective_latest_pages,
+            read_warc_pages,
+            read_warc_revisits,
+            write_warc_revisit,
+            write_warc_shard,
+        )
+        from cosmos_ray.stages import extract
+
+        shard = write_warc_shard([
+            ("http://w/1", 1_000_000, b"<p>original body</p>"),
+            ("http://w/1", 2_000_000, b"<p>vandalized body</p>"),
+        ])
+        shard += write_warc_revisit(
+            "http://w/1", 6_000_000, "http://w/1", 1_000_000, "sha1:D")
+        p = tmp_path / "rv.warc"
+        p.write_bytes(shard)
+
+        pages = read_warc_pages(str(p))
+        revs = read_warc_revisits(str(p))
+        eff = effective_latest_pages(pages, revs)
+        rows = eff.take_all()
+        assert len(rows) == 1 and rows[0]["html"] == b"<p>original body</p>"
+        ex = extract.extract(
+            eff.drop_columns(["effective_ts"])).take_all()
+        assert ex[0]["text"] == "original body"
