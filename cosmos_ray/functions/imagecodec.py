@@ -1,10 +1,13 @@
 """Pure-numpy image codecs without PIL/cv2 (absent in this container):
 uncompressed BMP 24-bit BI_RGB and binary PPM/PGM, REAL PNG
 (ISO 15948) via stdlib zlib — 8-bit gray/RGB/RGBA encode (filter 0)
-and decode of all five standard scanline filters — and REAL baseline
-sequential JPEG (ITU-T T.81): numpy DCT/IDCT + Huffman encode/decode,
-4:4:4 and 4:2:0 sampling (encode both; decode any 1-2 factor combo
-with replicate chroma upsample), in-file tables (progressive scans
+and decode of all five standard scanline filters — and REAL JPEG
+(ITU-T T.81): numpy DCT/IDCT + Huffman, baseline sequential AND
+progressive (SOF2 — spectral selection, successive approximation,
+EOBn runs; `encode_jpeg_progressive` emits the standard
+DC-first/AC-first/refine scan script), 4:4:4 and 4:2:0 sampling
+(encode both; decode any 1-2 factor combo with replicate chroma
+upsample), in-file tables (lossless/arithmetic/hierarchical frames
 raise the declared NotImplementedError). Reference analog: the page/region
 PNG payloads the reference crops and ships (`ingest/ingest.py:245-332`)
 and the JPG recompression (`htcosmos/make_parquet.py:786-806`); the
@@ -564,13 +567,475 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# extended AC table for progressive scans: the baseline symbols plus the
+# EOBn band-skip symbols (r<<4, r=1..14) progressive encoding batches
+# empty bands with; rides in-file via DHT like every other table
+_AC_HUFF_PROG = _FlatHuff(_AC_SYMBOLS + [r << 4 for r in range(1, 15)], 8)
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter plus the progressive encoder's run state: a pending
+    EOB run and the correction bits buffered behind it (T.81 G.1.2.2 /
+    G.1.2.3: correction bits for blocks inside an EOB run are emitted
+    AFTER the EOBn symbol that closes the run)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self, ac: "_FlatHuff") -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            c, ln = ac.code[nbits << 4]
+            self.put(c, ln)
+            if nbits:
+                self.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.put(b, 1)
+        self.pending = []
+
+
+def _prog_blocks(img: np.ndarray, subsample: str):
+    """Quantized coefficient planning shared with the sequential
+    encoder: -> (h, w, gray, comps) where comps[ci] = (list of per-block
+    zigzag int64 arrays in the component's raster block order, (bh, bw),
+    interleave dims (hi, vi))."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    sub420 = subsample == "420" and not gray
+    if gray:
+        planes = [img.astype(np.float64)]
+        qsel = [0]
+        hv = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        qsel = [0, 1, 1]
+        hv = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * 3
+    qts = [_QT_LUMA, _QT_CHROMA]
+    if sub420:
+        h2, w2 = -(-h // 16) * 16, -(-w // 16) * 16
+        padded = [np.pad(p, ((0, h2 - h), (0, w2 - w)), mode="edge")
+                  for p in planes]
+        planes = [padded[0]] + [
+            p.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            for p in padded[1:]]
+    comps = []
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    for ci, plane in enumerate(planes):
+        hi, vi = hv[ci]
+        # the component's OWN block grid (what non-interleaved AC scans
+        # cover, T.81 A.2.2) vs the MCU-PADDED grid (what the
+        # interleaved DC scan covers, A.2.3) — they differ when the
+        # image is not a whole number of MCUs (e.g. 24x24 at 4:2:0 pads
+        # Y to 32x32: own 3x3 blocks, padded 4x4)
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        own = ((ch + 7) // 8, (cw + 7) // 8)
+        if sub420:
+            bh = plane.shape[0] // 8
+            bw = plane.shape[1] // 8
+        else:
+            bh, bw = own
+        q = qts[qsel[ci]].reshape(8, 8).astype(np.float64)
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                if blk.shape != (8, 8):
+                    blk = np.pad(blk, ((0, 8 - blk.shape[0]),
+                                       (0, 8 - blk.shape[1])), mode="edge")
+                coef = _DCT_T @ (blk - 128.0) @ _DCT_T.T
+                blocks.append(_round_half_up(coef / q)
+                              .astype(np.int64).reshape(64)[_ZIGZAG])
+        comps.append((blocks, (bh, bw), (hi, vi), own))
+    return h, w, gray, qsel, comps
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsample: str = "444") -> bytes:
+    """(H, W) gray or (H, W, 3) RGB -> PROGRESSIVE JPEG bytes (SOF2)
+    carrying the SAME quantized coefficients as `encode_jpeg`, delivered
+    as a standard successive-approximation scan script: DC first (Al=1,
+    interleaved), per-component AC 1-63 first (Al=1, with EOBn
+    band-skip runs), DC refine, per-component AC refine (the
+    correction-bit pass). `decode_jpeg(encode_jpeg_progressive(x)) ==
+    decode_jpeg(encode_jpeg(x))` bit-for-bit — the roundtrip gate in
+    tests/test_multimodal.py."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w, gray, qsel, comps = _prog_blocks(img, subsample)
+    ncomp = len(comps)
+    al = 1
+
+    def dc_scan(first: bool) -> bytes:
+        wtr = _ProgWriter()
+        prev = [0] * ncomp
+        if ncomp == 1:
+            # single-component DC scan is non-interleaved: OWN grid
+            bh_o, bw_o = comps[0][3]
+            bw_pad = comps[0][1][1]
+            seq = [(0, by * bw_pad + bx)
+                   for by in range(bh_o) for bx in range(bw_o)]
+        else:
+            # interleaved MCU order over the padded grids
+            bh0, bw0 = comps[0][1]
+            mcy = bh0 // comps[0][2][1] if comps[0][2][1] > 1 else bh0
+            mcx = bw0 // comps[0][2][0] if comps[0][2][0] > 1 else bw0
+            seq = []
+            for my in range(mcy):
+                for mx in range(mcx):
+                    for ci, (_, (bh, bw), (hi, vi), _own) in enumerate(comps):
+                        for bv in range(vi):
+                            for bhh in range(hi):
+                                seq.append((ci, (my * vi + bv) * bw
+                                            + (mx * hi + bhh)))
+        for ci, bi in seq:
+            dc = int(comps[ci][0][bi][0])
+            if first:
+                v = dc >> al  # arithmetic shift: the DC point transform
+                size, code = _magnitude(v - prev[ci])
+                c, ln = _DC_HUFF.code[size]
+                wtr.put(c, ln)
+                if size:
+                    wtr.put(code, size)
+                prev[ci] = v
+            else:
+                wtr.put((dc >> 0) & 1, 1)  # refine appends bit Al=0
+        return wtr.flush()
+
+    def ac_scan(ci: int, first: bool) -> bytes:
+        wtr = _ProgWriter()
+        blocks = comps[ci][0]
+        # non-interleaved AC scans cover the component's OWN grid
+        # (T.81 A.2.2), not the MCU-padded one the DC scan interleaves
+        bh_o, bw_o = comps[ci][3]
+        bw_pad = comps[ci][1][1]
+        own_blocks = [blocks[by * bw_pad + bx]
+                      for by in range(bh_o) for bx in range(bw_o)]
+        for zz in own_blocks:
+            if first:
+                r = 0
+                wrote = False
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = (abs(v) >> al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    wtr.flush_eobrun(_AC_HUFF_PROG)
+                    while r > 15:
+                        c, ln = _AC_HUFF_PROG.code[0xF0]
+                        wtr.put(c, ln)
+                        r -= 16
+                    tv = t if v > 0 else -t
+                    size, code = _magnitude(tv)
+                    c, ln = _AC_HUFF_PROG.code[(r << 4) | size]
+                    wtr.put(c, ln)
+                    wtr.put(code, size)
+                    r = 0
+                    wrote = True
+                if r > 0 or not wrote:
+                    wtr.eobrun += 1
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.flush_eobrun(_AC_HUFF_PROG)
+            else:
+                # refinement pass (T.81 G.1.2.3): EOB = index of the
+                # last NEWLY-significant coefficient
+                absv = [(abs(int(zz[k])) >> 0) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        wtr.flush_eobrun(_AC_HUFF_PROG)
+                        c, ln = _AC_HUFF_PROG.code[0xF0]
+                        wtr.put(c, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)  # history coefficient: append
+                        continue          # its next bit, run unaffected
+                    # newly significant (t == 1)
+                    wtr.flush_eobrun(_AC_HUFF_PROG)
+                    c, ln = _AC_HUFF_PROG.code[(r << 4) | 1]
+                    wtr.put(c, ln)
+                    wtr.put(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    wtr.eobrun += 1
+                    wtr.pending.extend(br)
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.flush_eobrun(_AC_HUFF_PROG)
+        wtr.flush_eobrun(_AC_HUFF_PROG)
+        return wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += _dqt_segment(0, _QT_LUMA)
+    if not gray:
+        out += _dqt_segment(1, _QT_CHROMA)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = comps[ci][2]
+        sof += bytes([ci + 1, (hi << 4) | vi, qsel[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, _DC_HUFF)
+    out += _dht_segment(1, 0, _AC_HUFF_PROG)
+
+    def sos(sel: list[int], ss_: int, se_: int, ah_: int, al_: int,
+            data: bytes) -> bytes:
+        body = bytes([len(sel)])
+        for ci in sel:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss_, se_, (ah_ << 4) | al_])
+        return (b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+                + data)
+
+    out += sos(list(range(ncomp)), 0, 0, 0, al, dc_scan(first=True))
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 0, al, ac_scan(ci, first=True))
+    out += sos(list(range(ncomp)), 0, 0, al, 0, dc_scan(first=False))
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, al, 0, ac_scan(ci, first=False))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _split_rst(scan_bytes: bytes) -> list[bytes]:
+    """Split raw scan bytes at RST markers (stuffing still intact, so an
+    entropy 0xFF followed by a 0xD0-D7 DATA byte cannot fake an RST),
+    then unstuff each segment."""
+    raw_segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_bytes):
+        b = scan_bytes[i]
+        if b == 0xFF and i + 1 < len(scan_bytes):
+            nxt = scan_bytes[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                raw_segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            cur.append(b)
+            cur.append(nxt)  # FF 00 stuffing pair, kept for unstuff
+            i += 2
+            continue
+        cur.append(b)
+        i += 1
+    raw_segments.append(bytes(cur))
+    return [seg.replace(b"\xff\x00", b"\xff") for seg in raw_segments]
+
+
+def _decode_scan(scan, comps, coefs, grids, dc_tabs, ac_tabs,
+                 restart_interval, mcx, mcy, hs, vs):
+    """Entropy-decode ONE scan into the per-component coefficient
+    arrays (natural zigzag order k=0..63), per T.81 Annex F (sequential
+    / progressive-first) and G (progressive refinement):
+
+    - interleaved (ns > 1, necessarily Ss=0): MCU loop, Hi x Vi blocks
+      per component per MCU;
+    - non-interleaved (ns == 1): the component's OWN block grid in
+      raster order;
+    - DC first: diff-coded predictor in the point-transformed domain,
+      stored << Al; DC refine: one appended bit per block;
+    - AC first: run/size with EOBn band-skip runs; AC refine: the
+      correction-bit algorithm (newly-significant +-1<<Al placements,
+      history-coefficient correction bits, EOBn runs that still carry
+      corrections for the skipped blocks' nonzero history).
+
+    Restart markers reset DC predictors AND the EOB run."""
+    (scan_sel, ss, se, ah, al, segments) = scan
+    interleaved = len(scan_sel) > 1
+    if interleaved and ss != 0:
+        raise ValueError("interleaved AC scan is not valid JPEG")
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    prev_dc = [0] * len(comps)
+    state = {"eobrun": 0}
+    p1 = 1 << al
+
+    def dc_first(blk, ci, tdc):
+        size = dc_tabs[tdc].read(reader)
+        diff = _extend(reader.bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        blk[0] = prev_dc[ci] << al
+
+    def dc_refine(blk):
+        if reader.bit():
+            blk[0] |= p1
+
+    def ac_first(blk, tac):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = ac_tabs[tac].read(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                run = 1 << r
+                if r:
+                    run += reader.bits(r)
+                state["eobrun"] = run - 1  # current block consumes one
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, tac):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = ac_tabs[tac].read(reader)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        run = 1 << r
+                        if r:
+                            run += reader.bits(r)
+                        state["eobrun"] = run
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement code")
+                    val = p1 if reader.bit() else -p1
+                # advance over r zero-history coefficients, applying
+                # correction bits to nonzero-history ones along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC refine overflow")
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            # inside an EOB run: only correction bits for the remaining
+            # nonzero-history coefficients of this block's band
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_block(ci, tdc, tac, by, bx):
+        blk = coefs[ci][by][bx]
+        if ss == 0:
+            if ah == 0:
+                dc_first(blk, ci, tdc)
+            else:
+                dc_refine(blk)
+            if se > ss and ah == 0:  # sequential scan: DC then AC 1..se
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    return
+                k = 1
+                while k <= se:
+                    rs = ac_tabs[tac].read(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        run = 1 << r
+                        if r:
+                            run += reader.bits(r)
+                        state["eobrun"] = run - 1
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+        elif ah == 0:
+            ac_first(blk, tac)
+        else:
+            ac_refine(blk, tac)
+
+    if interleaved:
+        total = mcx * mcy
+        unit = 0
+        while unit < total:
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError(
+                        "JPEG scan data truncated (missing restart segment)")
+                reader = _BitReader(segments[seg_i])
+                prev_dc = [0] * len(comps)
+                state["eobrun"] = 0
+            my, mx = divmod(unit, mcx)
+            for (ci, tdc, tac) in scan_sel:
+                for bv in range(vs[ci]):
+                    for bhh in range(hs[ci]):
+                        do_block(ci, tdc, tac, my * vs[ci] + bv,
+                                 mx * hs[ci] + bhh)
+            unit += 1
+    else:
+        ci, tdc, tac = scan_sel[0]
+        bh_i, bw_i = grids[ci]
+        total = bh_i * bw_i
+        unit = 0
+        while unit < total:
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError(
+                        "JPEG scan data truncated (missing restart segment)")
+                reader = _BitReader(segments[seg_i])
+                prev_dc = [0] * len(comps)
+                state["eobrun"] = 0
+            by, bx = divmod(unit, bw_i)
+            do_block(ci, tdc, tac, by, bx)
+            unit += 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG bytes -> (H, W) or (H, W, 3) uint8.
-    Reads DQT/DHT/SOF0/DRI from the stream (external baseline files
-    decode too); 1- or 3-component with sampling factors 1-2 (4:4:4,
-    4:2:2, 4:4:0 and the dominant wild format 4:2:0 — subsampled chroma
-    is replicate-upsampled); progressive (SOF2) scans raise
-    NotImplementedError."""
+    """Sequential (SOF0/1) or PROGRESSIVE (SOF2) JPEG bytes -> (H, W)
+    or (H, W, 3) uint8. Reads DQT/DHT/SOF/DRI/every SOS from the
+    stream (external files decode too); 1- or 3-component with
+    sampling factors 1-2 (4:4:4, 4:2:2, 4:4:0 and the dominant wild
+    format 4:2:0 — subsampled chroma is replicate-upsampled).
+    Progressive streams accumulate coefficients across scans: spectral
+    selection bands, successive-approximation DC/AC first and refine
+    passes, EOBn band-skip runs and restart markers are all handled
+    (T.81 Annex G); arithmetic-coded (SOF9+) and hierarchical frames
+    raise the declared NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -580,8 +1045,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
     h = w = 0
     restart_interval = 0
-    scan_bytes = None
-    scan_sel: list[tuple[int, int, int]] = []  # (comp idx, dc tab, ac tab)
+    scans = []  # (scan_sel, Ss, Se, Ah, Al, segments)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -615,7 +1079,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[off + 17:off + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecode(bits, syms)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline shapes)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -627,10 +1091,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "only sampling factors 1-2 supported (4:4:4 / 4:2:2 /"
                     " 4:4:0 / 4:2:0)")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+                f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
+                "lossless / arithmetic / hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -640,11 +1105,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tt = body[1 + 2 * si:3 + 2 * si]
                 scan_sel.append((cid_to_idx[cid], tt >> 4, tt & 0xF))
+            ss_, se_, a = body[1 + 2 * ns:4 + 2 * ns]
             # collect RAW scan bytes (stuffing intact) up to the next
-            # real marker — RST boundaries must be found in the RAW
-            # stream, where FF 00 is unambiguous; a literal 0xFF
-            # entropy byte followed by a 0xD0-D7 data byte would fake
-            # an RST if the data were unstuffed first
+            # real marker; see _split_rst for why stuffing must survive
             scan = bytearray()
             p = pos
             while p < len(payload):
@@ -661,104 +1124,55 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     break
                 scan.append(b)
                 p += 1
-            scan_bytes = bytes(scan)
+            scans.append((list(scan_sel), ss_, se_, a >> 4, a & 0xF,
+                          _split_rst(bytes(scan)), restart_interval))
             pos = p
-            break
         # APPn / COM / others: skipped via the length field
-    if scan_bytes is None or not comps or not h or not w:
+    if not scans or not comps or not h or not w:
         raise ValueError("incomplete JPEG stream")
 
-    # entropy-decode MCUs. Interleaved scans (ncomp > 1) tile the image
-    # in Hmax*8 x Vmax*8 MCUs; each component contributes Hi x Vi
-    # raster-ordered blocks per MCU (T.81 A.2.3). A single-component
-    # scan is NON-interleaved: one data unit per MCU over the
-    # component's own block grid (T.81 A.2.2), whatever its declared
-    # sampling factors.
-    if len(scan_sel) == 1:
-        hs = [1] * len(comps)
-        vs = [1] * len(comps)
-    else:
-        hs = [(s >> 4) for _, s, _ in comps]
-        vs = [(s & 0xF) for _, s, _ in comps]
+    hs = [(s >> 4) for _, s, _ in comps]
+    vs = [(s & 0xF) for _, s, _ in comps]
+    if len(comps) == 1:
+        hs, vs = [1], [1]
     hmax, vmax = max(hs), max(vs)
     mcx = (w + 8 * hmax - 1) // (8 * hmax)
     mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient store: MCU-padded block grid (covers the
+    # component's own grid for non-interleaved scans too); plain python
+    # lists of per-block int lists — scans mutate in place
+    coefs = [[[[0] * 64 for _ in range(mcx * hi)] for _ in range(mcy * vi)]
+             for hi, vi in zip(hs, vs)]
+    # non-interleaved scans walk the component's OWN grid
+    grids = []
+    for ci in range(len(comps)):
+        ch = -(-h * vs[ci] // vmax)
+        cw = -(-w * hs[ci] // hmax)
+        grids.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    for (scan_sel, ss_, se_, ah_, al_, segments, dri) in scans:
+        _decode_scan((scan_sel, ss_, se_, ah_, al_, segments), comps,
+                     coefs, grids, dc_tabs, ac_tabs, dri, mcx, mcy, hs, vs)
+
+    # reconstruct: dequantize + IDCT each block, assemble planes
     planes = [np.zeros((mcy * vi * 8, mcx * hi * 8), np.float64)
               for hi, vi in zip(hs, vs)]
-    # split at restart markers ON THE RAW STREAM (where FF 00 stuffing
-    # is still visible and cannot be confused with an RST), then
-    # unstuff each segment; each segment resets DC predictors
-    raw_segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan_bytes):
-        b = scan_bytes[i]
-        if b == 0xFF and i + 1 < len(scan_bytes):
-            nxt = scan_bytes[i + 1]
-            if 0xD0 <= nxt <= 0xD7:
-                raw_segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            cur.append(b)
-            cur.append(nxt)  # FF 00 stuffing pair, kept for unstuff
-            i += 2
-            continue
-        cur.append(b)
-        i += 1
-    raw_segments.append(bytes(cur))
-    segments = [seg.replace(b"\xff\x00", b"\xff") for seg in raw_segments]
-    mcu = 0
-    seg_i = 0
-    reader = _BitReader(segments[0])
-    prev_dc = [0] * len(comps)
-    total_mcus = mcx * mcy
-    while mcu < total_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError(
-                    "JPEG scan data truncated (missing restart segment)")
-            reader = _BitReader(segments[seg_i])
-            prev_dc = [0] * len(comps)
-        my, mx = divmod(mcu, mcx)
-        for (ci, tdc, tac) in scan_sel:
-            for bv in range(vs[ci]):
-                for bhh in range(hs[ci]):
-                    zz = np.zeros(64, np.int64)
-                    size = dc_tabs[tdc].read(reader)
-                    diff = _extend(reader.bits(size), size) if size else 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        rs = ac_tabs[tac].read(reader)
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, sz = rs >> 4, rs & 0xF
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflow")
-                        zz[k] = _extend(reader.bits(sz), sz)
-                        k += 1
-                    dez = np.zeros(64, np.float64)
-                    dez[_ZIGZAG] = zz
-                    coef = dez.reshape(8, 8) * qt[comps[ci][2]].astype(
-                        np.float64)
-                    blk = _DCT_T.T @ coef @ _DCT_T + 128.0
-                    py = (my * vs[ci] + bv) * 8
-                    px = (mx * hs[ci] + bhh) * 8
-                    planes[ci][py:py + 8, px:px + 8] = blk
-        mcu += 1
+    for ci in range(len(comps)):
+        q = qt[comps[ci][2]].astype(np.float64)
+        rows = coefs[ci]
+        for by in range(len(rows)):
+            for bx in range(len(rows[by])):
+                zz = rows[by][bx]
+                dez = np.zeros(64, np.float64)
+                dez[_ZIGZAG] = zz
+                coef = dez.reshape(8, 8) * q
+                blk = _DCT_T.T @ coef @ _DCT_T + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
     # crop each component to its OWN dims, replicate-upsample subsampled
-    # chroma to full resolution (pixel (y, x) reads component sample
-    # (y * Vi // Vmax, x * Hi // Hmax)), then crop to the image
+    # chroma to full resolution, then crop to the image
     full = []
     for ci, p in enumerate(planes):
-        ch = -(-h * vs[ci] // vmax)  # ceil(h * Vi / Vmax)
+        ch = -(-h * vs[ci] // vmax)
         cw = -(-w * hs[ci] // hmax)
         p = p[:ch, :cw]
         if vs[ci] != vmax:

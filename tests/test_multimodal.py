@@ -503,10 +503,14 @@ class TestJpegCodec:
         from cosmos_ray.functions import imagecodec as ic
 
         payload = ic.encode_jpeg(np.full((8, 8), 5, np.uint8))
-        # progressive SOF2 rejected
+        # SOF2 is now SUPPORTED: a sequential full scan under a
+        # progressive frame header decodes identically
         prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert (ic.decode_jpeg(prog) == ic.decode_jpeg(payload)).all()
+        # lossless SOF3 remains the declared gate
+        lossless = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
         with _pytest.raises(NotImplementedError):
-            ic.decode_jpeg(prog)
+            ic.decode_jpeg(lossless)
         # sampling factors > 2 rejected (declared gate); factor 2 on a
         # single-component frame decodes (non-interleaved scan ignores
         # the declared sampling, T.81 A.2.2)
@@ -655,3 +659,91 @@ class TestJpeg420:
                 == ic.decode_jpeg(ic.encode_jpeg(gray))).all()
         with _pytest.raises(ValueError):
             ic.encode_jpeg(gray, subsample="422")
+
+
+class TestJpegProgressive:
+    """Progressive JPEG (SOF2) — the last wild-format codec gap:
+    `encode_jpeg_progressive` carries the SAME quantized coefficients
+    as the sequential encoder through the standard successive-
+    approximation scan script (DC first Al=1 -> per-component AC first
+    Al=1 with EOBn band-skips -> DC refine -> AC refine correction
+    bits), so decoding either stream must be BIT-IDENTICAL."""
+
+    def _same(self, img, sub="444"):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        base = ic.decode_jpeg(ic.encode_jpeg(img, subsample=sub))
+        prog = ic.decode_jpeg(ic.encode_jpeg_progressive(img, subsample=sub))
+        assert np.array_equal(base, prog)
+        return base
+
+    def test_gray_flat_gradient_random(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        yy, xx = np.mgrid[0:24, 0:24]
+        self._same(np.full((16, 16), 77, np.uint8))
+        self._same(((yy * 5 + xx * 3) % 256).astype(np.uint8))
+        self._same(rng.randint(0, 256, (17, 19), np.uint8))
+
+    def test_color_444_and_420(self):
+        import numpy as np
+
+        rng = np.random.RandomState(4)
+        self._same(rng.randint(0, 256, (16, 24, 3), np.uint8), "444")
+        self._same(rng.randint(0, 256, (33, 29, 3), np.uint8), "420")
+
+    def test_420_non_mcu_aligned_own_grid(self):
+        """24x24 at 4:2:0 pads Y to 32x32: the interleaved DC scan
+        covers the padded 4x4 grid while the non-interleaved AC scans
+        cover Y's OWN 3x3 grid (T.81 A.2.2/A.2.3) — the case that
+        separates the two grids."""
+        import numpy as np
+
+        yy, xx = np.mgrid[0:24, 0:24]
+        img = np.stack([(yy * 3 + xx * 2) % 256, (yy * 2 + 40) % 256,
+                        (xx * 5 + 10) % 256], -1).astype(np.uint8)
+        self._same(img, "420")
+
+    def test_near_flat_exercises_eobn_runs(self):
+        """Near-flat images leave most AC bands empty at Al=1 — long
+        EOBn runs in the first pass and newly-significant placements in
+        the refine pass."""
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        img = (rng.randint(0, 3, (40, 40)) * 2 + 120).astype(np.uint8)
+        self._same(img)
+
+    def test_fuzz_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        for trial in range(40):
+            h = int(rng.randint(8, 41))
+            w = int(rng.randint(8, 41))
+            kind = trial % 4
+            if kind == 0:
+                img, sub = rng.randint(0, 256, (h, w), np.uint8), "444"
+            elif kind == 1:
+                img, sub = rng.randint(0, 256, (h, w, 3), np.uint8), "444"
+            elif kind == 2:
+                img, sub = rng.randint(0, 256, (h, w, 3), np.uint8), "420"
+            else:
+                yy, xx = np.mgrid[0:h, 0:w]
+                a, b, c = rng.randint(1, 6, 3)
+                img = np.stack([((yy * a + xx * b + c) % 256)] * 3,
+                               -1).astype(np.uint8)
+                sub = "420"
+            self._same(img, sub)
+
+    def test_decode_image_sniffs_progressive(self):
+        import numpy as np
+
+        from cosmos_ray.functions import imagecodec as ic
+
+        img = np.full((16, 16), 42, np.uint8)
+        out = ic.decode_image(ic.encode_jpeg_progressive(img))
+        assert out.shape == (16, 16) and (out == 42).all()
