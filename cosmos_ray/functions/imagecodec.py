@@ -113,9 +113,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff-and-decode: BMP ('BM'), binary netpbm ('P5'/'P6'), PNG
     (8-bit gray/RGB/RGBA, stdlib-zlib inflate + full defilter) and
-    baseline JPEG incl. 4:2:0 (pure-numpy Huffman + IDCT; progressive
-    variants raise the declared NotImplementedError) decode natively;
-    unknown magics raise for the caller's fake/dead-letter policy."""
+    JPEG — baseline sequential AND progressive, 4:4:4/4:2:0 (pure-numpy
+    Huffman + IDCT; lossless/arithmetic frames raise the declared
+    NotImplementedError) — decode natively; unknown magics raise for
+    the caller's fake/dead-letter policy."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
@@ -126,7 +127,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     raise NotImplementedError(
         f"unknown image magic {payload[:4]!r}; "
-        "BMP/PPM/PGM/PNG/baseline-JPEG decode natively")
+        "BMP/PPM/PGM/PNG/JPEG decode natively")
 
 
 # ------------------------------------------------------------------ PNG
@@ -1046,88 +1047,93 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     scans = []  # (scan_sel, Ss, Se, Ah, Al, segments)
-    while pos < len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("bad JPEG marker stream")
-        marker = payload[pos + 1]
-        pos += 2
-        if marker == 0xD9:  # EOI
-            break
-        ln = struct.unpack_from(">H", payload, pos)[0]
-        body = payload[pos + 2:pos + ln]
-        pos += ln
-        if marker == 0xDB:  # DQT (possibly several tables)
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0xF
-                off += 1
-                if pq == 0:
-                    tbl = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
-                    off += 64
-                else:
-                    tbl = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
-                    off += 128
-                dez = np.zeros(64, np.int64)
-                dez[_ZIGZAG] = tbl
-                qt[tq] = dez.reshape(8, 8)
-        elif marker == 0xC4:  # DHT
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0xF
-                bits = list(body[off + 1:off + 17])
-                n = sum(bits)
-                syms = list(body[off + 17:off + 17 + n])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecode(bits, syms)
-                off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2
-            h, w = struct.unpack_from(">HH", body, 1)
-            ncomp = body[5]
-            comps = []
-            for ci in range(ncomp):
-                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                comps.append((cid, samp, tq))
-            if any((s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
-                   for _, s, _ in comps):
+    try:
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            ln = struct.unpack_from(">H", payload, pos)[0]
+            body = payload[pos + 2:pos + ln]
+            pos += ln
+            if marker == 0xDB:  # DQT (possibly several tables)
+                off = 0
+                while off < len(body):
+                    pq, tq = body[off] >> 4, body[off] & 0xF
+                    off += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
+                        off += 64
+                    else:
+                        tbl = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
+                        off += 128
+                    dez = np.zeros(64, np.int64)
+                    dez[_ZIGZAG] = tbl
+                    qt[tq] = dez.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                off = 0
+                while off < len(body):
+                    tc, th = body[off] >> 4, body[off] & 0xF
+                    bits = list(body[off + 1:off + 17])
+                    n = sum(bits)
+                    syms = list(body[off + 17:off + 17 + n])
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecode(bits, syms)
+                    off += 17 + n
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2
+                h, w = struct.unpack_from(">HH", body, 1)
+                ncomp = body[5]
+                comps = []
+                for ci in range(ncomp):
+                    cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                    comps.append((cid, samp, tq))
+                if any((s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
+                       for _, s, _ in comps):
+                    raise NotImplementedError(
+                        "only sampling factors 1-2 supported (4:4:4 / 4:2:2 /"
+                        " 4:4:0 / 4:2:0)")
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only sampling factors 1-2 supported (4:4:4 / 4:2:2 /"
-                    " 4:4:0 / 4:2:0)")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
-                "lossless / arithmetic / hierarchical)")
-        elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS — entropy-coded data follows
-            ns = body[0]
-            scan_sel = []
-            cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
-            for si in range(ns):
-                cid, tt = body[1 + 2 * si:3 + 2 * si]
-                scan_sel.append((cid_to_idx[cid], tt >> 4, tt & 0xF))
-            ss_, se_, a = body[1 + 2 * ns:4 + 2 * ns]
-            # collect RAW scan bytes (stuffing intact) up to the next
-            # real marker; see _split_rst for why stuffing must survive
-            scan = bytearray()
-            p = pos
-            while p < len(payload):
-                b = payload[p]
-                if b == 0xFF:
-                    if p + 1 >= len(payload):
-                        raise ValueError("JPEG scan data truncated")
-                    nxt = payload[p + 1]
-                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                        scan.append(0xFF)
-                        scan.append(nxt)
-                        p += 2
-                        continue
-                    break
-                scan.append(b)
-                p += 1
-            scans.append((list(scan_sel), ss_, se_, a >> 4, a & 0xF,
-                          _split_rst(bytes(scan)), restart_interval))
-            pos = p
-        # APPn / COM / others: skipped via the length field
+                    f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
+                    "lossless / arithmetic / hierarchical)")
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:  # SOS — entropy-coded data follows
+                ns = body[0]
+                scan_sel = []
+                cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+                for si in range(ns):
+                    cid, tt = body[1 + 2 * si:3 + 2 * si]
+                    scan_sel.append((cid_to_idx[cid], tt >> 4, tt & 0xF))
+                ss_, se_, a = body[1 + 2 * ns:4 + 2 * ns]
+                # collect RAW scan bytes (stuffing intact) up to the next
+                # real marker; see _split_rst for why stuffing must survive
+                scan = bytearray()
+                p = pos
+                while p < len(payload):
+                    b = payload[p]
+                    if b == 0xFF:
+                        if p + 1 >= len(payload):
+                            raise ValueError("JPEG scan data truncated")
+                        nxt = payload[p + 1]
+                        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                            scan.append(0xFF)
+                            scan.append(nxt)
+                            p += 2
+                            continue
+                        break
+                    scan.append(b)
+                    p += 1
+                scans.append((list(scan_sel), ss_, se_, a >> 4, a & 0xF,
+                              _split_rst(bytes(scan)), restart_interval))
+                pos = p
+            # APPn / COM / others: skipped via the length field
+    except (IndexError, struct.error) as e:
+        # malformed/truncated header segments follow the
+        # dead-letter error contract, not a raw IndexError
+        raise ValueError(f"truncated JPEG segment: {e}") from e
     if not scans or not comps or not h or not w:
         raise ValueError("incomplete JPEG stream")
 

@@ -23,7 +23,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 sys.path.insert(0, "/root/repo")
-from cosmos_ray.queries.driver_queries import ORACLES, QUERIES
+# stale-import guard: when this module is driven from a long-lived
+# session (not the usual fresh process), re-import the query registry so
+# edits made after the first import are swept too
+import cosmos_ray.queries.driver_queries as _dq  # noqa: E402
+
+if "cosmos_ray.queries.driver_queries" in sys.modules:
+    import importlib
+
+    _dq = importlib.reload(_dq)
+ORACLES, QUERIES = _dq.ORACLES, _dq.QUERIES
 
 
 def oracle(sql):

@@ -57,8 +57,11 @@ ALLOWED = {
                                       # combiner (per-batch, not a pull)
     "state/copartition.py": 4,        # worker-local bucket reads inside
                                       # join_bucket (+ typed-empty fallback)
-    "functions/similarity.py": 3,     # seeded centroid samples (capped n)
+    "functions/similarity.py": 4,     # seeded centroid samples (capped n)
                                       # + pq_fit codebook sample (sample_n cap)
+                                      # + kmeans replayable init: the k
+                                      # vec_id<k seed rows (k rows, model-
+                                      # sized by construction)
     "functions/selection.py": 1,      # arrow Array.to_pandas inside a
                                       # map_batches fn (worker-local)
     "functions/retrieval.py": 0,      # df via .sum() combiner only
@@ -71,9 +74,10 @@ ALLOWED = {
                                       # commit-plane metadata, file-count
                                       # bounded by design (the log itself
                                       # is driver-side JSON)
-    "pipelines/kb_release.py": 2,     # manifest checksums: to_pandas on
-                                      # table_checksum's ONE-ROW result
-                                      # datasets (facts + entities)
+    "pipelines/kb_release.py": 2,     # fused sink: take_all over the
+                                      # one-row-per-batch checksum/count
+                                      # partials (replaces the former
+                                      # table_checksum to_pandas pulls)
     "state/graph_store.py": 1,        # khop frontier pull — node-bounded
                                       # and guarded by a raising
                                       # max_frontier cap (test-gated)
