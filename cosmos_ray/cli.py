@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
                         "checkpointing path")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when starting a fresh local session")
+    p.add_argument("--revisit-dedup", action="store_true",
+                   help="fold WARC revisit records (the crawl's own "
+                        "duplicate declarations) into keep-latest: a "
+                        "url whose latest capture is a revisit keeps "
+                        "the REFERRED response row "
+                        "(sources/warc.effective_latest_pages); "
+                        "requires --input-format warc")
     p.add_argument("--input-format", choices=("parquet", "warc"),
                    default="parquet",
                    help="'warc' reads raw ISO-28500 crawl shards "
@@ -85,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.input_format == "warc" and not (args.streaming or args.update):
         p.error("--input-format warc requires --streaming or --update")
+    if args.revisit_dedup and args.input_format != "warc":
+        p.error("--revisit-dedup requires --input-format warc")
     if (args.drain_queue is None and args.serve is None
             and not (args.input and args.output)):
         p.error("--input and --output are required "
@@ -146,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
             from cosmos_ray.sources.warc import read_warc_pages
 
             pages = read_warc_pages(args.input)
+            if args.revisit_dedup:
+                from cosmos_ray.sources.warc import (effective_latest_pages,
+                                                     read_warc_revisits)
+
+                pages = effective_latest_pages(
+                    pages, read_warc_revisits(args.input)
+                ).drop_columns(["effective_ts"])
             return pages, pages.select_columns(["url", "warc_ts"])
         return (rd.read_parquet(args.input),
                 rd.read_parquet(args.input, columns=["url", "warc_ts"]))

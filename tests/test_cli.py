@@ -206,3 +206,52 @@ def test_cli_serve_http_job_lifecycle(small_pages_file, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_cli_warc_revisit_dedup_end_to_end(tmp_path):
+    """--revisit-dedup on the WARC streaming path: the revisit-renewed
+    OLD capture wins over the newer (vandalized) response, end to end
+    through the CLI into the graph tables."""
+    from cosmos_ray.sources.warc import write_warc_revisit, write_warc_shard
+
+    old_html = (b"<html><body><p>Ada Lovelace founded Analytical Engines"
+                b" in London.</p></body></html>")
+    new_html = (b"<html><body><p>SPAM SPAM SPAM nothing here"
+                b"</p></body></html>")
+    shard = write_warc_shard([
+        ("http://r/1", 1_000_000, old_html),
+        ("http://r/1", 2_000_000, new_html),
+    ])
+    shard += write_warc_revisit(
+        "http://r/1", 9_000_000, "http://r/1", 1_000_000, "sha1:D")
+    p = tmp_path / "rv.warc"
+    p.write_bytes(shard)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    res = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", str(p),
+         "--output", out, "--streaming", "--input-format", "warc",
+         "--revisit-dedup", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    import pyarrow.parquet as _pq
+    import glob as _glob
+
+    # streaming writes triples; read them to confirm the OLD content won
+    tris = []
+    for f in _glob.glob(os.path.join(out, "triples", "*.parquet")):
+        tris.extend(_pq.read_table(f).to_pylist())
+    assert any(t["subj"] == "Ada Lovelace" for t in tris), tris
+    assert not any("SPAM" in (t["subj"] + t["obj"]) for t in tris)
+
+
+def test_cli_revisit_dedup_requires_warc(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "cosmos_ray.cli", "--input", "x",
+         "--output", str(tmp_path / "o"), "--streaming",
+         "--revisit-dedup"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode != 0
+    assert "requires --input-format warc" in res.stderr
