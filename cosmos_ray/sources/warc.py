@@ -371,16 +371,14 @@ def effective_latest_pages(pages, revisits):
     # covers urls with >1 response row; a single-response url still
     # needs its ts to reject STALE revisits). Metadata-only, pruned to
     # the revisited-url set, per-batch partial max + driver fold.
-    rev_urls = frozenset(rev)
-    rev_urls_ref = ray.put(rev_urls)
+    rev_urls_ref = ray.put(pa.array(sorted(rev), pa.string()))
 
     def resp_max_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
+        import pyarrow.compute as pc
 
-        wanted = ray.get(rev_urls_ref)
-        urls = t.column("url").to_pylist()
-        keep = [u in wanted for u in urls]
-        tt = t.filter(pa.array(keep))
+        tt = t.filter(pc.is_in(t.column("url"),
+                               value_set=ray.get(rev_urls_ref)))
         if tt.num_rows == 0:
             return pa.table({"url": pa.array([], pa.string()),
                              "mx": pa.array([], pa.int64())})
@@ -423,11 +421,24 @@ def effective_latest_pages(pages, revisits):
     eff_ref = ray.put(eff_ts)
 
     def stamp(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         m = ray.get(eff_ref)
-        urls = t.column("url").to_pylist()
-        base = [ex._ts_us(x) for x in t.column("warc_ts").to_pylist()]
-        eff = [m.get(u, b) for u, b in zip(urls, base)]
-        return t.append_column(
-            "effective_ts", pa.array(eff, pa.int64()).cast(pa.timestamp("us")))
+        base = t.column("warc_ts").cast(pa.int64())
+        if not m:
+            eff = base
+        else:
+            # renewed timestamps only exist for the (few) revisit-won
+            # urls; everything else keeps its own capture time
+            hit = pc.is_in(t.column("url"),
+                           value_set=pa.array(sorted(m), pa.string()))
+            eff_np = base.to_numpy(zero_copy_only=False).copy()
+            idx = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+            urls = t.column("url").take(pa.array(idx)).to_pylist()
+            eff_np[idx] = [m[u] for u in urls]
+            eff = pa.array(eff_np, pa.int64())
+        return t.append_column("effective_ts",
+                               eff.cast(pa.timestamp("us")))
 
     return out.map_batches(stamp, batch_format="pyarrow")
